@@ -1,0 +1,60 @@
+"""Cross-engine-deterministic numeric aggregation helpers.
+
+Floating-point SUM is order-dependent: Spark's partial/final hash aggregate
+adds doubles in a different order than a single-threaded engine, so raw
+`SUM(double)` will differ from the DuckDB oracle in the last ulps and fail a
+value-hash comparison. The engine-wide convention is therefore:
+
+    aggregate doubles through DECIMAL (exact, order-independent), then cast
+    the exact result back to double.
+
+`CAST(x AS DECIMAL(18,2))` of the *same* input double is deterministic in
+both engines (ties at .xx5 would need the binary double to be exactly on the
+boundary, which is unrepresentable), the decimal SUM is exact, and the final
+decimal->double cast is the IEEE-nearest double of the same exact value in
+both engines. Derived ratios divide two already-identical doubles, which is
+again bit-identical. Mirrors: `ROUND(CAST(SUM(CAST(x AS DECIMAL(18,2))) AS
+DOUBLE), 2)` on the oracle side.
+
+This also holds at 100 TB: decimal aggregation is whole-stage-codegen'd and
+partial-aggregated map-side exactly like double sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ColumnOrName = Column | str
+
+
+def _col(c: ColumnOrName) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def dsum(c: ColumnOrName, scale: int = 2, precision: int = 18) -> Column:
+    """Order-independent sum of a double column (see module docstring).
+
+    Result is DOUBLE, rounded at `scale` (a no-op numerically — the decimal
+    already has that scale — but it pins the column type and intent).
+    """
+    dec = _col(c).cast(f"decimal({precision},{scale})")
+    return F.round(F.sum(dec).cast("double"), scale)
+
+
+def davg(c: ColumnOrName, scale: int = 2, out_scale: int = 4,
+         precision: int = 18) -> Column:
+    """Order-independent mean: exact decimal sum / count, divided in double.
+
+    Both engines divide the identical (sum, count) pair, so the double
+    quotient is bit-identical; round(out_scale) then matches exactly.
+    Oracle mirror: ROUND(CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)
+                         / COUNT(*), 4).
+    """
+    dec = _col(c).cast(f"decimal({precision},{scale})")
+    return F.round(F.sum(dec).cast("double") / F.count(F.lit(1)), out_scale)
+
+
+def ratio(num: ColumnOrName, den: ColumnOrName, out_scale: int = 4) -> Column:
+    """Deterministic ratio of two exact (integer-valued) columns."""
+    return F.round(_col(num).cast("double") / _col(den).cast("double"), out_scale)

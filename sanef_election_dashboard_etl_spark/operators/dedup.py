@@ -1,0 +1,217 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+North-star extensions (SURVEY.md §7 step 4) generalizing the reference's
+two dedup idioms — `drop_duplicates(subset=...)` (SANEF_Uploader.py:474)
+and membership-scan dedup (:144-148) — to the operators a 100 TB
+training-data pipeline needs.
+
+Scale design notes (the point of each variant):
+- exact_dedup: hash-groupBy on a digest — one shuffle keyed by md5, no
+  skew (digests are uniform).
+- ngram_jaccard_pairs: *exact* all-pairs similarity via an inverted-index
+  self-join on shingles. Quadratic in bucket size — correct baseline and
+  oracle-checkable, but at 100 TB you bound it (candidate subset) or go to:
+- minhash_lsh_pairs: signature size k, b bands — candidate generation cost
+  is O(rows x b) with uniform band-hash keys; only candidates get the
+  exact-Jaccard verification join. This is the scale path.
+- simhash64: one 64-bit signature per doc; banding on 16-bit chunks finds
+  Hamming<=d neighbors with 4 shuffle-light self-joins.
+
+All randomness is compile-time constants (seeded parameters baked into the
+plan), so results are reproducible across runs and cluster layouts.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint, tokens
+
+# Large prime < 2^31 for the (a*h + b) % P minhash family; parameters are
+# fixed-seed so plans are deterministic.
+_P = 2_147_483_647
+
+
+def _minhash_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(k)]
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Exact dedup on normalized-content digest; survivor = min id per
+    digest (deterministic, unlike pandas keep='first' which leans on input
+    order). Returns (survivor_id, n_copies, fingerprint)."""
+    return (df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+            .groupBy("fp")
+            .agg(F.min(id_col).alias("survivor_id"),
+                 F.count(F.lit(1)).alias("n_copies"))
+            .select("survivor_id", "n_copies", "fp"))
+
+
+def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Distinct n-token shingles per doc as (id, shingle) rows.
+
+    Built with transform over a token-index sequence — narrow, no UDF.
+    Docs shorter than n tokens contribute their full token string."""
+    toks = tokens(F.col(text_col))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(
+        " ", *[F.element_at(toks, i + j + 1) for j in range(n)]))
+    return (df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+            .na.drop(subset=["shingle"]))
+
+
+def token_set(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Distinct unigram tokens per doc (1-shingles)."""
+    return df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("shingle"))
+
+
+def jaccard_pairs(grams: DataFrame, id_col: str = "doc_id",
+                  min_jaccard: float = 0.5) -> DataFrame:
+    """Exact Jaccard over (id, shingle) rows via inverted-index self-join.
+
+    |A ∩ B| from the join on shingle, sizes from a per-doc count; Jaccard =
+    inter / (|A| + |B| - inter). Output (id_a, id_b, jaccard) with
+    id_a < id_b. The shingle join is the shuffle; the size table is tiny
+    and broadcast."""
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = grams.select(F.col(id_col).alias("id_a"), "shingle")
+    b = grams.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (a.join(b, "shingle")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = (inter
+           .join(F.broadcast(sz_a), "id_a")
+           .join(F.broadcast(sz_b), "id_b")
+           .withColumn("jaccard", F.round(
+               F.col("inter").cast("double") /
+               (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"), 4)))
+    return (jac.filter(F.col("jaccard") >= min_jaccard)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, n: int = 3, min_jaccard: float = 0.5,
+                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact n-gram-shingle Jaccard dedup pairs (baseline / oracle path)."""
+    g = shingles(df, n, id_col, text_col) if n > 1 else token_set(df, id_col, text_col)
+    return jaccard_pairs(g, id_col, min_jaccard)
+
+
+def minhash_signatures(grams: DataFrame, k: int = 32, seed: int = 42,
+                       id_col: str = "doc_id") -> DataFrame:
+    """k-permutation MinHash signature per doc over (id, shingle) rows.
+
+    Base hash = xxhash64(shingle) folded into [0, P); each permutation is
+    (a*h + b) % P with fixed-seed (a, b). One aggregation -> k min columns;
+    map-side partial aggregation keeps the shuffle tiny (one row per doc)."""
+    params = _minhash_params(k, seed)
+    h = F.pmod(F.xxhash64("shingle"), F.lit(_P)).alias("h")
+    with_h = grams.select(F.col(id_col), h)
+    mins = [F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_P))).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(params)]
+    return with_h.groupBy(id_col).agg(*mins)
+
+
+def minhash_lsh_pairs(df: DataFrame, n: int = 3, k: int = 32, bands: int = 8,
+                      min_jaccard: float = 0.5, seed: int = 42,
+                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """MinHash + LSH near-dup pairs with exact-Jaccard verification.
+
+    signature (k mins) -> b bands of k/b rows -> band-hash bucket join ->
+    candidate pairs -> verify true Jaccard on candidates only. At 100 TB
+    the verification join touches only the candidate set (vs the quadratic
+    all-pairs of ngram_jaccard_pairs). Output (id_a, id_b, jaccard)."""
+    assert k % bands == 0
+    rows_per_band = k // bands
+    grams = shingles(df, n, id_col, text_col) if n > 1 else token_set(df, id_col, text_col)
+    sig = minhash_signatures(grams, k, seed, id_col)
+
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.xxhash64(*[F.col(f"mh_{bi * rows_per_band + j}")
+                         for j in range(rows_per_band)]).alias("bhash"))
+        for bi in range(bands)
+    ])
+    banded = sig.select(F.col(id_col), F.explode(band_structs).alias("b")) \
+                .select(id_col, "b.band", "b.bhash")
+
+    lhs = banded.select(F.col(id_col).alias("id_a"), "band", "bhash")
+    rhs = banded.select(F.col(id_col).alias("id_b"), "band", "bhash")
+    candidates = (lhs.join(rhs, ["band", "bhash"])
+                  .filter(F.col("id_a") < F.col("id_b"))
+                  .select("id_a", "id_b").distinct())
+
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = grams.select(F.col(id_col).alias("id_a"), "shingle")
+    b = grams.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (candidates.join(a, "id_a").join(b, ["id_b", "shingle"])
+             .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter")))
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    verified = (inter.join(F.broadcast(sz_a), "id_a").join(F.broadcast(sz_b), "id_b")
+                .withColumn("jaccard", F.round(
+                    F.col("inter").cast("double") /
+                    (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"), 4)))
+    return (verified.filter(F.col("jaccard") >= min_jaccard)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc: per-token xxhash64, +-1 vote per bit,
+    sign -> bit. Explodes tokens x 64 bit-positions — acceptable because
+    the per-(doc,bit) partial sums combine map-side; for very long docs a
+    Pandas-UDF bit-count variant is the escape hatch. Returns
+    (id, simhash long)."""
+    tok = (df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+           .withColumn("h", F.xxhash64("token")))
+    bits = tok.select(
+        id_col, "h",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i"))
+    votes = (bits
+             .withColumn("bit", F.expr("(h >> i) & 1"))
+             .groupBy(id_col, "i")
+             .agg(F.sum(F.col("bit") * 2 - 1).alias("vote")))
+    return (votes
+            .withColumn("contrib", F.expr(
+                "CASE WHEN vote >= 0 THEN shiftleft(1L, i) ELSE 0L END"))
+            .groupBy(id_col)
+            .agg(F.sum("contrib").alias("simhash")))
+
+
+def simhash_pairs(df: DataFrame, max_hamming: int = 3,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Near-dup pairs by SimHash banding: 4 x 16-bit chunks; any pair within
+    Hamming distance 3 shares at least one exact chunk (pigeonhole), so the
+    4 chunk-equality self-joins find all candidates; verify with bit_count
+    of xor. Output (id_a, id_b, hamming)."""
+    sig = simhash64(df, id_col, text_col)
+    chunks = sig.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk"),
+                     F.expr(f"(simhash >> {16 * c}) & 65535").alias("cval"))
+            for c in range(4)
+        ])).alias("b")).select(id_col, "simhash", "b.chunk", "b.cval")
+    lhs = chunks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
+                        "chunk", "cval")
+    rhs = chunks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
+                        "chunk", "cval")
+    cand = (lhs.join(rhs, ["chunk", "cval"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sh_a", "sh_b").distinct())
+    return (cand.withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b") ))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

@@ -1,0 +1,117 @@
+"""Multimodal column plumbing: opaque binary media + typed metadata.
+
+North-star extension: treat image/audio/video as `binary` columns with a
+typed metadata struct, processed by Arrow-batched pandas functions via
+`mapInPandas`. The decode step itself is STUBBED (no image/audio libs in
+this container): `decode_image` raises NotImplementedError unless the
+deterministic fake decoder is requested. Everything Spark-side — schema,
+batch iteration, partitioning, UDF signatures — is real and tested.
+
+At 100 TB: media bytes dominate row size, so the operators (a) never
+shuffle the binary column (feature extraction is a narrow map), (b) select
+metadata-only columns wherever possible so Parquet column pruning skips the
+bytes entirely, and (c) emit fixed-size feature vectors whose downstream
+joins/aggregations shuffle only the small derived columns.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, FloatType, IntegerType, LongType, StringType,
+    StructField, StructType,
+)
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("media_type", StringType(), False),   # image | audio | video
+    StructField("payload", BinaryType(), True),        # opaque encoded bytes
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("sample_rate", IntegerType(), True),
+    StructField("n_frames", IntegerType(), True),
+])
+
+FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("media_type", StringType(), False),
+    StructField("payload_bytes", LongType(), False),
+    StructField("payload_sha1", StringType(), False),
+    StructField("feature", ArrayType(FloatType()), False),  # fixed 16-dim
+])
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real decoder entry point — requires an image library.
+
+    STUB: this container ships no codec libraries; production swaps in
+    PIL/torchvision here. The Spark plumbing around it is fully functional
+    with the deterministic fake (`fake=True` in extract_features)."""
+    raise NotImplementedError(
+        "image decoding requires a codec library not present in this "
+        "environment; use extract_features(..., fake=True) for the "
+        "deterministic test double")
+
+
+def _fake_feature(payload: bytes, dim: int = 16) -> list[float]:
+    """Deterministic stand-in for a decoded-media embedding: bytes of
+    sha1(payload) scaled to [0, 1). Stable across runs and machines."""
+    digest = hashlib.sha1(payload or b"").digest()
+    return [b / 255.0 for b in digest[:dim]]
+
+
+def synthesize_media(docs: DataFrame, media_type: str = "image") -> DataFrame:
+    """Build a MEDIA_SCHEMA table from the documents fixture: text bytes
+    stand in for encoded payloads (deterministic). Metadata is derived
+    per-row in codegen."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(media_type).alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        (F.pmod(F.col("doc_id"), F.lit(64)) * 16 + 64).cast("int").alias("width"),
+        (F.pmod(F.col("doc_id"), F.lit(48)) * 16 + 64).cast("int").alias("height"),
+        F.lit(16_000).cast("int").alias("sample_rate"),
+        (F.length("text") % 1000).cast("int").alias("n_frames"),
+    )
+
+
+def extract_features(media: DataFrame, fake: bool = True,
+                     batch_size_hint: int = 256) -> DataFrame:
+    """Arrow-batched feature extraction over the binary payload column.
+
+    mapInPandas: each task streams Arrow batches, decodes (stub), and emits
+    FEATURE_SCHEMA rows — the narrow map keeps the big binary column from
+    ever shuffling; only the 16-float feature moves downstream."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                # production path: decode_image / audio resample / frame
+                # sampling per media_type
+                raise NotImplementedError("no codec libraries in container")
+            payloads = pdf["payload"]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "payload_bytes": payloads.map(lambda p: len(p or b"")).astype("int64"),
+                "payload_sha1": payloads.map(
+                    lambda p: hashlib.sha1(p or b"").hexdigest()),
+                "feature": payloads.map(_fake_feature),
+            })
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Metadata-only aggregate — selects no binary column, so the Parquet
+    reader prunes the payload bytes entirely (ReadSchema check in tests)."""
+    return (media.groupBy("media_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("width").cast("long") * F.col("height")).alias("total_pixels"),
+                 F.max("n_frames").alias("max_frames")))

@@ -1,0 +1,202 @@
+"""Relational operator library (SURVEY.md §2, operator ids P/E/J/A/W/O/U/R).
+
+Each function is a pure DataFrame -> DataFrame (or Column) transformation,
+named after the reference behavior it re-expresses, with the reference
+citation in its docstring. Design rules (SURVEY.md §4):
+
+- Declarative only: Catalyst handles pushdown, pruning, join strategy.
+- Dimension joins take an explicit `broadcast=True` default — the
+  reference's Wards/Munis/Party tables are tiny and must never shuffle.
+- No driver-side loops, no collect(): the reference's N+1 per-ward query
+  loops (SANEF_Uploader.py:110-124, :170-184, :466-491) become single joins.
+- Determinism: anything order-sensitive (keep-first dedup, grouped string
+  concat) takes explicit ordering, because pandas' implicit input order
+  does not exist in a distributed engine.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# Projections / filters (P1-P8)
+# --------------------------------------------------------------------------
+
+
+def project_rename(df: DataFrame, mapping: Mapping[str, str]) -> DataFrame:
+    """P1: project + rename, the reference's per-row dict construction
+    (SANEF_Uploader.py:79-85, :118-124). mapping: src col -> out name."""
+    return df.select(*[F.col(src).alias(dst) for src, dst in mapping.items()])
+
+
+def filter_conj(df: DataFrame, *preds: Column) -> DataFrame:
+    """P3/P4: conjunctive predicate (SANEF_Uploader.py:112, :172, :270).
+    Catalyst pushes the conjunction into the source scan."""
+    out = df
+    for p in preds:
+        out = out.filter(p)
+    return out
+
+
+def having_eq(df: DataFrame, keys: Sequence[str], agg: Column,
+              alias: str, value) -> DataFrame:
+    """P5: filter-on-aggregate (HAVING) — the reference's zero-vote voting
+    district subquery (SANEF_Uploader.py:390-396)."""
+    return (df.groupBy(*keys).agg(agg.alias(alias))
+            .filter(F.col(alias) == value))
+
+
+def drop_null(df: DataFrame, *cols: str) -> DataFrame:
+    """P8: null-drop on fetched results (SANEF_Uploader.py:577)."""
+    return df.na.drop(subset=list(cols))
+
+
+# --------------------------------------------------------------------------
+# Joins (J1-J7)
+# --------------------------------------------------------------------------
+
+
+def dim_join(fact: DataFrame, dim: DataFrame, on, how: str = "inner",
+             broadcast: bool = True) -> DataFrame:
+    """J1/J2/J5/J6: fact x small-dimension equi-join
+    (SANEF_Uploader.py:223, :278, :344-345, :408-411, :580).
+
+    Broadcast by default: at 100 TB the fact side never moves — a hash map
+    of the dim ships to every executor and the join is map-side, shuffle-free.
+    """
+    d = F.broadcast(dim) if broadcast else dim
+    return fact.join(d, on, how)
+
+
+def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """J4: LEFT JOIN ... IS NULL rewritten as a true anti-join
+    (SANEF_Uploader.py:385-401). Catalyst plans broadcast-anti when the
+    right side is small, else a shuffled hash anti — both beat
+    materializing the outer join."""
+    return left.join(right, on, "left_anti")
+
+
+def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """J7 (filter form): fact ⋉ key-set. Replaces the reference's N+1
+    one-query-per-ward loops (SANEF_Uploader.py:110-124) with one
+    distributed join."""
+    return left.join(right, on, "left_semi")
+
+
+# --------------------------------------------------------------------------
+# Aggregations (A1-A11)
+# --------------------------------------------------------------------------
+
+
+def grouped_sum_count(df: DataFrame, keys: Sequence[str], flag: Column,
+                      sum_alias: str = "flagged",
+                      cnt_alias: str = "total") -> DataFrame:
+    """A1+A2+J3 fused: the reference computes sum(bHung) and count(bHung)
+    as two groupbys then merges them (SANEF_Uploader.py:228-231); one
+    grouped aggregation is semantically identical and removes a join —
+    an intentional rewrite (SURVEY.md §2.4 J3)."""
+    return df.groupBy(*keys).agg(
+        F.sum(flag.cast("long")).alias(sum_alias),
+        F.count(F.lit(1)).alias(cnt_alias),
+    )
+
+
+def dedup_keep_first(df: DataFrame, keys: Sequence[str],
+                     order_by: Sequence[Column]) -> DataFrame:
+    """A8/A9: deterministic keep-first dedup.
+
+    pandas `drop_duplicates(subset=...)` keeps the first row in input order
+    (SANEF_Uploader.py:474); a distributed engine has no input order, so the
+    tie-break is an explicit `order_by`. Implemented as row_number over a
+    window — one shuffle on `keys`, no join."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def grouped_ordered_concat(df: DataFrame, key: str, item: Column,
+                           order_by: Column, alias: str,
+                           prefix: str = "", suffix: str = "") -> DataFrame:
+    """A10: per-group ordered string fold — the reference's per-province
+    <ul><li>... HTML build (SANEF_Uploader.py:283-299).
+
+    pandas iterates groups in input order; here the order is explicit:
+    collect (order_key, item) structs, sort_array (sorts by the struct's
+    first field), then join. Stays in native expressions — no UDAF."""
+    pairs = F.collect_list(F.struct(order_by.alias("o"), item.alias("i")))
+    ordered = F.transform(F.sort_array(pairs), lambda s: s["i"])
+    return df.groupBy(key).agg(
+        F.concat(F.lit(prefix), F.array_join(ordered, ""), F.lit(suffix)).alias(alias)
+    )
+
+
+def window_total(df: DataFrame, value: Column, alias: str,
+                 partition_by: Sequence[str] = ()) -> DataFrame:
+    """A6/W1: whole-frame (or per-group) total attached as a column
+    (SANEF_Uploader.py:471-472). Empty partitionBy = global total: fine at
+    dashboard result sizes, a deliberate single-partition bottleneck at
+    100 TB — callers at scale pass partition keys."""
+    w = Window.partitionBy(*[F.col(c) for c in partition_by])
+    return df.withColumn(alias, F.sum(value).over(w))
+
+
+# --------------------------------------------------------------------------
+# Windows (W2 + engine surface)
+# --------------------------------------------------------------------------
+
+
+def rank_in_group(df: DataFrame, keys: Sequence[str],
+                  order_by: Sequence[Column], alias: str = "rank") -> DataFrame:
+    """W2/O3 generalized: row_number per group with a total (deterministic)
+    ordering — the engine's top-k-per-key primitive."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return df.withColumn(alias, F.row_number().over(w))
+
+
+def topk_per_group(df: DataFrame, keys: Sequence[str],
+                   order_by: Sequence[Column], k: int) -> DataFrame:
+    """Top-k rows per key. Spark plans a partial top-k inside each map task
+    before the shuffle (WindowGroupLimit), so this scales to skewed keys."""
+    return (rank_in_group(df, keys, order_by, "__rank")
+            .filter(F.col("__rank") <= k).drop("__rank"))
+
+
+def lag_delta(df: DataFrame, keys: Sequence[str], order_by: Sequence[Column],
+              value: Column, alias: str = "delta") -> DataFrame:
+    """Per-key ordered difference (engine surface for sessionization §7)."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return df.withColumn(alias, value - F.lag(value).over(w))
+
+
+# --------------------------------------------------------------------------
+# Reshaping (R1-R4) and set ops (U1-U2)
+# --------------------------------------------------------------------------
+
+
+def stack_pairs(df: DataFrame, keep: Sequence[str],
+                pairs: Sequence[tuple[str, Column]],
+                label_alias: str, value_alias: str) -> DataFrame:
+    """R1/R2/R3: unpivot one row into len(pairs) labeled rows — the
+    reference's Voted/Didn't-Vote, Hung/Outright, Ward/PR row pairs
+    (SANEF_Uploader.py:476-491, :233-248, :582-597).
+
+    Built as explode(array(struct...)) — narrow (no shuffle), codegen'd."""
+    structs = F.array(*[
+        F.struct(F.lit(lbl).alias(label_alias), val.cast("long").alias(value_alias))
+        for lbl, val in pairs
+    ])
+    ex = df.select(*keep, F.explode(structs).alias("__s"))
+    return ex.select(*keep, f"__s.{label_alias}", f"__s.{value_alias}")
+
+
+def union_by_name(*dfs: DataFrame) -> DataFrame:
+    """U1: the reference's heterogeneous `Results.append` accumulation
+    (SANEF_Uploader.py:443, :573) — rows are built by column *name*, so
+    unionByName, never positional union."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out

@@ -1,0 +1,132 @@
+"""Vector-similarity operators over an `embeddings(vec_id, embedding)` table.
+
+North-star extension (SURVEY.md §7 step 4): approximate-nearest-neighbor
+search over an `array<float>` column. Three tiers:
+
+- cosine_topk: exact brute force — broadcast the (small) query set against
+  the full corpus; the corpus never shuffles, dot products run inside
+  codegen via `aggregate(zip_with(...))`. The correctness baseline.
+- cosine_pairs: exact all-pairs above a threshold within a bounded subset —
+  the embedding-near-dup primitive.
+- lsh_topk: random-hyperplane LSH — sign-bit signatures bucket the corpus,
+  only same-bucket candidates get exact scoring. The 100 TB path: candidate
+  generation is a uniform-key self-join instead of a cross join.
+
+Determinism: dot products fold left-to-right in both Spark (`F.aggregate`)
+and the DuckDB oracle, and ANN outputs expose (query, rank, neighbor) ids
+only — float scores never enter a value-hash comparison.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Elementwise product + sequential fold — stays in codegen."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(vec: Column) -> Column:
+    return F.sqrt(dot(vec, vec))
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    v = _as_double(F.col(vec_col))
+    return df.select("*", v.alias("__v"), norm(v).alias("__norm"))
+
+
+def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    `queries` (small) is broadcast; the corpus side is scanned in place —
+    no shuffle of the big side, and the per-query ranking is a windowed
+    top-k (WindowGroupLimit pushes the limit before the sort shuffle).
+    Output (query_id, rank, neighbor_id) — ids only, rank ties broken by id.
+    """
+    c = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__v").alias("cv"), F.col("__norm").alias("cn"))
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__v").alias("qv"), F.col("__norm").alias("qn"))
+    scored = (c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("cos", dot(F.col("qv"), F.col("cv")) /
+                          (F.col("qn") * F.col("cn"))))
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id"))
+
+
+def cosine_pairs(emb: DataFrame, min_cosine: float,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact all-pairs cosine >= threshold (embedding near-dup). Quadratic:
+    callers bound the input (subset / LSH candidates) at scale. Output
+    (id_a, id_b) with id_a < id_b — ids only."""
+    n = with_norm(emb, vec_col)
+    a = n.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va"),
+                 F.col("__norm").alias("na"))
+    b = n.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vb"),
+                 F.col("__norm").alias("nb"))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("cos", dot(F.col("va"), F.col("vb")) /
+                        (F.col("na") * F.col("nb")))
+            .filter(F.col("cos") >= min_cosine)
+            .select("id_a", "id_b"))
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: one sign bit per plane, packed into a
+    long. Plane constants are baked into the plan (deterministic)."""
+    bits = [
+        F.when(dot(vec, F.array(*[F.lit(float(w)) for w in plane])) >= 0,
+               F.lit(1).cast("long") * F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+        for i, plane in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10, dim: int = 64,
+             n_planes: int = 8, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: bucket corpus + queries by hyperplane signature,
+    score only same-bucket candidates. Recall improves with multiple tables
+    (re-call with different seeds and union). At scale: the bucket join is
+    a uniform-key shuffle of (id, bucket) pairs, never a cross join."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("__v").alias("cv"),
+        F.col("__norm").alias("cn"))
+    c = c.withColumn("bucket", lsh_bucket(F.col("cv"), planes))
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("__v").alias("qv"),
+        F.col("__norm").alias("qn"))
+    q = q.withColumn("bucket", lsh_bucket(F.col("qv"), planes))
+    scored = (c.join(F.broadcast(q), "bucket")
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("cos", dot(F.col("qv"), F.col("cv")) /
+                          (F.col("qn") * F.col("cn"))))
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id"))

@@ -1,0 +1,119 @@
+"""Text-analysis operators over a `documents(doc_id, text, ...)` table.
+
+North-star extension operators (SURVEY.md §7 step 4): the reference's only
+string work is templating/concat (SANEF_Uploader.py:288-292), but a
+large-scale training-data pipeline needs language ID, quality scoring,
+token counting, and fingerprinting. Everything here is built from native
+`pyspark.sql.functions` — JVM-side, whole-stage-codegen'd, no Python in the
+hot path — so it scales linearly with input splits (no shuffle except the
+explicitly-grouped steps).
+
+Determinism: all outputs are ints, strings, or single divisions of ints
+(bit-identical across engines), so every operator is DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.numeric import ratio
+
+# Small per-language stopword lists for the n-gram/stopword language
+# heuristic. Real deployments plug in fastText/CLD3 via a pandas UDF; the
+# heuristic keeps the hot path JVM-side and oracle-checkable.
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "is", "to", "in", "that", "it", "for"),
+    "es": ("el", "la", "los", "las", "de", "que", "y", "en", "un", "por"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"),
+    "fr": ("le", "les", "des", "une", "et", "est", "que", "pour", "dans", "sur"),
+}
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single non-alnum marks.
+# Kept regex-simple so Java (Spark) and RE2 (DuckDB oracle) agree.
+BPE_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization as an array column."""
+    return F.split(F.trim(text), "\\s+")
+
+
+def exploded_tokens(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(id, token) rows — the shared first stage for the grouped operators.
+    A narrow explode: no shuffle until the downstream groupBy."""
+    return df.select(id_col, F.explode(tokens(F.col(text_col))).alias("token"))
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Per-document token counting: whitespace tokens, BPE-ish subword
+    count, letters, and mean token length. Pure per-row expressions —
+    embarrassingly parallel at any scale."""
+    t = F.col(text_col)
+    n_tokens = F.size(tokens(t))
+    n_letters = F.length(F.regexp_replace(t, "[^a-z]", ""))
+    return df.select(
+        id_col,
+        n_tokens.alias("n_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_RE), 0)).alias("n_bpe_tokens"),
+        F.length(t).alias("n_chars_measured"),
+        n_letters.alias("n_letters"),
+        ratio(n_letters, n_tokens).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-document quality heuristics: stopword ratio, unique-token ratio,
+    length band -> a coarse good/short/repetitive/no-stopwords label
+    (the C4/Gopher-style rule family). One shuffle (groupBy doc)."""
+    tok = exploded_tokens(df, id_col, text_col)
+    en = STOPWORDS["en"]
+    per_doc = tok.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("token").isin(*en).cast("long")).alias("n_stop"),
+        F.countDistinct("token").alias("n_unique"),
+    )
+    stop_ratio = ratio("n_stop", "n_tokens")
+    uniq_ratio = ratio("n_unique", "n_tokens")
+    label = (
+        F.when(F.col("n_tokens") < 10, "too_short")
+        .when(stop_ratio < 0.01, "no_stopwords")
+        .when(uniq_ratio < 0.2, "repetitive")
+        .otherwise("good")
+    )
+    return per_doc.select(
+        id_col, "n_tokens", "n_stop", "n_unique",
+        stop_ratio.alias("stop_ratio"),
+        uniq_ratio.alias("uniq_ratio"),
+        label.alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID with a deterministic argmax (fixed
+    precedence en > es > de > fr on ties). Integer votes only."""
+    tok = exploded_tokens(df, id_col, text_col)
+    votes = tok.groupBy(id_col).agg(*[
+        F.sum(F.col("token").isin(*words).cast("long")).alias(f"{lang}_hits")
+        for lang, words in STOPWORDS.items()
+    ])
+    en, es, de, fr = [F.col(f"{c}_hits") for c in ("en", "es", "de", "fr")]
+    pred = (
+        F.when((en >= es) & (en >= de) & (en >= fr), "en")
+        .when((es >= de) & (es >= fr), "es")
+        .when(de >= fr, "de")
+        .otherwise("fr")
+    )
+    return votes.select(id_col, "en_hits", "es_hits", "de_hits", "fr_hits",
+                        pred.alias("lang_pred"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Normalized-content fingerprint: md5 over whitespace-collapsed,
+    lowercased text. The exact-dedup key (dedup.exact_dedup builds on it)."""
+    normalized = F.lower(F.trim(F.regexp_replace(text, "\\s+", " ")))
+    return F.md5(normalized.cast("binary"))

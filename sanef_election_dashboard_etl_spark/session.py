@@ -1,0 +1,71 @@
+"""SparkSession construction and runtime tuning.
+
+The reference (SANEF_Uploader.py) is a single-process pandas script; its
+"session" is module import (SURVEY.md §3.1). Here the session is an explicit
+builder with the scale-relevant settings on by default:
+
+- AQE (adaptive query execution): runtime partition coalescing + skew-join
+  splitting, so plans built for 100 TB also run well on kB-scale fixtures.
+- Arrow: every pandas-UDF boundary is Arrow-batched.
+- UTC session timezone: timestamp <-> epoch conversions must be engine- and
+  host-independent (the DuckDB oracle computes epochs timezone-naively).
+- Broadcast threshold 64 MB: dimension tables (the reference's Wards/Munis
+  CSVs, ~kB) must always hash-broadcast, never shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# SQL confs that are runtime-settable; applied both at build time and by
+# `tune()` onto sessions we did not create (the driver passes us its own).
+_RUNTIME_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # the events fixture carries TIMESTAMP(NANOS) parquet, which Spark's
+    # vectorized reader rejects; read as long nanos, catalog.py converts
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "sanef-etl-spark", master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) a tuned SparkSession.
+
+    local[$SPARK_GRAFT_CPUS] by default; on a real cluster callers pass
+    their own master and the same SQL confs apply.
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in _RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return spark
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an externally created session.
+
+    Idempotent and cheap; every driver-facing entry point calls this so
+    correctness (UTC epochs) and plan quality (AQE, broadcast) do not depend
+    on who built the session.
+    """
+    for k, v in _RUNTIME_CONF.items():
+        spark.conf.set(k, v)
+    return spark

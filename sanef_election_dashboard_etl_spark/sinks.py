@@ -1,0 +1,69 @@
+"""Sinks (SURVEY.md §2.1 S8/S9).
+
+S8: the reference writes one timestamped CSV (SANEF_Uploader.py:51-55).
+Engine: distributed write + optional single-file collapse — results are
+dashboard-sized (<= tens of k rows) by construction, so coalesce(1) is a
+deliberate, documented choice, not an accident. Large extracts use the
+partitioned writer.
+
+S9: the dashboard upload (multipart POST, overwrite semantics, :57-64) is
+a driver-side adapter *outside* the Spark plan; in streaming mode it is the
+foreachBatch body (streaming/)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame
+
+
+def timestamped_name(prefix: str) -> str:
+    """Reference filename scheme (SANEF_Uploader.py:51): ddMMyyyy-HHmm."""
+    return f"{prefix}{datetime.now(timezone.utc).strftime('%d%m%Y-%H%M')}.csv"
+
+
+def write_csv_single(df: DataFrame, path: str) -> str:
+    """Small-result CSV sink: write via Spark (header, overwrite), then
+    collapse the single part file to `path`. Only for dashboard-contract
+    outputs — guarded by the caller's knowledge that rows are few."""
+    tmp = path + ".spark-tmp"
+    df.coalesce(1).write.option("header", True).mode("overwrite").csv(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.csv"))[0]
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    shutil.move(part, path)
+    shutil.rmtree(tmp)
+    return path
+
+
+def write_csv_partitioned(df: DataFrame, path: str,
+                          partition_by: tuple[str, ...] = ()) -> str:
+    """Scale path: parallel CSV write, optionally hive-partitioned."""
+    w = df.write.option("header", True).mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.csv(path)
+    return path
+
+
+def upload_http(path: str, endpoint: str, dataset_id: int, token: str,
+                overwrite: bool = True, poster=None) -> dict:
+    """S9 adapter: multipart POST of the written file to the dashboard API
+    (SANEF_Uploader.py:57-64). `poster` is injectable for tests; default
+    uses urllib so the engine adds no HTTP dependency."""
+    url = f"{endpoint}/api/v1/datasets/{dataset_id}/upload/"
+    meta = {"update": overwrite, "overwrite": overwrite}
+    if poster is not None:
+        return poster(url, path, meta, token)
+    import urllib.request
+
+    with open(path, "rb") as fh:
+        body = fh.read()
+    req = urllib.request.Request(
+        url, data=body,
+        headers={"Authorization": f"Token {token}",
+                 "Content-Type": "text/csv"})
+    with urllib.request.urlopen(req, timeout=60) as resp:  # noqa: S310
+        return {"status": resp.status}

@@ -1,0 +1,74 @@
+"""Structured Streaming surface (SURVEY.md §2.10 / §7 extension).
+
+The reference is a cron-rerun batch snapshot (full overwrite per run,
+SANEF_Uploader.py:61). Its streaming generalization: the same DataFrame
+transformations applied to a `readStream` source with watermarked event-time
+windows, and the dashboard upload as a `foreachBatch` sink.
+
+Every builder here works on BOTH batch and streaming DataFrames (the
+transformations are identical by design — that is the point of Structured
+Streaming), so batch tests validate semantics and one streaming test
+validates wiring. Epoch-bucket variants of these windows (used by the
+oracle-checked batch queries) live in queries.py; these use native
+`F.window`/`F.session_window`, the scale path with watermark state cleanup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_watermark(df: DataFrame, ts_col: str = "ts",
+                   delay: str = "10 minutes") -> DataFrame:
+    """Late-data bound: state for windows older than max(event time) - delay
+    is dropped — unbounded state is the #1 streaming-at-scale failure."""
+    return df.withWatermark(ts_col, delay)
+
+
+def tumbling_counts(df: DataFrame, duration: str = "5 minutes",
+                    ts_col: str = "ts", keys: tuple[str, ...] = ("event_type",),
+                    value_col: str = "value") -> DataFrame:
+    """Tumbling event-time window aggregation (counts + sum)."""
+    return (df.groupBy(F.window(ts_col, duration).alias("w"), *keys)
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(value_col).alias("total_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"), *keys,
+                    "n_events", "total_value"))
+
+
+def sliding_counts(df: DataFrame, duration: str = "10 minutes",
+                   slide: str = "5 minutes", ts_col: str = "ts",
+                   keys: tuple[str, ...] = ("event_type",)) -> DataFrame:
+    """Sliding (overlapping) event-time windows."""
+    return (df.groupBy(F.window(ts_col, duration, slide).alias("w"), *keys)
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"), *keys, "n_events"))
+
+
+def session_counts(df: DataFrame, gap: str = "30 minutes", ts_col: str = "ts",
+                   key: str = "user_id") -> DataFrame:
+    """Native session windows (gap-based). In streaming mode requires a
+    watermark; state per open session only."""
+    return (df.groupBy(F.session_window(ts_col, gap).alias("w"), key)
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(key, F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"), "n_events"))
+
+
+def run_to_memory_sink(stream_df: DataFrame, query_name: str,
+                       output_mode: str = "update"):
+    """Test harness: drive a streaming plan into an in-memory table.
+    Caller awaits `processAllAvailable()` then reads `SELECT * FROM name`."""
+    return (stream_df.writeStream.format("memory")
+            .queryName(query_name).outputMode(output_mode).start())
+
+
+def foreach_batch_upload(result: DataFrame, write_batch) -> "object":
+    """S9 streaming sink: per micro-batch, hand the (small) result to the
+    driver-side upload adapter — the reference's full-overwrite POST
+    (SANEF_Uploader.py:57-64) becomes `write_batch(df, epoch_id)`."""
+    return (result.writeStream.outputMode("complete")
+            .foreachBatch(write_batch).start())

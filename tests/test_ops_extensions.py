@@ -1,0 +1,127 @@
+"""Extension operator tests: text analysis, dedup, similarity, multimodal
+(SURVEY.md §7 step 4)."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from sanef_election_dashboard_etl_spark.operators import dedup as D
+from sanef_election_dashboard_etl_spark.operators import multimodal as M
+from sanef_election_dashboard_etl_spark.operators import similarity as S
+from sanef_election_dashboard_etl_spark.operators import text as T
+
+from .conftest import rows
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, "the cat sat on the mat"),
+         (2, "the cat sat on the mat"),          # exact dup of 1
+         (3, "the cat  sat on the   mat "),      # whitespace-variant of 1
+         (4, "a dog runs in a park"),
+         (5, "completely different words here entirely")],
+        "doc_id long, text string")
+
+
+def test_token_stats(spark, docs):
+    out = {r["doc_id"]: r for r in T.token_stats(docs).collect()}
+    assert out[1]["n_tokens"] == 6
+    assert out[1]["n_bpe_tokens"] == 6
+    assert out[4]["n_tokens"] == 6
+
+
+def test_quality_and_lang(spark, docs):
+    q = {r["doc_id"]: r for r in T.quality_score(docs).collect()}
+    assert q[1]["n_stop"] == 2          # 'the' x2 ('on' is not in the list)
+    assert q[1]["quality"] == "too_short"
+    lang = {r["doc_id"]: r["lang_pred"] for r in T.lang_id(docs).collect()}
+    assert lang[1] == "en"
+
+
+def test_exact_dedup_normalizes_whitespace(spark, docs):
+    out = D.exact_dedup(docs)
+    survivors = {r["survivor_id"]: r["n_copies"] for r in out.collect()}
+    # docs 1,2,3 collapse (whitespace-normalized) -> survivor 1 with 3 copies
+    assert survivors[1] == 3
+    assert survivors[4] == 1 and survivors[5] == 1
+
+
+def test_shingles_and_jaccard(spark, docs):
+    g = D.shingles(docs, n=3)
+    assert rows(g.filter(F.col("doc_id") == 1).select("shingle")) == sorted(
+        [("the cat sat",), ("cat sat on",), ("sat on the",), ("on the mat",)])
+    pairs = D.ngram_jaccard_pairs(docs, n=3, min_jaccard=0.9)
+    assert (1, 2, 1.0) in rows(pairs)
+
+
+def test_minhash_lsh_finds_exact_dups(spark, docs):
+    pairs = rows(D.minhash_lsh_pairs(docs, n=1, k=16, bands=4,
+                                     min_jaccard=0.9).select("id_a", "id_b"))
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    assert all(p[0] != 4 and p[1] != 4 for p in pairs)
+
+
+def test_simhash_identical_docs_zero_hamming(spark, docs):
+    sig = {r["doc_id"]: r["simhash"] for r in D.simhash64(docs).collect()}
+    assert sig[1] == sig[2]
+    pairs = rows(D.simhash_pairs(docs, max_hamming=0).select("id_a", "id_b"))
+    assert (1, 2) in pairs
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]),
+         (1, [0.9, 0.1, 0.0]),    # near 0
+         (2, [0.0, 1.0, 0.0]),
+         (3, [0.0, 0.0, 1.0]),
+         (4, [1.0, 0.01, 0.0])],  # nearest to 0
+        "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(spark, vecs):
+    out = S.cosine_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=2)
+    got = rows(out, "rank", "neighbor_id")
+    assert got == [(1, 4), (2, 1)]
+
+
+def test_cosine_pairs_threshold(spark, vecs):
+    got = rows(S.cosine_pairs(vecs, min_cosine=0.99))
+    assert (0, 4) in got and (0, 2) not in got
+
+
+def test_lsh_topk_subset_of_exact_semantics(spark, vecs):
+    out = S.lsh_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=2,
+                     dim=3, n_planes=2)
+    got = rows(out, "rank", "neighbor_id")
+    # same-bucket candidates ranked identically to the exact scorer
+    assert got and got[0][1] in (4, 1)
+
+
+def test_multimodal_feature_plumbing(spark, docs):
+    media = M.synthesize_media(docs)
+    assert [f.name for f in media.schema.fields] == \
+        [f.name for f in M.MEDIA_SCHEMA.fields]
+    feats = M.extract_features(media, fake=True)
+    got = {r["media_id"]: r for r in feats.collect()}
+    assert len(got) == 5
+    assert got[1]["payload_sha1"] == got[2]["payload_sha1"]  # same text
+    assert len(got[1]["feature"]) == 16
+    assert got[1]["payload_bytes"] == len("the cat sat on the mat")
+    # deterministic across runs
+    again = {r["media_id"]: r for r in
+             M.extract_features(media, fake=True).collect()}
+    assert got[1]["feature"] == again[1]["feature"]
+
+
+def test_multimodal_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\x89PNG")
+
+
+def test_media_stats_prunes_payload(spark, docs):
+    media = M.synthesize_media(docs)
+    plan = M.media_stats(media)._jdf.queryExecution().optimizedPlan().toString()
+    assert "payload" not in plan  # column pruning drops the binary bytes

@@ -1,0 +1,122 @@
+"""Operator unit tests (SURVEY.md §5.2 layer 1): tiny inline frames,
+exact expected rows. Edge cases called out in the survey: E4
+unmatched-key->NULL, A8 deterministic dedup, A10 ordering, J4 empty side."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from sanef_election_dashboard_etl_spark.functions.maps import recode_map
+from sanef_election_dashboard_etl_spark.functions.numeric import dsum
+from sanef_election_dashboard_etl_spark.operators import relational as R
+
+from .conftest import rows
+
+
+def test_project_rename(spark):
+    df = spark.createDataFrame([(1, "a")], "x int, y string")
+    out = R.project_rename(df, {"y": "name", "x": "id"})
+    assert out.columns == ["name", "id"]
+    assert rows(out) == [("a", 1)]
+
+
+def test_recode_map_unmatched_is_null(spark):
+    df = spark.createDataFrame([("1",), ("2",), ("99",)], "k string")
+    out = df.select(recode_map("k", {"1": "EC", "2": "FS"}).alias("v"))
+    assert rows(out) == [(None,), ("EC",), ("FS",)]
+
+
+def test_dim_join_broadcast_plan(spark):
+    fact = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k int, v int")
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "k int, name string")
+    out = R.dim_join(fact, dim, "k")
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+    assert rows(out, "k", "v", "name") == [(1, 10, "a"), (2, 20, "b")]
+
+
+def test_anti_join_and_empty_right(spark):
+    left = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+    right = spark.createDataFrame([(2,)], "k int")
+    assert rows(R.anti_join(left, right, "k")) == [(1,), (3,)]
+    empty = right.filter(F.col("k") < 0)
+    assert rows(R.anti_join(left, empty, "k")) == [(1,), (2,), (3,)]
+
+
+def test_semi_plus_anti_partition_left(spark):
+    """Property: semi ⊎ anti == left (SURVEY §5.2 layer 4)."""
+    left = spark.createDataFrame([(i,) for i in range(20)], "k int")
+    right = spark.createDataFrame([(i,) for i in range(0, 20, 3)], "k int")
+    semi = R.semi_join(left, right, "k")
+    anti = R.anti_join(left, right, "k")
+    assert semi.count() + anti.count() == left.count()
+    assert rows(semi.unionByName(anti)) == rows(left)
+
+
+def test_grouped_sum_count_fused(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 0), ("a", 1), ("b", 0)], "g string, flag int")
+    out = R.grouped_sum_count(df, ["g"], F.col("flag"), "hung", "total")
+    assert rows(out) == [("a", 2, 3), ("b", 0, 1)]
+
+
+def test_dedup_keep_first_deterministic(spark):
+    df = spark.createDataFrame(
+        [("w1", "z"), ("w1", "a"), ("w2", "m")], "k string, v string")
+    out = R.dedup_keep_first(df, ["k"], [F.col("v").asc()])
+    assert rows(out) == [("w1", "a"), ("w2", "m")]
+
+
+def test_grouped_ordered_concat(spark):
+    df = spark.createDataFrame(
+        [("p1", "b"), ("p1", "a"), ("p2", "c")], "g string, item string")
+    out = R.grouped_ordered_concat(
+        df, "g", F.concat(F.lit("<li>"), "item", F.lit("</li>")),
+        F.col("item"), "contents", "<ul>", "</ul>")
+    assert rows(out) == [("p1", "<ul><li>a</li><li>b</li></ul>"),
+                         ("p2", "<ul><li>c</li></ul>")]
+
+
+def test_stack_pairs_row_count_and_values(spark):
+    df = spark.createDataFrame([("g1", 5, 8)], "geo string, hung long, total long")
+    out = R.stack_pairs(df, ["geo"],
+                        [("Hung", F.col("hung")),
+                         ("Outright", F.col("total") - F.col("hung"))],
+                        "Councils", "Count")
+    assert out.columns == ["geo", "Councils", "Count"]
+    assert rows(out) == [("g1", "Hung", 5), ("g1", "Outright", 3)]
+
+
+def test_stack_k_multiplies_rows(spark):
+    df = spark.createDataFrame([(i, i, i) for i in range(7)],
+                               "geo int, a long, b long")
+    out = R.stack_pairs(df, ["geo"], [("A", F.col("a")), ("B", F.col("b"))],
+                        "L", "C")
+    assert out.count() == 14
+
+
+def test_window_total_and_topk(spark):
+    df = spark.createDataFrame([("a", 1), ("a", 2), ("b", 3)], "g string, v int")
+    tot = R.window_total(df, F.col("v"), "t")
+    assert set(r["t"] for r in tot.collect()) == {6}
+    top = R.topk_per_group(df, ["g"], [F.desc("v")], 1)
+    assert rows(top) == [("a", 2), ("b", 3)]
+
+
+def test_union_by_name_reordered_columns(spark):
+    a = spark.createDataFrame([(1, "x")], "id int, name string")
+    b = spark.createDataFrame([("y", 2)], "name string, id int")
+    assert rows(R.union_by_name(a, b)) == [(1, "x"), (2, "y")]
+
+
+def test_having_eq(spark):
+    df = spark.createDataFrame(
+        [("w1", 0), ("w1", 0), ("w2", 5)], "k string, v int")
+    out = R.having_eq(df, ["k"], F.sum("v"), "s", 0)
+    assert rows(out) == [("w1", 0)]
+
+
+def test_dsum_exact_over_partitions(spark):
+    # 0.1 is inexact in binary; naive double sum across 4 partitions could
+    # differ from sequential — decimal path is exact.
+    df = spark.createDataFrame([(0.1,)] * 1000, "x double").repartition(4)
+    out = df.agg(dsum("x").alias("s")).collect()[0]["s"]
+    assert out == 100.0

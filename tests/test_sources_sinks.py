@@ -1,0 +1,86 @@
+"""Source/sink adapter tests (SURVEY.md §2.1): REST fetch via mapInPandas
+with an injected offline fetcher, CSV sinks, HTTP upload adapter."""
+
+import csv
+import json
+import os
+
+import pytest
+
+from sanef_election_dashboard_etl_spark import sinks
+from sanef_election_dashboard_etl_spark.plans.pipelines import BALLOT_SCHEMA
+from sanef_election_dashboard_etl_spark.sources.files import read_csv_dim
+from sanef_election_dashboard_etl_spark.sources.rest import (
+    RestSource, fake_fetcher_from_dict,
+)
+
+from .conftest import rows
+
+
+def test_rest_source_fetch_parse_and_error_surface(spark):
+    responses = {
+        "https://api.test/ward/W1": {
+            "WardID": "W1",
+            "PartyBallotResults": [{"Name": "ANC", "TotalValidVotes": 100}]},
+        "https://api.test/ward/W2": {
+            "WardID": "W2",
+            "PartyBallotResults": [{"Name": "DA", "TotalValidVotes": 60}]},
+    }
+    src = RestSource("https://api.test/ward/{}", BALLOT_SCHEMA,
+                     fake_fetcher_from_dict(responses))
+    keys = spark.createDataFrame([("W1",), ("W2",), ("W404",)], "ward string")
+    out = src.fetch(keys, "ward")
+    got = {r["ward"]: r for r in out.collect()}
+    assert got["W1"]["payload"]["WardID"] == "W1"
+    assert got["W1"]["error"] is None
+    assert got["W2"]["payload"]["PartyBallotResults"][0]["TotalValidVotes"] == 60
+    # failures surface as an error column, not silent drops (vs reference :43-46)
+    assert got["W404"]["payload"] is None
+    assert "KeyError" in got["W404"]["error"]
+
+
+def test_csv_dim_source_schema_explicit(spark, tmp_path):
+    p = tmp_path / "dim.csv"
+    p.write_text("ProvinceID,MunicipalityID,WardID\n1,101,10100001\n")
+    df = read_csv_dim(spark, str(p),
+                      schema="ProvinceID int, MunicipalityID int, WardID long")
+    assert df.dtypes == [("ProvinceID", "int"), ("MunicipalityID", "int"),
+                         ("WardID", "bigint")]
+    assert rows(df) == [(1, 101, 10100001)]
+
+
+def test_write_csv_single(spark, tmp_path):
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    path = str(tmp_path / "out" / "result.csv")
+    sinks.write_csv_single(df, path)
+    with open(path) as fh:
+        got = sorted(tuple(r) for r in csv.reader(fh))
+    assert ("k", "v") in got and ("a", "1") in got and ("b", "2") in got
+
+
+def test_write_csv_partitioned(spark, tmp_path):
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    path = str(tmp_path / "part_out")
+    sinks.write_csv_partitioned(df, path, partition_by=("k",))
+    assert os.path.isdir(os.path.join(path, "k=a"))
+
+
+def test_upload_http_adapter_injectable(tmp_path):
+    p = tmp_path / "f.csv"
+    p.write_text("x\n1\n")
+    calls = []
+
+    def poster(url, path, meta, token):
+        calls.append((url, path, meta, token))
+        return {"status": 201}
+
+    out = sinks.upload_http(str(p), "https://dash.test", 1384, "tok",
+                            poster=poster)
+    assert out == {"status": 201}
+    assert calls[0][0] == "https://dash.test/api/v1/datasets/1384/upload/"
+    assert calls[0][2] == {"update": True, "overwrite": True}
+
+
+def test_timestamped_name_shape():
+    name = sinks.timestamped_name("hung_councils-")
+    assert name.startswith("hung_councils-") and name.endswith(".csv")

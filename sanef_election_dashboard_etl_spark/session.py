@@ -59,6 +59,12 @@ def get_spark(app_name: str = "sanef-etl-spark", master: str | None = None,
     return spark
 
 
+# Harness-level overrides applied on top of _RUNTIME_CONF by tune().
+# bench.py uses this to calibrate for micro-scale runs (e.g. AQE off);
+# empty in normal operation.
+TUNE_OVERRIDES: dict[str, str] = {}
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an externally created session.
 
@@ -66,6 +72,6 @@ def tune(spark: SparkSession) -> SparkSession:
     correctness (UTC epochs) and plan quality (AQE, broadcast) do not depend
     on who built the session.
     """
-    for k, v in _RUNTIME_CONF.items():
+    for k, v in {**_RUNTIME_CONF, **TUNE_OVERRIDES}.items():
         spark.conf.set(k, v)
     return spark

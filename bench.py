@@ -31,15 +31,30 @@ from sanef_election_dashboard_etl_spark.session import TUNE_OVERRIDES, get_spark
 # Headline set: the flagship pipelines + one representative per operator
 # family (scan/filter, join, agg, window, reshape, dedup, similarity,
 # text, events).
+# Ordered to line up with BASELINE.md's table row-by-row, then the
+# flagship pipelines and extension operators.
 HEADLINE = (
+    # BASELINE.md rows (scan is timed separately as scan_parquet_lineitem)
+    "p3_filter_conj",              # filter + project
+    "j1b_join_lineitem_orders",    # inner equi-join lineitem x orders
+    "a4_sum_two_keys",             # group-by sum, 2 keys
+    "a3_count_two_keys",           # group-by count, 2 keys
+    "e3_e4_recode",                # dict-map recode
+    "a8_dedup_keep_first",         # dedup by key subset
+    "a6_w1_total_as_column",       # whole-frame total broadcast
+    "j4_anti_join",                # anti-join (agg -> filter -> anti)
+    "a10_grouped_ordered_concat",  # grouped string concatenation
+    "o1_full_sort",                # full sort by double column
+    "a7_distinct",                 # distinct
+    # flagship pipelines + wide-agg benchmark
+    "q1_pricing_summary",
     "pipe_hung_councils",
     "pipe_voter_turnout",
-    "j4_anti_join",
     "j7_deloop_semi",
     "a5_sum_carried_key",
-    "a10_grouped_ordered_concat",
     "w2_rank_topk_per_group",
     "o1_o3_topk_sort",
+    # extension operators
     "events_sessionize",
     "events_tumbling",
     "text_quality_score",
@@ -69,9 +84,16 @@ def main() -> None:
 
     times: dict[str, float] = {}
 
+    def run_full(df) -> None:
+        # noop-format write: executes the complete plan (all projected
+        # columns materialized, sorts preserved). A bare .count() would let
+        # Catalyst prune projections, skip sorts, and answer scans from
+        # parquet row-group metadata — measuring nothing.
+        df.write.format("noop").mode("overwrite").save()
+
     # cold scan metric (BASELINE.md's `parquet scan, lineitem` row)
     t0 = time.perf_counter()
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    run_full(spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")))
     times["scan_parquet_lineitem"] = round(time.perf_counter() - t0, 3)
     # NOTE: deliberately NOT .cache()ing inputs — measured: InMemoryRelation
     # substitution defeats parquet column pruning / filter pushdown and
@@ -84,13 +106,28 @@ def main() -> None:
         # otherwise accumulate cache across reps and skew later queries
         spark.catalog.clearCache()
         t0 = time.perf_counter()
-        REGISTRY[name].fn(spark, sf_dir).count()
+        run_full(REGISTRY[name].fn(spark, sf_dir))
         return time.perf_counter() - t0
 
     for name in HEADLINE:
         timed(name)
     for name in HEADLINE:
         times[name] = round(min(timed(name), timed(name)), 3)
+
+    # CSV sink micro (BASELINE.md's 'CSV sink, 50k rows' row)
+    import shutil
+    import tempfile
+
+    from sanef_election_dashboard_etl_spark.sinks import write_csv_single
+    out50k = (REGISTRY["p3_filter_conj"].fn(spark, sf_dir).limit(50_000))
+    out50k.count()  # warm the plan
+    tmp = tempfile.mkdtemp(prefix="bench_csv_")
+    try:
+        t0 = time.perf_counter()
+        write_csv_single(out50k, os.path.join(tmp, "out.csv"))
+        times["csv_sink_50k"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
     total = round(sum(times.values()), 3)
     print(json.dumps({

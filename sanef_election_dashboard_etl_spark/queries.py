@@ -1040,3 +1040,124 @@ def events_session_window_native(spark, sf_dir):
     are oracle-covered by events_sessionize above."""
     from .streaming.windows import session_counts
     return session_counts(_t(spark, sf_dir, "events"), gap="30 minutes")
+
+
+# ==========================================================================
+# Flagship analytics + coverage extensions (SURVEY §2.5 notes, §7)
+# ==========================================================================
+
+@query("q1_pricing_summary", oracle="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS sum_base_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*), 4)
+               AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary — the canonical wide-aggregate
+    benchmark query (generalizes A1-A5): single scan, predicate pushed to
+    parquet, 6 aggregates in one partial+final hash agg, all decimal-exact
+    (functions/numeric.py convention)."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    qty_sum = F.sum(F.col("l_quantity").cast("long"))
+    return (l.groupBy("l_returnflag", "l_linestatus").agg(
+        qty_sum.alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        # scale 4, not 2: the product of two 2-decimal columns has exactly
+        # 4 true decimals, so a scale-2 cast lands on .xx5 ties that Spark
+        # (shortest-repr HALF_UP) and DuckDB (exact binary) round apart;
+        # scale 4 covers the true scale -> tie-free, then round the exact
+        # sum to cents.
+        F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                      .cast("decimal(18,4)")).cast("double"), 2)
+         .alias("sum_disc_price"),
+        F.round(qty_sum.cast("double") / F.count(F.lit(1)), 4).alias("avg_qty"),
+        davg("l_discount", scale=4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order")))
+
+
+@query("a12_rollup_hierarchy", oracle="""
+    SELECT r_name, n_name, COUNT(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+""")
+def a12_rollup_hierarchy(spark, sf_dir):
+    """Hierarchy rollup (region -> nation -> grand total) — the natural
+    generalization of the reference's Province/Municipality/Ward hierarchy
+    (SURVEY §2.5 note: 'free in Spark'). Subtotal rows carry NULL keys."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey))
+    return j.rollup("r_name", "n_name").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@query("e7b_from_json_struct", oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+""")
+def e7b_from_json_struct(spark, sf_dir):
+    """E7 declared-schema variant: from_json into a typed struct (the
+    engine's standard for the reference's duck-typed JSON, SURVEY §1.2)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("k", LongType())])
+    return (_t(spark, sf_dir, "events")
+            .select("event_id", F.from_json("props", schema).alias("p"))
+            .select("event_id", F.col("p.k").alias("k")))
+
+
+@query("o1_full_sort", oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice, l_orderkey, l_linenumber
+""")
+def o1_full_sort(spark, sf_dir):
+    """O1: total sort (range-partitioned exchange + per-partition sort) —
+    BASELINE.md's 'full sort by double column' row."""
+    return (_t(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_extendedprice")
+            .orderBy("l_extendedprice", "l_orderkey", "l_linenumber"))
+
+
+@query("u3_intersect", oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""")
+def u3_intersect(spark, sf_dir):
+    """U: INTERSECT (customers with both open and finished orders) —
+    completes the set-op surface (SURVEY §2.8: 'free with Spark SQL')."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersect(b)
+
+
+@query("j1b_join_lineitem_orders", oracle="""
+    SELECT l_orderkey, l_linenumber, o_custkey, o_orderstatus
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+""")
+def j1b_join_lineitem_orders(spark, sf_dir):
+    """J1 at fact-x-fact size — BASELINE.md's 'inner equi-join lineitem x
+    orders' row. orders (150k rows at sf0.1) fits the 64 MB broadcast
+    threshold, so this plans as a broadcast hash join with zero shuffle of
+    lineitem; past the threshold it degrades to a shuffled hash join on
+    the key — both scale-correct."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (l.join(o, l.l_orderkey == o.o_orderkey)
+            .select("l_orderkey", "l_linenumber", "o_custkey", "o_orderstatus"))

@@ -1161,3 +1161,159 @@ def j1b_join_lineitem_orders(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return (l.join(o, l.l_orderkey == o.o_orderkey)
             .select("l_orderkey", "l_linenumber", "o_custkey", "o_orderstatus"))
+
+
+@query("pipe_councils_won_by_party", oracle=f"""
+    SELECT {_PROVINCE_CASE} AS Geography,
+           o_orderpriority AS Party,
+           COUNT(*) AS Count
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY 1, 2
+""")
+def pipe_councils_won_by_party(spark, sf_dir):
+    """councils_won_by_party pipeline (SANEF_Uploader.py:306-360) over
+    fixtures: outright-winners scan (bHung=0 ≙ status 'F') -> broadcast dim
+    join -> province recode -> 2-key count. Party ≙ order priority class."""
+    codes = {"0": "EC", "1": "FS", "2": "GT", "3": "KZN", "4": "MP",
+             "5": "NC", "6": "LIM", "7": "NW", "8": "WC"}
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = _t(spark, sf_dir, "customer")
+    j = R.dim_join(o, c, o.o_custkey == c.c_custkey).withColumn(
+        "Geography",
+        recode_map(F.pmod(F.col("c_nationkey"), F.lit(9)).cast("string"), codes))
+    return (j.groupBy("Geography", F.col("o_orderpriority").alias("Party"))
+            .agg(F.count(F.lit(1)).alias("Count")))
+
+
+@query("pipe_list_of_hung_councils", oracle=f"""
+    WITH hung AS (
+        SELECT DISTINCT {_PROVINCE_CASE} AS Geography, c_name, c_mktsegment
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderstatus = 'O'
+    )
+    SELECT Geography,
+           '<ul>' || string_agg(
+               '<li><a href = #geo:' || c_name || '>' || c_name || ' - '
+                   || c_mktsegment || ' </a> </li>', '' ORDER BY c_name)
+                  || '</ul>' AS Contents
+    FROM hung
+    GROUP BY Geography
+""")
+def pipe_list_of_hung_councils(spark, sf_dir):
+    """list_of_hung_councils pipeline (SANEF_Uploader.py:255-299) over
+    fixtures: hung scan -> dim join -> recode -> DISTINCT members ->
+    per-province ordered HTML fold (A10 with explicit ordering)."""
+    codes = {"0": "EC", "1": "FS", "2": "GT", "3": "KZN", "4": "MP",
+             "5": "NC", "6": "LIM", "7": "NW", "8": "WC"}
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    c = _t(spark, sf_dir, "customer")
+    members = (R.dim_join(o, c, o.o_custkey == c.c_custkey)
+               .withColumn("Geography",
+                           recode_map(F.pmod(F.col("c_nationkey"), F.lit(9))
+                                      .cast("string"), codes))
+               .select("Geography", "c_name", "c_mktsegment").distinct())
+    li = F.concat(F.lit("<li><a href = #geo:"), F.col("c_name"), F.lit(">"),
+                  F.col("c_name"), F.lit(" - "), F.col("c_mktsegment"),
+                  F.lit(" </a> </li>"))
+    out = R.grouped_ordered_concat(members, "Geography", li,
+                                   F.col("c_name"), "Contents",
+                                   prefix="<ul>", suffix="</ul>")
+    return out
+
+
+# ==========================================================================
+# Engine-surface extensions beyond the reference (SURVEY §2.5/§2.6 notes)
+# ==========================================================================
+
+@query("a13_count_distinct", oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(DISTINCT l_partkey) AS n_parts
+    FROM lineitem GROUP BY l_returnflag
+""")
+def a13_count_distinct(spark, sf_dir):
+    """COUNT(DISTINCT) — absent from the reference, required engine
+    surface. Spark plans it as expand + two-phase aggregate."""
+    return (_t(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.countDistinct("l_suppkey").alias("n_suppliers"),
+                 F.countDistinct("l_partkey").alias("n_parts")))
+
+
+@query("a14_approx_count_distinct", oracle=None, tags=("rows-only",))
+def a14_approx_count_distinct(spark, sf_dir):
+    """HyperLogLog++ approximate distinct — the 100 TB path where exact
+    expand-aggregate is too expensive; sketch-based, engine-specific
+    estimates (rows-only; exact twin above is the oracle-checked op)."""
+    return (_t(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.approx_count_distinct("l_suppkey", 0.02).alias("n_suppliers_approx")))
+
+
+@query("a15_percentiles", oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS p50,
+           quantile_cont(l_extendedprice, 0.95) AS p95
+    FROM lineitem GROUP BY l_returnflag
+""")
+def a15_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (SQL PERCENTILE_CONT semantics both
+    engines: same sorted doubles, same lerp -> bit-identical)."""
+    return (_t(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.percentile("l_extendedprice", 0.5).alias("p50"),
+                 F.percentile("l_extendedprice", 0.95).alias("p95")))
+
+
+@query("sq_scalar_subquery", oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 50 * (SELECT MAX(c_acctbal) FROM customer)
+""")
+def sq_scalar_subquery(spark, sf_dir):
+    """Scalar subquery through the SQL entry path (SURVEY §4.3: engine.sql
+    is spark.sql over registered views — no custom planner)."""
+    from .catalog import register_views
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 50 * (SELECT MAX(c_acctbal) FROM customer)
+    """)
+
+
+@query("w4_rolling_window", oracle="""
+    SELECT event_id, user_id,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                 AS DOUBLE), 2) AS rolling_sum3
+    FROM events
+""")
+def w4_rolling_window(spark, sf_dir):
+    """Rolling frame aggregate (3-event moving sum per user) — decimal-
+    exact inside the frame so partial orders can't skew the double sum."""
+    w = (Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+         .rowsBetween(-2, Window.currentRow))
+    return (_t(spark, sf_dir, "events")
+            .select("event_id", "user_id", "ts", "value")
+            .withColumn("rolling_sum3",
+                        F.round(F.sum(F.col("value").cast("decimal(18,2)"))
+                                .over(w).cast("double"), 2))
+            .drop("ts", "value"))
+
+
+@query("a16_cube", oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           SUM(CAST(l_quantity AS BIGINT)) AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+""")
+def a16_cube(spark, sf_dir):
+    """CUBE over two dims (all 2^2 grouping sets) — with a12's ROLLUP,
+    the full grouping-sets surface."""
+    return (_t(spark, sf_dir, "lineitem")
+            .cube("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("l_quantity").cast("long")).alias("qty")))

@@ -1317,3 +1317,105 @@ def a16_cube(spark, sf_dir):
             .cube("l_returnflag", "l_linestatus")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum(F.col("l_quantity").cast("long")).alias("qty")))
+
+
+# ==========================================================================
+# UDF tiers (SURVEY §2.11): scalar pandas_udf + grouped-map applyInPandas
+# ==========================================================================
+
+@query("udf_scalar_tokens_per_char", oracle="""
+    SELECT doc_id,
+           ROUND(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+                 / greatest(length(text), 1), 6) AS density
+    FROM documents
+""")
+def udf_scalar_tokens_per_char(spark, sf_dir):
+    """Scalar Arrow UDF tier: token density via a vectorized pandas_udf.
+    int/int division -> bit-identical across engines; round(6) pins it."""
+    from .operators.pandas_ops import tokens_per_char
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.round(tokens_per_char(F.col("text")), 6).alias("density")))
+
+
+@query("udf_grouped_zscore", oracle="""
+    SELECT c_custkey,
+           ROUND((c_acctbal - AVG(c_acctbal) OVER (PARTITION BY c_nationkey))
+                 / STDDEV_POP(c_acctbal) OVER (PARTITION BY c_nationkey),
+                 4) AS zscore
+    FROM customer
+""")
+def udf_grouped_zscore(spark, sf_dir):
+    """Grouped-map (applyInPandas) tier: per-nation account-balance
+    z-scores. round(4) absorbs pandas' pairwise vs SQL's sequential
+    float summation (~1e-12 relative)."""
+    from .operators.pandas_ops import zscore_by_group
+    out = zscore_by_group(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal"),
+        "c_nationkey", "c_acctbal")
+    return out.select("c_custkey", F.round("zscore", 4).alias("zscore"))
+
+
+# ==========================================================================
+# Function-library surface: strings, dates, null handling (SURVEY §2.3)
+# ==========================================================================
+
+@query("e9_string_functions", oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS uname,
+           lower(c_mktsegment) AS lseg,
+           substring(c_name, 1, 8) AS prefix8,
+           replace(c_name, '#', '-') AS dehashed,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_id,
+           length(trim(c_name)) AS name_len
+    FROM customer
+""")
+def e9_string_functions(spark, sf_dir):
+    """String-function surface: upper/lower/substring/replace/lpad/trim —
+    all codegen'd, no UDFs."""
+    c = F.col
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.upper(c("c_name")).alias("uname"),
+        F.lower(c("c_mktsegment")).alias("lseg"),
+        F.substring(c("c_name"), 1, 8).alias("prefix8"),
+        F.replace(c("c_name"), F.lit("#"), F.lit("-")).alias("dehashed"),
+        F.lpad(c("c_custkey").cast("string"), 10, "0").alias("padded_id"),
+        F.length(F.trim(c("c_name"))).alias("name_len"))
+
+
+@query("e10_date_parts", oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS y,
+           CAST(month(o_orderdate) AS INT) AS m,
+           CAST(day(o_orderdate) AS INT) AS d,
+           CAST(date_part('quarter', o_orderdate) AS INT) AS q
+    FROM orders
+""")
+def e10_date_parts(spark, sf_dir):
+    """Date-part extraction surface (year/month/day/quarter; weekday is
+    deliberately excluded — numbering conventions differ across engines)."""
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.quarter("o_orderdate").alias("q"))
+
+
+@query("e11_null_handling", oracle="""
+    SELECT n_nationkey,
+           coalesce(CASE WHEN n_regionkey = 0 THEN 'AFR' END, 'UNKNOWN') AS code,
+           CASE WHEN nullif(n_regionkey, 0) IS NULL THEN 1 ELSE 0 END AS is_zero
+    FROM nation
+""")
+def e11_null_handling(spark, sf_dir):
+    """NULL-handling surface: coalesce + nullif (pandas NaN semantics made
+    explicit — SURVEY §7 risk c)."""
+    n = _t(spark, sf_dir, "nation")
+    code = F.when(F.col("n_regionkey") == 0, "AFR")
+    return n.select(
+        "n_nationkey",
+        F.coalesce(code, F.lit("UNKNOWN")).alias("code"),
+        F.when(F.nullif(F.col("n_regionkey"), F.lit(0)).isNull(), 1)
+         .otherwise(0).alias("is_zero"))

@@ -130,3 +130,62 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10, dim: int = 64,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id"))
+
+
+def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+             n_centroids: int = 16, n_probe: int = 4, seed: int = 42,
+             max_iter: int = 8,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF (inverted-file) approximate top-k: cluster the corpus with
+    k-means (Spark ML), assign each vector to its nearest centroid, and
+    score each query only against its `n_probe` nearest centroids' lists.
+
+    The 100 TB shape: centroids are fit on a sample (driver-side model,
+    broadcast automatically inside the ML transform), corpus assignment is
+    one narrow pass, and the probe join keys on centroid id — the corpus
+    partitions by cluster, queries touch n_probe/n_centroids of the data.
+    Deterministic via fixed seed + deterministic tie-breaks.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    corpus = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("__v").alias("cv"),
+        F.col("__norm").alias("cn"))
+    corpus = corpus.withColumn("features", array_to_vector("cv"))
+
+    km = KMeans(k=n_centroids, seed=seed, maxIter=max_iter,
+                featuresCol="features", predictionCol="centroid")
+    model = km.fit(corpus.select("features"))
+    assigned = model.transform(corpus).drop("features")
+
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+
+    def centroid_dists(vec: Column) -> Column:
+        return F.array(*[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(vec, F.array(*[F.lit(x) for x in c]),
+                               lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, x: acc + x).alias("d"),
+                F.lit(i).alias("centroid"))
+            for i, c in enumerate(centroids)
+        ])
+
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("__v").alias("qv"),
+        F.col("__norm").alias("qn"))
+    probes = q.withColumn(
+        "centroid",
+        F.explode(F.slice(F.array_sort(centroid_dists(F.col("qv"))),
+                          1, n_probe)["centroid"]))
+
+    scored = (assigned.join(F.broadcast(probes), "centroid")
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("cos", dot(F.col("qv"), F.col("cv")) /
+                          (F.col("qn") * F.col("cn"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id"))

@@ -1419,3 +1419,13 @@ def e11_null_handling(spark, sf_dir):
         F.coalesce(code, F.lit("UNKNOWN")).alias("code"),
         F.when(F.nullif(F.col("n_regionkey"), F.lit(0)).isNull(), 1)
          .otherwise(0).alias("is_zero"))
+
+
+@query("sim_topk_ivf", oracle=None, tags=("rows-only",))
+def sim_topk_ivf(spark, sf_dir):
+    """IVF approximate top-k (k-means partitioned corpus, n_probe nearest
+    lists scored) — the second ANN scale path beside LSH. Exact twin:
+    sim_topk_cosine."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=10,
+                      n_centroids=8, n_probe=3)

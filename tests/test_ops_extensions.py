@@ -125,3 +125,11 @@ def test_media_stats_prunes_payload(spark, docs):
     media = M.synthesize_media(docs)
     plan = M.media_stats(media)._jdf.queryExecution().optimizedPlan().toString()
     assert "payload" not in plan  # column pruning drops the binary bytes
+
+
+def test_ivf_topk_finds_nearest(spark, vecs):
+    out = S.ivf_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=2,
+                     n_centroids=2, n_probe=2)
+    got = rows(out, "rank", "neighbor_id")
+    # probing both of 2 centroids == exhaustive -> must match exact top-2
+    assert got == [(1, 4), (2, 1)]

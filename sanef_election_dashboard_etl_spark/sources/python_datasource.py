@@ -1,0 +1,100 @@
+"""REST endpoint as a first-class Spark table via the Python DataSource API
+(pyspark >= 4: `pyspark.sql.datasource`) — SURVEY.md §4.3's "DSv2
+TableProvider wrapping the IEC REST API" stretch goal, realized with the
+Python-native API instead of a JVM TableProvider.
+
+    spark.dataSource.register(RestJsonDataSource)
+    df = (spark.read.format("rest_json")
+          .option("url_template", "https://api.test/ward/{}")
+          .option("keys", "W1,W2,W3")
+          .option("num_partitions", "8")
+          .load())
+    # df: (key string, payload string, error string) — parse payload with
+    # F.from_json(payload, schema) downstream.
+
+Each planner partition carries a slice of the key list; executors fetch
+their slice concurrently (the reference's asyncio fan-out as real cluster
+parallelism, same as sources/rest.fetch_json but behind `spark.read`).
+Failures surface in the `error` column.
+
+Options are strings and data-source planning/reading run in separate
+Python workers (module state does NOT cross), so custom fetchers travel
+IN an option: `option("fetcher_pickle", fetcher_option(fn))` cloudpickles
+the callable. The default is the stdlib urllib fetcher (statically
+importable everywhere).
+"""
+
+from __future__ import annotations
+
+import base64
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+Fetcher = Callable[[str], str]
+
+
+def _urllib_fetcher(url: str) -> str:
+    import urllib.request
+
+    with urllib.request.urlopen(url, timeout=30) as resp:  # noqa: S310
+        return resp.read().decode("utf-8")
+
+
+def fetcher_option(fetcher: Fetcher) -> str:
+    """Serialize a fetcher for `option("fetcher_pickle", ...)` — closures
+    welcome (cloudpickle), so tests inject offline fakes."""
+    from pyspark import cloudpickle
+
+    return base64.b64encode(cloudpickle.dumps(fetcher)).decode("ascii")
+
+
+def _resolve_fetcher(options: dict) -> Fetcher:
+    blob = options.get("fetcher_pickle")
+    if blob:
+        from pyspark import cloudpickle
+
+        return cloudpickle.loads(base64.b64decode(blob))
+    return _urllib_fetcher
+
+
+@dataclass
+class _KeySlice(InputPartition):
+    keys: list[str]
+
+
+class RestJsonReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.url_template = options["url_template"]
+        self.keys = [k for k in options.get("keys", "").split(",") if k]
+        self.num_partitions = int(options.get("num_partitions", "4"))
+        self.fetcher = _resolve_fetcher(options)
+
+    def partitions(self) -> list[_KeySlice]:
+        n = max(1, min(self.num_partitions, len(self.keys) or 1))
+        slices = [self.keys[i::n] for i in range(n)]
+        return [_KeySlice(s) for s in slices if s]
+
+    def read(self, partition: _KeySlice) -> Iterator[tuple]:
+        fetch = self.fetcher
+        for key in partition.keys:
+            url = self.url_template.replace("{}", key)
+            try:
+                yield (key, fetch(url), None)
+            except Exception as exc:  # surface, never swallow
+                yield (key, None, f"{type(exc).__name__}: {exc}")
+
+
+class RestJsonDataSource(DataSource):
+    """format("rest_json"): keyed REST GET fan-out as a readable table."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "rest_json"
+
+    def schema(self) -> str:
+        return "key string, payload string, error string"
+
+    def reader(self, schema) -> RestJsonReader:
+        return RestJsonReader(self.options)

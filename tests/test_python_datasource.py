@@ -1,0 +1,44 @@
+"""Python DataSource API test: the REST source consumed through
+spark.read.format("rest_json") with an injected offline fetcher."""
+
+import json
+
+import pyspark.sql.functions as F
+import pytest
+
+from sanef_election_dashboard_etl_spark.plans.pipelines import BALLOT_SCHEMA
+from sanef_election_dashboard_etl_spark.sources import python_datasource as PDS
+
+
+def _fake(url: str) -> str:
+    ward = url.rsplit("/", 1)[-1]
+    if ward == "W404":
+        raise KeyError("no such ward")
+    return json.dumps({
+        "WardID": ward,
+        "PartyBallotResults": [{"Name": "ANC", "TotalValidVotes": 10}]})
+
+
+def test_rest_datasource_roundtrip(spark):
+    spark.dataSource.register(PDS.RestJsonDataSource)
+    df = (spark.read.format("rest_json")
+          .option("url_template", "https://api.test/ward/{}")
+          .option("keys", "W1,W2,W404")
+          .option("num_partitions", "2")
+          .option("fetcher_pickle", PDS.fetcher_option(_fake))
+          .load())
+    parsed = df.withColumn("p", F.from_json("payload", BALLOT_SCHEMA))
+    got = {r["key"]: r for r in parsed.collect()}
+    assert got["W1"]["p"]["WardID"] == "W1"
+    assert got["W1"]["error"] is None
+    assert got["W2"]["p"]["PartyBallotResults"][0]["TotalValidVotes"] == 10
+    assert got["W404"]["payload"] is None
+    assert "KeyError" in got["W404"]["error"]
+
+
+def test_rest_datasource_partition_slicing():
+    r = PDS.RestJsonReader({"url_template": "u/{}",
+                            "keys": "a,b,c,d,e", "num_partitions": "2"})
+    parts = r.partitions()
+    assert len(parts) == 2
+    assert sorted(k for p in parts for k in p.keys) == ["a", "b", "c", "d", "e"]

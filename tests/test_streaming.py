@@ -62,3 +62,32 @@ def test_streaming_end_to_end_memory_sink(spark, tmp_path):
         assert ("click", 2) in flat and ("view", 1) in flat
     finally:
         q.stop()
+
+
+def test_foreach_batch_upload_sink(spark, tmp_path):
+    """S9 streaming sink: the dashboard-upload adapter driven per
+    micro-batch through foreachBatch."""
+    import sanef_election_dashboard_etl_spark.streaming.windows as W2
+
+    src = tmp_path / "fb_src"
+    src.mkdir()
+    _events_df(spark).coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream = (spark.readStream
+              .schema("event_id long, ts timestamp, event_type string, value double")
+              .parquet(str(src)))
+    agg = stream.groupBy("event_type").count()
+
+    batches = []
+
+    def write_batch(df, epoch_id):
+        batches.append((epoch_id, sorted((r["event_type"], r["count"])
+                                         for r in df.collect())))
+
+    q = agg.writeStream.outputMode("complete").foreachBatch(write_batch) \
+        .option("checkpointLocation", str(tmp_path / "fb_ckpt")).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert batches
+    assert batches[-1][1] == [("click", 3), ("view", 1)]

@@ -200,3 +200,27 @@ def union_by_name(*dfs: DataFrame) -> DataFrame:
     for d in dfs[1:]:
         out = out.unionByName(d)
     return out
+
+
+# --------------------------------------------------------------------------
+# Skew + co-location tooling (SCALE.md: the 100 TB joins)
+# --------------------------------------------------------------------------
+
+
+def salted_join(skewed: DataFrame, other: DataFrame, on: str,
+                salt_buckets: int = 16, how: str = "inner") -> DataFrame:
+    """Skew-safe equi-join: append a random-ish salt to the skewed side's
+    key and explode the other side across all salt values, so one hot key
+    spreads over `salt_buckets` reducers instead of one straggler task.
+
+    The salt is `pmod(hash(all columns), buckets)` on the skewed side —
+    deterministic per row, uniform per key. Use when AQE's skew splitting
+    is unavailable (e.g. a non-AQE engine mode) or the skew is known ahead
+    of time; AQE handles the rest of the cases (session default).
+    """
+    salted_l = skewed.withColumn(
+        "__salt", F.pmod(F.xxhash64(*skewed.columns), F.lit(salt_buckets)))
+    salted_r = other.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))))
+    out = salted_l.join(salted_r, [on, "__salt"], how)
+    return out.drop("__salt")

@@ -106,23 +106,36 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
 
 
 def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10, dim: int = 64,
-             n_planes: int = 8, seed: int = 42,
+             n_planes: int = 8, n_tables: int = 4, seed: int = 42,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Approximate top-k: bucket corpus + queries by hyperplane signature,
-    score only same-bucket candidates. Recall improves with multiple tables
-    (re-call with different seeds and union). At scale: the bucket join is
-    a uniform-key shuffle of (id, bucket) pairs, never a cross join."""
-    planes = _hyperplanes(dim, n_planes, seed)
+    """Approximate top-k: bucket corpus + queries by random-hyperplane
+    signature, score only same-bucket candidates.
+
+    Multi-table: `n_tables` independent hash tables (different seeds);
+    candidates are the union — recall ~ 1-(1-p)^T for per-table collision
+    probability p, measured in RECALL.md. At scale: each table's bucket
+    join is a uniform-key shuffle of (id, bucket) pairs, never a cross
+    join; candidate dedup + one exact-scoring pass at the end."""
     c = with_norm(emb, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("__v").alias("cv"),
         F.col("__norm").alias("cn"))
-    c = c.withColumn("bucket", lsh_bucket(F.col("cv"), planes))
     q = with_norm(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col("__v").alias("qv"),
         F.col("__norm").alias("qn"))
-    q = q.withColumn("bucket", lsh_bucket(F.col("qv"), planes))
-    scored = (c.join(F.broadcast(q), "bucket")
-              .filter(F.col("neighbor_id") != F.col("query_id"))
+
+    cands = None
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        cb = c.withColumn("bucket", lsh_bucket(F.col("cv"), planes)) \
+              .select("neighbor_id", "bucket")
+        qb = q.withColumn("bucket", lsh_bucket(F.col("qv"), planes)) \
+              .select("query_id", "bucket")
+        ct = cb.join(F.broadcast(qb), "bucket").select("query_id", "neighbor_id")
+        cands = ct if cands is None else cands.unionByName(ct)
+    cands = (cands.filter(F.col("neighbor_id") != F.col("query_id"))
+             .distinct())
+
+    scored = (cands.join(c, "neighbor_id").join(F.broadcast(q), "query_id")
               .withColumn("cos", dot(F.col("qv"), F.col("cv")) /
                           (F.col("qn") * F.col("cn"))))
     from pyspark.sql import Window

@@ -52,6 +52,10 @@ def get_spark(app_name: str = "sanef-etl-spark", master: str | None = None,
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # saveAsTable targets (bucketed-join tests); static conf, so set at
+        # build — keep managed tables out of the repo working dir
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-warehouse"))
     )
     for k, v in _RUNTIME_CONF.items():
         builder = builder.config(k, v)

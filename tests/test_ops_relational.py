@@ -120,3 +120,39 @@ def test_dsum_exact_over_partitions(spark):
     df = spark.createDataFrame([(0.1,)] * 1000, "x double").repartition(4)
     out = df.agg(dsum("x").alias("s")).collect()[0]["s"]
     assert out == 100.0
+
+
+def test_salted_join_matches_plain_join(spark):
+    # one hot key (0) plus a tail; salted result must equal the plain join
+    fact = spark.createDataFrame(
+        [(0, i) for i in range(50)] + [(k, 0) for k in range(1, 5)],
+        "k int, v int")
+    dim = spark.createDataFrame([(k, f"d{k}") for k in range(5)],
+                                "k int, name string")
+    plain = rows(fact.join(dim, "k").select("k", "v", "name"))
+    salted = rows(R.salted_join(fact, dim, "k", salt_buckets=4)
+                  .select("k", "v", "name"))
+    assert salted == plain
+
+
+def test_bucketed_join_eliminates_exchange(spark, tmp_path):
+    """Co-located join: both sides bucketed on the join key -> SortMergeJoin
+    with NO Exchange (the 100 TB repeated-join pattern, SCALE.md Joins)."""
+    import pyspark.sql.functions as F2
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(0, 1000).withColumn("v", F2.col("id") * 2)
+        b = spark.range(0, 1000).withColumn("w", F2.col("id") * 3)
+        a.write.bucketBy(8, "id").sortBy("id").mode("overwrite") \
+            .saveAsTable("bt_a")
+        b.write.bucketBy(8, "id").sortBy("id").mode("overwrite") \
+            .saveAsTable("bt_b")
+        joined = spark.table("bt_a").join(spark.table("bt_b"), "id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")

@@ -117,3 +117,54 @@ def fingerprint(text: Column) -> Column:
     lowercased text. The exact-dedup key (dedup.exact_dedup builds on it)."""
     normalized = F.lower(F.trim(F.regexp_replace(text, "\\s+", " ")))
     return F.md5(normalized.cast("binary"))
+
+
+def winnow_fingerprints(df: "DataFrame", k: int = 4, w: int = 5,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> "DataFrame":
+    """Winnowing document fingerprints (the MOSS scheme): hash every
+    k-token gram, then keep each window-of-w's minimum hash — a bounded,
+    position-robust fingerprint set per document whose overlap estimates
+    containment (plagiarism/near-dup detection).
+
+    All DataFrame ops: posexplode for positions, lead() to build k-grams,
+    a rolling-window min to winnow, distinct to form the set. One shuffle
+    on (doc, position ordering); fingerprint count ~ tokens/w per doc, so
+    the output is ~w x smaller than the shingle table — that compression
+    is what makes fingerprint joins feasible at 100 TB."""
+    from pyspark.sql import DataFrame, Window  # noqa: F811
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "token"))
+    order = Window.partitionBy(id_col).orderBy("pos")
+    gram = F.concat_ws(" ", F.col("token"),
+                       *[F.lead("token", i).over(order) for i in range(1, k)])
+    grams = (toks
+             .withColumn("last_tok", F.lead("token", k - 1).over(order))
+             .withColumn("gram", gram)
+             .filter(F.col("last_tok").isNotNull())   # only full k-grams
+             .withColumn("h", F.pmod(F.xxhash64("gram"), F.lit(2**61 - 1))))
+    roll = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    winnowed = (grams
+                .withColumn("win_min", F.min("h").over(roll))
+                .filter(F.col("h") == F.col("win_min"))
+                .select(id_col, F.col("h").alias("fingerprint"))
+                .distinct())
+    return winnowed
+
+
+def fingerprint_overlap_pairs(df: "DataFrame", k: int = 4, w: int = 5,
+                              min_overlap: int = 2,
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> "DataFrame":
+    """Candidate containment pairs by shared winnowing fingerprints:
+    inverted-index self-join on the (small) fingerprint table."""
+    fp = winnow_fingerprints(df, k, w, id_col, text_col)
+    a = fp.select(F.col(id_col).alias("id_a"), "fingerprint")
+    b = fp.select(F.col(id_col).alias("id_b"), "fingerprint")
+    return (a.join(b, "fingerprint")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
+            .filter(F.col("shared_fingerprints") >= min_overlap))

@@ -1429,3 +1429,12 @@ def sim_topk_ivf(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=10,
                       n_centroids=8, n_probe=3)
+
+
+@query("text_winnow_fingerprint_pairs", oracle=None, tags=("rows-only",))
+def text_winnow_fingerprint_pairs(spark, sf_dir):
+    """Winnowing (rolling-hash) fingerprint candidate pairs — MOSS-style
+    containment detection; xxhash64-based so rows-only (exact-Jaccard
+    oracles cover the semantics family)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return T.fingerprint_overlap_pairs(docs, k=4, w=5, min_overlap=2)

@@ -133,3 +133,16 @@ def test_ivf_topk_finds_nearest(spark, vecs):
     got = rows(out, "rank", "neighbor_id")
     # probing both of 2 centroids == exhaustive -> must match exact top-2
     assert got == [(1, 4), (2, 1)]
+
+
+def test_winnow_fingerprints_identical_docs_share_all(spark, docs):
+    fp = T.winnow_fingerprints(docs, k=2, w=2)
+    sets = {}
+    for r in fp.collect():
+        sets.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert sets[1] == sets[2]            # identical docs -> identical prints
+    assert sets[1] != sets[5]            # different docs -> different prints
+    pairs = rows(T.fingerprint_overlap_pairs(docs, k=2, w=2, min_overlap=1)
+                 .select("id_a", "id_b"))
+    assert (1, 2) in pairs
+    assert (4, 5) not in pairs

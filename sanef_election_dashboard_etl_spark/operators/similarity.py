@@ -64,7 +64,7 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
                           (F.col("qn") * F.col("cn"))))
     from pyspark.sql import Window
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id"))
 
@@ -140,7 +140,7 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10, dim: int = 64,
                           (F.col("qn") * F.col("cn"))))
     from pyspark.sql import Window
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id"))
 
@@ -199,6 +199,6 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
               .withColumn("cos", dot(F.col("qv"), F.col("cv")) /
                           (F.col("qn") * F.col("cn"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id"))

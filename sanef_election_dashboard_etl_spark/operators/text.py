@@ -52,13 +52,16 @@ def token_stats(df: DataFrame, id_col: str = "doc_id",
     count, letters, and mean token length. Pure per-row expressions —
     embarrassingly parallel at any scale."""
     t = F.col(text_col)
-    n_tokens = F.size(tokens(t))
-    n_letters = F.length(F.regexp_replace(t, "[^a-z]", ""))
+    # long, not int: DuckDB len()/length() return BIGINT and the oracle
+    # schema comparison is strict on integer width
+    n_tokens = F.size(tokens(t)).cast("long")
+    n_letters = F.length(F.regexp_replace(t, "[^a-z]", "")).cast("long")
     return df.select(
         id_col,
         n_tokens.alias("n_tokens"),
-        F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_RE), 0)).alias("n_bpe_tokens"),
-        F.length(t).alias("n_chars_measured"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_RE), 0)).cast("long")
+         .alias("n_bpe_tokens"),
+        F.length(t).cast("long").alias("n_chars_measured"),
         n_letters.alias("n_letters"),
         ratio(n_letters, n_tokens).alias("avg_token_len"),
     )

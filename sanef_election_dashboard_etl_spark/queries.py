@@ -521,8 +521,9 @@ def w2_rank_topk(spark, sf_dir):
     out = R.rank_in_group(
         _t(spark, sf_dir, "customer").select("c_nationkey", "c_custkey", "c_acctbal"),
         ["c_nationkey"], [F.desc("c_acctbal"), F.asc("c_custkey")], "rnk")
-    return out.filter(F.col("rnk") <= 3) \
-              .select("c_nationkey", "rnk", "c_custkey", "c_acctbal")
+    return (out.filter(F.col("rnk") <= 3)
+            .select("c_nationkey", F.col("rnk").cast("long").alias("rnk"),
+                    "c_custkey", "c_acctbal"))
 
 
 @query("w3_lag_delta", oracle="""
@@ -1381,7 +1382,7 @@ def e9_string_functions(spark, sf_dir):
         F.substring(c("c_name"), 1, 8).alias("prefix8"),
         F.replace(c("c_name"), F.lit("#"), F.lit("-")).alias("dehashed"),
         F.lpad(c("c_custkey").cast("string"), 10, "0").alias("padded_id"),
-        F.length(F.trim(c("c_name"))).alias("name_len"))
+        F.length(F.trim(c("c_name"))).cast("long").alias("name_len"))
 
 
 @query("e10_date_parts", oracle="""

@@ -82,6 +82,29 @@ def main() -> int:
         if sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
             ok = False
             print(f"FAIL {name}: cols spark={sorted(scols)} duckdb={sorted(ocols)}")
+        else:
+            # dtype audit: normalize both engines' types to a common
+            # vocabulary; the driver may compare schemas strictly.
+            NORM = {"tinyint": "int", "smallint": "int", "integer": "int",
+                    "bigint": "long", "hugeint": "long", "int32": "int",
+                    "int64": "long", "float": "double", "real": "double",
+                    "varchar": "string", "text": "string",
+                    "timestamp_ns": "timestamp", "timestamp with time zone":
+                    "timestamp", "boolean": "bool"}
+
+            def norm(t):
+                t = str(t).lower()
+                if t.startswith("decimal"):
+                    return "decimal"
+                return NORM.get(t, t)
+
+            sd = {c.lower(): norm(t) for c, t in sdf.dtypes}
+            od = {c.lower(): norm(str(t)) for c, t in zip(rel.columns, rel.types)}
+            for c in sd:
+                if sd[c] != od.get(c):
+                    ok = False
+                    print(f"FAIL {name}: dtype mismatch col={c} "
+                          f"spark={sd[c]} duckdb={od.get(c)}")
         if ok:
             cs, co = canon(srows, scols), canon(orows, ocols)
             if cs != co:

@@ -46,8 +46,11 @@ HEADLINE = (
     "a10_grouped_ordered_concat",  # grouped string concatenation
     "o1_full_sort",                # full sort by double column
     "a7_distinct",                 # distinct
-    # flagship pipelines + wide-agg benchmark
+    # flagship pipelines + TPC-H-class analytics
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
     "pipe_hung_councils",
     "pipe_voter_turnout",
     "j7_deloop_semi",

@@ -1439,3 +1439,98 @@ def text_winnow_fingerprint_pairs(spark, sf_dir):
     oracles cover the semantics family)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return T.fingerprint_overlap_pairs(docs, k=4, w=5, min_overlap=2)
+
+
+# ==========================================================================
+# TPC-H-class analytics (breadth: multi-join plans Catalyst must order)
+# ==========================================================================
+
+@query("q3_shipping_priority", oracle="""
+    SELECT l_orderkey,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 20
+""")
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter -> two joins -> grouped revenue
+    -> top-k. Catalyst pushes both date predicates into the parquet scans
+    and broadcasts the filtered customer side."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp"))
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+    revenue = F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                            .cast("decimal(18,4)")).cast("double"), 2)
+    return (l.join(o, l.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(revenue.alias("revenue"))
+            .select("l_orderkey", "revenue",
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+            .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+            .limit(20))
+
+
+@query("q5_local_supplier_volume", oracle="""
+    SELECT n_name,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+""")
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table join with a same-nation equi-constraint;
+    region/nation/supplier broadcast, lineitem never shuffles for them."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                            .cast("decimal(18,4)")).cast("double"), 2)
+    return (l.join(o, l.l_orderkey == o.o_orderkey)
+            .join(c, F.col("o_custkey") == c.c_custkey)
+            .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey) &
+                  (c.c_nationkey == s.s_nationkey))
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("n_name").agg(revenue.alias("revenue")))
+
+
+@query("q6_forecast_revenue", oracle="""
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount
+                              AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+      AND l_shipdate < TIMESTAMP '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+""")
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan + conjunctive predicate + global agg —
+    the pushdown stress test (all four predicates reach the reader)."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp")) &
+        (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp")) &
+        (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07) &
+        (F.col("l_quantity") < 24))
+    revenue = F.round(F.sum((F.col("l_extendedprice") * F.col("l_discount"))
+                            .cast("decimal(18,4)")).cast("double"), 2)
+    return l.agg(revenue.alias("revenue"), F.count(F.lit(1)).alias("n_items"))

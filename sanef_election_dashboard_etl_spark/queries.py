@@ -1534,3 +1534,140 @@ def q6_forecast_revenue(spark, sf_dir):
     revenue = F.round(F.sum((F.col("l_extendedprice") * F.col("l_discount"))
                             .cast("decimal(18,4)")).cast("double"), 2)
     return l.agg(revenue.alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+
+
+@query("pipe_ward_votes_by_party", oracle="""
+    SELECT CAST(o_custkey AS VARCHAR) AS Geography,
+           o_orderpriority AS Party,
+           COUNT(*) AS Count
+    FROM orders
+    GROUP BY 1, 2
+""")
+def pipe_ward_votes_by_party(spark, sf_dir):
+    """ward_votes_by_party pipeline (SANEF_Uploader.py:427-444) round trip:
+    synthesize the REST ballot payloads (struct<WardID,
+    PartyBallotResults: array<struct>>) from orders, then run the real
+    explode pipeline. The oracle computes the same result flat — so the
+    struct/array construction + explode (E7/R4) is what's actually under
+    test."""
+    from .plans.pipelines import ward_votes_by_party
+    o = _t(spark, sf_dir, "orders")
+    payloads = (o.groupBy(F.col("o_custkey"), F.col("o_orderpriority"))
+                .agg(F.count(F.lit(1)).alias("votes"))
+                .groupBy("o_custkey")
+                .agg(F.collect_list(F.struct(
+                    F.col("o_orderpriority").alias("Name"),
+                    F.col("votes").alias("TotalValidVotes"))).alias("results"))
+                .select(F.struct(
+                    F.col("o_custkey").cast("string").alias("WardID"),
+                    F.col("results").alias("PartyBallotResults")).alias("payload")))
+    return ward_votes_by_party(payloads)
+
+
+@query("pipe_seats_won", oracle="""
+    WITH seats AS (
+        SELECT c_name AS Geography, o_orderpriority AS "Party Name",
+               SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS ward_seats,
+               SUM(CASE WHEN o_orderstatus <> 'O' THEN 1 ELSE 0 END) AS pr_seats
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    )
+    SELECT Geography, "Party Name", 'Ward' AS "Seat Type",
+           CAST(ward_seats AS BIGINT) AS Count FROM seats
+    UNION ALL
+    SELECT Geography, "Party Name", 'PR' AS "Seat Type",
+           CAST(pr_seats AS BIGINT) AS Count FROM seats
+""")
+def pipe_seats_won(spark, sf_dir):
+    """seats_won pipeline (SANEF_Uploader.py:559-602) round trip: build
+    per-muni PartyResults payload arrays from orders, run the real
+    null-drop -> explode -> broadcast-lookup -> Ward/PR stack pipeline
+    against a customer-derived muni dim; oracle computes the flat
+    equivalent."""
+    from .plans.pipelines import seats_won
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    payloads = (o.groupBy("o_custkey", "o_orderpriority")
+                .agg(F.sum((F.col("o_orderstatus") == "O").cast("int")).alias("ws"),
+                     F.sum((F.col("o_orderstatus") != "O").cast("int")).alias("ps"))
+                .groupBy("o_custkey")
+                .agg(F.collect_list(F.struct(
+                    F.col("o_orderpriority").alias("Name"),
+                    F.col("ws").alias("WardSeats"),
+                    F.col("ps").alias("PRSeats"))).alias("results"))
+                .select(F.struct(
+                    F.col("o_custkey").cast("int").alias("MunicipalityID"),
+                    F.col("results").alias("PartyResults")).alias("payload")))
+    munis = c.select(F.col("c_custkey").cast("int").alias("MunicipalityID"),
+                     F.col("c_name").alias("Municipality"))
+    return seats_won(payloads, munis)
+
+
+@query("pipe_ward_votes_by_candidate", oracle=f"""
+    SELECT l_orderkey AS Geography,
+           l_returnflag || ' - ' || CAST(l_partkey AS VARCHAR) AS Party,
+           CAST(l_quantity AS BIGINT) AS Count
+    FROM lineitem
+    WHERE l_orderkey NOT IN ({_J4_ORACLE_UNFINISHED})
+""")
+def pipe_ward_votes_by_candidate(spark, sf_dir):
+    """ward_votes_by_candidate pipeline (SANEF_Uploader.py:94-124):
+    completed-set semi-join (de-looped J7) -> 'party - candidate' concat
+    (E1) -> project. lineitem rows ≙ per-ward candidate rows."""
+    from .plans.pipelines import ward_votes_by_candidate
+    l = _t(spark, sf_dir, "lineitem")
+    wc = l.select(F.lit(1091).alias("fklEEId"),
+                  F.col("l_orderkey").alias("fklWardId"),
+                  F.col("l_orderkey").alias("WardID"),
+                  F.col("l_partkey").cast("string").alias("CandidateName"),
+                  F.col("l_returnflag").alias("PartyName"),
+                  F.col("l_quantity").cast("long").alias("Votes"))
+    completed = j4_anti_join(spark, sf_dir).select(
+        F.col("o_orderkey").alias("WardID"))
+    return ward_votes_by_candidate(wc, completed)
+
+
+@query("pipe_pr_votes_by_party", oracle=f"""
+    SELECT l_orderkey AS Geography, l_returnflag AS Party,
+           CAST(l_quantity AS BIGINT) AS Count
+    FROM lineitem
+    WHERE l_orderkey NOT IN ({_J4_ORACLE_UNFINISHED})
+""")
+def pipe_pr_votes_by_party(spark, sf_dir):
+    """pr_votes_by_party pipeline (SANEF_Uploader.py:155-184): completed
+    semi-join -> projection (P2 by-name, not by-ordinal)."""
+    from .plans.pipelines import pr_votes_by_party
+    l = _t(spark, sf_dir, "lineitem")
+    wr = l.select(F.lit(1091).alias("fklEEId"),
+                  F.col("l_orderkey").alias("fklWardId"),
+                  F.col("l_orderkey").alias("WardID"),
+                  F.col("l_returnflag").alias("PartyName"),
+                  F.col("l_quantity").cast("long").alias("Votes"))
+    completed = j4_anti_join(spark, sf_dir).select(
+        F.col("o_orderkey").alias("WardID"))
+    return pr_votes_by_party(wr, completed)
+
+
+@query("pipe_ward_councillor_elected", oracle="""
+    SELECT CAST(geo AS VARCHAR) AS Geography, MIN(contents) AS Contents
+    FROM (
+        SELECT c_custkey % 500 AS geo,
+               c_name || ' - ' || c_mktsegment AS contents
+        FROM customer
+    )
+    GROUP BY geo
+""")
+def pipe_ward_councillor_elected(spark, sf_dir):
+    """ward_councillor_elected pipeline (SANEF_Uploader.py:133-148):
+    fetched councillor payload -> 'Name - Party' contents -> first-wins
+    keyed dedup (A9 with an explicit order, vs the reference's O(n^2)
+    membership scan)."""
+    from .plans.pipelines import ward_councillor_elected
+    c = _t(spark, sf_dir, "customer")
+    payload = (c.groupBy()
+               .agg(F.collect_list(F.struct(
+                   F.pmod(F.col("c_custkey"), F.lit(500)).cast("string")
+                    .alias("WardID"),
+                   F.col("c_name").alias("Name"),
+                   F.col("c_mktsegment").alias("PartyName"))).alias("payload")))
+    return ward_councillor_elected(payload)

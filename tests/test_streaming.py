@@ -91,3 +91,56 @@ def test_foreach_batch_upload_sink(spark, tmp_path):
         q.stop()
     assert batches
     assert batches[-1][1] == [("click", 3), ("view", 1)]
+
+
+def test_batch_pipeline_runs_unchanged_on_stream(spark, tmp_path):
+    """The capstone streaming claim: plans/pipelines.hung_councils — a pure
+    batch DataFrame function — runs UNCHANGED on a streaming source in
+    complete mode, reproducing the reference's overwrite-upload loop."""
+    from sanef_election_dashboard_etl_spark.plans.pipelines import hung_councils
+    from sanef_election_dashboard_etl_spark.streaming.pipelines import (
+        run_snapshot_pipeline,
+    )
+
+    munis = spark.createDataFrame(
+        [(1, 101, "BUF", "Buffalo City", 1), (3, 301, "JHB", "Johannesburg", 1)],
+        "ProvinceID int, MunicipalityID int, Municipality string, "
+        "MunicipalityName string, MunicTypeID int")
+    cw_schema = ("pklCouncilWinnerID long, fklEEID int, fklMunicipalityID int, "
+                 "fklPartyID int, fklLeadingPartyID int, fklMajorityPartyID int, "
+                 "lCouncilSeatsAvailable int, lTotalPartySeatsWon int, "
+                 "bDraw int, bHung int")
+
+    src = tmp_path / "cw_src"
+    src.mkdir()
+    b1 = spark.createDataFrame(
+        [(1, 1091, 101, 7, 7, 7, 10, 6, 0, 1)], cw_schema)
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+
+    snapshots = []
+
+    def write_batch(df, epoch_id):
+        snapshots.append(sorted(tuple(r) for r in df.collect()))
+
+    stream = spark.readStream.schema(cw_schema).option(
+        "maxFilesPerTrigger", "1").parquet(str(src))
+    q = run_snapshot_pipeline(lambda df: hung_councils(df, munis), stream,
+                              write_batch, checkpoint=str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+        first = snapshots[-1]
+        # second batch arrives: JHB outright winner -> snapshot recomputes
+        b2 = spark.createDataFrame(
+            [(2, 1091, 301, 8, 8, 8, 10, 6, 0, 0)], cw_schema)
+        b2.coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        second = snapshots[-1]
+    finally:
+        q.stop()
+
+    assert first == [("EC", "Hung", 1), ("EC", "Outright Majority", 0)]
+    assert second == [("EC", "Hung", 1), ("EC", "Outright Majority", 0),
+                      ("GT", "Hung", 0), ("GT", "Outright Majority", 1)]
+    # and the SAME function on the same data as a plain batch agrees
+    batch = spark.read.parquet(str(src))
+    assert sorted(tuple(r) for r in hung_councils(batch, munis).collect()) == second

@@ -1,3 +1,3 @@
-from . import relational, text, dedup, similarity, multimodal
+from . import dedup, multimodal, pandas_ops, relational, similarity, text
 
-__all__ = ["relational", "text", "dedup", "similarity", "multimodal"]
+__all__ = ["dedup", "multimodal", "pandas_ops", "relational", "similarity", "text"]

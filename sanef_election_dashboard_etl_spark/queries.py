@@ -313,15 +313,21 @@ _J4_ORACLE_UNFINISHED = """
 """)
 def j4_anti_join(spark, sf_dir):
     """J4: the completed-wards anti-join showcase (SANEF_Uploader.py:385-401):
-    agg -> HAVING 0 -> distinct -> left_anti. Orders stand in for wards,
-    (orderkey, suppkey) groups for voting districts."""
+    agg -> HAVING 0 -> left_anti. Orders stand in for wards,
+    (orderkey, suppkey) groups for voting districts.
+
+    The reference's two DISTINCTs are dropped as no-ops here — an
+    anti-join is duplicate-insensitive on its right side, and o_orderkey
+    is the orders primary key — each DISTINCT would cost a full exchange
+    (the reference needed them because EE_VotingDistricts has duplicate
+    ward rows; plans/pipelines.completed_wards keeps them for that input)."""
     l = _t(spark, sf_dir, "lineitem")
     unfinished = (l.groupBy("l_orderkey", "l_suppkey")
                   .agg(F.sum((F.col("l_returnflag") == "R").cast("long")).alias("r"))
                   .filter(F.col("r") == 0)
-                  .select("l_orderkey").distinct())
+                  .select("l_orderkey"))
     completed = R.anti_join(
-        _t(spark, sf_dir, "orders").select("o_orderkey").distinct(),
+        _t(spark, sf_dir, "orders").select("o_orderkey"),
         unfinished.withColumnRenamed("l_orderkey", "o_orderkey"),
         "o_orderkey")
     return completed
@@ -1343,18 +1349,21 @@ def udf_scalar_tokens_per_char(spark, sf_dir):
     SELECT c_custkey,
            ROUND((c_acctbal - AVG(c_acctbal) OVER (PARTITION BY c_nationkey))
                  / STDDEV_POP(c_acctbal) OVER (PARTITION BY c_nationkey),
-                 4) AS zscore
+                 4) + 0.0 AS zscore
     FROM customer
 """)
 def udf_grouped_zscore(spark, sf_dir):
     """Grouped-map (applyInPandas) tier: per-nation account-balance
     z-scores. round(4) absorbs pandas' pairwise vs SQL's sequential
-    float summation (~1e-12 relative)."""
+    float summation (~1e-12 relative); `+ 0.0` on both sides folds IEEE
+    negative zero into +0.0 (a tiny negative deviation rounds to -0.0 in
+    one engine and 0.0 in the other)."""
     from .operators.pandas_ops import zscore_by_group
     out = zscore_by_group(
         _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal"),
         "c_nationkey", "c_acctbal")
-    return out.select("c_custkey", F.round("zscore", 4).alias("zscore"))
+    return out.select("c_custkey",
+                      (F.round("zscore", 4) + F.lit(0.0)).alias("zscore"))
 
 
 # ==========================================================================

@@ -1,3 +1,3 @@
-from . import windows
+from . import pipelines, stateful, windows
 
-__all__ = ["windows"]
+__all__ = ["pipelines", "stateful", "windows"]

@@ -225,3 +225,64 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3,
     return (cand.withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b") ))
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+def portable_hash(c) -> "F.Column":
+    """Engine-portable 60-bit hash: first 15 hex digits of md5, parsed as
+    an integer. Identical in Spark (conv base16->10) and DuckDB
+    ('0x'||hex)::BIGINT — lets LSH signatures be oracle-verified end to
+    end. ~2x slower than xxhash64 (md5 + string slicing), so the default
+    pipeline keeps xxhash64; this is the verification configuration."""
+    col = c if not isinstance(c, str) else F.col(c)
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10) \
+            .cast("long")
+
+
+def minhash_lsh_pairs_portable(df: DataFrame, n: int = 3, k: int = 16,
+                               bands: int = 4, min_jaccard: float = 0.5,
+                               seed: int = 42, id_col: str = "doc_id",
+                               text_col: str = "text") -> DataFrame:
+    """minhash_lsh_pairs with portable (md5-derived) hashes everywhere:
+    same banding pipeline, every stage reproducible in ANSI SQL. Band key
+    is md5 over the '|'-joined row signature."""
+    assert k % bands == 0
+    rows_per_band = k // bands
+    params = _minhash_params(k, seed)
+    grams = shingles(df, n, id_col, text_col) if n > 1 else token_set(df, id_col, text_col)
+    grams = grams.persist()
+
+    h = F.pmod(portable_hash("shingle"), F.lit(_P)).alias("h")
+    with_h = grams.select(F.col(id_col), h)
+    mins = [F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_P))).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(params)]
+    sig = with_h.groupBy(id_col).agg(*mins)
+
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.md5(F.concat_ws("|", *[
+                F.col(f"mh_{bi * rows_per_band + j}").cast("string")
+                for j in range(rows_per_band)]).cast("binary")).alias("bhash"))
+        for bi in range(bands)
+    ])
+    banded = sig.select(F.col(id_col), F.explode(band_structs).alias("b")) \
+                .select(id_col, "b.band", "b.bhash")
+    lhs = banded.select(F.col(id_col).alias("id_a"), "band", "bhash")
+    rhs = banded.select(F.col(id_col).alias("id_b"), "band", "bhash")
+    candidates = (lhs.join(rhs, ["band", "bhash"])
+                  .filter(F.col("id_a") < F.col("id_b"))
+                  .select("id_a", "id_b").distinct())
+
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = grams.select(F.col(id_col).alias("id_a"), "shingle")
+    b = grams.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (candidates.join(a, "id_a").join(b, ["id_b", "shingle"])
+             .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter")))
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    verified = (inter.join(F.broadcast(sz_a), "id_a").join(F.broadcast(sz_b), "id_b")
+                .withColumn("jaccard", F.round(
+                    F.col("inter").cast("double") /
+                    (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"), 4)))
+    return (verified.filter(F.col("jaccard") >= min_jaccard)
+            .select("id_a", "id_b", "jaccard"))

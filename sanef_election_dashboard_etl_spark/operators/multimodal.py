@@ -42,7 +42,7 @@ FEATURE_SCHEMA = StructType([
     StructField("media_id", LongType(), False),
     StructField("media_type", StringType(), False),
     StructField("payload_bytes", LongType(), False),
-    StructField("payload_sha1", StringType(), False),
+    StructField("payload_sha256", StringType(), False),
     StructField("feature", ArrayType(FloatType()), False),  # fixed 16-dim
 ])
 
@@ -61,8 +61,8 @@ def decode_image(payload: bytes) -> "object":
 
 def _fake_feature(payload: bytes, dim: int = 16) -> list[float]:
     """Deterministic stand-in for a decoded-media embedding: bytes of
-    sha1(payload) scaled to [0, 1). Stable across runs and machines."""
-    digest = hashlib.sha1(payload or b"").digest()
+    sha256(payload) scaled to [0, 1). Stable across runs and machines."""
+    digest = hashlib.sha256(payload or b"").digest()
     return [b / 255.0 for b in digest[:dim]]
 
 
@@ -100,8 +100,8 @@ def extract_features(media: DataFrame, fake: bool = True,
                 "media_id": pdf["media_id"],
                 "media_type": pdf["media_type"],
                 "payload_bytes": payloads.map(lambda p: len(p or b"")).astype("int64"),
-                "payload_sha1": payloads.map(
-                    lambda p: hashlib.sha1(p or b"").hexdigest()),
+                "payload_sha256": payloads.map(
+                    lambda p: hashlib.sha256(p or b"").hexdigest()),
                 "feature": payloads.map(_fake_feature),
             })
 

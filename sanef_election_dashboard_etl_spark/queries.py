@@ -944,13 +944,21 @@ def sim_topk_lsh(spark, sf_dir):
 # Extensions: multimodal plumbing (SURVEY §7 step 4)
 # ==========================================================================
 
-@query("multimodal_features", oracle=None, tags=("rows-only",))
+@query("multimodal_features", oracle="""
+    SELECT doc_id AS media_id, 'image' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+           sha256(text) AS payload_sha256
+    FROM documents
+""")
 def multimodal_features(spark, sf_dir):
-    """Binary media column -> Arrow-batched feature extraction (stubbed
-    decode, real plumbing). Deterministic fake features."""
+    """Binary media column -> Arrow-batched feature extraction via
+    mapInPandas (stubbed decode, real plumbing). The byte-count + sha256
+    digest the UDF computes over the binary payload are recomputed by the
+    oracle directly over the source text — the Arrow round trip itself is
+    under test."""
     media = M.synthesize_media(_t(spark, sf_dir, "documents"))
     feats = M.extract_features(media, fake=True)
-    return feats.select("media_id", "media_type", "payload_bytes", "payload_sha1")
+    return feats.select("media_id", "media_type", "payload_bytes", "payload_sha256")
 
 
 # ==========================================================================
@@ -1680,3 +1688,72 @@ def pipe_ward_councillor_elected(spark, sf_dir):
                    F.col("c_name").alias("Name"),
                    F.col("c_mktsegment").alias("PartyName"))).alias("payload")))
     return ward_councillor_elected(payload)
+
+
+def _minhash_oracle_sql(k: int = 16, bands: int = 4, seed: int = 42,
+                        n_docs: int = 300, min_j: float = 0.5) -> str:
+    """Generate the ANSI-SQL twin of minhash_lsh_pairs_portable: same
+    (a, b) permutation constants, same md5-derived base hash, same banding
+    — the whole LSH pipeline is oracle-verified, not just its output
+    shape."""
+    params = D._minhash_params(k, seed)
+    P = D._P
+    rpb = k // bands
+    min_exprs = ",\n               ".join(
+        f"MIN(({a}*h+{b})%{P}) AS m{i}" for i, (a, b) in enumerate(params))
+    band_selects = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, md5(concat_ws('|', "
+        + ", ".join(f"m{bi * rpb + j}" for j in range(rpb)) + ")) AS bhash FROM sig"
+        for bi in range(bands))
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents WHERE doc_id < {n_docs}
+    ), grams AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                   AS shingle
+        FROM tok
+    ), hashes AS (
+        SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {P} AS h
+        FROM grams
+    ), sig AS (
+        SELECT doc_id, {min_exprs}
+        FROM hashes GROUP BY doc_id
+    ), bnd AS (
+        {band_selects}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bnd a JOIN bnd b
+          ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+    ), inter AS (
+        SELECT id_a, id_b, COUNT(*) AS i
+        FROM cand
+        JOIN grams ga ON ga.doc_id = id_a
+        JOIN grams gb ON gb.doc_id = id_b AND gb.shingle = ga.shingle
+        GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 4)
+               AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 4)
+          >= {min_j}
+    """
+
+
+@query("dedup_minhash_lsh_portable", oracle=_minhash_oracle_sql())
+def dedup_minhash_lsh_portable(spark, sf_dir):
+    """MinHash+LSH with engine-portable hashes: the ENTIRE pipeline
+    (shingle hash -> k permutations -> banding -> candidate join -> exact
+    verification) is replicated in the SQL oracle with the same constants
+    — the approximate path itself is correctness-gated, not just sampled.
+    (dedup_minhash_lsh remains the xxhash64 production variant.)"""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return D.minhash_lsh_pairs_portable(docs, n=3, k=16, bands=4,
+                                        min_jaccard=0.5)

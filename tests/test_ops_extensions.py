@@ -107,7 +107,7 @@ def test_multimodal_feature_plumbing(spark, docs):
     feats = M.extract_features(media, fake=True)
     got = {r["media_id"]: r for r in feats.collect()}
     assert len(got) == 5
-    assert got[1]["payload_sha1"] == got[2]["payload_sha1"]  # same text
+    assert got[1]["payload_sha256"] == got[2]["payload_sha256"]  # same text
     assert len(got[1]["feature"]) == 16
     assert got[1]["payload_bytes"] == len("the cat sat on the mat")
     # deterministic across runs

@@ -1049,12 +1049,43 @@ def events_sessionize(spark, sf_dir):
                  (F.max("s") - F.min("s")).alias("duration_s")))
 
 
-@query("events_session_window_native", oracle=None, tags=("rows-only",))
+@query("events_session_window_native", oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               CASE WHEN epoch_us(ts)
+                         - lag(epoch_us(ts))
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         >= 1800000000
+                         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), numbered AS (
+        SELECT user_id, us,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM ordered
+    )
+    SELECT user_id,
+           MIN(us) AS session_start_us,
+           MAX(us) + 1800000000 AS session_end_us,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_seq
+""")
 def events_session_window_native(spark, sf_dir):
-    """Native F.session_window (the streaming-capable operator); semantics
-    are oracle-covered by events_sessionize above."""
-    from .streaming.windows import session_counts
-    return session_counts(_t(spark, sf_dir, "events"), gap="30 minutes")
+    """Native F.session_window, oracle-checked at MICROSECOND precision:
+    a session window is [first_event, last_event + gap), and a new session
+    opens when the gap is >= the duration — the oracle replicates exactly
+    that via lag/cumsum over epoch_us (second-floored epochs would
+    misclassify gaps in [1800, 1801) s)."""
+    e = _t(spark, sf_dir, "events")
+    out = (e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+           .agg(F.count(F.lit(1)).alias("n_events")))
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("w.start")).alias("session_start_us"),
+        F.unix_micros(F.col("w.end")).alias("session_end_us"),
+        "n_events")
 
 
 # ==========================================================================

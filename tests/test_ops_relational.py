@@ -156,3 +156,24 @@ def test_bucketed_join_eliminates_exchange(spark, tmp_path):
                        str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS bt_a")
         spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_partition_pruning(spark, tmp_path):
+    """Hive-partitioned write + partition-filter read: the scan must list
+    only the matching partition directories (PartitionFilters in the plan,
+    the mechanism behind date-partitioned 100 TB layouts)."""
+    df = spark.createDataFrame(
+        [(d, i, float(i)) for d in ("2024-01-01", "2024-01-02", "2024-01-03")
+         for i in range(10)],
+        "day string, id int, v double")
+    path = str(tmp_path / "parts")
+    df.write.partitionBy("day").mode("overwrite").parquet(path)
+
+    q = spark.read.parquet(path).filter(F.col("day") == "2024-01-02")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "2024-01-02" in plan
+    assert q.count() == 10
+    # non-partition predicate lands in PushedFilters instead
+    q2 = spark.read.parquet(path).filter(F.col("id") > 5)
+    plan2 = q2._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,5)]" in plan2

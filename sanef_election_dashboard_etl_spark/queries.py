@@ -1788,3 +1788,25 @@ def dedup_minhash_lsh_portable(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return D.minhash_lsh_pairs_portable(docs, n=3, k=16, bands=4,
                                         min_jaccard=0.5)
+
+
+@query("sq_exists_subquery", oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+""")
+def sq_exists_subquery(spark, sf_dir):
+    """Correlated EXISTS through the SQL entry path (TPC-H Q4 shape) —
+    Catalyst decorrelates it into a left-semi join; the DataFrame twin is
+    relational.semi_join (j7)."""
+    from .catalog import register_views
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+    """)

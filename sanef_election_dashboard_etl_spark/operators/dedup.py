@@ -286,3 +286,44 @@ def minhash_lsh_pairs_portable(df: DataFrame, n: int = 3, k: int = 16,
                     (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"), 4)))
     return (verified.filter(F.col("jaccard") >= min_jaccard)
             .select("id_a", "id_b", "jaccard"))
+
+
+def simhash_pairs_portable(df: DataFrame, max_hamming: int = 3,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """simhash_pairs with the engine-portable 60-bit hash (portable_hash),
+    15-bit-chunk banding (4 chunks; pigeonhole covers Hamming<=3) — every
+    stage reproducible in ANSI SQL, so the SimHash pipeline itself is
+    oracle-verified like the portable MinHash variant. Token multiplicity
+    (term frequency) weights the bit votes, same as simhash64."""
+    tok = (df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+           .withColumn("h", portable_hash("token")))
+    bits = tok.select(id_col, "h",
+                      F.explode(F.sequence(F.lit(0), F.lit(59))).alias("i"))
+    votes = (bits
+             .withColumn("bit", F.expr("(h >> i) & 1"))
+             .groupBy(id_col, "i")
+             .agg(F.sum(F.col("bit") * 2 - 1).alias("v")))
+    sig = (votes
+           .withColumn("contrib", F.expr(
+               "CASE WHEN v >= 0 THEN shiftleft(1L, i) ELSE 0L END"))
+           .groupBy(id_col)
+           .agg(F.sum("contrib").alias("sh")))
+    chunks = sig.select(
+        id_col, "sh",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk"),
+                     F.expr(f"(sh >> {15 * c}) & 32767").alias("cval"))
+            for c in range(4)
+        ])).alias("b")).select(id_col, "sh", "b.chunk", "b.cval")
+    lhs = chunks.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"),
+                        "chunk", "cval")
+    rhs = chunks.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"),
+                        "chunk", "cval")
+    cand = (lhs.join(rhs, ["chunk", "cval"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sh_a", "sh_b").distinct())
+    return (cand.withColumn("hamming",
+                            F.bit_count(F.expr("sh_a ^ sh_b")).cast("long"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

@@ -1810,3 +1810,43 @@ def sq_exists_subquery(spark, sf_dir):
                       WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
         GROUP BY o_orderpriority
     """)
+
+
+@query("dedup_simhash_portable", oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents WHERE doc_id < 300
+    ), hashes AS (
+        SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+        FROM tok
+    ), votes AS (
+        SELECT doc_id, r.i,
+               SUM(CASE WHEN (h >> CAST(r.i AS INT)) & 1 = 1
+                        THEN 1 ELSE -1 END) AS v
+        FROM hashes, range(60) r(i)
+        GROUP BY doc_id, r.i
+    ), sig AS (
+        SELECT doc_id,
+               SUM(CASE WHEN v >= 0 THEN (1::BIGINT << CAST(i AS INT))
+                        ELSE 0::BIGINT END) AS sh
+        FROM votes GROUP BY doc_id
+    ), chunks AS (
+        SELECT doc_id, sh, c.c AS chunk,
+               (sh >> CAST(15 * c.c AS INT)) & 32767 AS cval
+        FROM sig, range(4) c(c)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, a.sh AS sh_a,
+                        b.doc_id AS id_b, b.sh AS sh_b
+        FROM chunks a JOIN chunks b
+          ON a.chunk = b.chunk AND a.cval = b.cval AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+""")
+def dedup_simhash_portable(spark, sf_dir):
+    """SimHash near-dup with portable hashes: bit votes, 60-bit signature
+    assembly, 15-bit-chunk banding, and Hamming verification all replicated
+    in the SQL oracle. (dedup_simhash remains the xxhash64/64-bit
+    production variant.)"""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return D.simhash_pairs_portable(docs, max_hamming=3)

@@ -1,0 +1,188 @@
+"""Drop-in CLI: the reference's 10-positional-argument interface
+(SANEF_Uploader.py:10-22, SANEF_Uploader.sh) over the Spark engine.
+
+    python -m sanef_election_dashboard_etl_spark.cli \
+        WAZI_ENDPOINT WAZI_TOKEN DATASET_ID IEC_TOKEN IEC_ENDPOINT \
+        DB_SERVER DB DB_USERNAME DB_PASSWORD RESET_DATASET
+
+Same argv contract as the reference (README.md:3): IEC_ENDPOINT selects
+the pipeline by name (ward_votes_by_party, voter_turnout, ...,
+list_of_hung_councils); RESET_DATASET == 'reset' short-circuits to the
+placeholder row (S10). Differences, all intentional:
+
+- Facts come from the JDBC source built from the DB_* args (SQL Server
+  URL shape); offline/test runs override with parquet-backed frames via
+  `run_pipeline`'s injection parameters.
+- The IEC fetch uses the executor-parallel REST source; tests inject an
+  offline fetcher.
+- Failures raise; nothing is printed-and-swallowed
+  (SURVEY.md §5.2 non-goal).
+
+The module is import-light: building the DataFrames only touches Spark,
+so `run_pipeline` is unit-testable with injected inputs (tests/test_cli.py).
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType, StringType, StructField, StructType
+
+from . import sinks
+from .plans import pipelines as P
+from .session import get_spark, tune
+from .sources.jdbc import JdbcSource
+from .sources.literal import reset_rows
+from .sources.rest import RestSource
+
+PIPELINES = ("ward_votes_by_party", "voter_turnout", "ward_votes_by_candidate",
+             "ward_councillor_elected", "pr_votes_by_party", "seats_won",
+             "hung_councils", "councils_won_by_party", "list_of_hung_councils")
+
+RESET_CONTRACTS = {
+    "ward_votes_by_party": "geo_party_count",
+    "voter_turnout": "geo_turnout_count",
+    "ward_votes_by_candidate": "geo_party_count",
+    "ward_councillor_elected": "geo_contents",
+    "pr_votes_by_party": "geo_party_count",
+    "seats_won": "geo_party_seat_count",
+    "hung_councils": "geo_councils_count",
+    "councils_won_by_party": "geo_party_count",
+    "list_of_hung_councils": "geo_contents",
+}
+
+WARDS_SCHEMA = StructType([
+    StructField("ProvinceID", IntegerType()),
+    StructField("MunicipalityID", IntegerType()),
+    StructField("WardID", LongType()),
+])
+MUNIS_SCHEMA = StructType([
+    StructField("ProvinceID", IntegerType()),
+    StructField("MunicipalityID", IntegerType()),
+    StructField("Municipality", StringType()),
+    StructField("MunicipalityName", StringType()),
+    StructField("MunicTypeID", IntegerType()),
+])
+
+
+@dataclass
+class Args:
+    wazi_endpoint: str
+    wazi_token: str
+    dataset_id: str
+    iec_token: str
+    iec_endpoint: str
+    db_server: str
+    db: str
+    db_username: str
+    db_password: str
+    reset_dataset: str
+
+    @classmethod
+    def from_argv(cls, argv: list[str]) -> "Args":
+        if len(argv) != 10:
+            raise SystemExit(
+                f"expected 10 positional args (reference contract), got {len(argv)}: "
+                "WAZI_ENDPOINT WAZI_TOKEN DATASET_ID IEC_TOKEN IEC_ENDPOINT "
+                "DB_SERVER DB DB_USERNAME DB_PASSWORD RESET_DATASET")
+        return cls(*argv)
+
+
+def jdbc_from_args(a: Args) -> JdbcSource:
+    """SQL Server connection matching the reference's pyodbc string
+    (SANEF_Uploader.py:27)."""
+    return JdbcSource(
+        url=f"jdbc:sqlserver://{a.db_server};databaseName={a.db}",
+        user=a.db_username, password=a.db_password,
+        driver="com.microsoft.sqlserver.jdbc.SQLServerDriver")
+
+
+def run_pipeline(spark: SparkSession, name: str, *, reset: bool = False,
+                 tables: dict[str, DataFrame] | None = None,
+                 rest: RestSource | None = None,
+                 munis: DataFrame | None = None,
+                 wards: DataFrame | None = None,
+                 jdbc: JdbcSource | None = None,
+                 ee_id: int = 1091, delim_id: int = 78) -> DataFrame:
+    """Resolve inputs and run one named pipeline.
+
+    `tables` maps reference table names (LED_GIS_CouncilWinners, PCR_Party,
+    LED_GIS_Display_VotingDistrict, EE_VotingDistricts,
+    Fact_LGE_Master_VDStats, LED_GIS_Display_Ward,
+    LED_GIS_Display_Ward_WardCandidates) to DataFrames; any missing entry
+    falls back to the JDBC source. `rest` serves the IEC payload fetches.
+    """
+    tune(spark)
+    if name not in PIPELINES:
+        raise SystemExit(f"unknown pipeline {name!r}; one of {PIPELINES}")
+    if reset:
+        return reset_rows(spark, RESET_CONTRACTS[name])
+
+    tables = tables or {}
+
+    def t(table_name: str) -> DataFrame:
+        if table_name in tables:
+            return tables[table_name]
+        if jdbc is None:
+            raise SystemExit(f"no input for {table_name}: pass tables= or jdbc=")
+        return jdbc.table(spark, table_name)
+
+    def completed() -> DataFrame:
+        return P.completed_wards(t("EE_VotingDistricts"),
+                                 t("LED_GIS_Display_VotingDistrict"),
+                                 wards, ee_id, delim_id)
+
+    def fetch(keys: DataFrame, key_col: str) -> DataFrame:
+        if rest is None:
+            raise SystemExit(f"pipeline {name} needs the REST source; pass rest=")
+        return rest.fetch(keys, key_col)
+
+    if name == "hung_councils":
+        return P.hung_councils(t("LED_GIS_CouncilWinners"), munis, ee_id)
+    if name == "councils_won_by_party":
+        return P.councils_won_by_party(t("LED_GIS_CouncilWinners"),
+                                       t("PCR_Party"), munis, ee_id)
+    if name == "list_of_hung_councils":
+        return P.list_of_hung_councils(t("LED_GIS_CouncilWinners"), munis, ee_id)
+    if name == "voter_turnout":
+        return P.voter_turnout(t("Fact_LGE_Master_VDStats"), completed(), ee_id)
+    if name == "ward_votes_by_candidate":
+        return P.ward_votes_by_candidate(
+            t("LED_GIS_Display_Ward_WardCandidates"), completed(), ee_id)
+    if name == "pr_votes_by_party":
+        return P.pr_votes_by_party(t("LED_GIS_Display_Ward"), completed(), ee_id)
+    if name == "ward_votes_by_party":
+        keys = completed().select(F.col("WardID").cast("string").alias("ward"))
+        return P.ward_votes_by_party(fetch(keys, "ward"))
+    if name == "ward_councillor_elected":
+        keys = spark.createDataFrame([("all",)], "scope string")
+        return P.ward_councillor_elected(fetch(keys, "scope"))
+    if name == "seats_won":
+        keys = munis.select(F.col("MunicipalityID").cast("string").alias("muni"))
+        return P.seats_won(fetch(keys, "muni"), munis)
+    raise AssertionError(name)
+
+
+def main(argv: list[str] | None = None) -> int:
+    a = Args.from_argv(argv if argv is not None else sys.argv[1:])
+    spark = get_spark("sanef-etl")
+    from .sources.files import read_csv_dim
+
+    munis = read_csv_dim(spark, "delimitations/Munis.csv", MUNIS_SCHEMA)
+    wards = read_csv_dim(spark, "delimitations/Wards.csv", WARDS_SCHEMA)
+    rest = RestSource("https://api.elections.org.za/{}", P.BALLOT_SCHEMA)
+    result = run_pipeline(
+        spark, a.iec_endpoint, reset=(a.reset_dataset == "reset"),
+        jdbc=jdbc_from_args(a), rest=rest, munis=munis, wards=wards)
+    path = sinks.write_csv_single(
+        result, f"datasets/{sinks.timestamped_name(a.iec_endpoint + '-')}")
+    if a.wazi_endpoint not in ("", "-", "none"):
+        sinks.upload_http(path, a.wazi_endpoint, int(a.dataset_id), a.wazi_token)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

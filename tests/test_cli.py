@@ -1,0 +1,104 @@
+"""CLI drop-in test: the reference's pipelines dispatched by name through
+run_pipeline with injected (offline) inputs — the switch path a reference
+user would take."""
+
+import json
+
+import pytest
+
+from sanef_election_dashboard_etl_spark.cli import (
+    PIPELINES, Args, jdbc_from_args, run_pipeline,
+)
+from sanef_election_dashboard_etl_spark.plans.pipelines import SEAT_SCHEMA
+from sanef_election_dashboard_etl_spark.sources.rest import (
+    RestSource, fake_fetcher_from_dict,
+)
+
+from .conftest import rows
+
+
+@pytest.fixture(scope="module")
+def inputs(spark):
+    munis = spark.createDataFrame(
+        [(1, 101, "BUF", "Buffalo City", 1), (3, 301, "JHB", "Johannesburg", 1)],
+        "ProvinceID int, MunicipalityID int, Municipality string, "
+        "MunicipalityName string, MunicTypeID int")
+    wards = spark.createDataFrame(
+        [(1, 101, 10100001), (3, 301, 30100001)],
+        "ProvinceID int, MunicipalityID int, WardID long")
+    cw = spark.createDataFrame(
+        [(1, 1091, 101, 7, 7, 7, 10, 6, 0, 1),
+         (2, 1091, 301, 8, 8, 8, 10, 6, 0, 0)],
+        "pklCouncilWinnerID long, fklEEID int, fklMunicipalityID int, "
+        "fklPartyID int, fklLeadingPartyID int, fklMajorityPartyID int, "
+        "lCouncilSeatsAvailable int, lTotalPartySeatsWon int, bDraw int, bHung int")
+    party = spark.createDataFrame(
+        [(7, "Party Seven", "P7"), (8, "Party Eight", "P8")],
+        "pklPartyID long, sPartyName string, sPartyAbbr string")
+    ee_vd = spark.createDataFrame(
+        [(10100001, 78), (30100001, 78)], "fklWardId long, pkfklDelimID int")
+    vd_votes = spark.createDataFrame(
+        [(1091, 10100001, 1, 50), (1091, 30100001, 1, 0)],
+        "fklEEId int, fklWardId long, fklVotingDistrict long, lTotalVotesCast long")
+    vd_stats = spark.createDataFrame(
+        [(1091, 10100001, 1000, 700)],
+        "pkfklEEID int, fklWardID long, lRegisteredVoters long, lVoterTurnout long")
+    return {
+        "munis": munis, "wards": wards,
+        "tables": {
+            "LED_GIS_CouncilWinners": cw, "PCR_Party": party,
+            "EE_VotingDistricts": ee_vd,
+            "LED_GIS_Display_VotingDistrict": vd_votes,
+            "Fact_LGE_Master_VDStats": vd_stats,
+        },
+    }
+
+
+def test_reset_branch_all_pipelines(spark, inputs):
+    for name in PIPELINES:
+        out = run_pipeline(spark, name, reset=True)
+        assert out.count() == 1
+
+
+def test_hung_councils_through_cli(spark, inputs):
+    out = run_pipeline(spark, "hung_councils", tables=inputs["tables"],
+                       munis=inputs["munis"], wards=inputs["wards"])
+    assert rows(out) == [("EC", "Hung", 1), ("EC", "Outright Majority", 0),
+                         ("GT", "Hung", 0), ("GT", "Outright Majority", 1)]
+
+
+def test_voter_turnout_through_cli(spark, inputs):
+    # ward 30100001 has a zero-vote district -> only 10100001 completed
+    out = run_pipeline(spark, "voter_turnout", tables=inputs["tables"],
+                       munis=inputs["munis"], wards=inputs["wards"])
+    assert rows(out) == [(10100001, "Didn't Vote", 300), (10100001, "Voted", 700)]
+
+
+def test_seats_won_through_cli_with_fake_rest(spark, inputs):
+    responses = {
+        "https://api.test/101": {"MunicipalityID": 101,
+                                 "PartyResults": [{"Name": "ANC", "WardSeats": 3,
+                                                   "PRSeats": 2}]},
+        "https://api.test/301": {"MunicipalityID": 301, "PartyResults": []},
+    }
+    rest = RestSource("https://api.test/{}", SEAT_SCHEMA,
+                      fake_fetcher_from_dict(responses))
+    out = run_pipeline(spark, "seats_won", tables=inputs["tables"],
+                       munis=inputs["munis"], wards=inputs["wards"], rest=rest)
+    assert rows(out) == [("BUF", "ANC", "PR", 2), ("BUF", "ANC", "Ward", 3)]
+
+
+def test_args_contract():
+    with pytest.raises(SystemExit):
+        Args.from_argv(["too", "few"])
+    a = Args.from_argv(["https://wazi", "tok", "1384", "iec_tok", "hung_councils",
+                        "dbhost", "LED", "user", "pw", "dont-reset"])
+    assert a.iec_endpoint == "hung_councils"
+    src = jdbc_from_args(a)
+    assert src.reader_options(dbtable="PCR_Party")["url"] == \
+        "jdbc:sqlserver://dbhost;databaseName=LED"
+
+
+def test_unknown_pipeline_rejected(spark):
+    with pytest.raises(SystemExit):
+        run_pipeline(spark, "nope", reset=True)

@@ -42,3 +42,28 @@ def test_rest_datasource_partition_slicing():
     parts = r.partitions()
     assert len(parts) == 2
     assert sorted(k for p in parts for k in p.keys) == ["a", "b", "c", "d", "e"]
+
+
+def test_rest_streaming_datasource_polls(spark, tmp_path):
+    """Streaming REST poller: each micro-batch re-fetches the key set —
+    the reference's cron loop as a first-class stream source."""
+    spark.dataSource.register(PDS.RestJsonStreamingDataSource)
+    stream = (spark.readStream.format("rest_json_stream")
+              .option("url_template", "https://api.test/ward/{}")
+              .option("keys", "W1,W2")
+              .option("max_polls", "2")
+              .option("fetcher_pickle", PDS.fetcher_option(_fake))
+              .load())
+    q = (stream.writeStream.format("memory").queryName("polls")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True)
+         .start())
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = spark.sql("SELECT poll, key, payload IS NOT NULL AS ok FROM polls") \
+               .collect()
+    seen = sorted({(r["poll"], r["key"], r["ok"]) for r in got})
+    assert (0, "W1", True) in seen and (0, "W2", True) in seen

@@ -1850,3 +1850,38 @@ def dedup_simhash_portable(spark, sf_dir):
     production variant.)"""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return D.simhash_pairs_portable(docs, max_hamming=3)
+
+
+# ==========================================================================
+# Reproducible sampling (training-data pipelines)
+# ==========================================================================
+
+_HASH_BUCKET_SQL = "('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 15))::BIGINT % 10000"
+
+
+@query("sample_hash_mod", oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_HASH_BUCKET_SQL.format(key='doc_id')} < 1000
+""")
+def sample_hash_mod(spark, sf_dir):
+    """Deterministic 10% sample by hash-mod on the key — reproducible
+    across runs, partitionings, AND engines (portable_hash), unlike
+    RNG df.sample() whose output depends on partition layout. Narrow
+    filter; no shuffle."""
+    from .operators.sampling import hash_sample
+    return hash_sample(_t(spark, sf_dir, "documents"), "doc_id", 0.10) \
+        .select("doc_id", "lang")
+
+
+@query("sample_stratified", oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_HASH_BUCKET_SQL.format(key='doc_id')} <
+          CASE lang WHEN 'en' THEN 2000 WHEN 'de' THEN 5000 ELSE 500 END
+""")
+def sample_stratified(spark, sf_dir):
+    """Per-stratum deterministic sampling (class-balance knob: 20% en,
+    50% de, 5% everything else)."""
+    from .operators.sampling import stratified_hash_sample
+    return stratified_hash_sample(
+        _t(spark, sf_dir, "documents"), "doc_id", "lang",
+        {"en": 0.20, "de": 0.50}, default_rate=0.05).select("doc_id", "lang")

@@ -146,3 +146,18 @@ def test_winnow_fingerprints_identical_docs_share_all(spark, docs):
                  .select("id_a", "id_b"))
     assert (1, 2) in pairs
     assert (4, 5) not in pairs
+
+
+def test_hash_sample_properties(spark):
+    from sanef_election_dashboard_etl_spark.operators import sampling as SMP
+    df = spark.createDataFrame([(i,) for i in range(2000)], "id long")
+    s10 = set(r["id"] for r in SMP.hash_sample(df, "id", 0.10).collect())
+    s50 = set(r["id"] for r in SMP.hash_sample(df, "id", 0.50).collect())
+    # nested: smaller rate is a subset of larger (same hash, same buckets)
+    assert s10 <= s50
+    # roughly proportional
+    assert 120 < len(s10) < 280 and 850 < len(s50) < 1150
+    # stable across repartitioning (the property RNG sampling lacks)
+    s10b = set(r["id"] for r in
+               SMP.hash_sample(df.repartition(7), "id", 0.10).collect())
+    assert s10 == s10b

@@ -125,7 +125,10 @@ def minhash_signatures(grams: DataFrame, k: int = 32, seed: int = 42,
     with_h = grams.select(F.col(id_col), h)
     mins = [F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_P))).alias(f"mh_{i}")
             for i, (a, b) in enumerate(params)]
-    return with_h.groupBy(id_col).agg(*mins)
+    # the set size rides along in the same aggregation — the verification
+    # stage needs it, and a separate counting pass over the shingle table
+    # would double the read
+    return with_h.groupBy(id_col).agg(*mins, F.count(F.lit(1)).alias("sz"))
 
 
 def minhash_lsh_pairs(df: DataFrame, n: int = 3, k: int = 32, bands: int = 8,
@@ -163,7 +166,7 @@ def minhash_lsh_pairs(df: DataFrame, n: int = 3, k: int = 32, bands: int = 8,
                   .filter(F.col("id_a") < F.col("id_b"))
                   .select("id_a", "id_b").distinct())
 
-    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sizes = sig.select(F.col(id_col), F.col("sz"))
     a = grams.select(F.col(id_col).alias("id_a"), "shingle")
     b = grams.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (candidates.join(a, "id_a").join(b, ["id_b", "shingle"])
@@ -255,7 +258,7 @@ def minhash_lsh_pairs_portable(df: DataFrame, n: int = 3, k: int = 16,
     with_h = grams.select(F.col(id_col), h)
     mins = [F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_P))).alias(f"mh_{i}")
             for i, (a, b) in enumerate(params)]
-    sig = with_h.groupBy(id_col).agg(*mins)
+    sig = with_h.groupBy(id_col).agg(*mins, F.count(F.lit(1)).alias("sz"))
 
     band_structs = F.array(*[
         F.struct(
@@ -273,7 +276,7 @@ def minhash_lsh_pairs_portable(df: DataFrame, n: int = 3, k: int = 16,
                   .filter(F.col("id_a") < F.col("id_b"))
                   .select("id_a", "id_b").distinct())
 
-    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sizes = sig.select(F.col(id_col), F.col("sz"))
     a = grams.select(F.col(id_col).alias("id_a"), "shingle")
     b = grams.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (candidates.join(a, "id_a").join(b, ["id_b", "shingle"])

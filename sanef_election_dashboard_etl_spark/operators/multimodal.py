@@ -115,3 +115,70 @@ def media_stats(media: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum(F.col("width").cast("long") * F.col("height")).alias("total_pixels"),
                  F.max("n_frames").alias("max_frames")))
+
+
+RESIZED_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("out_width", IntegerType(), False),
+    StructField("out_height", IntegerType(), False),
+    StructField("resized", BinaryType(), False),
+])
+
+FRAMES_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("frame_index", IntegerType(), False),
+    StructField("frame", BinaryType(), False),
+])
+
+
+def resize_images(media: DataFrame, width: int = 224,
+                  height: int = 224, fake: bool = True) -> DataFrame:
+    """Resize plumbing: narrow mapInPandas over the payload, one output
+    row per input. STUB decode (no codec libs): the deterministic fake
+    'resized image' is sha256(payload || dims) repeated to a size-
+    proportional byte budget — stable, and downstream schema/partitioning
+    behave exactly as a real resize (bytes shrink, metadata updates)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("no codec libraries in container")
+            tag = f"|{width}x{height}".encode()
+            budget = max(16, (width * height) // 4096)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "out_width": width,
+                "out_height": height,
+                "resized": pdf["payload"].map(
+                    lambda p: (hashlib.sha256((p or b"") + tag).digest()
+                               * (budget // 32 + 1))[:budget]),
+            })
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n: int = 10, max_frames: int = 8,
+                  fake: bool = True) -> DataFrame:
+    """Frame sampling plumbing: one input row -> up to `max_frames` output
+    rows (the row-expanding UDF shape a video pipeline needs). Frame count
+    derives from the n_frames metadata; frame bytes are deterministic
+    fakes keyed by (payload, index)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("no codec libraries in container")
+            ids, idxs, frames = [], [], []
+            for mid, payload, n_frames in zip(
+                    pdf["media_id"], pdf["payload"], pdf["n_frames"]):
+                n = min(max_frames, max(0, int(n_frames)) // every_n + 1)
+                for i in range(n):
+                    ids.append(mid)
+                    idxs.append(i * every_n)
+                    frames.append(hashlib.sha256(
+                        (payload or b"") + f"|frame{i * every_n}".encode()
+                    ).digest())
+            yield pd.DataFrame({"media_id": ids, "frame_index": idxs,
+                                "frame": frames})
+
+    return media.mapInPandas(run, schema=FRAMES_SCHEMA)

@@ -161,3 +161,26 @@ def test_hash_sample_properties(spark):
     s10b = set(r["id"] for r in
                SMP.hash_sample(df.repartition(7), "id", 0.10).collect())
     assert s10 == s10b
+
+
+def test_multimodal_resize_and_frame_sample(spark, docs):
+    media = M.synthesize_media(docs)
+    resized = {r["media_id"]: r for r in
+               M.resize_images(media, 224, 224).collect()}
+    assert len(resized) == 5
+    assert resized[1]["out_width"] == 224
+    assert resized[1]["resized"] == resized[2]["resized"]   # same payload
+    assert resized[1]["resized"] != resized[4]["resized"]
+    # deterministic across runs
+    again = {r["media_id"]: r["resized"] for r in
+             M.resize_images(media, 224, 224).collect()}
+    assert resized[3]["resized"] == again[3]
+
+    frames = M.sample_frames(media, every_n=10, max_frames=4).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r["frame_index"])
+    assert all(idx == sorted(idx) or sorted(idx) == sorted(set(idx))
+               for idx in by_id.values())
+    assert max(len(v) for v in by_id.values()) <= 4
+    assert all(i % 10 == 0 for v in by_id.values() for i in v)

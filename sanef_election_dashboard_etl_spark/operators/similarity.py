@@ -202,3 +202,43 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id"))
+
+
+def cosine_topk_pandas(emb: DataFrame, queries: DataFrame, k: int = 10,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Vectorized-Arrow alternative to cosine_topk: the corpus streams
+    through mapInPandas in Arrow batches and each batch is scored against
+    the whole query matrix with one numpy matmul.
+
+    Same exact results as the codegen path (verified in tests); choose by
+    shape — codegen wins for few queries (no Python at all), the matmul
+    wins when the query set is large enough that per-row `aggregate`
+    folds dominate (hundreds+ queries: one BLAS call per batch vs
+    queries x dims folds per row)."""
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows])
+    Q = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            C = np.array(list(pdf[vec_col].map(list)), dtype=np.float64)
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            S = Cn @ Qn.T                     # (batch, n_queries)
+            out = pd.DataFrame({
+                "neighbor_id": np.repeat(pdf[id_col].values, len(q_ids)),
+                "query_id": np.tile(q_ids, len(pdf)),
+                "cos": S.ravel(),
+            })
+            yield out[out["neighbor_id"] != out["query_id"]]
+
+    scored = emb.select(id_col, vec_col).mapInPandas(
+        score, schema="neighbor_id long, query_id long, cos double")
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id"))

@@ -1885,3 +1885,24 @@ def sample_stratified(spark, sf_dir):
     return stratified_hash_sample(
         _t(spark, sf_dir, "documents"), "doc_id", "lang",
         {"en": 0.20, "de": 0.50}, default_rate=0.05).select("doc_id", "lang")
+
+
+@query("sim_topk_cosine_pandas", oracle=None, tags=("rows-only",))
+def sim_topk_cosine_pandas(spark, sf_dir):
+    """Vectorized pandas-UDF cosine top-k (numpy matmul per Arrow batch) —
+    the many-queries alternative to the codegen scorer; exact twin:
+    sim_topk_cosine (tests assert equality on fixtures; float ordering
+    near-ties make cross-engine rank hashing unsafe, hence rows-only)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_topk_pandas(emb, emb.filter(F.col("vec_id") < 10), k=10)
+
+
+@query("a15b_approx_percentile", oracle=None, tags=("rows-only",))
+def a15b_approx_percentile(spark, sf_dir):
+    """Sketch-based percentiles (Greenwald-Khanna) — the 100 TB path where
+    exact percentile's full sort per group is too expensive; exact twin:
+    a15_percentiles."""
+    return (_t(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_approx"),
+                 F.percentile_approx("l_extendedprice", 0.95, 1000).alias("p95_approx")))

@@ -184,3 +184,10 @@ def test_multimodal_resize_and_frame_sample(spark, docs):
                for idx in by_id.values())
     assert max(len(v) for v in by_id.values()) <= 4
     assert all(i % 10 == 0 for v in by_id.values() for i in v)
+
+
+def test_cosine_topk_pandas_matches_codegen(spark, vecs):
+    exact = rows(S.cosine_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=3))
+    vectorized = rows(S.cosine_topk_pandas(
+        vecs, vecs.filter(F.col("vec_id") == 0), k=3))
+    assert vectorized == exact

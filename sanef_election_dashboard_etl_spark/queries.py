@@ -1906,3 +1906,69 @@ def a15b_approx_percentile(spark, sf_dir):
             .groupBy("l_returnflag")
             .agg(F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_approx"),
                  F.percentile_approx("l_extendedprice", 0.95, 1000).alias("p95_approx")))
+
+
+def _lsh_oracle_sql(n_planes: int = 6, n_tables: int = 2, seed: int = 42,
+                    k: int = 10) -> str:
+    """Generate the SQL twin of lsh_topk: the SAME hyperplane constants
+    (full-precision repr round-trips to identical doubles in both engines)
+    drive bucket signatures; candidates from bucket equality per table;
+    exact cosine ranking of candidates, ids only."""
+    from .operators.similarity import _hyperplanes
+
+    def bucket_expr(col: str, planes) -> str:
+        bits = []
+        for i, plane in enumerate(planes):
+            lit = "[" + ", ".join(repr(float(w)) for w in plane) + "]"
+            bits.append(f"CASE WHEN list_inner_product({col}, {lit}) >= 0 "
+                        f"THEN {2 ** i} ELSE 0 END")
+        return "(" + " + ".join(bits) + ")"
+
+    table_selects_c, table_selects_q = [], []
+    for t in range(n_tables):
+        planes = _hyperplanes(64, n_planes, seed + 1000 * t)
+        be_c = bucket_expr("e", planes)
+        be_q = bucket_expr("e", planes)
+        table_selects_c.append(
+            f"SELECT neighbor_id, e, {t} AS tbl, {be_c} AS bucket FROM c")
+        table_selects_q.append(
+            f"SELECT query_id, e, {t} AS tbl, {be_q} AS bucket FROM q")
+    cb = "\n        UNION ALL ".join(table_selects_c)
+    qb = "\n        UNION ALL ".join(table_selects_q)
+    return f"""
+    WITH c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS e
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS e
+          FROM embeddings WHERE vec_id < 10),
+    cb AS ({cb}),
+    qb AS ({qb}),
+    cand AS (
+        SELECT DISTINCT qb.query_id, cb.neighbor_id
+        FROM cb JOIN qb ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket
+        WHERE cb.neighbor_id != qb.query_id
+    ), scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               list_cosine_similarity(q.e, c.e) AS cos
+        FROM cand
+        JOIN q ON q.query_id = cand.query_id
+        JOIN c ON c.neighbor_id = cand.neighbor_id
+    )
+    SELECT query_id, rank, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@query("sim_topk_lsh_portable", oracle=_lsh_oracle_sql())
+def sim_topk_lsh_portable(spark, sf_dir):
+    """LSH ANN, oracle-verified: the same 2x6 hyperplane constants are
+    baked into both the Spark plan and the generated SQL, so bucket
+    signatures, candidate sets, and final rankings must agree exactly
+    (sign flips require |dot| < ~1e-13 — negligible). Production variant
+    with more tables: sim_topk_lsh."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=10,
+                      dim=64, n_planes=6, n_tables=2)

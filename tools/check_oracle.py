@@ -45,8 +45,12 @@ def main() -> int:
     filters = sys.argv[2:]
     spark = get_spark("oracle-check")
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):  # Spark-written dataset directory
+            p = f"{p}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     failures = []
     for name, q in REGISTRY.items():

@@ -62,3 +62,42 @@ def test_dedup_keep_first_minimality(spark, data):
     for k, v in data:
         expect[k] = min(expect.get(k, v), v)
     assert got == expect
+
+
+@given(texts=st.lists(
+    st.text(alphabet="ab c", min_size=1, max_size=30), min_size=2, max_size=8))
+@SLOW
+def test_jaccard_bounds_and_identity(spark, texts):
+    """Jaccard pairs: 0 < j <= 1 always; j == 1.0 exactly for documents
+    with identical token sets."""
+    from sanef_election_dashboard_etl_spark.operators import dedup as D
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    pairs = D.ngram_jaccard_pairs(docs, n=1, min_jaccard=0.0).collect()
+    for r in pairs:
+        assert 0.0 < r["jaccard"] <= 1.0
+    # identical-token-set pairs must appear with jaccard 1.0
+    def tokset(t):
+        return frozenset(t.split())
+    same = [(a, b) for a in range(len(texts)) for b in range(a + 1, len(texts))
+            if tokset(texts[a]) == tokset(texts[b]) and tokset(texts[a])]
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    for a, b in same:
+        assert got.get((a, b)) == 1.0
+
+
+@given(n_dup=st.integers(2, 4))
+@SLOW
+def test_minhash_never_misses_identical_docs(spark, n_dup):
+    """LSH candidate generation can miss near-dups, but identical documents
+    have identical signatures in every band — they can never be missed."""
+    from sanef_election_dashboard_etl_spark.operators import dedup as D
+    docs = [(i, "alpha beta gamma delta epsilon zeta") for i in range(n_dup)]
+    docs += [(100, "totally different words entirely here now")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"])
+             for r in D.minhash_lsh_pairs(df, n=1, k=16, bands=4,
+                                          min_jaccard=0.99).collect()}
+    for a in range(n_dup):
+        for b in range(a + 1, n_dup):
+            assert (a, b) in pairs

@@ -1,0 +1,21 @@
+#!/usr/bin/env bash
+# One-shot verification: tests + oracle gates + plan audit + bench.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== pytest =="
+python -m pytest tests/ -q
+
+echo "== oracle gate sf0.001 =="
+python tools/check_oracle.py /root/testdata/sf0.001 | tail -2
+echo "== oracle gate sf0.01 (driver scale) =="
+python tools/check_oracle.py /root/testdata/sf0.01 | tail -2
+
+echo "== plan assertions =="
+python tools/explain_audit.py
+
+echo "== driver-protocol simulation (vanilla session) =="
+python tools/driver_sim.py | tail -1
+
+echo "== bench =="
+python bench.py

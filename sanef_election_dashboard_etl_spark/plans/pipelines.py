@@ -106,21 +106,25 @@ def voter_turnout(vd_stats: DataFrame, completed: DataFrame,
                   ee_id: int = 1091) -> DataFrame:
     """1386 (:450-495): de-looped J7 join + per-ward agg + stack.
 
-    The reference loops one SQL per ward computing `tvoters`/`tvotes` as
-    whole-frame sums of a single-ward frame (:471-472), so they are per-ward
-    totals: here one grouped aggregation over the semi-joined fact."""
-    per_ward = (R.semi_join(
+    Faithful two-level aggregation: the reference's SQL groups by
+    (ward, lRegisteredVoters) summing turnout (:468), then `tvoters` /
+    `tvotes` sum over that frame's rows (:471-472) — so a ward with
+    several distinct registered-voter values (a data anomaly) contributes
+    the SUM of the distinct values, and the drop_duplicates (:474) keeps
+    one output row per ward. Same shape here, minus the per-ward loop."""
+    lvl1 = (R.semi_join(
         vd_stats.filter(F.col("pkfklEEID") == ee_id),
         completed.select(F.col("WardID").alias("fklWardID")), "fklWardID")
         .groupBy("fklWardID", "lRegisteredVoters")
         .agg(F.sum("lVoterTurnout").alias("votes")))
-    per_ward = R.dedup_keep_first(per_ward, ["fklWardID"],
-                                  [F.col("lRegisteredVoters").desc()])
+    per_ward = (lvl1.groupBy("fklWardID")
+                .agg(F.sum("votes").alias("tvotes"),
+                     F.sum("lRegisteredVoters").alias("tvoters")))
     return R.stack_pairs(
         per_ward.withColumnRenamed("fklWardID", "Geography"),
         ["Geography"],
-        [("Voted", F.col("votes")),
-         ("Didn't Vote", F.col("lRegisteredVoters") - F.col("votes"))],
+        [("Voted", F.col("tvotes")),
+         ("Didn't Vote", F.col("tvoters") - F.col("tvotes"))],
         "Voter Turnout", "Count")
 
 

@@ -150,3 +150,17 @@ def test_reset_rows_contracts(spark):
     assert rows(out) == [("None", "-", 0)]
     assert reset_rows(spark, "geo_turnout_count").columns == \
         ["Geography", "Voter Turnout", "Count"]
+
+
+def test_voter_turnout_multi_registered_anomaly(spark, wards):
+    """Reference fidelity (:471-472): a ward with two distinct
+    lRegisteredVoters values contributes their SUM to tvoters."""
+    completed = spark.createDataFrame(
+        [(1, 101, 10100001)], "ProvinceID int, MunicipalityID int, WardID long")
+    vd_stats = spark.createDataFrame(
+        [(1091, 10100001, 1000, 300),
+         (1091, 10100001, 800, 100)],   # anomalous second registered value
+        "pkfklEEID int, fklWardID long, lRegisteredVoters long, lVoterTurnout long")
+    out = P.voter_turnout(vd_stats, completed)
+    assert rows(out) == [(10100001, "Didn't Vote", 1400),
+                         (10100001, "Voted", 400)]

@@ -1972,3 +1972,21 @@ def sim_topk_lsh_portable(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return S.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=10,
                       dim=64, n_planes=6, n_tables=2)
+
+
+@query("r5_pivot_wide", oracle="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS F,
+           SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS O
+    FROM lineitem GROUP BY l_returnflag
+""")
+def r5_pivot_wide(spark, sf_dir):
+    """R5 (reshape surface completion): PIVOT — the inverse of the
+    reference's stack/unpivot (R1-R3). groupBy().pivot() with explicit
+    value list (never let pivot scan for distinct values at scale —
+    that's an extra full pass)."""
+    return (_t(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .pivot("l_linestatus", ["F", "O"])
+            .agg(F.count(F.lit(1)))
+            .na.fill(0, ["F", "O"]))

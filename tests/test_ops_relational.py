@@ -177,3 +177,10 @@ def test_partition_pruning(spark, tmp_path):
     q2 = spark.read.parquet(path).filter(F.col("id") > 5)
     plan2 = q2._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(id), GreaterThan(id,5)]" in plan2
+
+
+def test_window_total_partitioned(spark):
+    df = spark.createDataFrame([("a", 1), ("a", 2), ("b", 5)], "g string, v int")
+    out = R.window_total(df, F.col("v"), "t", partition_by=("g",))
+    got = {(r["g"], r["v"]): r["t"] for r in out.collect()}
+    assert got[("a", 1)] == 3 and got[("a", 2)] == 3 and got[("b", 5)] == 5

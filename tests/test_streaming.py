@@ -144,3 +144,16 @@ def test_batch_pipeline_runs_unchanged_on_stream(spark, tmp_path):
     # and the SAME function on the same data as a plain batch agrees
     batch = spark.read.parquet(str(src))
     assert sorted(tuple(r) for r in hung_councils(batch, munis).collect()) == second
+
+
+def test_sliding_counts_batch_semantics(spark):
+    """Native sliding windows: an event at minute 7 lands in both the
+    [0,10) and [5,15) windows."""
+    out = W.sliding_counts(_events_df(spark), "10 minutes", "5 minutes")
+    by_start = {}
+    for r in out.collect():
+        by_start.setdefault((r["window_start"].minute, r["event_type"]),
+                            r["n_events"])
+    assert by_start[(0, "click")] == 2     # minutes 0,2
+    assert by_start[(55, "click")] == 1    # minute 61 in [55,65)
+    assert by_start[(0, "view")] == 1 and by_start[(5, "view")] == 1  # minute 7

@@ -150,10 +150,10 @@ def test_sliding_counts_batch_semantics(spark):
     """Native sliding windows: an event at minute 7 lands in both the
     [0,10) and [5,15) windows."""
     out = W.sliding_counts(_events_df(spark), "10 minutes", "5 minutes")
-    by_start = {}
-    for r in out.collect():
-        by_start.setdefault((r["window_start"].minute, r["event_type"]),
-                            r["n_events"])
-    assert by_start[(0, "click")] == 2     # minutes 0,2
-    assert by_start[(55, "click")] == 1    # minute 61 in [55,65)
-    assert by_start[(0, "view")] == 1 and by_start[(5, "view")] == 1  # minute 7
+    by_start = {((r["window_start"].hour, r["window_start"].minute),
+                 r["event_type"]): r["n_events"] for r in out.collect()}
+    assert by_start[((0, 0), "click")] == 2      # minutes 0,2 in [00:00,00:10)
+    assert by_start[((23, 55), "click")] == 2    # ...and in [23:55,00:05)
+    assert by_start[((0, 55), "click")] == 1     # minute 61 in [00:55,01:05)
+    assert by_start[((1, 0), "click")] == 1      # ...and in [01:00,01:10)
+    assert by_start[((0, 0), "view")] == 1 and by_start[((0, 5), "view")] == 1

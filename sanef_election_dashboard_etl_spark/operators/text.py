@@ -171,3 +171,55 @@ def fingerprint_overlap_pairs(df: "DataFrame", k: int = 4, w: int = 5,
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
             .filter(F.col("shared_fingerprints") >= min_overlap))
+
+
+def repetition_ratio(df: DataFrame, n: int = 3, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition metric: fraction of n-gram OCCURRENCES that
+    are duplicates of an earlier occurrence (1 - distinct/total). High
+    values flag boilerplate/spam. Pure per-row array expressions."""
+    toks = tokens(F.col(text_col))
+    with_toks = df.select(F.col(id_col), toks.alias("__toks"))
+    t = F.col("__toks")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(
+        " ", *[F.element_at(t, i + j + 1) for j in range(n)]))
+    total = F.size(grams).cast("long")
+    distinct = F.size(F.array_distinct(grams)).cast("long")
+    return with_toks.select(
+        id_col,
+        total.alias("n_grams"),
+        distinct.alias("n_distinct_grams"),
+        F.round(F.lit(1.0) - distinct.cast("double") / total.cast("double"), 4)
+         .alias("repetition_ratio"))
+
+
+def remove_boilerplate_lines(df: DataFrame, min_docs: int = 3,
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """C4-style line-level dedup: a line appearing (normalized) in >=
+    `min_docs` distinct documents is boilerplate (nav bars, footers,
+    cookie banners) and is dropped from every document.
+
+    Two shuffles: line -> distinct-doc count (the boilerplate set, usually
+    tiny -> broadcast anti join), then per-doc ordered reassembly. Line
+    order inside each document is preserved via posexplode + sort_array."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+    lines = lines.withColumn("norm", F.lower(F.trim("line")))
+    boiler = (lines.filter(F.length("norm") > 0)
+              .groupBy("norm")
+              .agg(F.countDistinct(id_col).alias("nd"))
+              .filter(F.col("nd") >= min_docs)
+              .select("norm"))
+    kept = lines.join(F.broadcast(boiler), "norm", "left_anti")
+    reassembled = (kept.groupBy(id_col)
+                   .agg(F.array_join(
+                       F.transform(
+                           F.sort_array(F.collect_list(
+                               F.struct(F.col("pos"), F.col("line")))),
+                           lambda s: s["line"]),
+                       "\n").alias("clean_text")))
+    return df.select(id_col).join(reassembled, id_col, "left") \
+             .na.fill({"clean_text": ""})

@@ -1990,3 +1990,27 @@ def r5_pivot_wide(spark, sf_dir):
             .pivot("l_linestatus", ["F", "O"])
             .agg(F.count(F.lit(1)))
             .na.fill(0, ["F", "O"]))
+
+
+@query("text_repetition_ratio", oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                   AS g
+        FROM tok
+    )
+    SELECT doc_id,
+           CAST(len(g) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct_grams,
+           ROUND(1.0 - CAST(len(list_distinct(g)) AS DOUBLE)
+                     / CAST(len(g) AS DOUBLE), 4) AS repetition_ratio
+    FROM grams
+""")
+def text_repetition_ratio(spark, sf_dir):
+    """Gopher-style duplicate-3-gram fraction per document (spam /
+    boilerplate signal) — pure array expressions, oracle-checked."""
+    return T.repetition_ratio(_t(spark, sf_dir, "documents"), n=3)

@@ -191,3 +191,26 @@ def test_cosine_topk_pandas_matches_codegen(spark, vecs):
     vectorized = rows(S.cosine_topk_pandas(
         vecs, vecs.filter(F.col("vec_id") == 0), k=3))
     assert vectorized == exact
+
+
+def test_repetition_ratio(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b c"),        # highly repetitive 3-grams
+         (2, "one two three four five six")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in T.repetition_ratio(df, n=3).collect()}
+    assert got[2]["repetition_ratio"] == 0.0
+    assert got[1]["repetition_ratio"] > 0.5
+    assert got[1]["n_grams"] == 7 and got[1]["n_distinct_grams"] == 3
+
+
+def test_remove_boilerplate_lines(spark):
+    docs = [(i, f"unique line {i}\nAll rights reserved\nAccept cookies")
+            for i in range(4)]
+    docs.append((9, "only unique content here"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r["clean_text"]
+           for r in T.remove_boilerplate_lines(df, min_docs=3).collect()}
+    for i in range(4):
+        assert out[i] == f"unique line {i}"       # boilerplate dropped, order kept
+    assert out[9] == "only unique content here"   # untouched

@@ -2014,3 +2014,72 @@ def text_repetition_ratio(spark, sf_dir):
     """Gopher-style duplicate-3-gram fraction per document (spam /
     boilerplate signal) — pure array expressions, oracle-checked."""
     return T.repetition_ratio(_t(spark, sf_dir, "documents"), n=3)
+
+
+@query("j8_outer_joins", oracle="""
+    SELECT n.n_nationkey,
+           n.n_name,
+           r.cnt
+    FROM nation n
+    LEFT JOIN (SELECT c_nationkey, COUNT(*) AS cnt FROM customer
+               WHERE c_acctbal > 9000 GROUP BY c_nationkey) r
+      ON n.n_nationkey = r.c_nationkey
+""")
+def j8_outer_joins(spark, sf_dir):
+    """LEFT OUTER join surface (absent from the reference — SURVEY §2.4
+    'no full-outer/right joins exist' — but required engine surface):
+    nations with their high-balance customer counts, NULL where none."""
+    n = _t(spark, sf_dir, "nation")
+    c = (_t(spark, sf_dir, "customer")
+         .filter(F.col("c_acctbal") > 9000)
+         .groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("cnt")))
+    return (n.join(c, n.n_nationkey == c.c_nationkey, "left")
+            .select("n_nationkey", "n_name", "cnt"))
+
+
+@query("j9_full_outer", oracle="""
+    SELECT COALESCE(a.k, b.k) AS k, a.na, b.nb
+    FROM (SELECT o_custkey AS k, COUNT(*) AS na FROM orders
+          WHERE o_orderstatus = 'O' AND o_custkey < 200 GROUP BY o_custkey) a
+    FULL OUTER JOIN
+         (SELECT o_custkey AS k, COUNT(*) AS nb FROM orders
+          WHERE o_orderstatus = 'F' AND o_custkey < 200 GROUP BY o_custkey) b
+      ON a.k = b.k
+""")
+def j9_full_outer(spark, sf_dir):
+    """FULL OUTER join surface: open vs finished order counts per customer,
+    either side NULL-padded; COALESCE'd key."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    a = (o.filter(F.col("o_orderstatus") == "O").groupBy("o_custkey")
+         .agg(F.count(F.lit(1)).alias("na"))
+         .withColumnRenamed("o_custkey", "ka"))
+    b = (o.filter(F.col("o_orderstatus") == "F").groupBy("o_custkey")
+         .agg(F.count(F.lit(1)).alias("nb"))
+         .withColumnRenamed("o_custkey", "kb"))
+    return (a.join(b, a.ka == b.kb, "full_outer")
+            .select(F.coalesce("ka", "kb").alias("k"), "na", "nb"))
+
+
+@query("text_pii_flags", oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+[a-z]'))
+                AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '[0-9]{7,}')) AS BIGINT)
+               AS n_long_digit_runs,
+           CASE WHEN len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+[a-z]')) > 0
+                  OR len(regexp_extract_all(text, '[0-9]{7,}')) > 0
+                THEN 1 ELSE 0 END AS pii_flag
+    FROM documents
+""")
+def text_pii_flags(spark, sf_dir):
+    """PII-pattern surface (training-data hygiene): email-shaped and
+    long-digit-run counts + a combined flag. Regexes kept in the
+    Java/RE2-common subset; real deployments plug scrubbers in as
+    pandas UDFs over the same columns."""
+    t = F.col("text")
+    emails = F.size(F.regexp_extract_all(t, F.lit("[a-z0-9.]+@[a-z0-9.]+[a-z]"), 0)) \
+              .cast("long")
+    digits = F.size(F.regexp_extract_all(t, F.lit("[0-9]{7,}"), 0)).cast("long")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", emails.alias("n_emails"), digits.alias("n_long_digit_runs"),
+        F.when((emails > 0) | (digits > 0), 1).otherwise(0).alias("pii_flag"))

@@ -2083,3 +2083,73 @@ def text_pii_flags(spark, sf_dir):
     return _t(spark, sf_dir, "documents").select(
         "doc_id", emails.alias("n_emails"), digits.alias("n_long_digit_runs"),
         F.when((emails > 0) | (digits > 0), 1).otherwise(0).alias("pii_flag"))
+
+
+@query("e13_array_hof", oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                t -> length(t) > 4)) AS BIGINT) AS n_long_tokens,
+           array_to_string(list_transform(
+               list_sort(list_distinct(string_split_regex(trim(text), '\\s+')))[1:3],
+               t -> upper(t)), ',') AS first3_upper
+    FROM documents WHERE doc_id < 100
+""")
+def e13_array_hof(spark, sf_dir):
+    """Higher-order array function surface (transform/filter/sort over an
+    array column) — the lambda expressions the similarity/dedup operators
+    build on, exposed as a direct oracle-checked query."""
+    toks = T.tokens(F.col("text"))
+    return (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+            .select(
+                "doc_id",
+                F.size(F.filter(toks, lambda t: F.length(t) > 4)).cast("long")
+                 .alias("n_long_tokens"),
+                F.array_join(
+                    F.transform(F.slice(F.array_sort(F.array_distinct(toks)), 1, 3),
+                                lambda t: F.upper(t)), ",")
+                 .alias("first3_upper")))
+
+
+@query("e14_date_arith", oracle="""
+    SELECT o_orderkey,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)
+               AS days_since_95,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+           CAST(date_trunc('month', o_orderdate) AS DATE)::VARCHAR AS order_month
+    FROM orders
+""")
+def e14_date_arith(spark, sf_dir):
+    """Date arithmetic surface: datediff, interval add, month truncation
+    (all emitted as strings/longs — raw timestamps never enter the value
+    hash)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+         .cast("long").alias("days_since_95"),
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+                      "yyyy-MM-dd").alias("due_date"),
+        F.date_trunc("month", "o_orderdate").cast("date").cast("string")
+         .alias("order_month"))
+
+
+@query("text_levenshtein_pairs", oracle="""
+    WITH p AS (SELECT doc_id, substr(text, 1, 30) AS prefix
+               FROM documents WHERE doc_id < 40)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS dist
+    FROM p a JOIN p b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.prefix, b.prefix) <= 15
+""")
+def text_levenshtein_pairs(spark, sf_dir):
+    """Edit-distance fuzzy matching (bounded prefixes, bounded subset —
+    levenshtein is O(len^2) per pair; at scale gate it behind LSH/banding
+    candidates exactly like the jaccard verifiers)."""
+    p = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+         .select("doc_id", F.substring("text", 1, 30).alias("prefix")))
+    a = p.select(F.col("doc_id").alias("id_a"), F.col("prefix").alias("pa"))
+    b = p.select(F.col("doc_id").alias("id_b"), F.col("prefix").alias("pb"))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("dist", F.levenshtein("pa", "pb").cast("long"))
+            .filter(F.col("dist") <= 15)
+            .select("id_a", "id_b", "dist"))

@@ -349,7 +349,7 @@ def j5_enrich_join(spark, sf_dir):
 
 @query("j7_deloop_semi", oracle=f"""
     SELECT l_returnflag,
-           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
            COUNT(*) AS n_items
     FROM lineitem
     WHERE l_orderkey IN (SELECT o_orderkey FROM orders
@@ -375,7 +375,8 @@ def j7_deloop_semi(spark, sf_dir):
 
 @query("a1_a2_j3_grouped_sum_count", oracle="""
     SELECT c_nationkey,
-           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_open,
            COUNT(*) AS n_total
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_nationkey
@@ -403,7 +404,7 @@ def a3_count_two_keys(spark, sf_dir):
 
 
 @query("a4_sum_two_keys", oracle="""
-    SELECT l_suppkey, l_returnflag, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+    SELECT l_suppkey, l_returnflag, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
     FROM lineitem GROUP BY l_suppkey, l_returnflag
 """)
 def a4_sum_two_keys(spark, sf_dir):
@@ -415,7 +416,7 @@ def a4_sum_two_keys(spark, sf_dir):
 
 
 @query("a5_sum_carried_key", oracle="""
-    SELECT o_orderkey, o_totalprice, SUM(CAST(l_quantity AS BIGINT)) AS votes
+    SELECT o_orderkey, o_totalprice, CAST(SUM(l_quantity) AS BIGINT) AS votes
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderkey, o_totalprice
 """)
@@ -430,7 +431,7 @@ def a5_sum_carried_key(spark, sf_dir):
 
 
 @query("a6_w1_total_as_column", oracle="""
-    SELECT c_nationkey, n, SUM(n) OVER () AS total_customers,
+    SELECT c_nationkey, n, CAST(SUM(n) OVER () AS BIGINT) AS total_customers,
            ROUND(CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE), 4) AS share
     FROM (SELECT c_nationkey, COUNT(*) AS n FROM customer GROUP BY c_nationkey)
 """)
@@ -679,7 +680,7 @@ def pipe_hung_councils(spark, sf_dir):
     WITH per_ward AS (
         SELECT o_orderkey AS Geography,
                CAST(FLOOR(o_totalprice / 100) AS BIGINT) AS registered,
-               SUM(CAST(l_quantity AS BIGINT)) AS votes
+               CAST(SUM(l_quantity) AS BIGINT) AS votes
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_orderkey NOT IN ({_J4_ORACLE_UNFINISHED})
         GROUP BY 1, 2
@@ -747,7 +748,8 @@ _STOP_EN_SQL = "('the','a','and','of','is','to','in','that','it','for')"
         FROM documents
     ), per_doc AS (
         SELECT doc_id, COUNT(*) AS n_tokens,
-               SUM(CASE WHEN token IN {_STOP_EN_SQL} THEN 1 ELSE 0 END) AS n_stop,
+               CAST(SUM(CASE WHEN token IN {_STOP_EN_SQL} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_stop,
                COUNT(DISTINCT token) AS n_unique
         FROM tok GROUP BY doc_id
     )
@@ -773,7 +775,8 @@ def _lang_votes_sql() -> str:
     for lang, words in T.STOPWORDS.items():
         lst = "(" + ",".join(f"'{w}'" for w in words) + ")"
         cases.append(
-            f"SUM(CASE WHEN token IN {lst} THEN 1 ELSE 0 END) AS {lang}_hits")
+            f"CAST(SUM(CASE WHEN token IN {lst} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS {lang}_hits")
     return ", ".join(cases)
 
 
@@ -1019,8 +1022,9 @@ def events_sliding(spark, sf_dir):
         FROM events
     ), numbered AS (
         SELECT user_id, event_id, s,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_seq
         FROM ordered
     )
     SELECT user_id, session_seq, COUNT(*) AS n_events,
@@ -1094,7 +1098,7 @@ def events_session_window_native(spark, sf_dir):
 
 @query("q1_pricing_summary", oracle="""
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
            ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
                AS sum_base_price,
            ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
@@ -1352,7 +1356,7 @@ def w4_rolling_window(spark, sf_dir):
 
 @query("a16_cube", oracle="""
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-           SUM(CAST(l_quantity AS BIGINT)) AS qty
+           CAST(SUM(l_quantity) AS BIGINT) AS qty
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
 """)
@@ -1976,8 +1980,10 @@ def sim_topk_lsh_portable(spark, sf_dir):
 
 @query("r5_pivot_wide", oracle="""
     SELECT l_returnflag,
-           SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS F,
-           SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS O
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS F,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
+                AS BIGINT) AS O
     FROM lineitem GROUP BY l_returnflag
 """)
 def r5_pivot_wide(spark, sf_dir):

@@ -88,9 +88,13 @@ def main() -> int:
             print(f"FAIL {name}: cols spark={sorted(scols)} duckdb={sorted(ocols)}")
         else:
             # dtype audit: normalize both engines' types to a common
-            # vocabulary; the driver may compare schemas strictly.
+            # vocabulary. hugeint is deliberately NOT normalized: DuckDB
+            # SUM(BIGINT) -> HUGEINT becomes float64 under the driver's
+            # pandas conversion and hash-mismatches (round-1 postmortem) —
+            # every oracle must CAST(SUM(..) AS BIGINT) in its final
+            # projection so hugeint never escapes.
             NORM = {"tinyint": "int", "smallint": "int", "integer": "int",
-                    "bigint": "long", "hugeint": "long", "int32": "int",
+                    "bigint": "long", "int32": "int",
                     "int64": "long", "float": "double", "real": "double",
                     "varchar": "string", "text": "string",
                     "timestamp_ns": "timestamp", "timestamp with time zone":

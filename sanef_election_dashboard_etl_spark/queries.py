@@ -2159,3 +2159,66 @@ def text_levenshtein_pairs(spark, sf_dir):
             .withColumn("dist", F.levenshtein("pa", "pb").cast("long"))
             .filter(F.col("dist") <= 15)
             .select("id_a", "id_b", "dist"))
+
+
+# ==========================================================================
+# Driver-window ordering
+# ==========================================================================
+# Round-1 postmortem: the driver emitted CORRECTNESS rows for only the
+# FIRST 50 registry entries, in registration order — half the surface
+# (7 of 9 pipelines, the portable LSH twins, sessionize) got no
+# driver-verified row. Reorder so the first 50 are exactly the
+# acceptance checklist: every SURVEY §2 id, all nine pipe_* pipelines
+# (SANEF_Uploader.py:427-602), events_sessionize, the oracle-checked
+# portable LSH twins (in place of their rows-only production siblings),
+# plus the dedup/similarity/text headliners. Every remaining
+# oracle-checked entry follows; rows-only entries go last so a cap or
+# timeout never burns a verifiable slot.
+
+_DRIVER_WINDOW = [
+    # SURVEY §2 core (S/P/E/J/A/W/O/U/R ids), registration order
+    "s1_scan_project", "s10_literal_reset",
+    "p3_filter_conj", "p4_flag_filter", "p5_having_zero",
+    "p7_point_lookup", "p8_null_drop",
+    "e1_concat", "e2_html_template", "e3_e4_recode", "e5_arith",
+    "e6_date_format", "e7_json_extract",
+    "j1_dim_join", "j2_three_table", "j4_anti_join", "j5_enrich_join",
+    "j7_deloop_semi",
+    "a1_a2_j3_grouped_sum_count", "a3_count_two_keys", "a4_sum_two_keys",
+    "a5_sum_carried_key", "a6_w1_total_as_column", "a7_distinct",
+    "a8_dedup_keep_first", "a9_union_dedup", "a10_grouped_ordered_concat",
+    "w2_rank_topk_per_group", "w3_lag_delta",
+    "o1_o3_topk_sort",
+    "u1_union_by_name", "u2_except",
+    "r2_stack_hung_outright", "r4_explode_tokens",
+    # all nine pipelines (§2.12 acceptance checklist)
+    "pipe_hung_councils", "pipe_voter_turnout",
+    "pipe_councils_won_by_party", "pipe_list_of_hung_councils",
+    "pipe_ward_votes_by_party", "pipe_seats_won",
+    "pipe_ward_votes_by_candidate", "pipe_pr_votes_by_party",
+    "pipe_ward_councillor_elected",
+    # sessionization + oracle-checked LSH twins
+    "events_sessionize",
+    "dedup_minhash_lsh_portable", "dedup_simhash_portable",
+    "sim_topk_lsh_portable",
+    # LLM-pipeline headliners
+    "dedup_exact", "sim_topk_cosine", "text_quality_score",
+]
+
+
+def _reorder_registry() -> None:
+    missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]
+    if missing:  # fail loudly at import: a rename must update the window
+        raise RuntimeError(f"_DRIVER_WINDOW names unknown queries: {missing}")
+    head = {n: REGISTRY[n] for n in _DRIVER_WINDOW}
+    tail_oracle = {n: q for n, q in REGISTRY.items()
+                   if n not in head and q.oracle is not None}
+    tail_rows_only = {n: q for n, q in REGISTRY.items()
+                      if n not in head and q.oracle is None}
+    REGISTRY.clear()
+    REGISTRY.update(head)
+    REGISTRY.update(tail_oracle)
+    REGISTRY.update(tail_rows_only)
+
+
+_reorder_registry()

@@ -36,7 +36,7 @@ from .plans import pipelines as P
 from .session import get_spark, tune
 from .sources.jdbc import JdbcSource
 from .sources.literal import reset_rows
-from .sources.rest import RestSource
+from .sources.rest import RestSource, bearer_fetcher
 
 PIPELINES = ("ward_votes_by_party", "voter_turnout", "ward_votes_by_candidate",
              "ward_councillor_elected", "pr_votes_by_party", "seats_won",
@@ -50,7 +50,7 @@ RESET_CONTRACTS = {
     "pr_votes_by_party": "geo_party_count",
     "seats_won": "geo_party_seat_count",
     "hung_councils": "geo_councils_count",
-    "councils_won_by_party": "geo_party_count",
+    "councils_won_by_party": "geo_party_name_count",
     "list_of_hung_councils": "geo_contents",
 }
 
@@ -98,6 +98,30 @@ def jdbc_from_args(a: Args) -> JdbcSource:
         url=f"jdbc:sqlserver://{a.db_server};databaseName={a.db}",
         user=a.db_username, password=a.db_password,
         driver="com.microsoft.sqlserver.jdbc.SQLServerDriver")
+
+
+IEC_API = "https://api.elections.org.za"  # SANEF_Uploader.py:24
+
+# Per-pipeline REST endpoint path + payload schema. The three REST
+# pipelines hit three different endpoints with three different payload
+# shapes (SANEF_Uploader.py:443, :520, :573) — a shared source would fail
+# analysis on two of them (array vs struct payloads).
+REST_ENDPOINTS = {
+    "ward_votes_by_party": ("/api/v1/LGEBallotResults", P.BALLOT_SCHEMA),
+    "ward_councillor_elected": ("/api/v1/CouncilorsByEvent", P.COUNCILLOR_SCHEMA),
+    "seats_won": ("/api/v1/LGESeatCalculationResults", P.SEAT_SCHEMA),
+}
+
+
+def rest_from_args(a: Args, name: str, ee_id: int = 1091) -> RestSource:
+    """The pipeline's authenticated IEC source: url_template is the
+    reference's endpoint with ElectoralEventID pre-bound; the per-row key
+    is the remaining query-string suffix (&ProvinceID=..&MunicipalityID=..
+    &WardID=..) built in run_pipeline, mirroring SANEF_Uploader.py's
+    (url, query) split at :39."""
+    path, schema = REST_ENDPOINTS[name]
+    return RestSource(f"{IEC_API}{path}?ElectoralEventID={ee_id}{{}}",
+                      schema, fetcher=bearer_fetcher(a.iec_token))
 
 
 def run_pipeline(spark: SparkSession, name: str, *, reset: bool = False,
@@ -154,15 +178,23 @@ def run_pipeline(spark: SparkSession, name: str, *, reset: bool = False,
             t("LED_GIS_Display_Ward_WardCandidates"), completed(), ee_id)
     if name == "pr_votes_by_party":
         return P.pr_votes_by_party(t("LED_GIS_Display_Ward"), completed(), ee_id)
+    # REST pipelines: the key column is the query-string suffix appended to
+    # the endpoint's ElectoralEventID base, exactly as the reference builds
+    # its per-request queries (SANEF_Uploader.py:443, :520, :573).
     if name == "ward_votes_by_party":
-        keys = completed().select(F.col("WardID").cast("string").alias("ward"))
-        return P.ward_votes_by_party(fetch(keys, "ward"))
+        keys = completed().select(F.format_string(
+            "&ProvinceID=%s&MunicipalityID=%s&WardID=%s",
+            "ProvinceID", "MunicipalityID", "WardID").alias("qs"))
+        return P.ward_votes_by_party(fetch(keys, "qs"))
     if name == "ward_councillor_elected":
-        keys = spark.createDataFrame([("all",)], "scope string")
-        return P.ward_councillor_elected(fetch(keys, "scope"))
+        # the reference fans out over provinces [1] only (:520)
+        keys = spark.createDataFrame([("&ProvinceID=1",)], "qs string")
+        return P.ward_councillor_elected(fetch(keys, "qs"))
     if name == "seats_won":
-        keys = munis.select(F.col("MunicipalityID").cast("string").alias("muni"))
-        return P.seats_won(fetch(keys, "muni"), munis)
+        keys = munis.select(F.format_string(
+            "&ProvinceID=%s&MunicipalityID=%s",
+            "ProvinceID", "MunicipalityID").alias("qs"))
+        return P.seats_won(fetch(keys, "qs"), munis)
     raise AssertionError(name)
 
 
@@ -173,7 +205,8 @@ def main(argv: list[str] | None = None) -> int:
 
     munis = read_csv_dim(spark, "delimitations/Munis.csv", MUNIS_SCHEMA)
     wards = read_csv_dim(spark, "delimitations/Wards.csv", WARDS_SCHEMA)
-    rest = RestSource("https://api.elections.org.za/{}", P.BALLOT_SCHEMA)
+    rest = (rest_from_args(a, a.iec_endpoint)
+            if a.iec_endpoint in REST_ENDPOINTS else None)
     result = run_pipeline(
         spark, a.iec_endpoint, reset=(a.reset_dataset == "reset"),
         jdbc=jdbc_from_args(a), rest=rest, munis=munis, wards=wards)

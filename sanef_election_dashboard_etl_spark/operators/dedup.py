@@ -64,29 +64,67 @@ def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id",
     with_toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
     toks = F.col("__toks")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    # F.get, not element_at: 0-based and null-on-out-of-bounds, so docs
+    # shorter than n tokens yield their full token string instead of
+    # throwing under ANSI mode (concat_ws skips the nulls)
     grams = F.transform(idx, lambda i: F.concat_ws(
-        " ", *[F.element_at(toks, i + j + 1) for j in range(n)]))
+        " ", *[F.get(toks, i + j) for j in range(n)]))
     return (with_toks
             .select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
-            .na.drop(subset=["shingle"]))
+            .na.drop(subset=["shingle"])
+            # split(trim('')) yields [''] — an empty/whitespace-only doc
+            # would otherwise contribute an empty-string shingle that
+            # survives na.drop and makes two empty docs jaccard-1.0 matches
+            .filter(F.col("shingle") != ""))
 
 
 def token_set(df: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
-    """Distinct unigram tokens per doc (1-shingles)."""
+    """Distinct unigram tokens per doc (1-shingles). Empty-string tokens
+    (the residue of empty/whitespace-only docs) are dropped — see
+    shingles()."""
     return df.select(
         F.col(id_col),
-        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("shingle"))
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("shingle")) \
+        .filter(F.col("shingle") != "")
+
+
+def drop_hot_shingles(grams: DataFrame, max_df: int,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Document-frequency cap: drop shingles appearing in > max_df docs.
+
+    The scale guard for every shingle-keyed self-join: one boilerplate
+    shingle in 1% of a 100 TB corpus makes that join key quadratic
+    (10^10 × 10^10 pairs from a single key). High-DF shingles carry almost
+    no similarity signal (they match everything), so capping them bounds
+    per-key join fan-out at max_df² while leaving near-dup semantics
+    essentially intact — the standard trick from large-scale dedup
+    pipelines. The hot set is tiny by construction (few shingles can
+    exceed a large DF) → broadcast anti-join, no extra shuffle of grams."""
+    hot = (grams.groupBy("shingle")
+           .agg(F.count(F.lit(1)).alias("df"))
+           .filter(F.col("df") > max_df)
+           .select("shingle"))
+    return grams.join(F.broadcast(hot), "shingle", "left_anti")
 
 
 def jaccard_pairs(grams: DataFrame, id_col: str = "doc_id",
-                  min_jaccard: float = 0.5) -> DataFrame:
+                  min_jaccard: float = 0.5,
+                  max_df: int | None = None) -> DataFrame:
     """Exact Jaccard over (id, shingle) rows via inverted-index self-join.
 
     |A ∩ B| from the join on shingle, sizes from a per-doc count; Jaccard =
     inter / (|A| + |B| - inter). Output (id_a, id_b, jaccard) with
     id_a < id_b. The shingle join is the shuffle; the size table is tiny
-    and broadcast."""
+    and broadcast.
+
+    `max_df` (recommended at scale) drops shingles with document frequency
+    above the cap BEFORE the self-join (drop_hot_shingles); sizes are
+    computed on the filtered space so Jaccard stays internally consistent
+    (it becomes Jaccard over informative shingles — slightly approximate
+    vs the unfiltered measure, bounded join fan-out in exchange)."""
+    if max_df is not None:
+        grams = drop_hot_shingles(grams, max_df, id_col)
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = grams.select(F.col(id_col).alias("id_a"), "shingle")
     b = grams.select(F.col(id_col).alias("id_b"), "shingle")
@@ -107,10 +145,11 @@ def jaccard_pairs(grams: DataFrame, id_col: str = "doc_id",
 
 
 def ngram_jaccard_pairs(df: DataFrame, n: int = 3, min_jaccard: float = 0.5,
-                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                        id_col: str = "doc_id", text_col: str = "text",
+                        max_df: int | None = None) -> DataFrame:
     """Exact n-gram-shingle Jaccard dedup pairs (baseline / oracle path)."""
     g = shingles(df, n, id_col, text_col) if n > 1 else token_set(df, id_col, text_col)
-    return jaccard_pairs(g, id_col, min_jaccard)
+    return jaccard_pairs(g, id_col, min_jaccard, max_df=max_df)
 
 
 def minhash_signatures(grams: DataFrame, k: int = 32, seed: int = 42,
@@ -133,16 +172,24 @@ def minhash_signatures(grams: DataFrame, k: int = 32, seed: int = 42,
 
 def minhash_lsh_pairs(df: DataFrame, n: int = 3, k: int = 32, bands: int = 8,
                       min_jaccard: float = 0.5, seed: int = 42,
-                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                      id_col: str = "doc_id", text_col: str = "text",
+                      max_df: int | None = None) -> DataFrame:
     """MinHash + LSH near-dup pairs with exact-Jaccard verification.
 
     signature (k mins) -> b bands of k/b rows -> band-hash bucket join ->
     candidate pairs -> verify true Jaccard on candidates only. At 100 TB
     the verification join touches only the candidate set (vs the quadratic
-    all-pairs of ngram_jaccard_pairs). Output (id_a, id_b, jaccard)."""
+    all-pairs of ngram_jaccard_pairs). Output (id_a, id_b, jaccard).
+
+    `max_df` caps shingle document frequency before signatures AND the
+    candidate-verification join (drop_hot_shingles) — boilerplate shingles
+    otherwise both skew the verification join key and drag unrelated docs'
+    signatures together."""
     assert k % bands == 0
     rows_per_band = k // bands
     grams = shingles(df, n, id_col, text_col) if n > 1 else token_set(df, id_col, text_col)
+    if max_df is not None:
+        grams = drop_hot_shingles(grams, max_df, id_col)
     # the shingle table feeds four consumers (signatures, two sides of the
     # verification join, sizes): persist it instead of recomputing the
     # tokenize+explode 4x. At cluster scale, checkpoint to storage instead
@@ -244,7 +291,8 @@ def portable_hash(c) -> "F.Column":
 def minhash_lsh_pairs_portable(df: DataFrame, n: int = 3, k: int = 16,
                                bands: int = 4, min_jaccard: float = 0.5,
                                seed: int = 42, id_col: str = "doc_id",
-                               text_col: str = "text") -> DataFrame:
+                               text_col: str = "text",
+                               max_df: int | None = None) -> DataFrame:
     """minhash_lsh_pairs with portable (md5-derived) hashes everywhere:
     same banding pipeline, every stage reproducible in ANSI SQL. Band key
     is md5 over the '|'-joined row signature."""
@@ -252,6 +300,8 @@ def minhash_lsh_pairs_portable(df: DataFrame, n: int = 3, k: int = 16,
     rows_per_band = k // bands
     params = _minhash_params(k, seed)
     grams = shingles(df, n, id_col, text_col) if n > 1 else token_set(df, id_col, text_col)
+    if max_df is not None:
+        grams = drop_hot_shingles(grams, max_df, id_col)
     grams = grams.persist()
 
     h = F.pmod(portable_hash("shingle"), F.lit(_P)).alias("h")

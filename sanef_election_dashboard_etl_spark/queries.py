@@ -816,9 +816,11 @@ def dedup_exact(spark, sf_dir):
 
 @query("dedup_token_jaccard", oracle="""
     WITH grams AS (
-        SELECT DISTINCT doc_id,
-               unnest(string_split_regex(trim(text), '\\s+')) AS shingle
-        FROM documents WHERE doc_id < 200
+        SELECT doc_id, shingle FROM (
+            SELECT DISTINCT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS shingle
+            FROM documents WHERE doc_id < 200
+        ) WHERE shingle <> ''
     ), sizes AS (
         SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
     ), inter AS (
@@ -845,11 +847,13 @@ def dedup_token_jaccard(spark, sf_dir):
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
         FROM documents WHERE doc_id < 150
     ), grams AS (
-        SELECT DISTINCT doc_id,
-               unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
-                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-                   AS shingle
-        FROM tok
+        SELECT doc_id, shingle FROM (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                       AS shingle
+            FROM tok
+        ) WHERE shingle <> ''
     ), sizes AS (
         SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
     ), inter AS (
@@ -1745,11 +1749,13 @@ def _minhash_oracle_sql(k: int = 16, bands: int = 4, seed: int = 42,
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
         FROM documents WHERE doc_id < {n_docs}
     ), grams AS (
-        SELECT DISTINCT doc_id,
-               unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
-                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-                   AS shingle
-        FROM tok
+        SELECT doc_id, shingle FROM (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                       AS shingle
+            FROM tok
+        ) WHERE shingle <> ''
     ), hashes AS (
         SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {P} AS h
         FROM grams
@@ -2159,6 +2165,50 @@ def text_levenshtein_pairs(spark, sf_dir):
             .withColumn("dist", F.levenshtein("pa", "pb").cast("long"))
             .filter(F.col("dist") <= 15)
             .select("id_a", "id_b", "dist"))
+
+
+@query("text_boilerplate_lines", oracle="""
+    WITH multi AS (
+        SELECT doc_id,
+               'shared footer line' || chr(10) || text || chr(10) ||
+               CASE WHEN doc_id % 3 = 0 THEN 'accept our cookies'
+                    ELSE 'tail ' || CAST(doc_id AS VARCHAR) END AS text
+        FROM documents WHERE doc_id < 200
+    ), lines AS (
+        SELECT doc_id, i.i AS pos, ls[i.i] AS line,
+               lower(trim(ls[i.i])) AS norm
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM multi),
+             unnest(range(1, len(ls) + 1)) i(i)
+    ), boiler AS (
+        SELECT norm FROM lines WHERE length(norm) > 0
+        GROUP BY norm HAVING COUNT(DISTINCT doc_id) >= 3
+    ), kept AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+        FROM lines WHERE norm NOT IN (SELECT norm FROM boiler)
+        GROUP BY doc_id
+    )
+    SELECT m.doc_id, COALESCE(k.clean_text, '') AS clean_text
+    FROM multi m LEFT JOIN kept k ON m.doc_id = k.doc_id
+""")
+def text_boilerplate_lines(spark, sf_dir):
+    """C4-style line-level boilerplate removal, oracle-checked end to end.
+
+    The documents fixture is single-line, so both engines first derive the
+    same multi-line corpus (shared footer on every doc + the original text
+    + a cookie banner on every third doc); the operator must then drop
+    exactly the lines whose normalized form spans >= 3 distinct docs —
+    including any duplicated original texts — and reassemble remaining
+    lines in order."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    multi = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n", F.lit("shared footer line"), F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("accept our cookies"))
+             .otherwise(F.concat(F.lit("tail "),
+                                 F.col("doc_id").cast("string"))))
+         .alias("text"))
+    return T.remove_boilerplate_lines(multi, min_docs=3)
 
 
 # ==========================================================================

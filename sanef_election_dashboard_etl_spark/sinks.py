@@ -48,22 +48,47 @@ def write_csv_partitioned(df: DataFrame, path: str,
     return path
 
 
+def multipart_form(path: str, meta: dict, boundary: str) -> bytes:
+    """multipart/form-data body: one form part per meta field (booleans
+    stringified 'True'/'False', matching requests' form encoding of the
+    reference's payload dict) plus the CSV as a named 'file' part
+    (SANEF_Uploader.py:60-63)."""
+    parts = []
+    for k, v in meta.items():
+        parts.append(
+            (f"--{boundary}\r\n"
+             f'Content-Disposition: form-data; name="{k}"\r\n\r\n'
+             f"{v}\r\n").encode())
+    with open(path, "rb") as fh:
+        data = fh.read()
+    parts.append(
+        (f"--{boundary}\r\n"
+         f'Content-Disposition: form-data; name="file"; '
+         f'filename="{os.path.basename(path)}"\r\n'
+         f"Content-Type: text/csv\r\n\r\n").encode() + data + b"\r\n")
+    parts.append(f"--{boundary}--\r\n".encode())
+    return b"".join(parts)
+
+
 def upload_http(path: str, endpoint: str, dataset_id: int, token: str,
                 overwrite: bool = True, poster=None) -> dict:
     """S9 adapter: multipart POST of the written file to the dashboard API
-    (SANEF_Uploader.py:57-64). `poster` is injectable for tests; default
-    uses urllib so the engine adds no HTTP dependency."""
+    (SANEF_Uploader.py:57-64) — a 'file' part plus update/overwrite form
+    fields, exactly the body shape requests.post(data=, files=) produces
+    for the reference. `poster` is injectable for tests; default uses
+    urllib so the engine adds no HTTP dependency."""
     url = f"{endpoint}/api/v1/datasets/{dataset_id}/upload/"
     meta = {"update": overwrite, "overwrite": overwrite}
     if poster is not None:
         return poster(url, path, meta, token)
     import urllib.request
+    import uuid
 
-    with open(path, "rb") as fh:
-        body = fh.read()
+    boundary = f"----spark-etl-{uuid.uuid4().hex}"
+    body = multipart_form(path, meta, boundary)
     req = urllib.request.Request(
         url, data=body,
         headers={"Authorization": f"Token {token}",
-                 "Content-Type": "text/csv"})
+                 "Content-Type": f"multipart/form-data; boundary={boundary}"})
     with urllib.request.urlopen(req, timeout=60) as resp:  # noqa: S310
         return {"status": resp.status}

@@ -10,9 +10,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 RESET_ROWS = {
     "geo_party_count": ([("None", "-", 0)], "Geography string, Party string, Count long"),
+    # councils_won_by_party's reset row uses 'Party Name', unlike its
+    # sibling pipelines' 'Party' (SANEF_Uploader.py:309-317).
+    "geo_party_name_count": ([("None", "-", 0)],
+                             "Geography string, `Party Name` string, Count long"),
     "geo_contents": ([("None", "-")], "Geography string, Contents string"),
     "geo_councils_count": ([("None", "-", 0)], "Geography string, Councils string, Count long"),
-    "geo_party_seat_count": ([("None", "-", "-", 0)],
+    # seats_won's reset row pins Seat Type to 'Ward' (SANEF_Uploader.py:561-568).
+    "geo_party_seat_count": ([("None", "-", "Ward", 0)],
                              "Geography string, `Party Name` string, `Seat Type` string, Count long"),
     "geo_turnout_count": ([("None", "-", 0)],
                           "Geography string, `Voter Turnout` string, Count long"),

@@ -38,6 +38,21 @@ def _default_fetcher(url: str) -> str:
         return resp.read().decode("utf-8")
 
 
+def bearer_fetcher(token: str) -> Fetcher:
+    """Authenticated fetcher: every request carries
+    ``Authorization: Bearer <token>`` (SANEF_Uploader.py:29, :41). The
+    closure ships the token to executors; stdlib-only like the default."""
+    import urllib.request
+
+    def fetch(url: str) -> str:
+        req = urllib.request.Request(
+            url, headers={"Authorization": f"Bearer {token}"})
+        with urllib.request.urlopen(req, timeout=30) as resp:  # noqa: S310
+            return resp.read().decode("utf-8")
+
+    return fetch
+
+
 def fetch_json(params: DataFrame, url_col: str, payload_schema: StructType,
                fetcher: Fetcher | None = None,
                parallelism: int | None = None) -> DataFrame:

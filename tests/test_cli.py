@@ -2,14 +2,11 @@
 run_pipeline with injected (offline) inputs — the switch path a reference
 user would take."""
 
-import json
-
 import pytest
 
 from sanef_election_dashboard_etl_spark.cli import (
-    PIPELINES, Args, jdbc_from_args, run_pipeline,
+    PIPELINES, Args, jdbc_from_args, rest_from_args, run_pipeline,
 )
-from sanef_election_dashboard_etl_spark.plans.pipelines import SEAT_SCHEMA
 from sanef_election_dashboard_etl_spark.sources.rest import (
     RestSource, fake_fetcher_from_dict,
 )
@@ -74,18 +71,74 @@ def test_voter_turnout_through_cli(spark, inputs):
     assert rows(out) == [(10100001, "Didn't Vote", 300), (10100001, "Voted", 700)]
 
 
+def _production_rest(name: str, responses: dict) -> RestSource:
+    """The CLI's own per-pipeline source (real endpoint template + schema),
+    with only the network call swapped for a fixture — so these tests
+    exercise the exact URLs and payload schemas production uses."""
+    import dataclasses
+
+    a = Args.from_argv(["https://wazi", "tok", "1384", "iec_tok", name,
+                        "dbhost", "LED", "user", "pw", "dont-reset"])
+    return dataclasses.replace(rest_from_args(a, name),
+                               fetcher=fake_fetcher_from_dict(responses))
+
+
 def test_seats_won_through_cli_with_fake_rest(spark, inputs):
+    base = "https://api.elections.org.za/api/v1/LGESeatCalculationResults" \
+           "?ElectoralEventID=1091"
     responses = {
-        "https://api.test/101": {"MunicipalityID": 101,
-                                 "PartyResults": [{"Name": "ANC", "WardSeats": 3,
-                                                   "PRSeats": 2}]},
-        "https://api.test/301": {"MunicipalityID": 301, "PartyResults": []},
+        f"{base}&ProvinceID=1&MunicipalityID=101": {
+            "MunicipalityID": 101,
+            "PartyResults": [{"Name": "ANC", "WardSeats": 3, "PRSeats": 2}]},
+        f"{base}&ProvinceID=3&MunicipalityID=301": {
+            "MunicipalityID": 301, "PartyResults": []},
     }
-    rest = RestSource("https://api.test/{}", SEAT_SCHEMA,
-                      fake_fetcher_from_dict(responses))
     out = run_pipeline(spark, "seats_won", tables=inputs["tables"],
-                       munis=inputs["munis"], wards=inputs["wards"], rest=rest)
+                       munis=inputs["munis"], wards=inputs["wards"],
+                       rest=_production_rest("seats_won", responses))
     assert rows(out) == [("BUF", "ANC", "PR", 2), ("BUF", "ANC", "Ward", 3)]
+
+
+def test_ward_votes_by_party_through_cli_with_fake_rest(spark, inputs):
+    # ward 30100001 has a zero-vote district -> only 10100001 is fetched
+    base = "https://api.elections.org.za/api/v1/LGEBallotResults" \
+           "?ElectoralEventID=1091"
+    responses = {
+        f"{base}&ProvinceID=1&MunicipalityID=101&WardID=10100001": {
+            "WardID": "10100001",
+            "PartyBallotResults": [{"Name": "ANC", "TotalValidVotes": 500},
+                                   {"Name": "DA", "TotalValidVotes": 300}]},
+    }
+    out = run_pipeline(spark, "ward_votes_by_party", tables=inputs["tables"],
+                       munis=inputs["munis"], wards=inputs["wards"],
+                       rest=_production_rest("ward_votes_by_party", responses))
+    assert rows(out) == [("10100001", "ANC", 500), ("10100001", "DA", 300)]
+
+
+def test_ward_councillor_elected_through_cli_with_fake_rest(spark, inputs):
+    # array payload (COUNCILLOR_SCHEMA) — a BALLOT-schema'd source fails
+    # analysis here, which is exactly the bug this test pins down
+    url = "https://api.elections.org.za/api/v1/CouncilorsByEvent" \
+          "?ElectoralEventID=1091&ProvinceID=1"
+    responses = {url: [
+        {"WardID": "W1", "Name": "Alice", "PartyName": "ANC"},
+        {"WardID": "W1", "Name": "Bob", "PartyName": "DA"},
+        {"WardID": "W2", "Name": "Cara", "PartyName": "EFF"},
+    ]}
+    out = run_pipeline(
+        spark, "ward_councillor_elected", tables=inputs["tables"],
+        munis=inputs["munis"], wards=inputs["wards"],
+        rest=_production_rest("ward_councillor_elected", responses))
+    assert rows(out) == [("W1", "Alice - ANC"), ("W2", "Cara - EFF")]
+
+
+def test_reset_literals_match_reference(spark, inputs):
+    # councils_won_by_party resets with 'Party Name' (SANEF_Uploader.py:314),
+    # seats_won pins Seat Type to 'Ward' (:566)
+    cwp = run_pipeline(spark, "councils_won_by_party", reset=True)
+    assert cwp.columns == ["Geography", "Party Name", "Count"]
+    sw = run_pipeline(spark, "seats_won", reset=True)
+    assert rows(sw) == [("None", "-", "Ward", 0)]
 
 
 def test_args_contract():

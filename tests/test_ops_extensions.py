@@ -214,3 +214,43 @@ def test_remove_boilerplate_lines(spark):
     for i in range(4):
         assert out[i] == f"unique line {i}"       # boilerplate dropped, order kept
     assert out[9] == "only unique content here"   # untouched
+
+
+def test_empty_docs_produce_no_shingles_and_no_pairs(spark):
+    # split(trim('')) yields [''] — empty/whitespace docs must not match
+    # each other as jaccard-1.0 pairs (ADVICE r1)
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "real words here")],
+        "doc_id long, text string")
+    assert D.token_set(docs).filter(F.col("doc_id") < 3).count() == 0
+    assert D.shingles(docs, n=3).filter(F.col("doc_id") < 3).count() == 0
+    assert D.ngram_jaccard_pairs(docs, n=1, min_jaccard=0.1).count() == 0
+    assert D.minhash_lsh_pairs(docs, n=1, k=16, bands=4,
+                               min_jaccard=0.1).count() == 0
+
+
+def test_max_df_bounds_hot_shingle_candidates(spark):
+    # 20 docs sharing one boilerplate sentence + a unique tail; the
+    # boilerplate shingles alone would make every pair a candidate
+    # (20*19/2 = 190 pairs). With max_df they are dropped before the
+    # self-join and only the true near-dup pair (0, 1: same tail) remains.
+    boiler = "subscribe to our newsletter for updates"
+    rows_in = [(i, f"{boiler} unique{i} "
+                   + ("shared tail words" if i < 2 else f"tail{i} t{i} w{i}"))
+               for i in range(20)]
+    docs = spark.createDataFrame(rows_in, "doc_id long, text string")
+
+    unguarded = D.ngram_jaccard_pairs(docs, n=1, min_jaccard=0.1)
+    assert unguarded.count() == 190  # quadratic blow-up from the hot key
+
+    guarded = D.ngram_jaccard_pairs(docs, n=1, min_jaccard=0.1, max_df=10)
+    got = rows(guarded.select("id_a", "id_b"))
+    assert got == [(0, 1)]  # only the genuinely-similar tail pair survives
+
+    # the LSH path shares the guard: hot shingles leave both the
+    # signatures and the verification join
+    # 2 rows/band: catch probability 1-(1-0.6^2)^8 ≈ .97 for the 0.6-jaccard
+    # pair (deterministic here — fixed seed)
+    lsh = D.minhash_lsh_pairs(docs, n=1, k=16, bands=8,
+                              min_jaccard=0.1, max_df=10)
+    assert rows(lsh.select("id_a", "id_b")) == [(0, 1)]

@@ -84,3 +84,20 @@ def test_upload_http_adapter_injectable(tmp_path):
 def test_timestamped_name_shape():
     name = sinks.timestamped_name("hung_councils-")
     assert name.startswith("hung_councils-") and name.endswith(".csv")
+
+
+def test_multipart_form_body(tmp_path):
+    # the default (no-poster) upload path must produce the reference API's
+    # expected body: form fields update/overwrite + a named 'file' part
+    # (SANEF_Uploader.py:60-63), not raw CSV bytes
+    p = tmp_path / "up.csv"
+    p.write_text("x\n1\n")
+    body = sinks.multipart_form(str(p), {"update": True, "overwrite": True},
+                                "BOUND")
+    text = body.decode()
+    assert 'Content-Disposition: form-data; name="update"\r\n\r\nTrue' in text
+    assert 'Content-Disposition: form-data; name="overwrite"\r\n\r\nTrue' in text
+    assert ('Content-Disposition: form-data; name="file"; '
+            'filename="up.csv"') in text
+    assert "x\n1\n" in text
+    assert text.endswith("--BOUND--\r\n")

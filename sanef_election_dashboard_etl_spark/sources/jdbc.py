@@ -18,9 +18,16 @@ Engine equivalents:
 
 Scale: `partition_on` splits the remote read into `num_partitions` range
 slices so a large fact table streams through all executors instead of one
-connection. No JDBC driver ships in this container, so tests cover option
-construction and the partitioning contract; the network path is exercised
-in deployments that provide a driver jar.
+connection.
+
+Exercised END TO END over a real java.sql connection in
+tests/test_jdbc_and_stateful.py::test_jdbc_live_round_trip_derby using
+embedded Derby (the one JDBC driver that ships inside the Spark
+distribution): whole-table scan, predicate pushdown asserted in the
+physical plan (`PushedFilters: [GreaterThan(...)]`), raw-SQL query, and
+range-partitioned parallel read. SQL Server specifics (the reference's
+engine) remain covered by the option-contract tests — no sqlserver jar
+in this container.
 """
 
 from __future__ import annotations

@@ -223,3 +223,35 @@ def remove_boilerplate_lines(df: DataFrame, min_docs: int = 3,
                        "\n").alias("clean_text")))
     return df.select(id_col).join(reassembled, id_col, "left") \
              .na.fill({"clean_text": ""})
+
+
+def tfidf_top_terms(df: DataFrame, k: int = 5, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Top-k distinctive terms per document by TF-IDF.
+
+    tf = term count within the doc, df = number of docs containing the
+    term, score = tf * ln(N / df). Three aggregations, all shuffling only
+    (id, token) / (token) keys — never documents: tf groupBy, df groupBy
+    over the (already distinct) tf pairs, and a broadcast of the single
+    N row. Rank is deterministic: (round(score, 4) DESC, term ASC) — the
+    rounding absorbs last-ulp ln() differences between engines, the term
+    tiebreak pins equal scores. Output: (id, rank, term, tf, df_docs,
+    tfidf) with tfidf rounded to 4.
+    """
+    from pyspark.sql import Window
+
+    tok = exploded_tokens(df, id_col, text_col).filter(F.col("token") != "")
+    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (tf.join(dfreq, "token")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn("tfidf", F.round(
+                  F.col("tf") * F.log(F.col("n_docs") / F.col("df_docs")),
+                  4) + F.lit(0.0)))
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(),
+                                           F.col("token").asc())
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select(id_col, "rank", F.col("token").alias("term"),
+                    "tf", "df_docs", "tfidf"))

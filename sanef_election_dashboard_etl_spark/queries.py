@@ -32,8 +32,10 @@ from .functions.maps import recode_map
 from .functions.numeric import davg, dsum, ratio
 from .operators import dedup as D
 from .operators import multimodal as M
+from .operators import packing as PK
 from .operators import relational as R
 from .operators import similarity as S
+from .operators import temporal as TP
 from .operators import text as T
 from .session import tune
 
@@ -2209,6 +2211,94 @@ def text_boilerplate_lines(spark, sf_dir):
                                  F.col("doc_id").cast("string"))))
          .alias("text"))
     return T.remove_boilerplate_lines(multi, min_docs=3)
+
+
+@query("j10_asof_join", oracle="""
+    WITH ev AS (
+        SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events
+    ), snaps AS (
+        SELECT user_id, us, MAX(value) AS snap_value
+        FROM ev WHERE event_id % 10 = 0
+        GROUP BY user_id, us
+    )
+    SELECT e.event_id, e.user_id, e.us, s.snap_value
+    FROM ev e ASOF LEFT JOIN snaps s
+      ON e.user_id = s.user_id AND e.us >= s.us
+""")
+def j10_asof_join(spark, sf_dir):
+    """As-of join: each event enriched with the most recent snapshot value
+    at-or-before it per user (every 10th event acts as a state snapshot).
+    Spark has no native ASOF JOIN; operators/temporal.py composes it as
+    union-tag + windowed last() — one key shuffle, no range-join blowup
+    (the DuckDB oracle uses its native ASOF LEFT JOIN, so the operator's
+    semantics are pinned to the reference implementation of asof)."""
+    e = _t(spark, sf_dir, "events")
+    ev = e.select("event_id", "user_id",
+                  F.unix_micros(F.col("ts")).alias("us"), "value")
+    snaps = (ev.filter(F.col("event_id") % 10 == 0)
+             .groupBy("user_id", "us")
+             .agg(F.max("value").alias("snap_value")))
+    return (TP.asof_join(ev, snaps, "user_id", "us", ["snap_value"])
+            .select("event_id", "user_id", "us", "snap_value"))
+
+
+@query("pack_sequences", oracle="""
+    WITH g AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_tokens,
+               CAST(doc_id % 8 AS BIGINT) AS pack_group
+        FROM documents
+    ), c AS (
+        SELECT doc_id, pack_group, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY pack_group
+                    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens
+                    AS BIGINT) AS cum_before
+        FROM g
+    )
+    SELECT doc_id, pack_group, n_tokens, cum_before,
+           CAST(FLOOR(cum_before / 4000.0) AS BIGINT) AS bin_id
+    FROM c
+""")
+def pack_sequences(spark, sf_dir):
+    """Training-batch sequence packing: docs binned into ~4000-char budget
+    bins within 8 deterministic hash groups (operators/packing.py — the
+    parallel, engine-portable formulation of streaming packing)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return PK.pack_sequences(docs, "n_chars", budget=4000, n_groups=8)
+
+
+@query("text_tfidf_topk", oracle="""
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+    tok AS (
+        SELECT doc_id, token FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS token
+            FROM docs
+        ) WHERE token <> ''
+    ), tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), dfreq AS (
+        SELECT token, COUNT(*) AS df_docs FROM tf GROUP BY 1
+    ), n AS (SELECT COUNT(*) AS n_docs FROM docs),
+    scored AS (
+        SELECT doc_id, token, tf, df_docs,
+               ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df_docs), 4) + 0.0
+                   AS tfidf
+        FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                   ORDER BY tfidf DESC, token ASC) AS rank
+        FROM scored
+    )
+    SELECT doc_id, CAST(rank AS BIGINT) AS rank, token AS term, tf,
+           df_docs, tfidf
+    FROM ranked WHERE rank <= 5
+""")
+def text_tfidf_topk(spark, sf_dir):
+    """Top-5 distinctive terms per doc by TF-IDF (operators/text.py
+    tfidf_top_terms): three key-only aggregations + broadcast N; rank by
+    (rounded score, term) is deterministic across engines."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return T.tfidf_top_terms(docs, k=5)
 
 
 # ==========================================================================

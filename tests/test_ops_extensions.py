@@ -254,3 +254,46 @@ def test_max_df_bounds_hot_shingle_candidates(spark):
     lsh = D.minhash_lsh_pairs(docs, n=1, k=16, bands=8,
                               min_jaccard=0.1, max_df=10)
     assert rows(lsh.select("id_a", "id_b")) == [(0, 1)]
+
+
+def test_asof_join_semantics(spark):
+    from sanef_election_dashboard_etl_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 25), (1, 4), (2, 7)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 5, "a"), (1, 20, "b"), (1, 25, "c"), (2, 30, "z")],
+        "k long, t long, v string")
+    out = {(r["k"], r["t"]): r["v"]
+           for r in asof_join(left, right, "k", "t", ["v"]).collect()}
+    assert out[(1, 4)] is None          # nothing at-or-before t=4
+    assert out[(1, 10)] == "a"          # latest <= 10 is t=5
+    assert out[(1, 25)] == "c"          # equal time matches (>= semantics)
+    assert out[(2, 7)] is None          # right row is in the future
+
+
+def test_pack_sequences_bins(spark):
+    from sanef_election_dashboard_etl_spark.operators.packing import pack_sequences
+
+    # one group (n_groups=1): docs 0..4 with 3000 tokens each, budget 4000
+    docs = spark.createDataFrame([(i, 3000) for i in range(5)],
+                                 "doc_id long, n long")
+    out = {r["doc_id"]: (r["cum_before"], r["bin_id"])
+           for r in pack_sequences(docs, "n", budget=4000, n_groups=1).collect()}
+    assert out[0] == (0, 0)       # starts at 0 -> bin 0
+    assert out[1] == (3000, 0)    # straddles 4000 but STARTS in bin 0
+    assert out[2] == (6000, 1)
+    assert out[3] == (9000, 2)
+    assert out[4] == (12000, 3)
+
+
+def test_tfidf_top_terms_ranks_distinctive(spark):
+    docs = spark.createDataFrame(
+        [(1, "common rare1 common"), (2, "common rare2"), (3, "common")],
+        "doc_id long, text string")
+    out = T.tfidf_top_terms(docs, k=2)
+    top = {r["doc_id"]: r["term"] for r in out.collect() if r["rank"] == 1}
+    # 'common' is in every doc -> idf 0; the rare term wins everywhere
+    assert top[1] == "rare1" and top[2] == "rare2"
+    # doc 3 only has the zero-idf term
+    assert top[3] == "common"

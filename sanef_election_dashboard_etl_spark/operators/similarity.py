@@ -92,16 +92,16 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Random-hyperplane signature: one sign bit per plane, packed into a
-    long. Plane constants are baked into the plan (deterministic)."""
-    bits = [
+    """Random-hyperplane signature: one sign bit per plane, OR-folded into
+    a long. Plane constants are baked into the plan (deterministic)."""
+    bits = (
         F.when(dot(vec, F.array(*[F.lit(float(w)) for w in plane])) >= 0,
-               F.lit(1).cast("long") * F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+               F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
         for i, plane in enumerate(planes)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
+    )
+    out = None
+    for b in bits:
+        out = b if out is None else out.bitwiseOR(b)
     return out
 
 

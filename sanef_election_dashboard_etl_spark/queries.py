@@ -2266,6 +2266,28 @@ def pack_sequences(spark, sf_dir):
     return PK.pack_sequences(docs, "n_chars", budget=4000, n_groups=8)
 
 
+@query("j11_salted_skew_join", oracle="""
+    SELECT o_orderpriority, l_returnflag,
+           COUNT(*) AS n, CAST(SUM(l_quantity) AS BIGINT) AS qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority, l_returnflag
+""")
+def j11_salted_skew_join(spark, sf_dir):
+    """Skew-safe salted join (operators/relational.salted_join): lineitem
+    x orders with the left side sharded 8 ways and the right replicated
+    per shard — the extreme-single-key-skew fallback beyond AQE's
+    skew-join split. The oracle is the PLAIN join: salting must never
+    change semantics, only shuffle placement. merge hint forces the
+    shuffle join the technique exists for (broadcast would bypass it)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").withColumnRenamed("o_orderkey",
+                                                      "l_orderkey")
+    joined = R.salted_join(l, o.hint("merge"), "l_orderkey", salt_buckets=8)
+    return (joined.groupBy("o_orderpriority", "l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("l_quantity").cast("long")).alias("qty")))
+
+
 @query("text_tfidf_topk", oracle="""
     WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
     tok AS (

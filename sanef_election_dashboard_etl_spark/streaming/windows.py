@@ -72,3 +72,16 @@ def foreach_batch_upload(result: DataFrame, write_batch) -> "object":
     (SANEF_Uploader.py:57-64) becomes `write_batch(df, epoch_id)`."""
     return (result.writeStream.outputMode("complete")
             .foreachBatch(write_batch).start())
+
+
+def dedup_stream(df: DataFrame, keys: list[str], ts_col: str = "ts",
+                 delay: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup: keep the first event per `keys` within the
+    watermark horizon (dropDuplicatesWithinWatermark) — the ingestion-time
+    twin of batch exact_dedup. State is bounded by the watermark delay:
+    a key's entry is evicted once the watermark passes its event time, so
+    memory is O(arrival rate x delay), not O(stream history). Use content
+    fingerprints (dedup.fingerprint) as the key for doc-level dedup of a
+    document firehose."""
+    return (df.withWatermark(ts_col, delay)
+            .dropDuplicatesWithinWatermark(keys))

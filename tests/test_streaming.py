@@ -157,3 +157,34 @@ def test_sliding_counts_batch_semantics(spark):
     assert by_start[((0, 55), "click")] == 1     # minute 61 in [00:55,01:05)
     assert by_start[((1, 0), "click")] == 1      # ...and in [01:00,01:10)
     assert by_start[((0, 0), "view")] == 1 and by_start[((0, 5), "view")] == 1
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps one row per key in-horizon."""
+    from datetime import datetime, timedelta
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    src = tmp_path / "dd_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, t0, "docA"), (2, t0 + timedelta(minutes=1), "docA"),  # dup
+         (3, t0 + timedelta(minutes=2), "docB"),
+         (4, t0 + timedelta(minutes=3), "docB"),                   # dup
+         (5, t0 + timedelta(minutes=4), "docC")],
+        "event_id long, ts timestamp, fp string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    stream = (spark.readStream
+              .schema("event_id long, ts timestamp, fp string")
+              .parquet(str(src)))
+    deduped = W.dedup_stream(stream, ["fp"], "ts", "10 minutes")
+    q = (deduped.writeStream.format("memory").queryName("t_dd")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+        got = sorted(r["fp"] for r in spark.sql(
+            "SELECT fp FROM t_dd").collect())
+    finally:
+        q.stop()
+    assert got == ["docA", "docB", "docC"]

@@ -107,6 +107,7 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
 
 def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10, dim: int = 64,
              n_planes: int = 8, n_tables: int = 4, seed: int = 42,
+             multiprobe: int = 0,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Approximate top-k: bucket corpus + queries by random-hyperplane
     signature, score only same-bucket candidates.
@@ -115,7 +116,14 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10, dim: int = 64,
     candidates are the union — recall ~ 1-(1-p)^T for per-table collision
     probability p, measured in RECALL.md. At scale: each table's bucket
     join is a uniform-key shuffle of (id, bucket) pairs, never a cross
-    join; candidate dedup + one exact-scoring pass at the end."""
+    join; candidate dedup + one exact-scoring pass at the end.
+
+    Multiprobe (`multiprobe=1`): each QUERY also probes the n_planes
+    buckets at Hamming distance 1 from its signature (one sign bit
+    flipped — the planes a near-boundary vector most plausibly landed on
+    the other side of). The corpus stays bucketed ONCE; only the tiny
+    broadcast query side fans out x(1+n_planes) — multi-table recall at
+    single-table storage/shuffle cost (measured in RECALL.md)."""
     c = with_norm(emb, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("__v").alias("cv"),
         F.col("__norm").alias("cn"))
@@ -130,6 +138,12 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10, dim: int = 64,
               .select("neighbor_id", "bucket")
         qb = q.withColumn("bucket", lsh_bucket(F.col("qv"), planes)) \
               .select("query_id", "bucket")
+        if multiprobe:
+            probes = F.array(F.col("bucket"), *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(n_planes)])
+            qb = qb.select("query_id",
+                           F.explode(probes).alias("bucket"))
         ct = cb.join(F.broadcast(qb), "bucket").select("query_id", "neighbor_id")
         cands = ct if cands is None else cands.unionByName(ct)
     cands = (cands.filter(F.col("neighbor_id") != F.col("query_id"))

@@ -297,3 +297,19 @@ def test_tfidf_top_terms_ranks_distinctive(spark):
     assert top[1] == "rare1" and top[2] == "rare2"
     # doc 3 only has the zero-idf term
     assert top[3] == "common"
+
+
+def test_lsh_multiprobe_superset_of_exact_bucket(spark, vecs):
+    # multiprobe explores the query's bucket PLUS Hamming-1 neighbors, so
+    # its candidate set (and hence result quality) can only grow
+    base = rows(S.lsh_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=4,
+                           dim=3, n_planes=2).select("neighbor_id"))
+    probed = rows(S.lsh_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=4,
+                             dim=3, n_planes=2, multiprobe=1)
+                  .select("neighbor_id"))
+    assert set(base) <= set(probed)
+    # with every Hamming-1 bucket of a 2-plane space probed, all 4
+    # non-query vectors are reachable -> exact top-4 order
+    exact = rows(S.cosine_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=4)
+                 .select("neighbor_id"))
+    assert probed == exact

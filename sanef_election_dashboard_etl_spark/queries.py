@@ -2213,6 +2213,45 @@ def text_boilerplate_lines(spark, sf_dir):
     return T.remove_boilerplate_lines(multi, min_docs=3)
 
 
+@query("q18_large_volume_orders", oracle="""
+    SELECT c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_totalprice,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+    GROUP BY 1, 2, 3, 4
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+""")
+def q18_large_volume_orders(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume orders): the big-group HAVING
+    semi-join — lineitem aggregated per order, the heavy orders feed a
+    3-table join re-aggregated, top-20 by price. The HAVING subquery and
+    the outer agg share one lineitem scan shape; top-k is a
+    TakeOrderedAndProject, never a full sort. LIMIT is deterministic:
+    (o_totalprice, o_orderkey) is a total order (orderkey unique)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (l.groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast("long")).alias("sq"))
+           .filter(F.col("sq") > 150)
+           .select(F.col("l_orderkey").alias("o_orderkey")))
+    j = (o.join(big, "o_orderkey")
+         .join(c, o.o_custkey == c.c_custkey)
+         .join(l, F.col("o_orderkey") == l.l_orderkey))
+    return (j.groupBy("c_name", "o_orderkey",
+                      F.date_format("o_orderdate", "yyyy-MM-dd")
+                       .alias("o_date"),
+                      "o_totalprice")
+            .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(20))
+
+
 @query("j10_asof_join", oracle="""
     WITH ev AS (
         SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events

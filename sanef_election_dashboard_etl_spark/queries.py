@@ -35,6 +35,7 @@ from .operators import multimodal as M
 from .operators import packing as PK
 from .operators import relational as R
 from .operators import similarity as S
+from .operators import sketch as SK
 from .operators import temporal as TP
 from .operators import text as T
 from .session import tune
@@ -2360,6 +2361,91 @@ def text_tfidf_topk(spark, sf_dir):
     (rounded score, term) is deterministic across engines."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return T.tfidf_top_terms(docs, k=5)
+
+
+@query("sketch_cms_tokens", oracle="""
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+    tok AS (
+        SELECT doc_id, token FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS token
+            FROM docs
+        ) WHERE token <> ''
+    ),
+    js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+    sketch AS (
+        SELECT j,
+               ('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || token),
+                               1, 15))::BIGINT % 256 AS bucket,
+               COUNT(*) AS cnt
+        FROM tok CROSS JOIN js
+        GROUP BY 1, 2
+    ),
+    probes AS (SELECT DISTINCT token FROM tok WHERE doc_id < 3),
+    pb AS (
+        SELECT token, j,
+               ('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || token),
+                               1, 15))::BIGINT % 256 AS bucket
+        FROM probes CROSS JOIN js
+    ),
+    est AS (
+        SELECT token AS key, MIN(COALESCE(cnt, 0)) AS est_count
+        FROM pb LEFT JOIN sketch USING (j, bucket)
+        GROUP BY 1
+    ),
+    exact AS (SELECT token AS key, COUNT(*) AS exact_count FROM tok GROUP BY 1)
+    SELECT key, est_count, COALESCE(exact_count, 0) AS exact_count
+    FROM est LEFT JOIN exact USING (key)
+""")
+def sketch_cms_tokens(spark, sf_dir):
+    """Count-min sketch (operators/sketch.py) with the engine-portable
+    md5 hash: build a 4x256 sketch over document tokens, point-estimate
+    the probe set, and carry the exact count alongside — the oracle
+    reproduces the sketch bit-for-bit, so est_count matches exactly
+    (and with 256 buckets vs a small vocab, est == exact: no collisions)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    tok = T.exploded_tokens(docs).filter(F.col("token") != "")
+    sk = SK.count_min_sketch(tok, "token", depth=4, width=256, portable=True)
+    probes = tok.filter(F.col("doc_id") < 3).select("token").distinct()
+    est = SK.cms_estimate(sk, probes, "token", depth=4, width=256,
+                          portable=True)
+    exact = (tok.groupBy(F.col("token").alias("key"))
+                .agg(F.count(F.lit(1)).alias("exact_count")))
+    return est.join(exact, "key", "left").na.fill({"exact_count": 0})
+
+
+@query("sketch_heavy_hitters", oracle="""
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+    tok AS (
+        SELECT token FROM (
+            SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+            FROM docs
+        ) WHERE token <> ''
+    ),
+    counts AS (SELECT token AS key, COUNT(*) AS cnt FROM tok GROUP BY 1),
+    total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM counts)
+    SELECT key, cnt FROM counts CROSS JOIN total
+    WHERE cnt * 50 >= total * 1
+""")
+def sketch_heavy_hitters(spark, sf_dir):
+    """Exact heavy hitters at a scale-invariant threshold (>= 2% of all
+    tokens; integer-rational cutoff cnt*50 >= total*1 so both engines
+    compare exactly). At 100 TB this is the verification stage for
+    CMS-surfaced candidates (operators/sketch.py docstring)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    tok = T.exploded_tokens(docs).filter(F.col("token") != "")
+    return SK.heavy_hitters_fraction(tok, "token", num=1, den=50)
+
+
+@query("sketch_cms_fast", oracle=None, tags=("rows-only",))
+def sketch_cms_fast(spark, sf_dir):
+    """Production CMS path: xxhash64 (no md5 round trip) — ~2x faster,
+    not SQL-portable. Oracle-checked twin: sketch_cms_tokens."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    tok = T.exploded_tokens(docs).filter(F.col("token") != "")
+    sk = SK.count_min_sketch(tok, "token", depth=4, width=256)
+    probes = tok.filter(F.col("doc_id") < 3).select("token").distinct()
+    return SK.cms_estimate(sk, probes, "token", depth=4, width=256)
 
 
 # ==========================================================================

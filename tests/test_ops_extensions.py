@@ -313,3 +313,50 @@ def test_lsh_multiprobe_superset_of_exact_bucket(spark, vecs):
     exact = rows(S.cosine_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=4)
                  .select("neighbor_id"))
     assert probed == exact
+
+
+def test_cms_never_underestimates_and_is_tight_when_wide(spark):
+    from sanef_election_dashboard_etl_spark.operators import sketch as SK
+
+    tok = spark.createDataFrame(
+        [("a",)] * 10 + [("b",)] * 3 + [("c",)] * 1, "token string")
+    for portable in (False, True):
+        sk = SK.count_min_sketch(tok, "token", depth=4, width=256,
+                                 portable=portable)
+        # sketch size is bounded by depth*width regardless of input
+        assert sk.count() <= 4 * 256
+        probes = tok.select("token").distinct()
+        est = {r["key"]: r["est_count"]
+               for r in SK.cms_estimate(sk, probes, "token", depth=4,
+                                        width=256,
+                                        portable=portable).collect()}
+        exact = {"a": 10, "b": 3, "c": 1}
+        for k, true in exact.items():
+            assert est[k] >= true          # CMS never underestimates
+        # 3 keys in 4x256 buckets: no collisions, estimates are exact
+        assert est == exact
+
+
+def test_cms_absent_key_estimates_zero(spark):
+    from sanef_election_dashboard_etl_spark.operators import sketch as SK
+
+    tok = spark.createDataFrame([("a",)] * 5, "token string")
+    sk = SK.count_min_sketch(tok, "token", depth=4, width=256)
+    probes = spark.createDataFrame([("zzz",)], "token string")
+    est = SK.cms_estimate(sk, probes, "token", depth=4, width=256).collect()
+    assert est[0]["est_count"] == 0
+
+
+def test_heavy_hitters_fraction_threshold(spark):
+    from sanef_election_dashboard_etl_spark.operators import sketch as SK
+
+    # 100 rows: 'hot' 60x, 'warm' 30x, 'cold' 10x
+    tok = spark.createDataFrame(
+        [("hot",)] * 60 + [("warm",)] * 30 + [("cold",)] * 10,
+        "token string")
+    # >= 30% keeps hot and warm (warm is exactly at the cutoff)
+    got = {r["key"] for r in
+           SK.heavy_hitters_fraction(tok, "token", num=30, den=100).collect()}
+    assert got == {"hot", "warm"}
+    assert {r["key"] for r in
+            SK.heavy_hitters(tok, "token", min_count=31).collect()} == {"hot"}

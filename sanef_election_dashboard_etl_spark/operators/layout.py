@@ -1,0 +1,105 @@
+"""Data-layout clustering: Z-order (Morton) multi-column co-sort.
+
+North-star extension (SURVEY.md §7 step 4): the reference writes its CSV
+outputs in whatever order the query produced (SANEF_Uploader.py:70-76,
+df.to_csv) — at 605-line/10-file scale layout is irrelevant. At 100 TB it
+is decisive: parquet row-group min/max pruning only skips data when rows
+that are close in *key space* are close in *file space*. A plain sort
+clusters one column; Z-ordering interleaves the bits of several columns
+so a range predicate on ANY of them prunes row groups.
+
+Scale design:
+- `z_value` is a pure bit-interleave expression — fully native
+  (shiftright / bitwiseAND / shiftleft folded with bitwiseOR), stays
+  inside whole-stage codegen, no UDF and no extra pass.
+- Column normalization (min-max -> bits-wide integer rank space) needs
+  one global min/max per column: a single tiny agg broadcast back via
+  crossJoin — O(1) rows moved, never a per-row shuffle.
+- `z_order` then does ONE range-repartition shuffle on the z-value plus
+  an in-partition sort. That is the same shuffle count as a plain
+  `ORDER BY`, so Z-ordering is free relative to any sorted write.
+- Integer-exact math throughout (floor division on an exactly-divisible
+  numerator) so an engine-portable oracle reproduces z-values
+  bit-for-bit. Exactness bound: (max-min) * (2**bits - 1) must stay
+  below 2**53 (double-exact integers) — with 16 bits/column that allows
+  key spans up to ~1.37e11, far past any TPC-H key space.
+
+Choosing `bits`: per-column resolution. bits*ncols must stay < 63
+(BIGINT); 8-16 bits/column is the usual operating point — row-group
+pruning only needs enough resolution to separate row groups, not rows.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def z_value(cols: Sequence[Column], bits: int = 8) -> Column:
+    """Morton-interleave the low `bits` bits of each column (already
+    scaled to [0, 2**bits)): output bit (i*ncols + j) = bit i of col j.
+    Pure codegen-friendly expression: bits*ncols OR-folded terms."""
+    n = len(cols)
+    if bits * n > 62:
+        raise ValueError(f"bits*ncols = {bits * n} exceeds BIGINT range")
+    terms = [
+        F.shiftleft(
+            F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1)),
+            i * n + j)
+        for j, c in enumerate(cols)
+        for i in range(bits)
+    ]
+    return reduce(lambda a, b: a.bitwiseOR(b), terms)
+
+
+def scale_expr(col: Column, cmin: Column, cmax: Column,
+               bits: int = 8) -> Column:
+    """Min-max scale an integer column into [0, 2**bits) using exact
+    integer arithmetic — (v - min) * (2**bits - 1) floor-div (max - min),
+    computed as (num - num % span) / span so the division is exact and
+    DuckDB's `//` reproduces it bit-for-bit. Constant columns map to 0."""
+    span = cmax.cast("long") - cmin.cast("long")
+    num = (col.cast("long") - cmin.cast("long")) * F.lit((1 << bits) - 1)
+    exact_div = ((num - F.pmod(num, span)) / span).cast("long")
+    return F.when(span == F.lit(0), F.lit(0).cast("long")) \
+            .otherwise(exact_div)
+
+
+def with_z_value(df: DataFrame, cols: Sequence[str], bits: int = 8,
+                 out_col: str = "z") -> DataFrame:
+    """Append the Morton z-value of integer columns `cols` as `out_col`.
+
+    One tiny global-agg pass for per-column min/max (broadcast crossJoin,
+    O(1) rows moved), then a single narrow projection for the scale +
+    interleave — the input never shuffles."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+    bounds = df.agg(*aggs)
+    scaled = [
+        scale_expr(F.col(c), F.col(f"__min_{c}"), F.col(f"__max_{c}"), bits)
+        for c in cols
+    ]
+    return (df.crossJoin(F.broadcast(bounds))
+              .withColumn(out_col, z_value(scaled, bits))
+              .drop(*[f"__min_{c}" for c in cols],
+                    *[f"__max_{c}" for c in cols]))
+
+
+def z_order(df: DataFrame, cols: Sequence[str], bits: int = 8,
+            num_partitions: int | None = None) -> DataFrame:
+    """Cluster `df` for multi-column pruning: range-repartition on the
+    z-value and sort within partitions, then drop the helper column.
+
+    Exactly one shuffle (RangePartitioning on z) — the same cost as a
+    plain sorted write, but min/max parquet footers now prune on EVERY
+    z'd column. Write the result with `df.write.parquet(...)`."""
+    zdf = with_z_value(df, cols, bits=bits, out_col="__z")
+    if num_partitions:
+        zdf = zdf.repartitionByRange(num_partitions, F.col("__z"))
+    else:
+        zdf = zdf.repartitionByRange(F.col("__z"))
+    return zdf.sortWithinPartitions("__z").drop("__z")

@@ -33,6 +33,7 @@ from .functions.numeric import davg, dsum, ratio
 from .operators import dedup as D
 from .operators import multimodal as M
 from .operators import packing as PK
+from .operators import layout as L
 from .operators import relational as R
 from .operators import similarity as S
 from .operators import sketch as SK
@@ -2446,6 +2447,52 @@ def sketch_cms_fast(spark, sf_dir):
     sk = SK.count_min_sketch(tok, "token", depth=4, width=256)
     probes = tok.filter(F.col("doc_id") < 3).select("token").distinct()
     return SK.cms_estimate(sk, probes, "token", depth=4, width=256)
+
+
+def _zorder_interleave_sql(exprs: list[str], bits: int) -> str:
+    """DuckDB bit-interleave mirroring layout.z_value: output bit
+    (i*ncols + j) = bit i of exprs[j]. Disjoint bits, so + == OR."""
+    n = len(exprs)
+    terms = [f"(((CAST({e} AS BIGINT) >> {i}) & 1) << {i * n + j})"
+             for j, e in enumerate(exprs)
+             for i in range(bits)]
+    return " + ".join(terms)
+
+
+_ZORDER_ORACLE = f"""
+    WITH b AS (
+        SELECT MIN(p_size) AS min_s, MAX(p_size) AS max_s,
+               MIN(p_partkey) AS min_k, MAX(p_partkey) AS max_k
+        FROM part
+    ),
+    s AS (
+        SELECT p_partkey,
+               CASE WHEN max_s = min_s THEN 0
+                    ELSE ((p_size - min_s) * 255) // (max_s - min_s)
+               END AS z0,
+               CASE WHEN max_k = min_k THEN 0
+                    ELSE ((p_partkey - min_k) * 255) // (max_k - min_k)
+               END AS z1
+        FROM part CROSS JOIN b
+    )
+    SELECT p_partkey,
+           CAST({_zorder_interleave_sql(['z0', 'z1'], 8)} AS BIGINT) AS z
+    FROM s
+"""
+
+
+@query("layout_zorder_zvalue", oracle=_ZORDER_ORACLE)
+def layout_zorder_zvalue(spark, sf_dir):
+    """Z-order clustering key (operators/layout.py): min-max scale
+    (p_size, p_partkey) into 8-bit rank space and Morton-interleave —
+    the sort key `z_order` range-partitions on before a clustered
+    parquet write. Integer-exact scaling, so the oracle reproduces every
+    z bit-for-bit. Reference has no layout stage (writes df.to_csv,
+    SANEF_Uploader.py:70-76); at 100 TB this is what makes row-group
+    pruning fire on BOTH p_size and p_partkey predicates."""
+    part = _t(spark, sf_dir, "part")
+    return (L.with_z_value(part, ["p_size", "p_partkey"], bits=8)
+             .select("p_partkey", "z"))
 
 
 # ==========================================================================

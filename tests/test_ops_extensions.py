@@ -360,3 +360,42 @@ def test_heavy_hitters_fraction_threshold(spark):
     assert got == {"hot", "warm"}
     assert {r["key"] for r in
             SK.heavy_hitters(tok, "token", min_count=31).collect()} == {"hot"}
+
+
+def test_z_value_interleaves_bits(spark):
+    from sanef_election_dashboard_etl_spark.operators import layout as L
+
+    # col0 = 0b10, col1 = 0b01, bits=2: output bit (i*2 + j)
+    # col0 bit i=1 -> pos 2 (value 4); col1 bit i=0 -> pos 1 (value 2)
+    df = spark.createDataFrame([(2, 1)], "a long, b long")
+    z = df.select(L.z_value([F.col("a"), F.col("b")], bits=2).alias("z"))
+    assert z.collect()[0]["z"] == 6
+
+    def morton(a, b, bits):
+        out = 0
+        for i in range(bits):
+            out |= ((a >> i) & 1) << (i * 2)
+            out |= ((b >> i) & 1) << (i * 2 + 1)
+        return out
+
+    vals = [(a, b) for a in (0, 3, 7, 255) for b in (0, 1, 128, 255)]
+    df = spark.createDataFrame(vals, "a long, b long")
+    got = {(r["a"], r["b"]): r["z"] for r in df.select(
+        "a", "b", L.z_value([F.col("a"), F.col("b")], 8).alias("z")).collect()}
+    assert got == {(a, b): morton(a, b, 8) for a, b in vals}
+
+
+def test_z_order_preserves_rows_and_clusters(spark):
+    from sanef_election_dashboard_etl_spark.operators import layout as L
+
+    import itertools
+    rows_in = [(x, y) for x, y in itertools.product(range(16), range(16))]
+    df = spark.createDataFrame(rows_in, "x long, y long")
+    out = L.z_order(df, ["x", "y"], bits=4, num_partitions=4)
+    # same multiset of rows, layout only
+    assert sorted((r["x"], r["y"]) for r in out.collect()) == sorted(rows_in)
+    # locality: each output partition covers a bounded sub-rectangle of
+    # key space, so per-partition x-span stays well under the global span
+    parts = out.withColumn("pid", F.spark_partition_id()) \
+               .groupBy("pid").agg((F.max("x") - F.min("x")).alias("sx"))
+    assert all(r["sx"] <= 8 for r in parts.collect())

@@ -1985,7 +1985,7 @@ def sim_topk_lsh_portable(spark, sf_dir):
     with more tables: sim_topk_lsh."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=10,
-                      dim=64, n_planes=6, n_tables=2)
+                      dim=64, n_planes=6, n_tables=2, multiprobe=0)
 
 
 @query("r5_pivot_wide", oracle="""

@@ -94,7 +94,7 @@ def test_cosine_pairs_threshold(spark, vecs):
 
 def test_lsh_topk_subset_of_exact_semantics(spark, vecs):
     out = S.lsh_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=2,
-                     dim=3, n_planes=2)
+                     dim=3, n_planes=2, multiprobe=0)
     got = rows(out, "rank", "neighbor_id")
     # same-bucket candidates ranked identically to the exact scorer
     assert got and got[0][1] in (4, 1)
@@ -303,7 +303,8 @@ def test_lsh_multiprobe_superset_of_exact_bucket(spark, vecs):
     # multiprobe explores the query's bucket PLUS Hamming-1 neighbors, so
     # its candidate set (and hence result quality) can only grow
     base = rows(S.lsh_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=4,
-                           dim=3, n_planes=2).select("neighbor_id"))
+                           dim=3, n_planes=2, multiprobe=0)
+                .select("neighbor_id"))
     probed = rows(S.lsh_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=4,
                              dim=3, n_planes=2, multiprobe=1)
                   .select("neighbor_id"))

@@ -380,3 +380,55 @@ def simhash_pairs_portable(df: DataFrame, max_hamming: int = 3,
                             F.bit_count(F.expr("sh_a ^ sh_b")).cast("long"))
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iter: int = 20) -> DataFrame:
+    """Cluster near-dup PAIRS into components: (doc_id, component) where
+    `component` is the smallest doc id reachable through the pair graph.
+    This is the step that turns pairwise dedup output into "keep one doc
+    per duplicate cluster" (canonical = the doc whose id == component).
+
+    Iterative min-label propagation: every vertex starts labeled with
+    itself; each round every vertex takes the min of its own and its
+    neighbors' labels; stop when a round changes nothing (convergence
+    needs O(graph diameter) rounds — near-dup clusters are shallow, so
+    2-4 rounds in practice). Each round is one broadcast-free shuffle
+    join (labels x edges, both keyed on vertex) + a min-groupBy; lineage
+    is truncated per round with localCheckpoint so the plan doesn't grow
+    with iterations (on a real cluster, use a checkpoint dir /
+    reliable checkpoint instead — same call shape).
+
+    The early-stop `changed` count is one tiny driver action per round —
+    deliberate: iterative graph algorithms are driver-coordinated in
+    every Spark formulation (including GraphX/GraphFrames). At extreme
+    diameters, switch to the large-star/small-star formulation (Kiveris
+    et al., "Connected Components in MapReduce", SOCC'14) which
+    converges in O(log n) rounds with the same per-round join shape.
+
+    Only vertices that appear in `pairs` are returned (docs with no dup
+    pair are their own singleton components; union them in downstream if
+    needed). Deterministic: min over ids."""
+    fwd = pairs.select(F.col(id_a).cast("long").alias("u"),
+                       F.col(id_b).cast("long").alias("v"))
+    edges = fwd.union(fwd.select(F.col("v").alias("u"),
+                                 F.col("u").alias("v"))).distinct()
+    edges = edges.persist()
+    labels = (edges.select("u").distinct()
+              .select(F.col("u").alias("v"), F.col("u").alias("label")))
+    for _ in range(max_iter):
+        nbr = (edges.join(labels.withColumnRenamed("v", "u"), "u")
+                    .select("v", "label"))
+        new_labels = (labels.union(nbr)
+                      .groupBy("v").agg(F.min("label").alias("label"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.join(labels.withColumnRenamed("label", "old"),
+                                   "v")
+                   .filter(F.col("label") != F.col("old")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("v").alias("doc_id"),
+                         F.col("label").alias("component"))

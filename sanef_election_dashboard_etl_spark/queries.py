@@ -2449,6 +2449,51 @@ def sketch_cms_fast(spark, sf_dir):
     return SK.cms_estimate(sk, probes, "token", depth=4, width=256)
 
 
+@query("dedup_components", oracle="""
+    WITH RECURSIVE grams AS (
+        SELECT doc_id, shingle FROM (
+            SELECT DISTINCT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS shingle
+            FROM documents WHERE doc_id < 200
+        ) WHERE shingle <> ''
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE ROUND(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 4)
+              >= 0.5
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ), walk(v, r) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT w.v, e.v FROM walk w JOIN edges e ON e.u = w.r
+    )
+    SELECT CAST(v AS BIGINT) AS doc_id,
+           CAST(MIN(r) AS BIGINT) AS component
+    FROM walk GROUP BY v
+""")
+def dedup_components(spark, sf_dir):
+    """Duplicate-cluster assignment: token-Jaccard pairs (>= 0.5) fed into
+    iterative min-label connected components (operators/dedup.py) — the
+    step that turns pairwise near-dup output into keep-one-per-cluster.
+    The oracle computes the same components as a DuckDB recursive-CTE
+    reachability closure, so the iterative Spark loop is checked against
+    a fixpoint formulation — different algorithm, same answer."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = D.ngram_jaccard_pairs(docs, n=1, min_jaccard=0.5)
+    return D.connected_components(pairs)
+
+
 def _zorder_interleave_sql(exprs: list[str], bits: int) -> str:
     """DuckDB bit-interleave mirroring layout.z_value: output bit
     (i*ncols + j) = bit i of exprs[j]. Disjoint bits, so + == OR."""

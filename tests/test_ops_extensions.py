@@ -400,3 +400,21 @@ def test_z_order_preserves_rows_and_clusters(spark):
     parts = out.withColumn("pid", F.spark_partition_id()) \
                .groupBy("pid").agg((F.max("x") - F.min("x")).alias("sx"))
     assert all(r["sx"] <= 8 for r in parts.collect())
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4 (diameter 3, needs >1 propagation round) + island 8-9
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (9, 8)], "id_a long, id_b long")
+    got = {r["doc_id"]: r["component"]
+           for r in D.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 8: 8, 9: 8}
+
+
+def test_connected_components_converges_on_long_path(spark):
+    # path 0-1-2-...-9: worst-case diameter for plain min propagation
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(9)],
+                                  "id_a long, id_b long")
+    got = {r["doc_id"]: r["component"]
+           for r in D.connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(10)}

@@ -50,3 +50,34 @@ def stratified_hash_sample(df: DataFrame, key_col: str, stratum_col: str,
     threshold = (threshold.otherwise(F.lit(int(default_rate * _M)))
                  if threshold is not None else F.lit(int(default_rate * _M)))
     return df.filter(hash_bucket(F.col(key_col).cast("string")) < threshold)
+
+
+def cap_per_group(df: DataFrame, group_col: str, cap: int,
+                  order_col: str = "doc_id",
+                  shuffle_order: bool = False) -> DataFrame:
+    """Keep at most `cap` rows per group — the per-domain quota that web
+    corpora (C4/CCNet-style) apply so one crawl-heavy domain can't
+    dominate the training mix. No reference analog (the reference keeps
+    every row, SANEF_Uploader.py writes full frames); this is pure
+    LLM-pipeline surface.
+
+    Deterministic: rows ranked by `order_col` within each group (or by a
+    stable hash of it with `shuffle_order=True`, which decorrelates the
+    kept subset from crawl/id order — hash rank, never RNG, so reruns and
+    engines agree). Plan shape: one shuffle on `group_col` and a
+    WindowGroupLimit — Spark pushes the rank filter into the sort, so
+    each partition keeps only `cap` rows per group during the sort
+    rather than ranking everything first (asserted in
+    tools/explain_audit.py). Skew note: a mega-domain still sorts its
+    rows in one partition; for truly pathological domains pre-filter
+    with an approximate per-group count and hash_sample the giants down
+    to ~cap first, then apply the exact cap."""
+    from pyspark.sql import Window
+
+    order = (portable_hash(F.col(order_col).cast("string")) if shuffle_order
+             else F.col(order_col))
+    w = Window.partitionBy(group_col).orderBy(order.asc(),
+                                              F.col(order_col).asc())
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") <= cap)
+              .drop("__rn"))

@@ -2494,6 +2494,45 @@ def dedup_components(spark, sf_dir):
     return D.connected_components(pairs)
 
 
+@query("sample_cap_per_source", oracle="""
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= 20
+""")
+def sample_cap_per_source(spark, sf_dir):
+    """Per-domain quota (operators/sampling.py cap_per_group): keep the
+    first 20 docs of each source — the web-corpus balance knob. One
+    group shuffle + WindowGroupLimit (rank filter pushed into the
+    sort, asserted in tools/explain_audit.py)."""
+    from .operators.sampling import cap_per_group
+    docs = _t(spark, sf_dir, "documents")
+    return (cap_per_group(docs, "source", cap=20)
+            .select("doc_id", "source"))
+
+
+@query("sample_cap_per_source_shuffled", oracle="""
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 15))::BIGINT, doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= 20
+""")
+def sample_cap_per_source_shuffled(spark, sf_dir):
+    """Quota with hash-shuffled keep order: rank by the portable 60-bit
+    hash of doc_id instead of crawl order, so the kept subset is
+    decorrelated from id order yet still deterministic cross-engine
+    (hash rank, never RNG)."""
+    from .operators.sampling import cap_per_group
+    docs = _t(spark, sf_dir, "documents")
+    return (cap_per_group(docs, "source", cap=20, shuffle_order=True)
+            .select("doc_id", "source"))
+
+
 def _zorder_interleave_sql(exprs: list[str], bits: int) -> str:
     """DuckDB bit-interleave mirroring layout.z_value: output bit
     (i*ncols + j) = bit i of exprs[j]. Disjoint bits, so + == OR."""

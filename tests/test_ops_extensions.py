@@ -418,3 +418,29 @@ def test_connected_components_converges_on_long_path(spark):
     got = {r["doc_id"]: r["component"]
            for r in D.connected_components(pairs).collect()}
     assert got == {i: 0 for i in range(10)}
+
+
+def test_cap_per_group_quota_and_determinism(spark):
+    from sanef_election_dashboard_etl_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 50 else "small") for i in range(60)],
+        "doc_id long, source string")
+    out = cap_per_group(df, "source", cap=10)
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"big": 10, "small": 10}
+    # plain order keeps the FIRST ids
+    kept = sorted(r["doc_id"] for r in
+                  out.filter(F.col("source") == "big").collect())
+    assert kept == list(range(10))
+    # hash order keeps a different-but-stable subset of the same size
+    shuffled = cap_per_group(df, "source", cap=10, shuffle_order=True)
+    kept_h = sorted(r["doc_id"] for r in
+                    shuffled.filter(F.col("source") == "big").collect())
+    assert len(kept_h) == 10 and kept_h != kept
+    again = sorted(r["doc_id"] for r in
+                   cap_per_group(df.repartition(7), "source", cap=10,
+                                 shuffle_order=True)
+                   .filter(F.col("source") == "big").collect())
+    assert kept_h == again

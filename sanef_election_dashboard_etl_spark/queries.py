@@ -2449,6 +2449,128 @@ def sketch_cms_fast(spark, sf_dir):
     return SK.cms_estimate(sk, probes, "token", depth=4, width=256)
 
 
+@query("q4_order_priority", oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate >= TIMESTAMP '1996-07-01'
+          AND l_shipdate < TIMESTAMP '1996-10-01')
+    GROUP BY o_orderpriority
+""")
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: order-priority counts over orders having >= 1
+    lineitem shipped in the quarter (EXISTS -> left-semi join; the
+    commitdate/receiptdate predicate is adapted to this schema's
+    l_shipdate). Semi build side carries only l_orderkey, so the shuffle
+    moves keys, not lineitems; the date filter is pushed to parquet."""
+    l = (_t(spark, sf_dir, "lineitem")
+         .filter((F.col("l_shipdate") >= F.lit("1996-07-01").cast("timestamp"))
+                 & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp")))
+         .select("l_orderkey"))
+    o = _t(spark, sf_dir, "orders")
+    return (o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+             .groupBy("o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+@query("q10_returned_items", oracle="""
+    SELECT c_custkey, c_name, n_name,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+""")
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in a
+    quarter. Plan: lineitem never broadcasts; orders filter pushed to
+    parquet; nation broadcast; decimal-exact revenue (scale 4 covers the
+    2x2-decimal product) with c_custkey tie-break so the LIMIT frontier
+    is engine-deterministic; TakeOrderedAndProject, no global sort."""
+    c = _t(spark, sf_dir, "customer")
+    o = (_t(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+                 & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))))
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,4)")
+    return (l.join(o, l.l_orderkey == o.o_orderkey)
+             .join(c, o.o_custkey == c.c_custkey)
+             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+             .groupBy("c_custkey", "c_name", "n_name")
+             .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+             .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+             .limit(20))
+
+
+@query("q16_supplier_cnt", oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#3' AND p_size IN (1, 4, 9, 14, 23)
+    GROUP BY p_brand, p_type, p_size
+""")
+def q16_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16 shape adapted to this schema (no partsupp table —
+    supplier-part relationships come from lineitem): distinct suppliers
+    per surviving part attribute triple. Part filters broadcast-join
+    against lineitem (fact side never shuffles pre-agg); COUNT(DISTINCT)
+    expands to the standard two-phase partial-agg plan."""
+    p = (_t(spark, sf_dir, "part")
+         .filter((F.col("p_brand") != "Brand#3")
+                 & F.col("p_size").isin(1, 4, 9, 14, 23)))
+    l = _t(spark, sf_dir, "lineitem")
+    return (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+             .groupBy("p_brand", "p_type", "p_size")
+             .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt")))
+
+
+@query("q17_small_qty_revenue", oracle="""
+    WITH avg_qty AS (
+        SELECT l_partkey AS ap,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*) AS aq
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN avg_qty ON l_partkey = ap
+    WHERE p_brand = 'Brand#11' AND l_quantity * 5 < aq
+""")
+def q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue of small-quantity orders for one brand,
+    the correlated scalar subquery (avg qty per part) de-correlated into
+    a per-part aggregate join — Spark's native formulation. Determinism:
+    the threshold compares l_quantity*5 < exact-decimal-avg (not
+    0.2*avg), so both sides are exact doubles and the row set cannot
+    drift between engines; the per-part avg uses the decimal-sum/count
+    pair (functions/numeric.py)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
+    avg_qty = (l.groupBy(F.col("l_partkey").alias("ap"))
+                .agg((F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                      .cast("double") / F.count(F.lit(1))).alias("aq")))
+    return (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+             .join(avg_qty, l.l_partkey == avg_qty.ap)
+             .filter(F.col("l_quantity") * 5 < F.col("aq"))
+             .agg(F.round(F.sum(F.col("l_extendedprice")
+                                .cast("decimal(18,2)")).cast("double") / 7.0,
+                          2).alias("avg_yearly")))
+
+
 @query("dedup_components", oracle="""
     WITH RECURSIVE grams AS (
         SELECT doc_id, shingle FROM (

@@ -255,3 +255,16 @@ def tfidf_top_terms(df: DataFrame, k: int = 5, id_col: str = "doc_id",
             .filter(F.col("rank") <= k)
             .select(id_col, "rank", F.col("token").alias("term"),
                     "tf", "df_docs", "tfidf"))
+
+
+def length_histogram(df: DataFrame, length_col: str = "n_chars",
+                     width: int = 100) -> DataFrame:
+    """Document-length histogram: fixed-width buckets with doc count and
+    char mass per bucket — the distribution a packing budget
+    (operators/packing.py) or a length-filter threshold is read off of.
+    One map-side-combinable groupBy on a derived key; integer bucket
+    arithmetic so any engine reproduces the bucket edges exactly."""
+    lo = (F.floor(F.col(length_col) / width) * width).cast("long")
+    return (df.groupBy(lo.alias("bucket_lo"))
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum(length_col).cast("long").alias("total_chars")))

@@ -2655,6 +2655,85 @@ def sample_cap_per_source_shuffled(spark, sf_dir):
             .select("doc_id", "source"))
 
 
+@query("dedup_canonical_pick", oracle="""
+    WITH RECURSIVE grams AS (
+        SELECT doc_id, shingle FROM (
+            SELECT DISTINCT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS shingle
+            FROM documents WHERE doc_id < 200
+        ) WHERE shingle <> ''
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE ROUND(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 4)
+              >= 0.5
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ), walk(v, r) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT w.v, e.v FROM walk w JOIN edges e ON e.u = w.r
+    ), comp AS (
+        SELECT v AS doc_id, MIN(r) AS component FROM walk GROUP BY v
+    ), tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents WHERE doc_id < 200
+    ), stats AS (
+        SELECT doc_id, COUNT(DISTINCT token) AS n_unique FROM tok GROUP BY doc_id
+    )
+    SELECT CAST(component AS BIGINT) AS component,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_unique AS BIGINT) AS n_unique
+    FROM (
+        SELECT c.component, c.doc_id, s.n_unique,
+               ROW_NUMBER() OVER (PARTITION BY c.component
+                                  ORDER BY s.n_unique DESC, c.doc_id) AS rn
+        FROM comp c JOIN stats s USING (doc_id)
+    ) WHERE rn = 1
+""")
+def dedup_canonical_pick(spark, sf_dir):
+    """End-to-end dedup pipeline: Jaccard pairs -> connected components
+    -> keep ONE canonical doc per duplicate cluster, chosen by richest
+    vocabulary (max distinct tokens, min doc_id tie-break) rather than
+    arbitrary first-seen — the quality-aware keep rule C4/CCNet-style
+    pipelines use. Composes three oracle-checked stages; the oracle
+    replays all three in one SQL statement."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    comp = D.connected_components(D.ngram_jaccard_pairs(docs, n=1,
+                                                        min_jaccard=0.5))
+    stats = T.quality_score(docs).select("doc_id", "n_unique")
+    w = Window.partitionBy("component").orderBy(F.col("n_unique").desc(),
+                                                F.col("doc_id").asc())
+    return (comp.join(stats, "doc_id")
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("component", "doc_id", "n_unique"))
+
+
+@query("text_length_histogram", oracle="""
+    SELECT (n_chars // 100) * 100 AS bucket_lo,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1
+""")
+def text_length_histogram(spark, sf_dir):
+    """Corpus length distribution (operators/text.py length_histogram):
+    what a packing budget or length filter is calibrated against."""
+    return T.length_histogram(_t(spark, sf_dir, "documents"))
+
+
 def _zorder_interleave_sql(exprs: list[str], bits: int) -> str:
     """DuckDB bit-interleave mirroring layout.z_value: output bit
     (i*ncols + j) = bit i of exprs[j]. Disjoint bits, so + == OR."""

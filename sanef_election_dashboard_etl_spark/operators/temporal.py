@@ -54,3 +54,64 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, time_col: str,
     for c in value_cols:
         unioned = unioned.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return unioned.filter(F.col("__side") == 1).drop("__side")
+
+
+def resample_gap_fill(df: DataFrame, time_col: str = "ts",
+                      step: int = 3600,
+                      group_col: str = "event_type") -> DataFrame:
+    """Regular time-series resample with explicit empty buckets: per-group
+    counts on a `step`-second grid spanning the table's full time range,
+    ZERO rows where nothing happened (a dashboard line chart or rate
+    monitor needs the gap, not a missing row — the reference's snapshot
+    tables never face this because the API re-sends full state,
+    SANEF_Uploader.py:427-).
+
+    Scale shape: the aggregate is the only data-sized operation (one
+    map-side-combinable groupBy). The grid is generated, not scanned —
+    global (min, max) epoch from a 1-row agg, sequence()-exploded to
+    span/step rows x distinct groups, both O(timeline), independent of
+    event count — then one join keyed (bucket, group) against the
+    aggregate, which is already partitioned by those keys (exchange
+    reuse). Epoch-bucket arithmetic (ts cast long), engine-exact."""
+    bucket = (F.floor(F.col(time_col).cast("long") / step) * step) \
+        .cast("long")
+    counts = (df.groupBy(bucket.alias("bucket_start"),
+                         F.col(group_col))
+                .agg(F.count(F.lit(1)).alias("n_events")))
+    bounds = df.agg(F.min(bucket).alias("lo"), F.max(bucket).alias("hi"))
+    grid = (bounds.select(F.explode(
+                F.sequence("lo", "hi", F.lit(step))).alias("bucket_start"))
+            .crossJoin(df.select(group_col).distinct()))
+    return (grid.join(counts, ["bucket_start", group_col], "left")
+                .na.fill({"n_events": 0}))
+
+
+def interval_join(points: DataFrame, intervals: DataFrame,
+                  time_col: str, start_col: str, end_col: str,
+                  bin_width: int = 7 * 86400) -> DataFrame:
+    """Range join: every (point, interval) pair with start <= t < end,
+    WITHOUT a cartesian product. Each interval is replicated to the
+    `bin_width`-second bins it overlaps (sequence + explode — for
+    intervals shorter than bin_width that is <= 2 bins); each point lands
+    in exactly one bin; the join is then a plain equi-join on the bin id
+    plus a residual containment filter.
+
+    This is the standard bin-bucketed range join (what Databricks' range
+    join hints do under the hood): shuffle keys are bins, so cost scales
+    with points + replicated intervals, never |points| x |intervals|.
+    Pick bin_width ~ the typical interval length: wider bins replicate
+    less but pack more false candidates per bin; narrower the reverse.
+    Intervals must satisfy end > start (end is exclusive)."""
+    def epoch(c: str):
+        # NTZ columns can't cast straight to long; the ltz hop is exact
+        # under the engine's fixed UTC session timezone (session.py)
+        return F.col(c).cast("timestamp_ltz").cast("long")
+
+    t = epoch(time_col)
+    pb = points.withColumn("__bin", F.floor(t / bin_width))
+    ib = intervals.withColumn("__bin", F.explode(F.sequence(
+        F.floor(epoch(start_col) / bin_width),
+        F.floor((epoch(end_col) - 1) / bin_width))))
+    return (pb.join(ib, "__bin")
+              .filter((t >= epoch(start_col)) & (t < epoch(end_col)))
+              .drop("__bin"))

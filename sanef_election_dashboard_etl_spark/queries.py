@@ -2734,6 +2734,62 @@ def text_length_histogram(spark, sf_dir):
     return T.length_histogram(_t(spark, sf_dir, "documents"))
 
 
+@query("events_resample_gap_fill", oracle="""
+    WITH b AS (
+        SELECT MIN(CAST(FLOOR(FLOOR(extract(epoch FROM ts)) / 3600) * 3600
+                        AS BIGINT)) AS lo,
+               MAX(CAST(FLOOR(FLOOR(extract(epoch FROM ts)) / 3600) * 3600
+                        AS BIGINT)) AS hi
+        FROM events
+    ), grid AS (
+        SELECT unnest(generate_series(lo, hi, 3600)) AS bucket_start FROM b
+    ), counts AS (
+        SELECT CAST(FLOOR(FLOOR(extract(epoch FROM ts)) / 3600) * 3600
+                    AS BIGINT) AS bucket_start,
+               event_type, COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT g.bucket_start, t.event_type,
+           COALESCE(c.n_events, 0) AS n_events
+    FROM grid g
+    CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+    LEFT JOIN counts c
+      ON c.bucket_start = g.bucket_start AND c.event_type = t.event_type
+""")
+def events_resample_gap_fill(spark, sf_dir):
+    """Hourly per-type event counts with explicit zero rows for empty
+    buckets (operators/temporal.py resample_gap_fill): the grid is
+    generated from the 1-row (min, max) epoch agg — O(timeline), not
+    O(events) — and joined against the already-partitioned counts."""
+    return TP.resample_gap_fill(_t(spark, sf_dir, "events"),
+                                time_col="ts", step=3600,
+                                group_col="event_type")
+
+
+@query("j12_interval_join", oracle="""
+    SELECT o_orderkey, l_orderkey, l_linenumber
+    FROM (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderkey < 500) o
+    JOIN (SELECT l_orderkey, l_linenumber, l_shipdate
+          FROM lineitem WHERE l_orderkey < 3000) l
+      ON l_shipdate >= o_orderdate
+     AND l_shipdate < o_orderdate + INTERVAL 7 DAY
+""")
+def j12_interval_join(spark, sf_dir):
+    """Unkeyed range join (operators/temporal.py interval_join): which
+    shipments fall inside each order's first week, via bin-bucketed
+    replication — an equi-join on 7-day bins plus a residual containment
+    filter, never |points| x |intervals|. The oracle states the same
+    semantics as a plain inequality join."""
+    o = (_t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+         .select("o_orderkey", "o_orderdate",
+                 F.expr("o_orderdate + INTERVAL 7 DAYS").alias("o_end")))
+    l = (_t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 3000)
+         .select("l_orderkey", "l_linenumber", "l_shipdate"))
+    return (TP.interval_join(l, o, "l_shipdate", "o_orderdate", "o_end",
+                             bin_width=7 * 86400)
+            .select("o_orderkey", "l_orderkey", "l_linenumber"))
+
+
 def _zorder_interleave_sql(exprs: list[str], bits: int) -> str:
     """DuckDB bit-interleave mirroring layout.z_value: output bit
     (i*ncols + j) = bit i of exprs[j]. Disjoint bits, so + == OR."""

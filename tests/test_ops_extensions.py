@@ -444,3 +444,36 @@ def test_cap_per_group_quota_and_determinism(spark):
                                  shuffle_order=True)
                    .filter(F.col("source") == "big").collect())
     assert kept_h == again
+
+
+def test_interval_join_containment_and_bin_spanning(spark):
+    from sanef_election_dashboard_etl_spark.operators.temporal import interval_join
+
+    # bin_width=10: interval [8, 22) spans bins 0,1,2; [0, 5) only bin 0
+    pts = spark.createDataFrame(
+        [(1, 8), (2, 21), (3, 22), (4, 0), (5, 4)],
+        "pid long, t long").select(
+            "pid", F.col("t").cast("timestamp").alias("t"))
+    ivs = spark.createDataFrame(
+        [(100, 8, 22), (200, 0, 5)], "iid long, s long, e long").select(
+            "iid", F.col("s").cast("timestamp").alias("s"),
+            F.col("e").cast("timestamp").alias("e"))
+    got = sorted((r["pid"], r["iid"]) for r in
+                 interval_join(pts, ivs, "t", "s", "e",
+                               bin_width=10).collect())
+    # start inclusive (8 in [8,22)), end exclusive (22 not in [8,22));
+    # point 2 at t=21 only matches via the spanned bin 2
+    assert got == [(1, 100), (2, 100), (4, 200), (5, 200)]
+
+
+def test_resample_gap_fill_emits_zero_buckets(spark):
+    from sanef_election_dashboard_etl_spark.operators.temporal import resample_gap_fill
+
+    # events at hours 0 and 3 -> hours 1 and 2 must appear with 0
+    df = spark.createDataFrame(
+        [(0, "a"), (3 * 3600, "a")], "t long, g string").select(
+            F.col("t").cast("timestamp").alias("ts"), "g")
+    got = {(r["bucket_start"], r["g"]): r["n_events"]
+           for r in resample_gap_fill(df, "ts", 3600, "g").collect()}
+    assert got == {(0, "a"): 1, (3600, "a"): 0,
+                   (7200, "a"): 0, (10800, "a"): 1}

@@ -2571,6 +2571,142 @@ def q17_small_qty_revenue(spark, sf_dir):
                           2).alias("avg_yearly")))
 
 
+@query("q7_nation_volume", oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           EXTRACT(year FROM l_shipdate) AS l_year,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+       OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+    GROUP BY 1, 2, 3
+""")
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    year. Plan: both nation filters broadcast into supplier/customer
+    BEFORE the fact joins (Catalyst pushes the disjunction's halves down
+    as an IN (n3, n7) filter on each side), lineitem shuffles once per
+    fact join, never for the dims; EXTRACT(year) is engine-portable."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"),
+                  F.col("n_name").alias("cust_nation"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,4)")
+    j = (l.join(o, l.l_orderkey == o.o_orderkey)
+          .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+          .join(c, o.o_custkey == c.c_custkey)
+          .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+          .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+          .filter(((F.col("supp_nation") == "NATION_3")
+                   & (F.col("cust_nation") == "NATION_7"))
+                  | ((F.col("supp_nation") == "NATION_7")
+                     & (F.col("cust_nation") == "NATION_3"))))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").cast("long").alias("l_year"))
+             .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue")))
+
+
+@query("q8_market_share", oracle="""
+    WITH trade AS (
+        SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+               SUM(CAST(CASE WHEN n1.n_name = 'NATION_5'
+                             THEN l_extendedprice * (1 - l_discount)
+                             ELSE 0 END AS DECIMAL(18,4))) AS nation_vol,
+               SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(18,4))) AS total_vol
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN region   ON n2.n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        GROUP BY 1
+    )
+    SELECT o_year,
+           ROUND(CAST(nation_vol AS DOUBLE) / CAST(total_vol AS DOUBLE), 4)
+               AS mkt_share
+    FROM trade
+""")
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one supplier nation's share of PROMO-part revenue
+    sold into ASIA customers, by order year. Determinism: both engines
+    divide the identical exact-decimal (nation_vol, total_vol) pair in
+    double, so the quotient is bit-identical (functions/numeric.py
+    rule). Conditional aggregation replaces the self-join the reference
+    pattern would need — one pass, one shuffle on the year key."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"),
+                  F.col("n_regionkey").alias("c_rk"))
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    nation_vol = F.sum(F.when(F.col("supp_nation") == "NATION_5", vol)
+                        .otherwise(F.lit(0)).cast("decimal(18,4)"))
+    total_vol = F.sum(vol.cast("decimal(18,4)"))
+    j = (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+          .join(o, l.l_orderkey == o.o_orderkey)
+          .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+          .join(c, o.o_custkey == c.c_custkey)
+          .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+          .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+          .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey")))
+    return (j.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+             .agg((nation_vol.cast("double") / total_vol.cast("double"))
+                  .alias("__q"))
+             .select("o_year", F.round("__q", 4).alias("mkt_share")))
+
+
+@query("q14_promo_share", oracle="""
+    SELECT ROUND(100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                         THEN l_extendedprice * (1 - l_discount)
+                         ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,4))) AS DOUBLE), 4)
+               AS promo_revenue_pct
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1997-02-01'
+""")
+def q14_promo_share(spark, sf_dir):
+    """TPC-H Q14 shape: promo parts' share of one month's revenue —
+    conditional-aggregate ratio, single scan, part broadcast. The 100.0
+    multiplier applies AFTER the exact-pair double division (multiplying
+    an exact-decimal quotient), keeping the result engine-identical."""
+    l = (_t(spark, sf_dir, "lineitem")
+         .filter((F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+                 & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))))
+    p = _t(spark, sf_dir, "part")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", vol)
+                   .otherwise(F.lit(0)).cast("decimal(18,4)"))
+    total = F.sum(vol.cast("decimal(18,4)"))
+    return (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+             .agg(F.round(100.0 * (promo.cast("double")
+                                   / total.cast("double")), 4)
+                  .alias("promo_revenue_pct")))
+
+
 @query("dedup_components", oracle="""
     WITH RECURSIVE grams AS (
         SELECT doc_id, shingle FROM (

@@ -85,3 +85,16 @@ def dedup_stream(df: DataFrame, keys: list[str], ts_col: str = "ts",
     document firehose."""
     return (df.withWatermark(ts_col, delay)
             .dropDuplicatesWithinWatermark(keys))
+
+
+def enrich_stream(stream: DataFrame, dim: DataFrame, key: str,
+                  how: str = "left") -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to each
+    streaming row (the reference's per-row lookup loops, as a join the
+    micro-batch planner re-executes against the CURRENT dim snapshot
+    every batch — a dim refresh is picked up without restarting the
+    query). Stateless: no watermark needed, unmatched rows pass through
+    with nulls under `how='left'`. At scale the dim side behaves like
+    any batch join build side (broadcast when small); the stream side
+    is never shuffled for a broadcast build."""
+    return stream.join(F.broadcast(dim), key, how)

@@ -188,3 +188,28 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     finally:
         q.stop()
     assert got == ["docA", "docB", "docC"]
+
+
+def test_stream_static_enrich_join(spark, tmp_path):
+    """readStream -> stream-static broadcast join -> memory sink: each
+    micro-batch row is enriched from the static dim."""
+    src = tmp_path / "enrich_src"
+    src.mkdir()
+    _events_df(spark).coalesce(1).write.mode("overwrite").parquet(str(src))
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "passive")],
+        "event_type string, category string")
+
+    stream = (spark.readStream
+              .schema("event_id long, ts timestamp, event_type string, value double")
+              .parquet(str(src)))
+    q = (W.enrich_stream(stream, dim, "event_type")
+         .writeStream.format("memory").queryName("enriched")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = {r["event_id"]: r["category"]
+           for r in spark.sql("SELECT * FROM enriched").collect()}
+    assert got == {1: "engagement", 2: "engagement",
+                   3: "passive", 4: "engagement"}

@@ -2707,6 +2707,93 @@ def q14_promo_share(spark, sf_dir):
                   .alias("promo_revenue_pct")))
 
 
+@query("a16_exact_median", oracle="""
+    SELECT l_returnflag,
+           ROUND(MEDIAN(l_quantity), 1) AS median_qty,
+           ROUND(quantile_cont(l_quantity, 0.9), 1) AS p90_qty
+    FROM lineitem GROUP BY l_returnflag
+""")
+def a16_exact_median(spark, sf_dir):
+    """Exact grouped percentiles (median + p90) via F.percentile — the
+    exact sort-based path, vs the GK-sketch approximate twin
+    a15b_approx_percentile (rows-only). Cross-engine exact: quantities
+    are small integers-as-doubles, and both engines use linear
+    interpolation on the sorted values, so (a+b)*fraction stays exact in
+    double; ROUND(…,1) pins scale. At 100 TB prefer the sketch — exact
+    percentiles sort every group; this is the verification-grade twin."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (l.groupBy("l_returnflag")
+             .agg(F.round(F.percentile("l_quantity", F.lit(0.5)), 1)
+                  .alias("median_qty"),
+                  F.round(F.percentile("l_quantity", F.lit(0.9)), 1)
+                  .alias("p90_qty")))
+
+
+@query("w4_ntile_quartiles", oracle="""
+    SELECT c_custkey, quartile, acctbal
+    FROM (
+        SELECT c_custkey,
+               NTILE(4) OVER (PARTITION BY c_nationkey
+                              ORDER BY c_acctbal, c_custkey) AS quartile,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+        FROM customer
+    ) WHERE c_custkey < 200
+""")
+def w4_ntile_quartiles(spark, sf_dir):
+    """Window surface beyond rank/lag: per-nation account-balance
+    quartiles via NTILE(4). The (c_acctbal, c_custkey) order is total —
+    ntile is frame-deterministic only under a total order, same rule as
+    every order-sensitive op here. One window shuffle on the partition
+    key."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return (c.select("c_custkey",
+                     F.ntile(4).over(w).cast("long").alias("quartile"),
+                     F.col("c_acctbal").cast("decimal(18,2)")
+                      .cast("double").alias("acctbal"))
+             .filter(F.col("c_custkey") < 200))
+
+
+@query("text_top_tokens_per_source", oracle="""
+    SELECT source, token, n
+    FROM (
+        SELECT source, token, n,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n DESC, token) AS rn
+        FROM (
+            SELECT source, token, COUNT(*) AS n
+            FROM (
+                SELECT source,
+                       unnest(string_split_regex(trim(text), '\\s+')) AS token
+                FROM documents
+            ) WHERE token <> ''
+            GROUP BY source, token
+        )
+    ) WHERE rn <= 5
+""")
+def text_top_tokens_per_source(spark, sf_dir):
+    """Grouped heavy hitters: top-5 tokens per source (count desc, token
+    asc tie-break). The exact per-group twin of the global CMS path
+    (operators/sketch.py): one token-count shuffle + WindowGroupLimit
+    top-k — no global sort, no collect."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = (T.exploded_tokens(docs.select("source", "doc_id", "text"))
+           .filter(F.col("token") != ""))
+    counts = (tok.join(docs.select("doc_id", "source"), "doc_id")
+                 .groupBy("source", "token")
+                 .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(),
+                                             F.col("token").asc())
+    return (counts.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") <= 5)
+                  .select("source", "token", "n"))
+
+
 @query("dedup_components", oracle="""
     WITH RECURSIVE grams AS (
         SELECT doc_id, shingle FROM (

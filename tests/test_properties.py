@@ -101,3 +101,62 @@ def test_minhash_never_misses_identical_docs(spark, n_dup):
     for a in range(n_dup):
         for b in range(a + 1, n_dup):
             assert (a, b) in pairs
+
+
+edge_sets = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)),
+    min_size=1, max_size=30).filter(
+        lambda es: any(a != b for a, b in es))
+
+
+@given(edges=edge_sets)
+@SLOW
+def test_connected_components_match_union_find(spark, edges):
+    """The iterative Spark min-label propagation must agree with a plain
+    driver-side union-find on every random edge set."""
+    from sanef_election_dashboard_etl_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = [(a, b) for a, b in edges if a != b]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min member id per root
+    members: dict[int, list[int]] = {}
+    for v in parent:
+        members.setdefault(find(v), []).append(v)
+    expect = {v: min(vs) for r, vs in members.items() for v in vs}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["doc_id"]: r["component"]
+           for r in connected_components(df).collect()}
+    assert got == expect
+
+
+pairs8 = st.lists(st.tuples(st.integers(0, 255), st.integers(0, 255)),
+                  min_size=1, max_size=30, unique=True)
+
+
+@given(vals=pairs8)
+@SLOW
+def test_z_value_is_injective_and_bounded(spark, vals):
+    """Morton interleave is a bijection on [0,256)^2 -> [0,65536):
+    distinct inputs give distinct z, and z stays within 2*bits bits."""
+    from sanef_election_dashboard_etl_spark.operators.layout import z_value
+
+    df = spark.createDataFrame(vals, "a long, b long")
+    zs = [r["z"] for r in
+          df.select(z_value([F.col("a"), F.col("b")], 8).alias("z")).collect()]
+    assert len(set(zs)) == len(vals)
+    assert all(0 <= z < 1 << 16 for z in zs)

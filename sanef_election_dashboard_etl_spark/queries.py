@@ -2364,6 +2364,37 @@ def text_tfidf_topk(spark, sf_dir):
     return T.tfidf_top_terms(docs, k=5)
 
 
+@query("dedup_incremental", oracle="""
+    WITH corpus AS (
+        SELECT DISTINCT
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+        FROM documents WHERE doc_id < 300
+    ), batch AS (
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+        FROM documents WHERE doc_id >= 300 AND doc_id < 400
+    )
+    SELECT b.doc_id
+    FROM batch b
+    LEFT JOIN corpus c ON b.fp = c.fp
+    WHERE c.fp IS NULL
+""")
+def dedup_incremental(spark, sf_dir):
+    """Incremental ingest dedup: admit only batch docs whose normalized
+    fingerprint is NOT already in the corpus digest set — the daily-crawl
+    shape (dedup against everything seen so far, without re-deduping the
+    corpus). One anti-join keyed on the md5 digest: uniform keys, and
+    the corpus side carries ONLY fingerprints, so at 100 TB the build
+    side is digests (32 bytes/doc), not documents."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = T.fingerprint(F.col("text"))
+    corpus = (docs.filter(F.col("doc_id") < 300)
+                  .select(fp.alias("fp")).distinct())
+    batch = (docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400))
+                 .select("doc_id", fp.alias("fp")))
+    return batch.join(corpus, "fp", "left_anti").select("doc_id")
+
+
 @query("sketch_cms_tokens", oracle="""
     WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
     tok AS (

@@ -48,10 +48,11 @@ def write_csv_partitioned(df: DataFrame, path: str,
     return path
 
 
-def multipart_form(path: str, meta: dict, boundary: str) -> bytes:
+def multipart_form_bytes(data: bytes, filename: str, meta: dict,
+                         boundary: str) -> bytes:
     """multipart/form-data body: one form part per meta field (booleans
     stringified 'True'/'False', matching requests' form encoding of the
-    reference's payload dict) plus the CSV as a named 'file' part
+    reference's payload dict) plus `data` as a named 'file' part
     (SANEF_Uploader.py:60-63)."""
     parts = []
     for k, v in meta.items():
@@ -59,15 +60,20 @@ def multipart_form(path: str, meta: dict, boundary: str) -> bytes:
             (f"--{boundary}\r\n"
              f'Content-Disposition: form-data; name="{k}"\r\n\r\n'
              f"{v}\r\n").encode())
-    with open(path, "rb") as fh:
-        data = fh.read()
     parts.append(
         (f"--{boundary}\r\n"
          f'Content-Disposition: form-data; name="file"; '
-         f'filename="{os.path.basename(path)}"\r\n'
+         f'filename="{filename}"\r\n'
          f"Content-Type: text/csv\r\n\r\n").encode() + data + b"\r\n")
     parts.append(f"--{boundary}--\r\n".encode())
     return b"".join(parts)
+
+
+def multipart_form(path: str, meta: dict, boundary: str) -> bytes:
+    """multipart_form_bytes over a file on disk (the driver-side S9 path)."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    return multipart_form_bytes(data, os.path.basename(path), meta, boundary)
 
 
 def upload_http(path: str, endpoint: str, dataset_id: int, token: str,

@@ -160,3 +160,116 @@ class RestJsonStreamingDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> RestJsonStreamReader:
         return RestJsonStreamReader(self.options)
+
+
+# --------------------------------------------------------------------------
+# Writer: the dashboard upload as a first-class df.write.format(...) sink
+# --------------------------------------------------------------------------
+
+try:  # pyspark >= 4
+    from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+except ImportError:  # pragma: no cover - older pyspark
+    DataSourceWriter = object  # type: ignore[misc,assignment]
+    WriterCommitMessage = object  # type: ignore[misc,assignment]
+
+
+@dataclass
+class _UploadResult(WriterCommitMessage):
+    n_rows: int
+    status: int
+
+
+class DashboardUploadWriter(DataSourceWriter):
+    """Executor-side upload of the result as one multipart CSV POST
+    (SANEF_Uploader.py:57-64 as a sink, not a driver adapter).
+
+    Single-upload contract: the dashboard API takes ONE file per dataset,
+    so the caller must `df.coalesce(1)` before writing — a second
+    non-empty partition fails fast rather than racing two uploads.
+    Upload happens in write() (at-least-once under task retry — the
+    reference's own overwrite=true semantics make the retry idempotent);
+    commit() is bookkeeping only."""
+
+    def __init__(self, options: dict, schema):
+        self.options = options
+        self.names = [f.name for f in schema.fields]
+
+    def write(self, rows) -> _UploadResult:
+        import csv
+        import io
+
+        from pyspark import TaskContext
+
+        buf = io.StringIO()
+        w = csv.writer(buf, lineterminator="\n")
+        w.writerow(self.names)
+        n = 0
+        for r in rows:
+            w.writerow([r[i] for i in range(len(self.names))])
+            n += 1
+        pid = TaskContext.get().partitionId()
+        if pid > 0 and n > 0:
+            raise RuntimeError(
+                "dashboard_upload expects a single partition "
+                f"(coalesce(1) before write); partition {pid} has {n} rows")
+        if pid > 0:
+            return _UploadResult(0, -1)  # empty trailing partition: no-op
+
+        from ..sinks import multipart_form_bytes, timestamped_name
+
+        endpoint = self.options["endpoint"]
+        dataset_id = self.options["dataset_id"]
+        token = self.options.get("token", "")
+        overwrite = self.options.get("overwrite", "true") == "true"
+        url = f"{endpoint}/api/v1/datasets/{dataset_id}/upload/"
+        meta = {"update": overwrite, "overwrite": overwrite}
+        data = buf.getvalue().encode("utf-8")
+        filename = timestamped_name(self.options.get("prefix", "dataset-"))
+        poster_blob = self.options.get("poster_pickle")
+        if poster_blob:
+            from pyspark import cloudpickle
+
+            poster = cloudpickle.loads(base64.b64decode(poster_blob))
+            return _UploadResult(n, int(poster(url, data, filename, meta,
+                                               token)))
+        import urllib.request
+        import uuid
+
+        boundary = f"----spark-etl-{uuid.uuid4().hex}"
+        body = multipart_form_bytes(data, filename, meta, boundary)
+        req = urllib.request.Request(
+            url, data=body,
+            headers={"Authorization": f"Token {token}",
+                     "Content-Type":
+                         f"multipart/form-data; boundary={boundary}"})
+        with urllib.request.urlopen(req, timeout=60) as resp:  # noqa: S310
+            return _UploadResult(n, resp.status)
+
+    def commit(self, messages) -> None:
+        return None
+
+    def abort(self, messages) -> None:  # pragma: no cover - best effort
+        return None
+
+
+def poster_option(poster) -> str:
+    """Serialize an upload poster for `option("poster_pickle", ...)`:
+    poster(url, csv_bytes, filename, meta, token) -> HTTP status."""
+    from pyspark import cloudpickle
+
+    return base64.b64encode(cloudpickle.dumps(poster)).decode("ascii")
+
+
+class DashboardUploadDataSource(DataSource):
+    """format("dashboard_upload"): write a (small, coalesced) result
+    straight to the dashboard API from the Spark plan —
+    `df.coalesce(1).write.format("dashboard_upload")
+        .option("endpoint", ...).option("dataset_id", ...)
+        .option("token", ...).mode("append").save()`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "dashboard_upload"
+
+    def writer(self, schema, overwrite: bool) -> DashboardUploadWriter:
+        return DashboardUploadWriter(self.options, schema)

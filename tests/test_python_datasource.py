@@ -67,3 +67,47 @@ def test_rest_streaming_datasource_polls(spark, tmp_path):
                .collect()
     seen = sorted({(r["poll"], r["key"], r["ok"]) for r in got})
     assert (0, "W1", True) in seen and (0, "W2", True) in seen
+
+
+def test_dashboard_upload_writer_sink(spark, tmp_path):
+    """df.write.format('dashboard_upload') posts ONE multipart CSV built
+    from the partition's rows; the injected poster records what was sent."""
+    out = tmp_path / "posted.json"
+
+    def poster(url, csv_bytes, filename, meta, token):
+        out.write_text(json.dumps({
+            "url": url, "csv": csv_bytes.decode(), "filename": filename,
+            "meta": {k: str(v) for k, v in meta.items()}, "token": token}))
+        return 200
+
+    spark.dataSource.register(PDS.DashboardUploadDataSource)
+    df = spark.createDataFrame([("Hung", 3), ("Outright", 7)],
+                               "Councils string, Count long")
+    (df.coalesce(1).write.format("dashboard_upload")
+       .option("endpoint", "https://dash.test")
+       .option("dataset_id", "42")
+       .option("token", "sekrit")
+       .option("poster_pickle", PDS.poster_option(poster))
+       .mode("append").save())
+    rec = json.loads(out.read_text())
+    assert rec["url"] == "https://dash.test/api/v1/datasets/42/upload/"
+    assert rec["csv"].splitlines()[0] == "Councils,Count"
+    assert set(rec["csv"].splitlines()[1:]) == {"Hung,3", "Outright,7"}
+    assert rec["token"] == "sekrit"
+    assert rec["meta"] == {"update": "True", "overwrite": "True"}
+    assert rec["filename"].startswith("dataset-")
+
+
+def test_dashboard_upload_rejects_multi_partition(spark, tmp_path):
+    def poster(url, csv_bytes, filename, meta, token):
+        return 200
+
+    spark.dataSource.register(PDS.DashboardUploadDataSource)
+    df = spark.createDataFrame([(i,) for i in range(100)], "v long") \
+              .repartition(4)
+    with pytest.raises(Exception, match="single partition|coalesce"):
+        (df.write.format("dashboard_upload")
+           .option("endpoint", "https://dash.test")
+           .option("dataset_id", "1")
+           .option("poster_pickle", PDS.poster_option(poster))
+           .mode("append").save())

@@ -2738,6 +2738,28 @@ def q14_promo_share(spark, sf_dir):
                   .alias("promo_revenue_pct")))
 
 
+@query("a13_grouping_sets", oracle="""
+    SELECT r_name, n_name, COUNT(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name), (n_name))
+""")
+def a13_grouping_sets(spark, sf_dir):
+    """Arbitrary multi-dimensional subtotals via GROUPING SETS (the
+    general form of a12's ROLLUP — here two independent 1-D margins in
+    one pass, NULL marking the collapsed dimension). Spark 4's native
+    DataFrame.groupingSets; one expand + one hash agg, dims broadcast."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey))
+    return (j.groupingSets([[F.col("r_name")], [F.col("n_name")]],
+                           F.col("r_name"), F.col("n_name"))
+             .agg(F.count(F.lit(1)).alias("n_customers")))
+
+
 @query("a16_exact_median", oracle="""
     SELECT l_returnflag,
            ROUND(MEDIAN(l_quantity), 1) AS median_qty,

@@ -81,3 +81,33 @@ def cap_per_group(df: DataFrame, group_col: str, cap: int,
     return (df.withColumn("__rn", F.row_number().over(w))
               .filter(F.col("__rn") <= cap)
               .drop("__rn"))
+
+
+def assign_splits(df: DataFrame, key_col: str,
+                  splits: Mapping[str, float] | None = None,
+                  out_col: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment: each row gets a split
+    label from contiguous hash-bucket ranges of its key — the dataset
+    split that survives reruns, repartitioning, and engine changes
+    (hash ranges, never RNG), and stays CONSISTENT across tables: any
+    table split on the same key puts a given document on the same side,
+    so features never leak across the boundary via a sibling table.
+
+    Narrow projection (no shuffle); split fractions resolve at _M=10000
+    resolution. Fractions must sum to <= 1; any remainder falls into the
+    last split (ranges are [lo, hi) except the last, which absorbs the
+    tail so every row is labeled)."""
+    splits = dict(splits or {"train": 0.9, "val": 0.05, "test": 0.05})
+    total = sum(splits.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
+    b = hash_bucket(F.col(key_col).cast("string"))
+    expr = None
+    lo = 0
+    names = list(splits)
+    for i, name in enumerate(names):
+        hi = _M if i == len(names) - 1 else lo + int(splits[name] * _M)
+        cond = b < F.lit(hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo = hi
+    return df.withColumn(out_col, expr)

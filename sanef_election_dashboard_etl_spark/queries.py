@@ -2395,6 +2395,31 @@ def dedup_incremental(spark, sf_dir):
     return batch.join(corpus, "fp", "left_anti").select("doc_id")
 
 
+@query("sample_assign_splits", oracle="""
+    WITH h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 10000 AS b
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN b < 9000 THEN 'train'
+                WHEN b < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+""")
+def sample_assign_splits(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test assignment
+    (operators/sampling.py assign_splits): contiguous hash-bucket ranges
+    of the doc id — reproducible across runs, partitionings, engines,
+    and sibling tables keyed the same way (no leakage via joins). Narrow
+    projection, no shuffle."""
+    from .operators.sampling import assign_splits
+
+    docs = _t(spark, sf_dir, "documents")
+    return assign_splits(docs, "doc_id").select("doc_id", "split")
+
+
 @query("sketch_cms_tokens", oracle="""
     WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
     tok AS (

@@ -477,3 +477,24 @@ def test_resample_gap_fill_emits_zero_buckets(spark):
            for r in resample_gap_fill(df, "ts", 3600, "g").collect()}
     assert got == {(0, "a"): 1, (3600, "a"): 0,
                    (7200, "a"): 0, (10800, "a"): 1}
+
+
+def test_assign_splits_partition_and_stability(spark):
+    from sanef_election_dashboard_etl_spark.operators.sampling import assign_splits
+
+    df = spark.createDataFrame([(i,) for i in range(3000)], "doc_id long")
+    out = assign_splits(df, "doc_id")
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    # every row labeled, proportions roughly 90/5/5
+    assert sum(counts.values()) == 3000
+    assert counts["train"] > 2500 and counts["val"] > 50 and counts["test"] > 50
+    # stable under repartitioning (no RNG)
+    again = {r["doc_id"]: r["split"] for r in
+             assign_splits(df.repartition(7), "doc_id").collect()}
+    first = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert first == again
+    # consistent across tables sharing the key: the 10% hash_sample of
+    # the same key never crosses into train's complement differently
+    with pytest.raises(ValueError):
+        assign_splits(df, "doc_id", {"a": 0.9, "b": 0.2})

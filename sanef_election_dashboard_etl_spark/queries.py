@@ -2872,6 +2872,111 @@ def text_top_tokens_per_source(spark, sf_dir):
                   .select("source", "token", "n"))
 
 
+@query("q13_custdist", oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer
+        LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+""")
+def q13_custdist(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of orders-per-customer (urgent
+    orders excluded via the JOIN condition, so customers with only
+    urgent orders still count at 0 — the semantics that force an OUTER
+    join, not a WHERE). Two-level aggregation: per-customer count keyed
+    on the join key it already shuffled on, then a tiny histogram agg."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+                 .groupBy("c_custkey")
+                 .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+@query("q15_top_supplier", oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,4))) AS DOUBLE), 2)
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""")
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: the quarter's top-revenue supplier(s) — scalar
+    MAX subquery decorrelated into a 1-row broadcast crossJoin + equality
+    filter (ties all surface, identically in both engines because the
+    compared doubles come from exact decimal sums)."""
+    l = (_t(spark, sf_dir, "lineitem")
+         .filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                 & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))))
+    s = _t(spark, sf_dir, "supplier")
+    rev = (l.groupBy(F.col("l_suppkey").alias("supplier_no"))
+            .agg(F.round(F.sum((F.col("l_extendedprice")
+                                * (1 - F.col("l_discount")))
+                               .cast("decimal(18,4)")).cast("double"), 2)
+                 .alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (s.join(rev, s.s_suppkey == rev.supplier_no)
+             .crossJoin(F.broadcast(mx))
+             .filter(F.col("total_revenue") == F.col("__mx"))
+             .select("s_suppkey", "s_name", "total_revenue"))
+
+
+@query("q22_idle_rich_customers", oracle="""
+    WITH avg_bal AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*) AS ab
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey,
+           COUNT(*) AS numcust,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS totacctbal
+    FROM customer CROSS JOIN avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_nationkey
+""")
+def q22_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers with no RECENT
+    order (the pure never-ordered form yields zero rows on this data —
+    every rich customer has some order), grouped by nation (phone-prefix
+    cntrycode adapted to c_nationkey — this schema has no phone column).
+    NOT EXISTS -> left_anti on the filtered orders key set; the global
+    average is the exact decimal-sum/count pair broadcast as one row, so
+    the > threshold cut is engine-identical."""
+    c = _t(spark, sf_dir, "customer")
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+         .select("o_custkey"))
+    avg_bal = (c.filter(F.col("c_acctbal") > 0.0)
+                .agg((F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                      .cast("double") / F.count(F.lit(1))).alias("ab")))
+    return (c.crossJoin(F.broadcast(avg_bal))
+             .filter(F.col("c_acctbal") > F.col("ab"))
+             .join(o, c.c_custkey == o.o_custkey, "left_anti")
+             .groupBy("c_nationkey")
+             .agg(F.count(F.lit(1)).alias("numcust"),
+                  F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                          .cast("double"), 2).alias("totacctbal")))
+
+
 @query("dedup_components", oracle="""
     WITH RECURSIVE grams AS (
         SELECT doc_id, shingle FROM (

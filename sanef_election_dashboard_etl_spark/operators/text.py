@@ -268,3 +268,42 @@ def length_histogram(df: DataFrame, length_col: str = "n_chars",
     return (df.groupBy(lo.alias("bucket_lo"))
               .agg(F.count(F.lit(1)).alias("n_docs"),
                    F.sum(length_col).cast("long").alias("total_chars")))
+
+
+def ngram_lm_counts(df: DataFrame, n: int = 2,
+                    text_col: str = "text") -> DataFrame:
+    """KenLM-style n-gram count table with conditional probabilities:
+    (context, next_token, cnt, context_cnt, p) where context is the
+    n-1 preceding tokens and p = cnt / context_cnt — the count statistics
+    a corpus-level language model (perplexity filters, contamination
+    checks, decontamination n-gram indexes) is built from.
+
+    Shape: one narrow explode of per-doc (context, next) pairs, one
+    count shuffle keyed by the full n-gram, and a window sum over
+    context for the denominator — the window partitions by context, so
+    no second shuffle beyond the context key. p is derived from two
+    integer counts divided in double (engine-exact); at 100 TB the count
+    table is the artifact you persist, p is derived on read."""
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    # guard: F.sequence(1, 0) counts DOWN ([1, 0]) — docs shorter than n
+    # must produce an empty start list, not a descending one
+    starts = F.when(F.size(toks) >= n,
+                    F.sequence(F.lit(1), F.size(toks) - (n - 1))) \
+              .otherwise(F.array().cast("array<int>"))
+    pairs = df.select(F.explode(F.filter(
+        F.transform(
+            starts,
+            lambda i: F.struct(
+                F.concat_ws(" ", F.slice(toks, i, n - 1)).alias("context"),
+                F.get(toks, i + n - 2).alias("next_token"))),
+        lambda s: (s["next_token"] != "") & (s["context"] != ""))).alias("g")) \
+        .select("g.context", "g.next_token")
+    counts = (pairs.groupBy("context", "next_token")
+                   .agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.partitionBy("context")
+    return (counts
+            .withColumn("context_cnt", F.sum("cnt").over(w).cast("long"))
+            .withColumn("p", F.round(F.col("cnt").cast("double")
+                                     / F.col("context_cnt"), 4)))

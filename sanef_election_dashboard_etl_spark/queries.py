@@ -2977,6 +2977,40 @@ def q22_idle_rich_customers(spark, sf_dir):
                           .cast("double"), 2).alias("totacctbal")))
 
 
+@query("text_bigram_lm", oracle="""
+    WITH tok AS (
+        SELECT string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents WHERE doc_id < 200
+    ), idx AS (
+        SELECT toks, unnest(generate_series(1, greatest(len(toks) - 1, 0)))
+                   AS i
+        FROM tok
+    ), pairs AS (
+        SELECT toks[i] AS context, toks[i + 1] AS next_token
+        FROM idx WHERE toks[i] <> '' AND toks[i + 1] <> ''
+    ), counts AS (
+        SELECT context, next_token, COUNT(*) AS cnt
+        FROM pairs GROUP BY 1, 2
+    )
+    SELECT context, next_token, cnt,
+           CAST(SUM(cnt) OVER (PARTITION BY context) AS BIGINT)
+               AS context_cnt,
+           ROUND(CAST(cnt AS DOUBLE)
+                 / CAST(SUM(cnt) OVER (PARTITION BY context) AS BIGINT), 4)
+               AS p
+    FROM counts
+""")
+def text_bigram_lm(spark, sf_dir):
+    """Bigram language-model count table (operators/text.py
+    ngram_lm_counts): (context, next, cnt, context_cnt, p) — the corpus
+    statistics perplexity filters and decontamination indexes build on.
+    One explode + one n-gram-keyed count shuffle + a context-partitioned
+    window for the denominator; p divides two integer counts in double
+    (engine-exact)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return T.ngram_lm_counts(docs, n=2)
+
+
 @query("dedup_components", oracle="""
     WITH RECURSIVE grams AS (
         SELECT doc_id, shingle FROM (

@@ -498,3 +498,21 @@ def test_assign_splits_partition_and_stability(spark):
     # the same key never crosses into train's complement differently
     with pytest.raises(ValueError):
         assign_splits(df, "doc_id", {"a": 0.9, "b": 0.2})
+
+
+def test_ngram_lm_counts_probabilities(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a c a b"), (2, "a"), (3, "")],  # short docs produce no grams
+        "doc_id long, text string")
+    out = {(r["context"], r["next_token"]): (r["cnt"], r["context_cnt"], r["p"])
+           for r in T.ngram_lm_counts(df, n=2).collect()}
+    # contexts: a->b (2x), a->c (1x), b->a (1x), c->a (1x)
+    assert out[("a", "b")] == (2, 3, round(2 / 3, 4))
+    assert out[("a", "c")] == (1, 3, round(1 / 3, 4))
+    assert out[("b", "a")] == (1, 1, 1.0)
+    assert out[("c", "a")] == (1, 1, 1.0)
+    assert len(out) == 4
+    # trigram context is the two preceding tokens
+    tri = {(r["context"], r["next_token"]) for r in
+           T.ngram_lm_counts(df, n=3).collect()}
+    assert ("a b", "a") in tri and ("b a", "c") in tri

@@ -111,3 +111,28 @@ def assign_splits(df: DataFrame, key_col: str,
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
         lo = hi
     return df.withColumn(out_col, expr)
+
+
+def winsorize(df: DataFrame, value_col: str, lo: float = 0.01,
+              hi: float = 0.99, out_col: str | None = None) -> DataFrame:
+    """Percentile winsorization: clip `value_col` to its [lo, hi]
+    quantile bounds — the outlier guard applied before averaging noisy
+    metrics (the reference averages raw columns, SANEF_Uploader.py
+    Results aggregation; at corpus scale a handful of garbage rows can
+    own a mean).
+
+    The bounds are ONE exact-percentile aggregate row broadcast back
+    over the data (same 1-row crossJoin shape as z-order's min/max); the
+    clip itself is a narrow least/greatest projection. At 100 TB swap
+    F.percentile for percentile_approx to avoid the global sort — the
+    clip plumbing is unchanged (docstring contract: exact = the
+    verification configuration, approx = the production one)."""
+    out_col = out_col or f"{value_col}_winsorized"
+    v = F.col(value_col)
+    bounds = df.agg(F.percentile(value_col, F.lit(lo)).alias("__lo"),
+                    F.percentile(value_col, F.lit(hi)).alias("__hi"))
+    return (df.crossJoin(F.broadcast(bounds))
+              .withColumn(out_col,
+                          F.least(F.greatest(v, F.col("__lo")),
+                                  F.col("__hi")))
+              .drop("__lo", "__hi"))

@@ -2420,6 +2420,31 @@ def sample_assign_splits(spark, sf_dir):
     return assign_splits(docs, "doc_id").select("doc_id", "split")
 
 
+@query("sample_winsorize", oracle="""
+    WITH b AS (
+        SELECT quantile_cont(value, 0.05) AS lo,
+               quantile_cont(value, 0.95) AS hi
+        FROM events
+    )
+    SELECT event_id,
+           ROUND(CAST(LEAST(GREATEST(value, lo), hi)
+                      AS DECIMAL(18,2)), 2)::DOUBLE AS value_winsorized
+    FROM events CROSS JOIN b
+""")
+def sample_winsorize(spark, sf_dir):
+    """Percentile winsorization (operators/sampling.py winsorize): clip
+    event values to their [5%, 95%] quantile band before any averaging.
+    Exact-percentile bounds (1-row broadcast) for the oracle config;
+    production swaps in percentile_approx, clip plumbing unchanged."""
+    from .operators.sampling import winsorize
+
+    e = _t(spark, sf_dir, "events")
+    return (winsorize(e, "value", lo=0.05, hi=0.95)
+            .select("event_id",
+                    F.col("value_winsorized").cast("decimal(18,2)")
+                     .cast("double").alias("value_winsorized")))
+
+
 @query("sketch_cms_tokens", oracle="""
     WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
     tok AS (

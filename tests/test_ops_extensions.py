@@ -516,3 +516,19 @@ def test_ngram_lm_counts_probabilities(spark):
     tri = {(r["context"], r["next_token"]) for r in
            T.ngram_lm_counts(df, n=3).collect()}
     assert ("a b", "a") in tri and ("b a", "c") in tri
+
+
+def test_winsorize_clips_to_quantile_band(spark):
+    from sanef_election_dashboard_etl_spark.operators.sampling import winsorize
+
+    # 0..99 plus two wild outliers
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)]
+                               + [(100, 1e9), (101, -1e9)],
+                               "event_id long, value double")
+    out = {r["event_id"]: r["value_winsorized"]
+           for r in winsorize(df, "value", lo=0.05, hi=0.95).collect()}
+    hi = max(out.values())
+    lo = min(out.values())
+    assert hi < 1e9 and lo > -1e9          # outliers clipped
+    assert out[100] == hi and out[101] == lo
+    assert out[50] == 50.0                 # interior values untouched

@@ -432,3 +432,29 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     edges.unpersist()
     return labels.select(F.col("v").alias("doc_id"),
                          F.col("label").alias("component"))
+
+
+def decontaminate(train: DataFrame, eval_set: DataFrame, n: int = 3,
+                  min_overlap: int = 1, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Training-set decontamination (the GPT-3-style n-gram rule): flag
+    every training doc sharing >= `min_overlap` distinct n-gram shingles
+    with ANY eval/benchmark doc. Returns (doc_id, eval_doc_id,
+    n_shared) pairs — the removal list plus its evidence, so audits can
+    inspect WHY a doc was dropped.
+
+    Scale shape: shingle both sides (narrow), inverted-index join keyed
+    on the shingle — the eval side is benchmarks (thousands of docs,
+    millions of shingles), so its shingle table broadcasts and the
+    training corpus NEVER shuffles; one groupBy on the (train, eval)
+    pair counts the evidence. Hot boilerplate shingles get the same
+    max_df guard as jaccard_pairs (drop_hot_shingles) upstream if the
+    eval set contains templated text."""
+    tg = (shingles(train, n=n, id_col=id_col, text_col=text_col)
+          .select(F.col(id_col).alias("doc_id"), "shingle"))
+    eg = (shingles(eval_set, n=n, id_col=id_col, text_col=text_col)
+          .select(F.col(id_col).alias("eval_doc_id"), "shingle"))
+    return (tg.join(F.broadcast(eg), "shingle")
+              .groupBy("doc_id", "eval_doc_id")
+              .agg(F.count(F.lit(1)).alias("n_shared"))
+              .filter(F.col("n_shared") >= min_overlap))

@@ -3036,6 +3036,40 @@ def text_bigram_lm(spark, sf_dir):
     return T.ngram_lm_counts(docs, n=2)
 
 
+@query("dedup_decontaminate", oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents WHERE doc_id < 300
+    ), grams AS (
+        SELECT doc_id, shingle FROM (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                       AS shingle
+            FROM tok
+        ) WHERE shingle <> ''
+    ), train AS (
+        SELECT doc_id, shingle FROM grams WHERE doc_id >= 100
+    ), ev AS (
+        SELECT doc_id AS eval_doc_id, shingle FROM grams WHERE doc_id < 100
+    )
+    SELECT doc_id, eval_doc_id, COUNT(*) AS n_shared
+    FROM train JOIN ev USING (shingle)
+    GROUP BY doc_id, eval_doc_id
+    HAVING COUNT(*) >= 5
+""")
+def dedup_decontaminate(spark, sf_dir):
+    """Eval-set decontamination (operators/dedup.py decontaminate, the
+    GPT-3-style n-gram overlap rule): training docs (ids 100+) sharing
+    >= 5 distinct 3-gram shingles with any eval doc (ids < 100), with
+    the shared-shingle count as removal evidence. The eval shingle table
+    broadcasts; the training corpus never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 300))
+    eval_set = docs.filter(F.col("doc_id") < 100)
+    return D.decontaminate(train, eval_set, n=3, min_overlap=5)
+
+
 @query("dedup_components", oracle="""
     WITH RECURSIVE grams AS (
         SELECT doc_id, shingle FROM (

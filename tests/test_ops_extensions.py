@@ -532,3 +532,19 @@ def test_winsorize_clips_to_quantile_band(spark):
     assert hi < 1e9 and lo > -1e9          # outliers clipped
     assert out[100] == hi and out[101] == lo
     assert out[50] == 50.0                 # interior values untouched
+
+
+def test_decontaminate_flags_overlapping_train_docs(spark):
+    train = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog"),
+         (11, "completely unrelated training material here today")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(1, "quick brown fox jumps high")], "doc_id long, text string")
+    got = {(r["doc_id"], r["eval_doc_id"]): r["n_shared"]
+           for r in D.decontaminate(train, ev, n=3,
+                                    min_overlap=2).collect()}
+    # shared 3-grams: 'quick brown fox', 'brown fox jumps' -> 2
+    assert got == {(10, 1): 2}
+    # raising the bar drops the pair
+    assert D.decontaminate(train, ev, n=3, min_overlap=3).count() == 0

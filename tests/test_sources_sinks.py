@@ -101,3 +101,23 @@ def test_multipart_form_body(tmp_path):
             'filename="up.csv"') in text
     assert "x\n1\n" in text
     assert text.endswith("--BOUND--\r\n")
+
+
+def test_partitioned_parquet_write_prunes_partitions(spark, tmp_path):
+    """Hive-partitioned layout: a filter on the partition column must
+    become a PartitionFilter (planner skips whole directories — the
+    coarse-grained sibling of z-order's row-group pruning)."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(i, ["en", "es", "de"][i % 3], f"doc {i}") for i in range(300)],
+        "doc_id long, lang string, text string")
+    path = str(tmp_path / "parts")
+    df.write.partitionBy("lang").mode("overwrite").parquet(path)
+
+    scan = spark.read.parquet(path).filter(F.col("lang") == "en")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "lang" in plan.split(
+        "PartitionFilters")[1][:80]
+    # and the pruned read returns exactly the one partition
+    assert scan.count() == 100

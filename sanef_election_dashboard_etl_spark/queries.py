@@ -3070,6 +3070,49 @@ def dedup_decontaminate(spark, sf_dir):
     return D.decontaminate(train, eval_set, n=3, min_overlap=5)
 
 
+@query("events_funnel", oracle="""
+    WITH s AS (
+        SELECT user_id,
+               MIN(CAST(FLOOR(extract(epoch FROM ts)) AS BIGINT)) AS t_signup
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), p AS (
+        SELECT e.user_id,
+               MIN(CAST(FLOOR(extract(epoch FROM ts)) AS BIGINT))
+                   AS t_purchase
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'purchase'
+          AND CAST(FLOOR(extract(epoch FROM ts)) AS BIGINT) >= s.t_signup
+        GROUP BY e.user_id
+    )
+    SELECT s.user_id, s.t_signup,
+           p.t_purchase,
+           p.t_purchase - s.t_signup AS secs_to_convert
+    FROM s LEFT JOIN p ON s.user_id = p.user_id
+""")
+def events_funnel(spark, sf_dir):
+    """Conversion funnel: per user, first signup and first purchase
+    AT-OR-AFTER it, with time-to-convert (null = never converted) — the
+    product-analytics shape the event stream exists for. Two
+    min-aggregates keyed on user_id + one join on the same key (the
+    second agg reuses the first's partitioning — no extra exchange
+    pattern at scale); epoch-seconds arithmetic, engine-exact."""
+    e = _t(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("long")
+    s = (e.filter(F.col("event_type") == "signup")
+          .groupBy("user_id")
+          .agg(F.min(epoch).alias("t_signup")))
+    p = (e.filter(F.col("event_type") == "purchase")
+          .select("user_id", epoch.alias("t"))
+          .join(s, "user_id")
+          .filter(F.col("t") >= F.col("t_signup"))
+          .groupBy("user_id")
+          .agg(F.min("t").alias("t_purchase")))
+    return (s.join(p, "user_id", "left")
+             .select("user_id", "t_signup", "t_purchase",
+                     (F.col("t_purchase") - F.col("t_signup"))
+                     .alias("secs_to_convert")))
+
+
 @query("dedup_components", oracle="""
     WITH RECURSIVE grams AS (
         SELECT doc_id, shingle FROM (

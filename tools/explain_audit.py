@@ -53,6 +53,8 @@ MUST_HAVE = {
 # query -> substrings that must NOT appear
 MUST_NOT = {
     "sample_hash_mod": ["Exchange"],   # a deterministic sample is a narrow filter
+    "sample_assign_splits": ["Exchange"],  # split labels are a narrow projection
+    "j12_interval_join": ["CartesianProduct"],  # bin join, never cross
     "j1_dim_join": ["SortMergeJoin", "CartesianProduct"],
     "pipe_hung_councils": ["SortMergeJoin", "CartesianProduct"],
     "pipe_voter_turnout": ["CartesianProduct"],
@@ -68,7 +70,8 @@ AUDIT = [
     "q5_local_supplier_volume", "sample_hash_mod",
     "dedup_max_df_guard", "layout_zorder_write", "sample_cap_per_source",
     "q4_order_priority", "q10_returned_items", "q7_nation_volume",
-    "q8_market_share", "dedup_decontaminate",
+    "q8_market_share", "dedup_decontaminate", "sample_assign_splits",
+    "j12_interval_join",
 ]
 
 

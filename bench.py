@@ -14,9 +14,16 @@ Methodology (BASELINE.md gate is 2x single-node pandas at the same sf):
   so execution reads the files (OS page cache warm, same as pandas).
 - each rep is a noop-format write: full materialization of every output
   column (a bare count would let Catalyst skip sorts/projections);
-  best of 2 timed reps after one warm rep, matching best-of-3 pandas.
+  best of 3 timed reps after one warm rep, matching best-of-3 pandas.
+  `queries_median` / `queries_spread` report per-query median and
+  (max-min) over the reps, so machine-load jitter is distinguishable
+  from a real regression round-over-round.
 - micro-scale calibration: AQE off + 4 shuffle partitions (measured
   fastest at sf0.1; the session default for production keeps AQE on).
+  `queries_aqe_on` / `total_aqe_on` re-time the same queries under the
+  shipped production config (AQE on, 32 shuffle partitions) so the
+  recorded numbers also track the configuration the engine actually
+  runs with at scale.
 - `floor_noop_job` reports the measured empty-job round trip — the hard
   lower bound any Spark action pays regardless of plan (SCALE.md
   "Bench floor analysis" breaks down which BASELINE rows sit below it).
@@ -121,32 +128,42 @@ def main() -> None:
     # r2): InMemoryRelation substitution defeats parquet column pruning /
     # filter pushdown and the columnar-cache scan is no faster than
     # parquet + pushdown at these widths.
-    def timed(name: str, reps: int) -> float:
+    import statistics
+
+    REPS = 3  # >=3 timed reps per query so min vs median exposes jitter
+
+    def timed_reps(name: str, reps: int = REPS) -> list[float]:
         # plan build + analysis off the clock (compilation, O(1) in data);
         # clearCache per rep so operators that persist intermediates
         # (minhash shingles) recompute them inside the measured window
         df = REGISTRY[name].fn(spark, sf_dir)
         spark.catalog.clearCache()
         run_full(df)  # warm rep
-        best = float("inf")
+        out = []
         for _ in range(reps):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             run_full(df)
-            best = min(best, time.perf_counter() - t0)
-        return round(best, 3)
+            out.append(time.perf_counter() - t0)
+        return out
 
-    # BASELINE-comparable rows get best-of-3 (sub-200ms times are jittery
-    # under system load) and run LAST, when C2/codegen JIT is fully warm —
-    # their pandas twins are 5-150 ms, so compilation tails dominate them
-    # far more than the second-scale extension queries measured first
+    # BASELINE-comparable rows run LAST, when C2/codegen JIT is fully
+    # warm — their pandas twins are 5-150 ms, so compilation tails
+    # dominate them far more than the second-scale extension queries
+    # measured first
+    rep_times: dict[str, list[float]] = {}
     baseline_rows = set(HEADLINE[:11])
     for name in HEADLINE:
         if name not in baseline_rows:
-            times[name] = timed(name, 2)
+            rep_times[name] = timed_reps(name)
     for name in HEADLINE:
         if name in baseline_rows:
-            times[name] = timed(name, 3)
+            rep_times[name] = timed_reps(name)
+    # best-of-REPS is the headline number (matches BASELINE.md's
+    # best-of-3 pandas methodology); median + spread ride along so a
+    # loaded machine is distinguishable from a real regression
+    for name in HEADLINE:
+        times[name] = round(min(rep_times[name]), 3)
 
     # CSV sink micro (BASELINE.md's 'CSV sink, 50k rows' row): pandas
     # to_csv serializes an in-memory frame; mirror with a cached input
@@ -160,12 +177,34 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="bench_csv_")
     try:
         write_csv_single(out50k, os.path.join(tmp, "warm.csv"))  # warm rep
-        t0 = time.perf_counter()
-        write_csv_single(out50k, os.path.join(tmp, "out.csv"))
-        times["csv_sink_50k"] = round(time.perf_counter() - t0, 3)
+        csv_reps = []
+        for i in range(REPS):
+            t0 = time.perf_counter()
+            write_csv_single(out50k, os.path.join(tmp, f"out{i}.csv"))
+            csv_reps.append(time.perf_counter() - t0)
+        rep_times["csv_sink_50k"] = csv_reps
+        times["csv_sink_50k"] = round(min(csv_reps), 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         out50k.unpersist()
+
+    medians = {n: round(statistics.median(r), 3) for n, r in rep_times.items()}
+    spreads = {n: round(max(r) - min(r), 3) for n, r in rep_times.items()}
+
+    # production-config column (VERDICT r2 §wrong-4): the micro-bench
+    # calibration above (AQE off, 4 shuffle partitions) is NOT the config
+    # the engine ships with — time the same queries once under the session
+    # default (AQE on, 32 shuffle partitions) so the gate also tracks the
+    # production plans. Fewer reps: informational column, not the gate.
+    TUNE_OVERRIDES.clear()
+    from sanef_election_dashboard_etl_spark.session import default_parallelism
+    TUNE_OVERRIDES.update({
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.shuffle.partitions": str(default_parallelism()),
+    })
+    aqe_on: dict[str, float] = {}
+    for name in HEADLINE:
+        aqe_on[name] = round(min(timed_reps(name, 2)), 3)
 
     total = round(sum(times.values()), 3)
     print(json.dumps({
@@ -173,6 +212,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "queries_median": medians,
+        "queries_spread": spreads,
+        "reps": REPS,
+        "queries_aqe_on": aqe_on,
+        "total_aqe_on": round(sum(aqe_on.values()), 3),
         "floor_noop_job": floor,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))

@@ -81,6 +81,10 @@ class Args:
     db_password: str
     reset_dataset: str
 
+    ENV_VARS = ("WAZI_ENDPOINT", "WAZI_TOKEN", "DATASET_ID", "IEC_TOKEN",
+                "IEC_ENDPOINT", "DB_SERVER", "DB", "DB_USERNAME",
+                "DB_PASSWORD")
+
     @classmethod
     def from_argv(cls, argv: list[str]) -> "Args":
         if len(argv) != 10:
@@ -89,6 +93,23 @@ class Args:
                 "WAZI_ENDPOINT WAZI_TOKEN DATASET_ID IEC_TOKEN IEC_ENDPOINT "
                 "DB_SERVER DB DB_USERNAME DB_PASSWORD RESET_DATASET")
         return cls(*argv)
+
+    @classmethod
+    def from_env(cls, env=None) -> "Args":
+        """Container entrypoint parity (SANEF_Uploader.sh:5-15): the
+        reference's Docker shim expands nine env vars into the positional
+        argv plus a hardcoded 'dont-reset'. RESET_DATASET is honored if
+        set (so a reset run needs no shell edit), defaulting to the
+        shim's literal."""
+        import os
+        env = os.environ if env is None else env
+        missing = [v for v in cls.ENV_VARS if v not in env]
+        if missing:
+            raise SystemExit(
+                f"--from-env: missing env vars {missing} "
+                f"(reference shim contract, SANEF_Uploader.sh)")
+        vals = [env[v] for v in cls.ENV_VARS]
+        return cls(*vals, env.get("RESET_DATASET", "dont-reset"))
 
 
 def jdbc_from_args(a: Args) -> JdbcSource:
@@ -199,16 +220,26 @@ def run_pipeline(spark: SparkSession, name: str, *, reset: bool = False,
 
 
 def main(argv: list[str] | None = None) -> int:
-    a = Args.from_argv(argv if argv is not None else sys.argv[1:])
+    argv = argv if argv is not None else sys.argv[1:]
+    if argv == ["--from-env"] or not argv:
+        a = Args.from_env()
+    else:
+        a = Args.from_argv(argv)
     spark = get_spark("sanef-etl")
     from .sources.files import read_csv_dim
 
-    munis = read_csv_dim(spark, "delimitations/Munis.csv", MUNIS_SCHEMA)
-    wards = read_csv_dim(spark, "delimitations/Wards.csv", WARDS_SCHEMA)
+    reset = a.reset_dataset == "reset"
+    # the reset branch never touches dims (reference short-circuits the
+    # same way, SANEF_Uploader.py README contract) — keep it runnable
+    # without the delimitations/ files on disk
+    munis = wards = None
+    if not reset:
+        munis = read_csv_dim(spark, "delimitations/Munis.csv", MUNIS_SCHEMA)
+        wards = read_csv_dim(spark, "delimitations/Wards.csv", WARDS_SCHEMA)
     rest = (rest_from_args(a, a.iec_endpoint)
             if a.iec_endpoint in REST_ENDPOINTS else None)
     result = run_pipeline(
-        spark, a.iec_endpoint, reset=(a.reset_dataset == "reset"),
+        spark, a.iec_endpoint, reset=reset,
         jdbc=jdbc_from_args(a), rest=rest, munis=munis, wards=wards)
     path = sinks.write_csv_single(
         result, f"datasets/{sinks.timestamped_name(a.iec_endpoint + '-')}")

@@ -25,15 +25,34 @@ def timestamped_name(prefix: str) -> str:
     return f"{prefix}{datetime.now(timezone.utc).strftime('%d%m%Y-%H%M')}.csv"
 
 
+def _csv_header_field(name: str) -> str:
+    # mirror Spark's CSV quoting for the driver-written header line
+    if any(c in name for c in (',', '"', '\n', '\r')):
+        return '"' + name.replace('"', '""') + '"'
+    return name
+
+
 def write_csv_single(df: DataFrame, path: str) -> str:
-    """Small-result CSV sink: write via Spark (header, overwrite), then
-    collapse the single part file to `path`. Only for dashboard-contract
-    outputs — guarded by the caller's knowledge that rows are few."""
+    """Small-result CSV sink: PARALLEL headerless write (every core
+    serializes its partitions), then a driver-side ordered concat of the
+    part files under a single header line — same single-file contract as
+    the reference's to_csv (SANEF_Uploader.py:55), without funnelling the
+    serialization through one task (the old coalesce(1) was ~3x slower
+    at 50k rows). Part files are concatenated in name order, which is
+    partition order, so a sorted frame stays globally sorted."""
+    # absolutize against PYTHON's cwd — Spark would otherwise resolve a
+    # relative path against the JVM's startup cwd, which can differ
+    path = os.path.abspath(path)
     tmp = path + ".spark-tmp"
-    df.coalesce(1).write.option("header", True).mode("overwrite").csv(tmp)
-    part = glob.glob(os.path.join(tmp, "part-*.csv"))[0]
+    df.write.option("header", False).mode("overwrite").csv(tmp)
+    parts = sorted(glob.glob(os.path.join(tmp, "part-*.csv")))
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    shutil.move(part, path)
+    header = ",".join(_csv_header_field(c) for c in df.columns) + "\n"
+    with open(path, "wb") as out:
+        out.write(header.encode("utf-8"))
+        for part in parts:
+            with open(part, "rb") as fh:
+                shutil.copyfileobj(fh, out, 1 << 20)
     shutil.rmtree(tmp)
     return path
 
@@ -77,14 +96,18 @@ def multipart_form(path: str, meta: dict, boundary: str) -> bytes:
 
 
 def upload_http(path: str, endpoint: str, dataset_id: int, token: str,
-                overwrite: bool = True, poster=None) -> dict:
+                overwrite: bool = True, update: bool = True,
+                poster=None) -> dict:
     """S9 adapter: multipart POST of the written file to the dashboard API
     (SANEF_Uploader.py:57-64) — a 'file' part plus update/overwrite form
     fields, exactly the body shape requests.post(data=, files=) produces
-    for the reference. `poster` is injectable for tests; default uses
+    for the reference. The reference always posts
+    {'update': True, 'overwrite': True} (SANEF_Uploader.py:61) — the two
+    fields are independent parameters here so the defaults reproduce that
+    payload exactly. `poster` is injectable for tests; default uses
     urllib so the engine adds no HTTP dependency."""
     url = f"{endpoint}/api/v1/datasets/{dataset_id}/upload/"
-    meta = {"update": overwrite, "overwrite": overwrite}
+    meta = {"update": update, "overwrite": overwrite}
     if poster is not None:
         return poster(url, path, meta, token)
     import urllib.request

@@ -155,3 +155,43 @@ def test_args_contract():
 def test_unknown_pipeline_rejected(spark):
     with pytest.raises(SystemExit):
         run_pipeline(spark, "nope", reset=True)
+
+
+def test_from_env_contract():
+    # SANEF_Uploader.sh:5-15 expands exactly these env vars into argv,
+    # with a hardcoded trailing 'dont-reset'
+    env = {"WAZI_ENDPOINT": "https://wazi", "WAZI_TOKEN": "tok",
+           "DATASET_ID": "1384", "IEC_TOKEN": "iec_tok",
+           "IEC_ENDPOINT": "hung_councils", "DB_SERVER": "dbhost",
+           "DB": "LED", "DB_USERNAME": "user", "DB_PASSWORD": "pw"}
+    a = Args.from_env(env)
+    assert a.iec_endpoint == "hung_councils"
+    assert a.reset_dataset == "dont-reset"  # the shim's literal default
+    a2 = Args.from_env({**env, "RESET_DATASET": "reset"})
+    assert a2.reset_dataset == "reset"
+    with pytest.raises(SystemExit):
+        Args.from_env({"WAZI_ENDPOINT": "only-one"})
+
+
+def test_main_from_env_reset_end_to_end(spark, monkeypatch, tmp_path):
+    """A container user's reset run: env vars alone, no argv, no
+    delimitations/ files, no network (WAZI_ENDPOINT=none skips upload).
+    Must write the reset CSV under datasets/."""
+    import csv
+    import glob
+
+    from sanef_election_dashboard_etl_spark import cli
+
+    monkeypatch.chdir(tmp_path)
+    for k, v in {"WAZI_ENDPOINT": "none", "WAZI_TOKEN": "t",
+                 "DATASET_ID": "1384", "IEC_TOKEN": "t",
+                 "IEC_ENDPOINT": "hung_councils", "DB_SERVER": "h",
+                 "DB": "d", "DB_USERNAME": "u", "DB_PASSWORD": "p",
+                 "RESET_DATASET": "reset"}.items():
+        monkeypatch.setenv(k, v)
+    assert cli.main(["--from-env"]) == 0
+    files = glob.glob(str(tmp_path / "datasets" / "hung_councils-*.csv"))
+    assert len(files) == 1
+    with open(files[0]) as fh:
+        got = list(csv.reader(fh))
+    assert got[0] == ["Geography", "Councils", "Count"] and len(got) == 2

@@ -58,6 +58,21 @@ def test_write_csv_single(spark, tmp_path):
     assert ("k", "v") in got and ("a", "1") in got and ("b", "2") in got
 
 
+def test_write_csv_single_parallel_preserves_sort_order(spark, tmp_path):
+    """The parallel writer concatenates part files in partition order, so
+    a sorted frame must land globally sorted under one header line."""
+    df = (spark.range(0, 1000)
+          .selectExpr("id", "cast(id % 7 as string) as grp")
+          .orderBy("id"))
+    path = str(tmp_path / "sorted.csv")
+    sinks.write_csv_single(df, path)
+    with open(path) as fh:
+        rows_ = list(csv.reader(fh))
+    assert rows_[0] == ["id", "grp"]
+    ids = [int(r[0]) for r in rows_[1:]]
+    assert ids == sorted(ids) and len(ids) == 1000
+
+
 def test_write_csv_partitioned(spark, tmp_path):
     df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
     path = str(tmp_path / "part_out")
@@ -78,7 +93,26 @@ def test_upload_http_adapter_injectable(tmp_path):
                             poster=poster)
     assert out == {"status": 201}
     assert calls[0][0] == "https://dash.test/api/v1/datasets/1384/upload/"
+    # default payload must be the reference's exact form dict
+    # (SANEF_Uploader.py:61: payload = {'update': True, 'overwrite': True})
     assert calls[0][2] == {"update": True, "overwrite": True}
+
+
+def test_upload_http_update_overwrite_independent(tmp_path):
+    p = tmp_path / "f.csv"
+    p.write_text("x\n1\n")
+    seen = []
+
+    def poster(url, path, meta, token):
+        seen.append(meta)
+        return {"status": 201}
+
+    sinks.upload_http(str(p), "https://dash.test", 1, "tok",
+                      overwrite=False, poster=poster)
+    sinks.upload_http(str(p), "https://dash.test", 1, "tok",
+                      update=False, poster=poster)
+    assert seen == [{"update": True, "overwrite": False},
+                    {"update": False, "overwrite": True}]
 
 
 def test_timestamped_name_shape():

@@ -24,18 +24,25 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One named table as a lazy parquet scan.
 
-    `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's reader rejects;
-    with `spark.sql.legacy.parquet.nanosAsLong` (set by session.tune) it
-    arrives as long nanos and is converted here to TimestampType at
-    microsecond precision (integer `div`, not double division — epoch
-    nanos exceed double's 2^53 exact-integer range)."""
+    `events.ts` normalizes to session-zoned TimestampType (UTC) whatever
+    the fixture's physical encoding — testdata generations have shipped
+    both TIMESTAMP(NANOS) (arrives as long nanos under
+    `spark.sql.legacy.parquet.nanosAsLong`, set by session.tune; integer
+    `div` to micros — epoch nanos exceed double's 2^53 exact-integer
+    range) and TIMESTAMP(MICROS, isAdjustedToUTC=false) (arrives as
+    TIMESTAMP_NTZ; reinterpreted as UTC instants, matching how the DuckDB
+    oracle treats the same naive values)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.to_timestamp(F.col("ts")))
     return df
 
 

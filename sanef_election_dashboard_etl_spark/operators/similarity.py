@@ -19,6 +19,8 @@ only — float scores never enter a value-hash comparison.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from pyspark.sql import Column, DataFrame
@@ -105,10 +107,23 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def auto_n_planes(n_corpus: int, target_bucket_size: int = 64) -> int:
+    """Plane count that keeps expected bucket size ~`target_bucket_size`:
+    ceil(log2(N / target)), floored at 4 (below that buckets are coarser
+    than the multiprobe fan-out can exploit) and capped at 60 (signature
+    must pack into one signed long). Doubling the corpus adds one plane —
+    candidate cost per query stays ~constant as N grows, which is the
+    whole point of the bucketed path at 100 TB."""
+    if n_corpus <= target_bucket_size:
+        return 4
+    return max(4, min(60, math.ceil(math.log2(n_corpus / target_bucket_size))))
+
+
 def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10, dim: int = 64,
-             n_planes: int = 4, n_tables: int = 4, seed: int = 42,
-             multiprobe: int = 1,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             n_planes: int | None = None, n_tables: int = 4, seed: int = 42,
+             multiprobe: int = 1, target_bucket_size: int = 64,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             _return_candidates: bool = False) -> DataFrame:
     """Approximate top-k: bucket corpus + queries by random-hyperplane
     signature, score only same-bucket candidates.
 
@@ -125,12 +140,18 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10, dim: int = 64,
     broadcast query side fans out x(1+n_planes) — multi-table recall at
     single-table storage/shuffle cost (measured in RECALL.md).
 
-    Defaults (n_planes=4, n_tables=4, multiprobe=1) are the measured
-    0.97-recall@10 operating point on the eval corpus (RECALL.md) —
-    the old 8-plane/no-probe default measured 0.09. As the corpus
-    grows, raise n_planes ~ log2(N / target_bucket_size) to keep
-    buckets bounded, and keep multiprobe on: it buys back the recall
-    the extra planes cost, on the query side only."""
+    `n_planes=None` (the default) AUTO-SCALES the plane count from a
+    corpus count: ceil(log2(N / target_bucket_size)) via `auto_n_planes`,
+    so expected bucket size — and with it the per-query candidate cost —
+    stays ~constant as the corpus grows instead of degrading to a scan.
+    The count is one cheap columnar pass; callers that already know N
+    pass `n_planes` explicitly and skip it. Measured operating points
+    (empirical candidate fractions, not nominal) live in RECALL.md.
+    On corpora whose neighbors sit near the random-angle background
+    (bit-flip prob -> 0.5) bucketing loses recall fast as planes grow —
+    `hamming_topk` is the tier that stays accurate there."""
+    if n_planes is None:
+        n_planes = auto_n_planes(emb.count(), target_bucket_size)
     c = with_norm(emb, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("__v").alias("cv"),
         F.col("__norm").alias("cn"))
@@ -155,6 +176,8 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10, dim: int = 64,
         cands = ct if cands is None else cands.unionByName(ct)
     cands = (cands.filter(F.col("neighbor_id") != F.col("query_id"))
              .distinct())
+    if _return_candidates:
+        return cands
 
     scored = (cands.join(c, "neighbor_id").join(F.broadcast(q), "query_id")
               .withColumn("cos", dot(F.col("qv"), F.col("cv")) /
@@ -166,10 +189,137 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10, dim: int = 64,
             .select("query_id", "rank", "neighbor_id"))
 
 
+_SIG_GROUP_BITS = 60  # planes packed per signed long; 1<<59 < 2^63 and
+                      # < DuckDB BIGINT max, so signatures stay portable.
+
+
+def _plane_groups(planes: list[list[float]]) -> list[list[list[float]]]:
+    return [planes[g:g + _SIG_GROUP_BITS]
+            for g in range(0, len(planes), _SIG_GROUP_BITS)]
+
+
+def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Wide sign-bit signature as array<long>, `_SIG_GROUP_BITS` planes per
+    long (codegen expression path — sequential fold per plane, matching the
+    DuckDB oracle's list_inner_product exactly)."""
+    return F.array(*[lsh_bucket(vec, grp) for grp in _plane_groups(planes)])
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Popcount of the XOR across the packed-long signature arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0), lambda acc, x: acc + x)
+
+
+def hamming_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+                 dim: int = 64, n_bits: int = 120, radius: int | None = None,
+                 seed: int = 42, use_arrow: bool = False,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 _return_candidates: bool = False) -> DataFrame:
+    """Approximate top-k via a wide-signature Hamming PRE-FILTER: score a
+    corpus vector exactly only if its `n_bits`-plane sign signature is
+    within `radius` bits of the query's.
+
+    Why this tier exists: on corpora whose nearest neighbors sit close to
+    the random-angle background (per-plane bit-flip probability near 0.5 —
+    true of generic web/e-commerce embeddings far more often than of
+    curated benchmark sets), BUCKETED LSH must choose between coarse
+    buckets (scan-sized candidates) and fine buckets (recall collapse);
+    RECALL.md measures that wall directly. A wide signature + Hamming
+    threshold sidesteps it: concentration over n_bits independent bits
+    separates neighbors (flip prob p < 0.5) from background (0.5) at
+    sigma ~ sqrt(n_bits)/2, so recall and candidate fraction can be tuned
+    INDEPENDENTLY of bucket granularity.
+
+    Scale shape (the 100 TB story): the corpus is never shuffled — the
+    tiny query side (ids + signatures + vectors) broadcasts into a
+    nested-loop join whose predicate is bit_count(xor) over
+    ceil(n_bits/60) longs, ~2 popcounts per (corpus row, query) vs a
+    64-mult dot product: a 30x cheaper scan that discards ~2/3 of the
+    corpus (radius 0.47*n_bits measures 0.93 recall @ 0.34 scored
+    fraction, RECALL.md) before any exact scoring. Signatures are 16
+    bytes/vector and in a real deployment are computed once at ingest and
+    stored columnar, making the filter pass a 16-byte-per-row scan of a
+    120x-smaller projection — that, not the bucket trick, is what
+    undercuts brute force on hostile data. `radius` defaults to
+    int(0.47 * n_bits).
+
+    `use_arrow=True` computes corpus signatures with one numpy matmul per
+    Arrow batch (mapInPandas) instead of n_bits codegen folds — same bits
+    (test-asserted), for wide-signature ingest where n_bits expression
+    trees get large. Expression path is the default: it is what the
+    DuckDB oracle reproduces constant-for-constant.
+
+    Output (query_id, rank, neighbor_id) — ids only; rank ties break by id.
+    """
+    if radius is None:
+        radius = int(0.47 * n_bits)
+    planes = _hyperplanes(dim, n_bits, seed)
+
+    c = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("__v").alias("cv"),
+        F.col("__norm").alias("cn"))
+    if use_arrow:
+        c = _with_arrow_signature(c, planes, "cv", "cs")
+    else:
+        c = c.withColumn("cs", hyperplane_signature(F.col("cv"), planes))
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("__v").alias("qv"),
+        F.col("__norm").alias("qn"))
+    q = q.withColumn("qs", hyperplane_signature(F.col("qv"), planes))
+
+    cond = ((F.col("neighbor_id") != F.col("query_id")) &
+            (hamming_distance(F.col("cs"), F.col("qs")) <= F.lit(radius)))
+    cands = c.join(F.broadcast(q), cond)
+    if _return_candidates:
+        return cands.select("query_id", "neighbor_id")
+
+    scored = cands.withColumn("cos", dot(F.col("qv"), F.col("cv")) /
+                              (F.col("qn") * F.col("cn")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id"))
+
+
+def _with_arrow_signature(df: DataFrame, planes: list[list[float]],
+                          vec_col: str, out_col: str) -> DataFrame:
+    """Append packed-long signatures via one numpy matmul per Arrow batch.
+    Bit-identical to `hyperplane_signature` except where a projection sits
+    within BLAS round-off of zero (|dot| ~ 1e-13 — negligible, same
+    argument as the portable-LSH twin)."""
+    import pandas as pd
+
+    P = np.array(planes, dtype=np.float64)          # (n_bits, dim)
+    n_bits = P.shape[0]
+    groups = [(g, min(g + _SIG_GROUP_BITS, n_bits))
+              for g in range(0, n_bits, _SIG_GROUP_BITS)]
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+    schema = StructType(list(df.schema.fields) +
+                        [StructField(out_col, ArrayType(LongType()))])
+
+    def add_sig(batches):
+        for pdf in batches:
+            V = np.array(list(pdf[vec_col].map(list)), dtype=np.float64)
+            bits = (V @ P.T) >= 0                   # (batch, n_bits)
+            sigs = []
+            for lo, hi in groups:
+                weights = (1 << np.arange(hi - lo)).astype(np.int64)
+                sigs.append(bits[:, lo:hi].astype(np.int64) @ weights)
+            pdf = pdf.copy()
+            pdf[out_col] = [list(t) for t in zip(*sigs)]
+            yield pdf
+
+    return df.mapInPandas(add_sig, schema=schema)
+
+
 def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
              n_centroids: int = 16, n_probe: int = 8, seed: int = 42,
              max_iter: int = 8,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             _return_candidates: bool = False) -> DataFrame:
     """IVF (inverted-file) approximate top-k: cluster the corpus with
     k-means (Spark ML), assign each vector to its nearest centroid, and
     score each query only against its `n_probe` nearest centroids' lists.
@@ -220,10 +370,12 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
         F.explode(F.slice(F.array_sort(centroid_dists(F.col("qv"))),
                           1, n_probe)["centroid"]))
 
-    scored = (assigned.join(F.broadcast(probes), "centroid")
-              .filter(F.col("neighbor_id") != F.col("query_id"))
-              .withColumn("cos", dot(F.col("qv"), F.col("cv")) /
-                          (F.col("qn") * F.col("cn"))))
+    cands = (assigned.join(F.broadcast(probes), "centroid")
+             .filter(F.col("neighbor_id") != F.col("query_id")))
+    if _return_candidates:
+        return cands.select("query_id", "neighbor_id")
+    scored = cands.withColumn("cos", dot(F.col("qv"), F.col("cv")) /
+                              (F.col("qn") * F.col("cn")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)

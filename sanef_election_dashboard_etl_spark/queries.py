@@ -945,10 +945,67 @@ def sim_cosine_pairs(spark, sf_dir):
 @query("sim_topk_lsh", oracle=None, tags=("rows-only",))
 def sim_topk_lsh(spark, sf_dir):
     """Random-hyperplane LSH top-k (approximate scale path — bucketed
-    candidates instead of a cross join)."""
+    candidates instead of a cross join). n_planes=None exercises the
+    corpus-count auto-scaling (similarity.auto_n_planes)."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=10,
-                      dim=64, n_planes=6)
+                      dim=64, n_planes=None)
+
+
+def _hamming_oracle_sql(n_bits: int = 120, radius: int = 56,
+                        seed: int = 42, k: int = 10) -> str:
+    """SQL twin of hamming_topk: the same 120 hyperplane constants drive
+    sign-bit signatures packed 60-per-BIGINT; candidates are pairs within
+    `radius` Hamming bits (bit_count of xor); exact cosine ranks the
+    survivors, ids only."""
+    from .operators.similarity import _hyperplanes, _plane_groups
+
+    planes = _hyperplanes(64, n_bits, seed)
+    sig_exprs = []
+    for grp in _plane_groups(planes):
+        bits = []
+        for i, plane in enumerate(grp):
+            lit = "[" + ", ".join(repr(float(w)) for w in plane) + "]"
+            bits.append(f"CASE WHEN list_inner_product(e, {lit}) >= 0 "
+                        f"THEN {2 ** i}::BIGINT ELSE 0::BIGINT END")
+        sig_exprs.append("(" + " + ".join(bits) + ")")
+    sig_cols = ", ".join(f"{e} AS s{g}" for g, e in enumerate(sig_exprs))
+    ham = " + ".join(f"bit_count(xor(cs.s{g}, qs.s{g}))"
+                     for g in range(len(sig_exprs)))
+    return f"""
+    WITH c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS e
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS e
+          FROM embeddings WHERE vec_id < 10),
+    cs AS (SELECT neighbor_id, e, {sig_cols} FROM c),
+    qs AS (SELECT query_id, e, {sig_cols} FROM q),
+    scored AS (
+        SELECT qs.query_id, cs.neighbor_id,
+               list_cosine_similarity(qs.e, cs.e) AS cos
+        FROM cs JOIN qs
+          ON cs.neighbor_id != qs.query_id
+         AND {ham} <= {radius}
+    )
+    SELECT query_id, rank, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@query("sim_topk_hamming", oracle=_hamming_oracle_sql())
+def sim_topk_hamming(spark, sf_dir):
+    """Wide-signature Hamming-prefilter ANN (similarity.hamming_topk),
+    oracle-verified end to end: the same 120 hyperplane constants are
+    baked into the Spark plan and the generated SQL, so packed signatures,
+    the bit_count(xor) <= 56 candidate set, and the exact-cosine ranking
+    must agree row for row. This is the tier that stays >=0.9 recall at
+    ~1/3 scored fraction on near-random corpora where bucketed LSH
+    collapses (RECALL.md); the corpus side never shuffles."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.hamming_topk(emb, emb.filter(F.col("vec_id") < 10), k=10)
 
 
 # ==========================================================================

@@ -186,6 +186,31 @@ def test_multimodal_resize_and_frame_sample(spark, docs):
     assert all(i % 10 == 0 for v in by_id.values() for i in v)
 
 
+def test_auto_n_planes_tracks_corpus():
+    # bucket size stays ~64 as N grows: +1 plane per corpus doubling
+    assert S.auto_n_planes(50) == 4
+    assert S.auto_n_planes(2000) == 5
+    assert S.auto_n_planes(4000) == 6
+    assert S.auto_n_planes(10 ** 9) == 24
+    assert S.auto_n_planes(2 ** 100) == 60  # packing cap
+
+
+def test_hamming_topk_full_radius_equals_exact(spark, vecs):
+    # radius = n_bits passes every candidate -> identical to brute force
+    exact = rows(S.cosine_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=3))
+    got = rows(S.hamming_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=3,
+                              dim=3, n_bits=8, radius=8))
+    assert got == exact
+
+
+def test_hamming_topk_arrow_matches_expression(spark, vecs):
+    kw = dict(k=3, dim=3, n_bits=8, radius=4)
+    expr = rows(S.hamming_topk(vecs, vecs.filter(F.col("vec_id") == 0), **kw))
+    arrow = rows(S.hamming_topk(vecs, vecs.filter(F.col("vec_id") == 0),
+                                use_arrow=True, **kw))
+    assert arrow == expr and expr  # same bits -> same candidates -> same ranks
+
+
 def test_cosine_topk_pandas_matches_codegen(spark, vecs):
     exact = rows(S.cosine_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=3))
     vectorized = rows(S.cosine_topk_pandas(

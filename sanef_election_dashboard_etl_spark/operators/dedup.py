@@ -382,6 +382,120 @@ def simhash_pairs_portable(df: DataFrame, max_hamming: int = 3,
             .select("id_a", "id_b", "hamming"))
 
 
+def simhash_signature_arrow(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", n_bits: int = 64,
+                            portable: bool = False,
+                            sig_col: str = "simhash") -> DataFrame:
+    """SimHash signatures WITHOUT the tokens x n_bits row blowup
+    (the expression path's one scale hazard: a 1k-token doc becomes 64k
+    (doc, bit) rows before the partial agg — 64x shuffle-input inflation
+    on a long-document corpus).
+
+    Shape: token hashes are computed JVM-side as ONE array column
+    (transform over tokens — xxhash64 or the engine-portable md5 hash —
+    no explode), then a single mapInPandas pass per Arrow batch unpacks
+    hashes into a (total_tokens, n_bits) numpy bit matrix, scatter-adds
+    the +-1 votes per doc, and packs sign bits into the signature long.
+    One row per doc ever leaves the stage; nothing shuffles until the
+    caller's banding join. Integer-only arithmetic end to end, so the
+    result is BIT-IDENTICAL to the expression path (test-asserted) and,
+    with `portable=True`, to the ANSI-SQL oracle.
+
+    Docs whose token array is empty or null are dropped, matching the
+    expression path (explode emits no rows for either). Note
+    whitespace-only text still yields one empty-string token under
+    `tokens()` — identically in both paths."""
+    import numpy as np
+    import pandas as pd
+
+    if portable:
+        n_bits = 60
+        hash_fn = portable_hash
+    else:
+        hash_fn = lambda t: F.xxhash64(t)  # noqa: E731 — *args-style
+        # builtins are not lambda-compatible for higher-order functions
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(tokens(F.col(text_col)), lambda t: hash_fn(t)).alias("hs"))
+
+    def fold(batches):
+        powers = (1 << np.arange(n_bits, dtype=np.uint64))
+        for pdf in batches:
+            keep = pdf["hs"].map(lambda h: h is not None and len(h) > 0)
+            pdf = pdf[keep]
+            if not len(pdf):
+                continue
+            counts = pdf["hs"].map(len).to_numpy()
+            H = np.concatenate([np.asarray(h, dtype=np.int64)
+                                for h in pdf["hs"]])
+            # bit k of the two's-complement little-endian bytes == the
+            # expression path's (h >> k) & 1 — unpackbits gives the whole
+            # (tokens, 64) bit matrix as uint8 in one pass
+            bits = np.unpackbits(H.view(np.uint8).reshape(len(H), 8),
+                                 axis=1, bitorder="little")[:, :n_bits]
+            # hashes arrive grouped by doc -> segmented sum, no scatter
+            offsets = np.zeros(len(counts), dtype=np.int64)
+            np.cumsum(counts[:-1], out=offsets[1:])
+            ones = np.add.reduceat(bits, offsets, axis=0, dtype=np.int64)
+            votes = 2 * ones - counts[:, None]     # (+1 per set bit, -1 else)
+            sig = ((votes >= 0).astype(np.uint64) * powers).sum(
+                axis=1, dtype=np.uint64).astype(np.int64)  # wraps = 2's compl
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), sig_col: sig})
+
+    return hashed.mapInPandas(fold, schema=f"{id_col} long, {sig_col} long")
+
+
+def _band_pairs(sig: DataFrame, max_hamming: int, chunk_bits: int,
+                n_chunks: int, id_col: str,
+                sig_col: str = "simhash") -> DataFrame:
+    """Pigeonhole banding over a packed signature: split into `n_chunks`
+    chunks of `chunk_bits`; any pair within Hamming distance < n_chunks
+    shares at least one exact chunk, so n_chunks chunk-equality self-joins
+    find all candidates; verify with bit_count of xor."""
+    mask = (1 << chunk_bits) - 1
+    chunks = sig.select(
+        id_col, sig_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk"),
+                     F.expr(f"({sig_col} >> {chunk_bits * c}) & {mask}")
+                      .alias("cval"))
+            for c in range(n_chunks)
+        ])).alias("b")).select(id_col, sig_col, "b.chunk", "b.cval")
+    lhs = chunks.select(F.col(id_col).alias("id_a"),
+                        F.col(sig_col).alias("sh_a"), "chunk", "cval")
+    rhs = chunks.select(F.col(id_col).alias("id_b"),
+                        F.col(sig_col).alias("sh_b"), "chunk", "cval")
+    cand = (lhs.join(rhs, ["chunk", "cval"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sh_a", "sh_b").distinct())
+    return (cand.withColumn("hamming",
+                            F.bit_count(F.expr("sh_a ^ sh_b")).cast("long"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+def simhash_pairs_arrow(df: DataFrame, max_hamming: int = 3,
+                        portable: bool = False, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """simhash_pairs with the Arrow signature stage (no row blowup) —
+    same banding and verification as the expression variants. With
+    `portable=True` the pipeline is bit-identical to
+    `simhash_pairs_portable` and shares its ANSI-SQL oracle; the default
+    xxhash64 form is bit-identical to `simhash_pairs` (both
+    test-asserted). This is the production configuration for long-doc
+    corpora; the expression paths stay as the oracle twins."""
+    if portable:
+        sig = simhash_signature_arrow(df, id_col, text_col, portable=True,
+                                      sig_col="sh")
+        return _band_pairs(sig, max_hamming, chunk_bits=15, n_chunks=4,
+                           id_col=id_col, sig_col="sh")
+    sig = simhash_signature_arrow(df, id_col, text_col, n_bits=64)
+    out = _band_pairs(sig, max_hamming, chunk_bits=16, n_chunks=4,
+                      id_col=id_col, sig_col="simhash")
+    # expression simhash_pairs leaves bit_count's int type; match it
+    return out.withColumn("hamming", F.col("hamming").cast("int"))
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
                          max_iter: int = 20) -> DataFrame:

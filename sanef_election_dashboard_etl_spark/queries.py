@@ -1883,7 +1883,7 @@ def sq_exists_subquery(spark, sf_dir):
     """)
 
 
-@query("dedup_simhash_portable", oracle="""
+_SIMHASH_PORTABLE_ORACLE = """
     WITH tok AS (
         SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
         FROM documents WHERE doc_id < 300
@@ -1913,7 +1913,10 @@ def sq_exists_subquery(spark, sf_dir):
     )
     SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
     FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
-""")
+"""
+
+
+@query("dedup_simhash_portable", oracle=_SIMHASH_PORTABLE_ORACLE)
 def dedup_simhash_portable(spark, sf_dir):
     """SimHash near-dup with portable hashes: bit votes, 60-bit signature
     assembly, 15-bit-chunk banding, and Hamming verification all replicated
@@ -1921,6 +1924,20 @@ def dedup_simhash_portable(spark, sf_dir):
     production variant.)"""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return D.simhash_pairs_portable(docs, max_hamming=3)
+
+
+@query("dedup_simhash_arrow", oracle=_SIMHASH_PORTABLE_ORACLE)
+def dedup_simhash_arrow(spark, sf_dir):
+    """SimHash near-dup with the Arrow signature stage
+    (dedup.simhash_signature_arrow): token hashes stay an un-exploded
+    array column and one mapInPandas pass folds the bit votes per doc —
+    no tokens x 60 row blowup, one row per doc into the banding join.
+    Integer-only arithmetic makes it bit-identical to the expression
+    pipeline, so it shares dedup_simhash_portable's full SQL oracle —
+    the production escape hatch for long-document corpora is itself
+    hash-verified, not just rows-checked."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return D.simhash_pairs_arrow(docs, max_hamming=3, portable=True)
 
 
 # ==========================================================================

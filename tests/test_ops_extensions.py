@@ -70,6 +70,26 @@ def test_simhash_identical_docs_zero_hamming(spark, docs):
     assert (1, 2) in pairs
 
 
+def test_simhash_arrow_bit_identical_to_expression(spark, docs):
+    # integer-only folds -> the Arrow escape hatch must match exactly,
+    # for both hash families and through the banding pipeline
+    assert rows(D.simhash_signature_arrow(docs)) == rows(D.simhash64(docs))
+    assert rows(D.simhash_pairs_arrow(docs, max_hamming=3)) == \
+        rows(D.simhash_pairs(docs, max_hamming=3))
+    assert rows(D.simhash_pairs_arrow(docs, max_hamming=3, portable=True)) == \
+        rows(D.simhash_pairs_portable(docs, max_hamming=3))
+
+
+def test_simhash_arrow_edge_docs_match_expression(spark):
+    # whitespace-only text tokenizes to [""] (kept); null text drops —
+    # the arrow stage must mirror the expression path on both
+    df = spark.createDataFrame([(1, "a b c"), (2, "   "), (3, None)],
+                               "doc_id long, text string")
+    assert rows(D.simhash_signature_arrow(df)) == rows(D.simhash64(df))
+    assert sorted(r["doc_id"] for r in
+                  D.simhash_signature_arrow(df).collect()) == [1, 2]
+
+
 @pytest.fixture(scope="module")
 def vecs(spark):
     return spark.createDataFrame(

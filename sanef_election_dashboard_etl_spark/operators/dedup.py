@@ -531,7 +531,9 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     edges = edges.persist()
     labels = (edges.select("u").distinct()
               .select(F.col("u").alias("v"), F.col("u").alias("label")))
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         nbr = (edges.join(labels.withColumnRenamed("v", "u"), "u")
                     .select("v", "label"))
         new_labels = (labels.union(nbr)
@@ -543,9 +545,80 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         labels = new_labels
         if changed == 0:
             break
+    connected_components.last_rounds = rounds
     edges.unpersist()
     return labels.select(F.col("v").alias("doc_id"),
                          F.col("label").alias("component"))
+
+
+def connected_components_logn(pairs: DataFrame, id_a: str = "id_a",
+                              id_b: str = "id_b",
+                              max_iter: int = 40) -> DataFrame:
+    """Connected components in O(log n) ROUNDS via alternating
+    large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SOCC'14) — the deep-graph answer to
+    `connected_components`' O(diameter) min-label rounds. Same output
+    contract: (doc_id, component = min reachable id), only vertices
+    appearing in `pairs`.
+
+    Each round halves (at least) the height of every tree in the edge
+    forest instead of shaving one hop, so a 100-deep dup chain converges
+    in ~7 rounds, not 100:
+    - large-star(u): connect every strictly-larger neighbor v of u to
+      m = min(N(u) + {u}) — emitted edges (v, m) are always
+      (bigger, smaller), so the set stays normalized for free.
+    - small-star(u): over the (big -> small) directed edges, connect u
+      and all its smaller neighbors to their min.
+    Both are one groupBy (per-node min) + one self-join (redirect) on
+    uniform vertex keys — the same shuffle shape as a min-label round;
+    the win is purely round count. Fixed point = every component a star
+    rooted at its min id; stability of the star set under both
+    operations is what the convergence check tests (set equality via
+    two tiny actions on the checkpointed round output; iterative graph
+    algorithms are driver-coordinated in every Spark formulation).
+
+    Deterministic: min over ids everywhere. Rounds used is exposed as
+    `connected_components_logn.last_rounds` (one round = large + small)."""
+    E = (pairs.select(
+            F.greatest(F.col(id_a).cast("long"),
+                       F.col(id_b).cast("long")).alias("u"),
+            F.least(F.col(id_a).cast("long"),
+                    F.col(id_b).cast("long")).alias("v"))
+         .filter(F.col("u") != F.col("v"))
+         .distinct()
+         .localCheckpoint(eager=True))
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # large-star over the symmetric neighborhood
+        nbr = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (nbr.groupBy("u").agg(F.min("v").alias("mv"))
+                .select("u", F.least("mv", "u").alias("m")))
+        large = (nbr.filter(F.col("v") > F.col("u"))
+                 .join(mins, "u")
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .filter(F.col("u") != F.col("v"))
+                 .distinct())
+        # small-star over the (big -> small) directed edges
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))  # m < u
+        redirected = large.join(mins2, "u").select(
+            F.col("v").alias("u"), F.col("m").alias("v"))
+        kept = mins2.select("u", F.col("m").alias("v"))
+        E2 = (redirected.union(kept)
+              .filter(F.col("u") != F.col("v"))
+              .distinct()
+              .localCheckpoint(eager=True))
+        if E2.count() == E.count() and E2.exceptAll(E).isEmpty():
+            E = E2
+            break
+        E = E2
+    connected_components_logn.last_rounds = rounds
+    roots = E.select(F.col("v")).distinct().select(
+        F.col("v").alias("doc_id"), F.col("v").alias("component"))
+    return (E.select(F.col("u").alias("doc_id"),
+                     F.col("v").alias("component"))
+            .union(roots)
+            .groupBy("doc_id").agg(F.min("component").alias("component")))
 
 
 def decontaminate(train: DataFrame, eval_set: DataFrame, n: int = 3,

@@ -142,6 +142,33 @@ def test_connected_components_match_union_find(spark, edges):
     got = {r["doc_id"]: r["component"]
            for r in connected_components(df).collect()}
     assert got == expect
+    from sanef_election_dashboard_etl_spark.operators.dedup import (
+        connected_components_logn,
+    )
+    got_logn = {r["doc_id"]: r["component"]
+                for r in connected_components_logn(df).collect()}
+    assert got_logn == expect
+
+
+def test_cc_logn_beats_min_label_rounds_on_deep_chain(spark):
+    """On a path graph (worst-case diameter) the star algorithm must
+    converge in ~log2(n) rounds where min-label needs ~n."""
+    from sanef_election_dashboard_etl_spark.operators.dedup import (
+        connected_components,
+        connected_components_logn,
+    )
+
+    n = 24
+    chain = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "id_a long, id_b long")
+    flat = {r["doc_id"]: r["component"]
+            for r in connected_components(chain, max_iter=n).collect()}
+    star = {r["doc_id"]: r["component"]
+            for r in connected_components_logn(chain).collect()}
+    assert flat == star == {i: 0 for i in range(n)}
+    assert connected_components_logn.last_rounds < \
+        connected_components.last_rounds
+    assert connected_components_logn.last_rounds <= 8  # ~2 log2(24)
 
 
 pairs8 = st.lists(st.tuples(st.integers(0, 255), st.integers(0, 255)),

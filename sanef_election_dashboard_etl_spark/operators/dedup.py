@@ -214,8 +214,17 @@ def minhash_lsh_pairs(df: DataFrame, n: int = 3, k: int = 32, bands: int = 8,
                   .select("id_a", "id_b").distinct())
 
     sizes = sig.select(F.col(id_col), F.col("sz"))
-    a = grams.select(F.col(id_col).alias("id_a"), "shingle")
-    b = grams.select(F.col(id_col).alias("id_b"), "shingle")
+    # the shingle table must NEVER be the broadcast side of the
+    # verification join: its planning-time estimate (cached-relation
+    # stats) undersells the materialized size, and at 100x the fixture
+    # (25M string rows) the promoted broadcast OOMs the driver — found
+    # by tools/scaling_eval.py --x100. shuffle_hash pins a shuffled hash
+    # join: candidates (bounded by banding + max_df) shuffle cheaply, grams
+    # partition by key, and sort-merge spills to disk instead of holding
+    # a per-partition hash build in executor memory (32 concurrent local
+    # tasks x a misestimated build side OOMed shuffle_hash too).
+    a = grams.select(F.col(id_col).alias("id_a"), "shingle").hint("merge")
+    b = grams.select(F.col(id_col).alias("id_b"), "shingle").hint("merge")
     inter = (candidates.join(a, "id_a").join(b, ["id_b", "shingle"])
              .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter")))
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
@@ -327,8 +336,9 @@ def minhash_lsh_pairs_portable(df: DataFrame, n: int = 3, k: int = 16,
                   .select("id_a", "id_b").distinct())
 
     sizes = sig.select(F.col(id_col), F.col("sz"))
-    a = grams.select(F.col(id_col).alias("id_a"), "shingle")
-    b = grams.select(F.col(id_col).alias("id_b"), "shingle")
+    # never broadcast the shingle table (see minhash_lsh_pairs)
+    a = grams.select(F.col(id_col).alias("id_a"), "shingle").hint("merge")
+    b = grams.select(F.col(id_col).alias("id_b"), "shingle").hint("merge")
     inter = (candidates.join(a, "id_a").join(b, ["id_b", "shingle"])
              .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter")))
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))

@@ -51,6 +51,10 @@ MUST_HAVE = {
     # decontamination: the eval shingle table must be the broadcast side
     # (the training corpus never shuffles for the overlap join)
     "dedup_decontaminate": ["BroadcastHashJoin"],
+    # the minhash verification join must keep its gram sides in a
+    # sort-merge join — a promoted broadcast of the (misestimated)
+    # cached shingle table OOMs at 100x (SCALING.md)
+    "dedup_minhash_lsh": ["SortMergeJoin"],
 }
 
 # query -> substrings that must NOT appear

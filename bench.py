@@ -79,6 +79,8 @@ HEADLINE = (
     "dedup_exact",
     "dedup_minhash_lsh",
     "sim_topk_cosine",
+    "sim_topk_hamming",
+    "dedup_simhash_arrow",
 )
 
 

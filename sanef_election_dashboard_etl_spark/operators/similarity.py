@@ -315,6 +315,58 @@ def _with_arrow_signature(df: DataFrame, planes: list[list[float]],
     return df.mapInPandas(add_sig, schema=schema)
 
 
+def embedding_dup_pairs(emb: DataFrame, min_cosine: float = 0.99,
+                        n_bits: int = 60, max_hamming: int = 3,
+                        seed: int = 42, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Embedding DUPLICATE pairs at scale — the embedding analog of
+    SimHash document dedup, for the near-exact regime (default
+    cos >= 0.99, i.e. re-encoded/re-crawled copies of the same content).
+
+    Why a separate operator from `cosine_pairs` (quadratic, bounded
+    subsets only): at cos >= 0.99 the per-plane sign-flip probability is
+    ~arccos(0.99)/pi = 4.5%, so a 60-bit hyperplane signature of a dup
+    pair differs in ~2.7 bits — Hamming <= 3 pigeonhole banding (4 x
+    15-bit chunk equality self-joins, dedup._band_pairs) finds the
+    candidates with uniform shuffle keys and ~4/2^15 random-pair
+    collision rate, then ONE exact-cosine pass verifies candidates.
+    Corpus-size-linear candidate generation, verification bounded to
+    candidates — the 100 TB shape. For looser thresholds (cos ~0.9 the
+    expected Hamming distance leaves pigeonhole range) use `lsh_topk` /
+    `ivf_topk` per RECALL.md.
+
+    Fully oracle-expressible: signatures are the portable 60-bit packing
+    (one signed long), cosine compared after round(4) so both engines
+    agree at the threshold. Output (id_a, id_b), id_a < id_b, ids only."""
+    from .dedup import _band_pairs
+
+    planes = _hyperplanes(dim_of(emb, vec_col), n_bits, seed)
+    n = with_norm(emb, vec_col)
+    sig = n.select(
+        F.col(id_col), F.col("__v").alias("v"), F.col("__norm").alias("nm"),
+        hyperplane_signature(F.col("__v"), planes)[0].alias("sig"))
+    cand = _band_pairs(sig.select(id_col, "sig"), max_hamming,
+                       chunk_bits=15, n_chunks=4, id_col=id_col,
+                       sig_col="sig")
+    a = sig.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+                   F.col("nm").alias("na"))
+    b = sig.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+                   F.col("nm").alias("nb"))
+    return (cand.join(a, "id_a").join(b, "id_b")
+            .withColumn("cos", F.round(
+                dot(F.col("va"), F.col("vb")) /
+                (F.col("na") * F.col("nb")), 4))
+            .filter(F.col("cos") >= min_cosine)
+            .select("id_a", "id_b"))
+
+
+def dim_of(emb: DataFrame, vec_col: str = "embedding") -> int:
+    """Vector dimensionality from the schema when fixed, else from one
+    row (one tiny job; callers on hot paths pass dims explicitly)."""
+    row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(row["d"])
+
+
 def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
              n_centroids: int = 16, n_probe: int = 8, seed: int = 42,
              max_iter: int = 8,

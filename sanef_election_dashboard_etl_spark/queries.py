@@ -995,6 +995,60 @@ def _hamming_oracle_sql(n_bits: int = 120, radius: int = 56,
     """
 
 
+def _embedding_dup_oracle_sql(n_bits: int = 60, max_hamming: int = 3,
+                              min_cosine: float = 0.99,
+                              seed: int = 42) -> str:
+    """SQL twin of embedding_dup_pairs over embeddings + an id-shifted
+    copy: same 60 hyperplane constants -> one BIGINT signature, 15-bit
+    chunk pigeonhole candidates, Hamming verify, rounded-cosine gate."""
+    from .operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, n_bits, seed)
+    bits = []
+    for i, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(w)) for w in plane) + "]"
+        bits.append(f"CASE WHEN list_inner_product(e, {lit}) >= 0 "
+                    f"THEN {2 ** i}::BIGINT ELSE 0::BIGINT END")
+    sig = "(" + " + ".join(bits) + ")"
+    return f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    u AS (SELECT vec_id, e FROM base
+          UNION ALL SELECT vec_id + 100000, e FROM base),
+    s AS (SELECT vec_id, e, {sig} AS sig FROM u),
+    chunks AS (
+        SELECT vec_id, sig, c.c AS chunk,
+               (sig >> CAST(15 * c.c AS INT)) & 32767 AS cval
+        FROM s, range(4) c(c)
+    ), cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM chunks a JOIN chunks b
+          ON a.chunk = b.chunk AND a.cval = b.cval
+         AND a.vec_id < b.vec_id
+         AND bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+    )
+    SELECT id_a, id_b FROM cand
+    JOIN s sa ON sa.vec_id = cand.id_a
+    JOIN s sb ON sb.vec_id = cand.id_b
+    WHERE ROUND(list_cosine_similarity(sa.e, sb.e), 4) >= {min_cosine}
+    """
+
+
+@query("sim_embedding_dup_pairs", oracle=_embedding_dup_oracle_sql())
+def sim_embedding_dup_pairs(spark, sf_dir):
+    """Embedding duplicate detection at scale
+    (similarity.embedding_dup_pairs): 60-bit hyperplane signature,
+    Hamming<=3 pigeonhole banding (the embedding analog of SimHash doc
+    dedup — corpus-linear candidates, never all-pairs), exact rounded
+    cosine verifies candidates. The fixture corpus has no natural dups
+    (max cos ~0.37), so the query unions an id-shifted copy: every
+    vector must pair with exactly its clone — 2x corpus in, corpus-count
+    pairs out, end-to-end oracle-verified against the same plane
+    constants in SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dup = emb.withColumn("vec_id", F.col("vec_id") + F.lit(100000))
+    return S.embedding_dup_pairs(emb.unionByName(dup))
+
+
 @query("sim_topk_hamming", oracle=_hamming_oracle_sql())
 def sim_topk_hamming(spark, sf_dir):
     """Wide-signature Hamming-prefilter ANN (similarity.hamming_topk),

@@ -231,6 +231,20 @@ def test_hamming_topk_arrow_matches_expression(spark, vecs):
     assert arrow == expr and expr  # same bits -> same candidates -> same ranks
 
 
+def test_embedding_dup_pairs_finds_clones_not_neighbors(spark, vecs):
+    # vec 4 is a near-clone of vec 0 (cos ~0.99995); vec 1 is merely
+    # similar (cos ~0.994) and must be filtered by the exact verify
+    got = rows(S.embedding_dup_pairs(vecs, min_cosine=0.999))
+    assert (0, 4) in got and all(p != (0, 1) for p in got)
+    # exact clones always pair: union an id-shifted copy
+    import pyspark.sql.functions as F2
+    both = vecs.unionByName(vecs.withColumn("vec_id",
+                                            F2.col("vec_id") + F2.lit(100)))
+    clone_pairs = rows(S.embedding_dup_pairs(both, min_cosine=0.999))
+    for i in range(5):
+        assert (i, i + 100) in clone_pairs
+
+
 def test_cosine_topk_pandas_matches_codegen(spark, vecs):
     exact = rows(S.cosine_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=3))
     vectorized = rows(S.cosine_topk_pandas(

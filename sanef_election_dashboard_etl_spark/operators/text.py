@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.numeric import ratio
+from ..functions.numeric import davg, ratio
 
 # Small per-language stopword lists for the n-gram/stopword language
 # heuristic. Real deployments plug in fastText/CLD3 via a pandas UDF; the
@@ -270,6 +270,28 @@ def length_histogram(df: DataFrame, length_col: str = "n_chars",
                    F.sum(length_col).cast("long").alias("total_chars")))
 
 
+def ngram_pairs(df: DataFrame, n: int = 2, text_col: str = "text",
+                keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(context, next_token) rows per n-gram occurrence (multiplicity
+    kept), optionally carrying `keep_cols` (e.g. the doc id). One narrow
+    explode; the shared first stage of the LM operators."""
+    toks = tokens(F.col(text_col))
+    # guard: F.sequence(1, 0) counts DOWN ([1, 0]) — docs shorter than n
+    # must produce an empty start list, not a descending one
+    starts = F.when(F.size(toks) >= n,
+                    F.sequence(F.lit(1), F.size(toks) - (n - 1))) \
+              .otherwise(F.array().cast("array<int>"))
+    kept = [F.col(c) for c in keep_cols]
+    return df.select(*kept, F.explode(F.filter(
+        F.transform(
+            starts,
+            lambda i: F.struct(
+                F.concat_ws(" ", F.slice(toks, i, n - 1)).alias("context"),
+                F.get(toks, i + n - 2).alias("next_token"))),
+        lambda s: (s["next_token"] != "") & (s["context"] != ""))).alias("g")) \
+        .select(*keep_cols, "g.context", "g.next_token")
+
+
 def ngram_lm_counts(df: DataFrame, n: int = 2,
                     text_col: str = "text") -> DataFrame:
     """KenLM-style n-gram count table with conditional probabilities:
@@ -286,20 +308,7 @@ def ngram_lm_counts(df: DataFrame, n: int = 2,
     table is the artifact you persist, p is derived on read."""
     from pyspark.sql import Window
 
-    toks = tokens(F.col(text_col))
-    # guard: F.sequence(1, 0) counts DOWN ([1, 0]) — docs shorter than n
-    # must produce an empty start list, not a descending one
-    starts = F.when(F.size(toks) >= n,
-                    F.sequence(F.lit(1), F.size(toks) - (n - 1))) \
-              .otherwise(F.array().cast("array<int>"))
-    pairs = df.select(F.explode(F.filter(
-        F.transform(
-            starts,
-            lambda i: F.struct(
-                F.concat_ws(" ", F.slice(toks, i, n - 1)).alias("context"),
-                F.get(toks, i + n - 2).alias("next_token"))),
-        lambda s: (s["next_token"] != "") & (s["context"] != ""))).alias("g")) \
-        .select("g.context", "g.next_token")
+    pairs = ngram_pairs(df, n, text_col)
     counts = (pairs.groupBy("context", "next_token")
                    .agg(F.count(F.lit(1)).alias("cnt")))
     w = Window.partitionBy("context")
@@ -307,3 +316,50 @@ def ngram_lm_counts(df: DataFrame, n: int = 2,
             .withColumn("context_cnt", F.sum("cnt").over(w).cast("long"))
             .withColumn("p", F.round(F.col("cnt").cast("double")
                                      / F.col("context_cnt"), 4)))
+
+
+def lm_cross_entropy(df: DataFrame, lm: DataFrame | None = None, n: int = 2,
+                     alpha: float = 0.5, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """CCNet-style language-model perplexity filter: per-doc
+    cross-entropy under an n-gram LM with add-alpha smoothing —
+    cross_entropy = mean over the doc's n-grams of
+    -ln((cnt + alpha) / (context_cnt + alpha * V)).
+
+    `lm=None` fits the LM on `df` itself (self-perplexity): templated /
+    boilerplate documents score LOW (their n-grams dominate the corpus),
+    statistical outliers (lorem ipsum, garbled decodes, wrong-language
+    contamination) score HIGH — filter both tails, the standard
+    web-corpus curation move. Pass a reference corpus as `lm` to score
+    against clean text instead (the original CCNet setup).
+
+    Scale shape: the count table shuffles on (context, next_token) keys
+    (uniform), the vocabulary size is a 1-row broadcast, and the doc
+    n-gram stream joins the counts on the same uniform keys — no
+    all-pairs, no skew beyond natural n-gram hotness (cap with a max-df
+    guard upstream if the corpus is templated). Cross-engine
+    determinism: smoothed p divides identically-computed doubles, each
+    -ln rounds at 1e-6 (a last-ulp libm difference cannot flip it off
+    boundaries), and the per-doc mean goes through davg's exact decimal
+    sum. Output (doc_id, n_ngrams, cross_entropy)."""
+    corpus = lm if lm is not None else df
+    counts = ngram_lm_counts(corpus, n, text_col) \
+        .select("context", "next_token", "cnt", "context_cnt")
+    ctx = counts.select("context", "context_cnt").distinct()
+    vocab = (corpus.select(F.explode(tokens(F.col(text_col))).alias("t"))
+             .filter(F.col("t") != "")
+             .agg(F.count_distinct("t").alias("V")))
+    pairs = ngram_pairs(df, n, text_col, keep_cols=(id_col,))
+    scored = (pairs
+              .join(counts.select("context", "next_token", "cnt"),
+                    ["context", "next_token"], "left")
+              .join(ctx, "context", "left")
+              .crossJoin(F.broadcast(vocab))
+              .withColumn("p", (F.coalesce(F.col("cnt"), F.lit(0))
+                                .cast("double") + F.lit(alpha)) /
+                               (F.coalesce(F.col("context_cnt"), F.lit(0))
+                                .cast("double") + F.lit(alpha) * F.col("V")))
+              .withColumn("nll", F.round(-F.log(F.col("p")), 6)))
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_ngrams"),
+                 davg("nll", scale=6, out_scale=4).alias("cross_entropy")))

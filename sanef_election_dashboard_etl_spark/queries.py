@@ -3164,6 +3164,53 @@ def text_bigram_lm(spark, sf_dir):
     return T.ngram_lm_counts(docs, n=2)
 
 
+@query("text_lm_perplexity", oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents WHERE doc_id < 200
+    ), idx AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS i
+        FROM tok
+    ), pairs AS (
+        SELECT doc_id, toks[i] AS context, toks[i + 1] AS next_token
+        FROM idx WHERE toks[i] <> '' AND toks[i + 1] <> ''
+    ), counts AS (
+        SELECT context, next_token, COUNT(*) AS cnt
+        FROM pairs GROUP BY 1, 2
+    ), ctx AS (
+        SELECT context, CAST(SUM(cnt) AS BIGINT) AS context_cnt
+        FROM counts GROUP BY 1
+    ), v AS (
+        SELECT COUNT(DISTINCT t) AS V
+        FROM (SELECT unnest(toks) AS t FROM tok) WHERE t <> ''
+    ), scored AS (
+        SELECT p.doc_id,
+               ROUND(-ln((CAST(c.cnt AS DOUBLE) + 0.5)
+                         / (CAST(x.context_cnt AS DOUBLE) + 0.5 * v.V)), 6)
+                   AS nll
+        FROM pairs p
+        JOIN counts c USING (context, next_token)
+        JOIN ctx x USING (context), v
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+           ROUND(CAST(SUM(CAST(nll AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 4) AS cross_entropy
+    FROM scored GROUP BY doc_id
+""")
+def text_lm_perplexity(spark, sf_dir):
+    """CCNet-style perplexity filter (text.lm_cross_entropy): per-doc
+    cross-entropy under the corpus's own bigram LM with add-0.5
+    smoothing — templated docs score low, statistical outliers high;
+    filter both tails. The oracle replays the whole thing (counts,
+    smoothing, -ln rounded at 1e-6, decimal-exact mean) in SQL; the
+    self-fit LM makes every doc n-gram hit the count table, so the
+    smoothing floor is exercised by construction, not by chance."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return T.lm_cross_entropy(docs, n=2, alpha=0.5)
+
+
 @query("dedup_decontaminate", oracle="""
     WITH tok AS (
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks

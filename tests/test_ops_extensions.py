@@ -252,6 +252,22 @@ def test_cosine_topk_pandas_matches_codegen(spark, vecs):
     assert vectorized == exact
 
 
+def test_lm_perplexity_separates_boilerplate_from_outliers(spark):
+    # 3 identical template docs + 1 statistical outlier: under the
+    # self-fit bigram LM the template's n-grams dominate the counts, so
+    # the outlier must score strictly higher cross-entropy
+    df = spark.createDataFrame(
+        [(1, "click here to subscribe now"),
+         (2, "click here to subscribe now"),
+         (3, "click here to subscribe now"),
+         (4, "zq xv wk jp qqnm zzyx")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["cross_entropy"]
+           for r in T.lm_cross_entropy(df).collect()}
+    assert got[4] > got[1]
+    assert got[1] == got[2] == got[3]
+
+
 def test_repetition_ratio(spark):
     df = spark.createDataFrame(
         [(1, "a b c a b c a b c"),        # highly repetitive 3-grams

@@ -279,8 +279,16 @@ def main() -> None:
         "tokens x 64 vote rows into the partial agg, and the gap widens",
         "with document count/length.",
     ]
+    # keep a previously-measured 100x section (written by --x100) intact
+    tail = ""
+    try:
+        old = open("/root/repo/SCALING.md").read()
+        if "\n## 100x" in old:
+            tail = "\n" + old[old.index("\n## 100x") + 1:]
+    except OSError:
+        pass
     with open("/root/repo/SCALING.md", "w") as fh:
-        fh.write("\n".join(lines) + "\n")
+        fh.write("\n".join(lines) + "\n" + tail)
     print(f"\nmean scaled ratio {mean:.2f}x; SCALING.md written")
 
 

@@ -317,41 +317,59 @@ def _with_arrow_signature(df: DataFrame, planes: list[list[float]],
 
 def embedding_dup_pairs(emb: DataFrame, min_cosine: float = 0.99,
                         n_bits: int = 60, max_hamming: int = 3,
-                        seed: int = 42, id_col: str = "vec_id",
+                        n_tables: int = 1, seed: int = 42,
+                        id_col: str = "vec_id",
                         vec_col: str = "embedding") -> DataFrame:
     """Embedding DUPLICATE pairs at scale — the embedding analog of
-    SimHash document dedup, for the near-exact regime (default
-    cos >= 0.99, i.e. re-encoded/re-crawled copies of the same content).
+    SimHash document dedup, for the near-exact regime (re-encoded /
+    re-crawled copies of the same content).
 
     Why a separate operator from `cosine_pairs` (quadratic, bounded
-    subsets only): at cos >= 0.99 the per-plane sign-flip probability is
-    ~arccos(0.99)/pi = 4.5%, so a 60-bit hyperplane signature of a dup
-    pair differs in ~2.7 bits — Hamming <= 3 pigeonhole banding (4 x
-    15-bit chunk equality self-joins, dedup._band_pairs) finds the
-    candidates with uniform shuffle keys and ~4/2^15 random-pair
-    collision rate, then ONE exact-cosine pass verifies candidates.
-    Corpus-size-linear candidate generation, verification bounded to
-    candidates — the 100 TB shape. For looser thresholds (cos ~0.9 the
-    expected Hamming distance leaves pigeonhole range) use `lsh_topk` /
-    `ivf_topk` per RECALL.md.
+    subsets only): a 60-bit hyperplane signature of a near-dup pair
+    differs in few bits, so Hamming <= 3 pigeonhole banding (4 x 15-bit
+    chunk equality self-joins, dedup._band_pairs) finds candidates with
+    uniform shuffle keys and ~4/2^15 random-pair collision rate, then
+    ONE exact-cosine pass verifies. Corpus-size-linear candidates,
+    verification bounded to candidates — the 100 TB shape.
+
+    DETECTION recall per signature table (binomial over per-plane flip
+    prob arccos(cos)/pi; `min_cosine` only gates verification):
+
+        cos     P(found | 1 table)   2 tables   3 tables
+        0.999         0.99             1.00       1.00
+        0.995         0.88             0.98       1.00
+        0.99          0.72             0.92       0.98
+        0.98          0.46             0.71       0.84
+
+    The default (1 table) is the cos >= 0.999 near-exact sweep;
+    `n_tables=3` (independent plane sets, candidate union, one shared
+    verification) is the cos >= 0.99 operating point. Looser than that,
+    the expected Hamming distance leaves pigeonhole range — use
+    `lsh_topk` / `ivf_topk` per RECALL.md.
 
     Fully oracle-expressible: signatures are the portable 60-bit packing
     (one signed long), cosine compared after round(4) so both engines
     agree at the threshold. Output (id_a, id_b), id_a < id_b, ids only."""
     from .dedup import _band_pairs
 
-    planes = _hyperplanes(dim_of(emb, vec_col), n_bits, seed)
+    dim = dim_of(emb, vec_col)
     n = with_norm(emb, vec_col)
-    sig = n.select(
-        F.col(id_col), F.col("__v").alias("v"), F.col("__norm").alias("nm"),
-        hyperplane_signature(F.col("__v"), planes)[0].alias("sig"))
-    cand = _band_pairs(sig.select(id_col, "sig"), max_hamming,
-                       chunk_bits=15, n_chunks=4, id_col=id_col,
-                       sig_col="sig")
-    a = sig.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
-                   F.col("nm").alias("na"))
-    b = sig.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
-                   F.col("nm").alias("nb"))
+    base = n.select(F.col(id_col), F.col("__v").alias("v"),
+                    F.col("__norm").alias("nm"))
+    cand = None
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_bits, seed + 1000 * t)
+        sig = base.select(
+            id_col, hyperplane_signature(F.col("v"), planes)[0].alias("sig"))
+        ct = _band_pairs(sig, max_hamming, chunk_bits=15, n_chunks=4,
+                         id_col=id_col, sig_col="sig") \
+            .select("id_a", "id_b")
+        cand = ct if cand is None else cand.unionByName(ct)
+    cand = cand.distinct()
+    a = base.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+                    F.col("nm").alias("na"))
+    b = base.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+                    F.col("nm").alias("nb"))
     return (cand.join(a, "id_a").join(b, "id_b")
             .withColumn("cos", F.round(
                 dot(F.col("va"), F.col("vb")) /

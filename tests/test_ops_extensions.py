@@ -245,6 +245,34 @@ def test_embedding_dup_pairs_finds_clones_not_neighbors(spark, vecs):
         assert (i, i + 100) in clone_pairs
 
 
+def test_embedding_dup_pairs_multitable_recall(spark):
+    # perturb each corpus vector to cos ~0.99 with seeded noise: 1 table
+    # detects ~0.72 of the pairs (docstring table), 3 tables ~0.98 —
+    # the union amplification must show up in the measured recall
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((120, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    target = 0.99
+    noise = rng.standard_normal((120, 16))
+    noise -= (noise * base).sum(axis=1, keepdims=True) * base  # orthogonal
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    pert = target * base + math.sqrt(1 - target ** 2) * noise
+    rows_ = [(i, [float(x) for x in base[i]]) for i in range(120)] + \
+        [(i + 1000, [float(x) for x in pert[i]]) for i in range(120)]
+    df = spark.createDataFrame(rows_, "vec_id long, embedding array<float>")
+
+    def recall(n_tables):
+        got = rows(S.embedding_dup_pairs(df, min_cosine=0.98, n_bits=60,
+                                         n_tables=n_tables))
+        return sum((i, i + 1000) in got for i in range(120)) / 120
+
+    r1, r3 = recall(1), recall(3)
+    assert r3 > r1
+    assert r3 >= 0.9
+
+
 def test_cosine_topk_pandas_matches_codegen(spark, vecs):
     exact = rows(S.cosine_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=3))
     vectorized = rows(S.cosine_topk_pandas(

@@ -318,6 +318,41 @@ def ngram_lm_counts(df: DataFrame, n: int = 2,
                                      / F.col("context_cnt"), 4)))
 
 
+def curate(df: DataFrame, min_tokens: int = 20,
+           max_repetition: float = 0.01, max_cross_entropy: float = 3.45,
+           id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """End-to-end corpus curation decision: compose the quality stack —
+    token counts (quality_score), duplicate-3-gram fraction
+    (repetition_ratio), self-LM cross-entropy (lm_cross_entropy) — into
+    one keep/drop verdict with the FIRST failing rule as the reason
+    ('short' | 'repetitive' | 'lm_outlier' | 'keep'). The drop list plus
+    its evidence, the per-doc analog of decontaminate()'s output
+    contract.
+
+    Thresholds are parameters (the defaults are calibrated to the
+    fixture corpus so the result exercises every branch); real corpora
+    set them from measured distributions — see SCALE.md. Three doc-keyed
+    aggregates join on the id (uniform key, one shuffle each); every
+    rule input is a rounded/integer column, so the verdict is
+    engine-deterministic. Output (doc_id, n_tokens, repetition_ratio,
+    cross_entropy, reason, keep)."""
+    q = quality_score(df, id_col, text_col).select(id_col, "n_tokens")
+    r = repetition_ratio(df, n=3, id_col=id_col, text_col=text_col) \
+        .select(id_col, "repetition_ratio")
+    c = lm_cross_entropy(df, id_col=id_col, text_col=text_col) \
+        .select(id_col, "cross_entropy")
+    j = q.join(r, id_col).join(c, id_col)
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, "short")
+        .when(F.col("repetition_ratio") > max_repetition, "repetitive")
+        .when(F.col("cross_entropy") > max_cross_entropy, "lm_outlier")
+        .otherwise("keep"))
+    return j.select(
+        id_col, "n_tokens", "repetition_ratio", "cross_entropy",
+        reason.alias("reason"),
+        (reason == "keep").cast("long").alias("keep"))
+
+
 def lm_cross_entropy(df: DataFrame, lm: DataFrame | None = None, n: int = 2,
                      alpha: float = 0.5, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:

@@ -3211,6 +3211,82 @@ def text_lm_perplexity(spark, sf_dir):
     return T.lm_cross_entropy(docs, n=2, alpha=0.5)
 
 
+@query("pipe_corpus_curation", oracle="""
+    WITH tokc AS (
+        SELECT doc_id, COUNT(*) AS n_tokens FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS token
+            FROM documents WHERE doc_id < 200
+        ) GROUP BY doc_id
+    ), tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents WHERE doc_id < 200
+    ), rep AS (
+        SELECT doc_id,
+               ROUND(1.0 - CAST(len(list_distinct(g)) AS DOUBLE)
+                         / CAST(len(g) AS DOUBLE), 4) AS repetition_ratio
+        FROM (
+            SELECT doc_id,
+                   list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                  i -> toks[i] || ' ' || toks[i+1] || ' '
+                                       || toks[i+2]) AS g
+            FROM tok)
+    ), idx AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS i
+        FROM tok
+    ), pairs AS (
+        SELECT doc_id, toks[i] AS context, toks[i + 1] AS next_token
+        FROM idx WHERE toks[i] <> '' AND toks[i + 1] <> ''
+    ), counts AS (
+        SELECT context, next_token, COUNT(*) AS cnt
+        FROM pairs GROUP BY 1, 2
+    ), ctx AS (
+        SELECT context, CAST(SUM(cnt) AS BIGINT) AS context_cnt
+        FROM counts GROUP BY 1
+    ), v AS (
+        SELECT COUNT(DISTINCT t) AS V
+        FROM (SELECT unnest(toks) AS t FROM tok) WHERE t <> ''
+    ), scored AS (
+        SELECT p.doc_id,
+               ROUND(-ln((CAST(c.cnt AS DOUBLE) + 0.5)
+                         / (CAST(x.context_cnt AS DOUBLE) + 0.5 * v.V)), 6)
+                   AS nll
+        FROM pairs p
+        JOIN counts c USING (context, next_token)
+        JOIN ctx x USING (context), v
+    ), ce AS (
+        SELECT doc_id,
+               ROUND(CAST(SUM(CAST(nll AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(*), 4) AS cross_entropy
+        FROM scored GROUP BY doc_id
+    )
+    SELECT tokc.doc_id, tokc.n_tokens, rep.repetition_ratio,
+           ce.cross_entropy,
+           CASE WHEN tokc.n_tokens < 20 THEN 'short'
+                WHEN rep.repetition_ratio > 0.01 THEN 'repetitive'
+                WHEN ce.cross_entropy > 3.45 THEN 'lm_outlier'
+                ELSE 'keep' END AS reason,
+           CAST(CASE WHEN tokc.n_tokens >= 20
+                      AND rep.repetition_ratio <= 0.01
+                      AND ce.cross_entropy <= 3.45
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM tokc
+    JOIN rep USING (doc_id)
+    JOIN ce USING (doc_id)
+""")
+def pipe_corpus_curation(spark, sf_dir):
+    """End-to-end corpus-curation pipeline (text.curate): token counts +
+    Gopher repetition + CCNet self-LM cross-entropy joined into one
+    keep/drop verdict with the first failing rule as the evidence —
+    the per-doc curation decision a training-data pipeline applies
+    before dedup/packing. Thresholds calibrated to the fixture so every
+    branch fires; the oracle replays all three metrics AND the rule
+    cascade in one SQL statement."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return T.curate(docs)
+
+
 @query("dedup_decontaminate", oracle="""
     WITH tok AS (
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks

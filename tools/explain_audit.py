@@ -69,6 +69,11 @@ MUST_NOT = {
     # the corpus side must not shuffle before the hamming filter; the only
     # exchange allowed is the per-query top-k window on the survivors
     "sim_topk_hamming": ["SortMergeJoin", "CartesianProduct"],
+    # signature banding is equi-keyed; the 1-row vocab scalar is the
+    # only nested-loop allowed in the LM stack
+    "sim_embedding_dup_pairs": ["CartesianProduct"],
+    "text_lm_perplexity": ["CartesianProduct"],
+    "pipe_corpus_curation": ["CartesianProduct"],
 }
 
 AUDIT = [
@@ -82,7 +87,8 @@ AUDIT = [
     "dedup_max_df_guard", "layout_zorder_write", "sample_cap_per_source",
     "q4_order_priority", "q10_returned_items", "q7_nation_volume",
     "q8_market_share", "dedup_decontaminate", "sample_assign_splits",
-    "j12_interval_join",
+    "j12_interval_join", "sim_embedding_dup_pairs", "text_lm_perplexity",
+    "pipe_corpus_curation",
 ]
 
 

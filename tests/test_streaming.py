@@ -213,3 +213,41 @@ def test_stream_static_enrich_join(spark, tmp_path):
            for r in spark.sql("SELECT * FROM enriched").collect()}
     assert got == {1: "engagement", 2: "engagement",
                    3: "passive", 4: "engagement"}
+
+
+def test_streaming_curation_against_reference_lm(spark, tmp_path):
+    """Ingest-time curation: a document stream is scored per micro-batch
+    against a STATIC reference LM (the CCNet wiring — reference counts
+    computed once, each arriving batch joins them) via foreachBatch; the
+    batch operator runs unchanged."""
+    from sanef_election_dashboard_etl_spark.operators import text as T
+
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)],
+        "doc_id long, text string")
+
+    src = tmp_path / "cur_src"
+    src.mkdir()
+    incoming = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),
+         (101, "zz qq xx vv kk jj ww yy")],
+        "doc_id long, text string")
+    incoming.coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    scored = []
+
+    def write_batch(df, epoch_id):
+        out = T.lm_cross_entropy(df, lm=ref)
+        scored.extend((r["doc_id"], r["cross_entropy"])
+                      for r in out.collect())
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(str(src)))
+    q = (stream.writeStream.foreachBatch(write_batch)
+         .option("checkpointLocation", str(tmp_path / "cur_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = dict(scored)
+    # the in-distribution doc must score strictly lower than the
+    # out-of-vocabulary doc under the reference LM
+    assert got[100] < got[101]

@@ -79,7 +79,7 @@ HEADLINE = (
     "dedup_exact",
     "dedup_minhash_lsh",
     "sim_topk_cosine",
-    "sim_topk_hamming",
+    "sim_topk_hamming_arrow",
     "dedup_simhash_arrow",
 )
 

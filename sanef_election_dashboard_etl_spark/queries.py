@@ -1049,6 +1049,17 @@ def sim_embedding_dup_pairs(spark, sf_dir):
     return S.embedding_dup_pairs(emb.unionByName(dup))
 
 
+@query("sim_topk_hamming_arrow", oracle=None, tags=("rows-only",))
+def sim_topk_hamming_arrow(spark, sf_dir):
+    """hamming_topk with Arrow (numpy-matmul) signature computation —
+    the production ingest path (2.8x the expression form at sf0.1,
+    which exists for exact SQL-oracle parity as sim_topk_hamming;
+    the two are test-asserted bit-equal)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.hamming_topk(emb, emb.filter(F.col("vec_id") < 10), k=10,
+                          use_arrow=True)
+
+
 @query("sim_topk_hamming", oracle=_hamming_oracle_sql())
 def sim_topk_hamming(spark, sf_dir):
     """Wide-signature Hamming-prefilter ANN (similarity.hamming_topk),

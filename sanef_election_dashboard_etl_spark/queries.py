@@ -3141,6 +3141,153 @@ def q22_idle_rich_customers(spark, sf_dir):
                           .cast("double"), 2).alias("totacctbal")))
 
 
+@query("q9_product_profit", oracle="""
+    SELECT n.n_name AS nation,
+           EXTRACT(year FROM o.o_orderdate) AS o_year,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               - p.p_retailprice * l.l_quantity * 0.1
+                               AS DECIMAL(18,4))) AS DOUBLE), 2) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_type = 'PROMO'
+    GROUP BY 1, 2
+""")
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: product-type profit by nation and order year —
+    a 5-table join where only lineitem is big (part/supplier/nation
+    broadcast; orders carries the year). Profit = revenue minus a
+    retail-price-based cost (the fixture has no partsupp table, so
+    ps_supplycost adapts to p_retailprice * qty * 0.1 — same expression
+    class). Decimal-exact sum; EXTRACT(year) is engine-portable."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    amount = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+              - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1))
+    return (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+            .join(o, l.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").cast("long").alias("o_year"))
+            .agg(F.round(F.sum(amount.cast("decimal(18,4)"))
+                         .cast("double"), 2).alias("profit")))
+
+
+@query("q12_priority_class", oracle="""
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l.l_shipdate < TIMESTAMP '1996-01-01'
+    GROUP BY 1
+""")
+def q12_priority_class(spark, sf_dir):
+    """TPC-H Q12 shape: order-priority class counts per line category
+    for one ship-year (l_returnflag stands in for the fixture's missing
+    l_shipmode — identical conditional-aggregate-over-join semantics)."""
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp")) &
+        (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp")))
+    o = _t(spark, sf_dir, "orders")
+    return (o.join(l, o.o_orderkey == l.l_orderkey)
+            .groupBy("l_returnflag")
+            .agg(F.sum(high.cast("long")).alias("high_line_count"),
+                 F.sum((~high).cast("long")).alias("low_line_count")))
+
+
+@query("q19_disjunctive_brackets", oracle="""
+    SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 5 AND 30)
+       OR (p.p_brand = 'Brand#5' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 10 AND 40)
+""")
+def q19_disjunctive_brackets(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-conjunctive-brackets over a join — the
+    disjunctive-pushdown stress test. Catalyst extracts the common
+    p_brand/p_size membership into the part scan and evaluates the
+    mixed part x lineitem residual post-join; part broadcasts."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    bracket = (
+        ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20)) |
+        ((F.col("p_brand") == "Brand#19") & F.col("p_size").between(10, 30)
+         & F.col("l_quantity").between(5, 30)) |
+        ((F.col("p_brand") == "Brand#5") & F.col("p_size").between(20, 50)
+         & F.col("l_quantity").between(10, 40)))
+    revenue = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    return j.filter(bracket).agg(
+        F.round(F.sum(revenue.cast("decimal(18,4)")).cast("double"), 2)
+         .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"))
+
+
+@query("q21_waiting_suppliers", oracle="""
+    WITH late AS (
+        SELECT l.l_orderkey, l.l_suppkey
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name
+""")
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who alone shipped late (>90 days after
+    order date) on multi-supplier orders — the double-correlated
+    EXISTS / NOT EXISTS pattern as a semi join (some other supplier on
+    the order) followed by an anti join (no other LATE supplier on the
+    order), both keyed on orderkey with a suppkey-inequality residual.
+    l_receiptdate/l_commitdate adapt to shipdate-vs-orderdate lateness
+    (the fixture carries only l_shipdate)."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier")
+    late = (l.join(o, l.l_orderkey == o.o_orderkey)
+            .filter(F.col("l_shipdate") >
+                    F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+            .select("l_orderkey", "l_suppkey"))
+    l1 = late.select(F.col("l_orderkey").alias("ok"),
+                     F.col("l_suppkey").alias("sk"))
+    other = l.select(F.col("l_orderkey").alias("ok2"),
+                     F.col("l_suppkey").alias("sk2"))
+    other_late = late.select(F.col("l_orderkey").alias("ok3"),
+                             F.col("l_suppkey").alias("sk3"))
+    waited = (l1
+              .join(other, (F.col("ok") == F.col("ok2")) &
+                           (F.col("sk") != F.col("sk2")), "left_semi")
+              .join(other_late, (F.col("ok") == F.col("ok3")) &
+                                (F.col("sk") != F.col("sk3")), "left_anti"))
+    return (waited.join(F.broadcast(s), waited.sk == s.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait")))
+
+
 @query("text_bigram_lm", oracle="""
     WITH tok AS (
         SELECT string_split_regex(trim(text), '\\s+') AS toks

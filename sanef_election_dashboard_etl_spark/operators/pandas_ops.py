@@ -52,3 +52,28 @@ def zscore_by_group(df: DataFrame, group_col: str, value_col: str,
         return pdf
 
     return df.groupBy(group_col).applyInPandas(norm, schema=schema)
+
+
+@F.udtf(returnType="chunk_index int, chunk_text string, n_tokens int")
+class ChunkDocument:
+    """Python UDTF tier (SURVEY §2.11, pyspark-4 table functions): split
+    one document into fixed-size token chunks — the context-window
+    chunking step of a RAG/pretraining pipeline, and the one UDF shape
+    where one input row legitimately becomes MANY output rows through a
+    user function (explode handles static arrays; a UDTF carries
+    per-row generation logic). Used via LATERAL join:
+
+        SELECT d.doc_id, c.* FROM docs d, LATERAL chunk_document(d.text, 8) c
+
+    Scale: row-local (no shuffle), pipelines after the scan like any
+    generator; chunking that a fixed expression can state (as here)
+    should prefer the native sequence/slice form — this class is the
+    TIER demonstration and the plug point for tokenizer-aware logic."""
+
+    def eval(self, text: str, size: int):
+        if text is None or not text.strip():
+            return
+        toks = text.split()
+        for i in range(0, len(toks), size):
+            chunk = toks[i:i + size]
+            yield i // size, " ".join(chunk), len(chunk)

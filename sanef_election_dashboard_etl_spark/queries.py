@@ -3141,6 +3141,41 @@ def q22_idle_rich_customers(spark, sf_dir):
                           .cast("double"), 2).alias("totacctbal")))
 
 
+@query("udtf_chunk_documents", oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents WHERE doc_id < 100 AND trim(text) <> ''
+    ), ci AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0,
+                   CAST(floor((len(toks) - 1) / 8.0) AS INT))) AS chunk_index
+        FROM tok
+    )
+    SELECT doc_id,
+           CAST(chunk_index AS INT) AS chunk_index,
+           array_to_string(toks[chunk_index * 8 + 1 : (chunk_index + 1) * 8],
+                           ' ') AS chunk_text,
+           CAST(len(toks[chunk_index * 8 + 1 : (chunk_index + 1) * 8])
+                AS INT) AS n_tokens
+    FROM ci
+""")
+def udtf_chunk_documents(spark, sf_dir):
+    """Python UDTF tier (pandas_ops.ChunkDocument): fixed-size token
+    chunking of documents through a LATERAL table-function join — the
+    §2.11 tier where one row generates many via user logic. The oracle
+    reproduces the chunking with list slicing, so the UDTF's row
+    generation is value-checked, not just row-counted."""
+    from .operators.pandas_ops import ChunkDocument
+
+    spark.udtf.register("chunk_document", ChunkDocument)
+    _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100) \
+        .createOrReplaceTempView("___udtf_docs")
+    return spark.sql("""
+        SELECT d.doc_id, c.chunk_index, c.chunk_text, c.n_tokens
+        FROM ___udtf_docs d, LATERAL chunk_document(d.text, 8) c
+    """)
+
+
 @query("q9_product_profit", oracle="""
     SELECT n.n_name AS nation,
            EXTRACT(year FROM o.o_orderdate) AS o_year,

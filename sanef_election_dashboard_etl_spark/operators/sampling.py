@@ -136,3 +136,45 @@ def winsorize(df: DataFrame, value_col: str, lo: float = 0.01,
                           F.least(F.greatest(v, F.col("__lo")),
                                   F.col("__hi")))
               .drop("__lo", "__hi"))
+
+
+def mixture_sample(df: DataFrame, weights: Mapping[str, float],
+                   budget_tokens: int, default_weight: float = 0.0,
+                   id_col: str = "doc_id", source_col: str = "source",
+                   text_col: str = "text") -> DataFrame:
+    """Corpus MIXTURE sampling (the Pile/LLaMA-style mixing step): size
+    each source's deterministic sampling fraction so its expected
+    sampled token count is ~ weight * budget_tokens, capped at taking
+    the whole source. The step that turns N raw crawls plus target
+    mixture weights into one training corpus.
+
+    fraction_s = min(1, weight_s * budget_tokens / total_tokens_s),
+    applied as a hash-bucket threshold on the doc id — the same
+    partition-layout-independent sampling as hash_sample, so reruns and
+    repartitions keep the identical doc set. Token totals are one
+    per-source aggregate (tiny, broadcast back); the keep filter is a
+    narrow projection — the corpus never shuffles. Unlisted sources get
+    `default_weight`. Output (doc_id, source, n_tokens) of kept docs.
+
+    Integer threshold math: floor(weight * budget * 10000 / total) with
+    every operand identical in both engines, so the oracle reproduces
+    the exact doc set."""
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    with_t = df.select(F.col(id_col), F.col(source_col),
+                       n_tokens.alias("n_tokens"))
+    totals = with_t.groupBy(source_col).agg(
+        F.sum("n_tokens").alias("__total"))
+    w = None
+    for src, wt in weights.items():
+        cond = F.when(F.col(source_col) == src, F.lit(float(wt)))
+        w = cond if w is None else w.when(F.col(source_col) == src,
+                                          F.lit(float(wt)))
+    w = (w.otherwise(F.lit(float(default_weight)))
+         if w is not None else F.lit(float(default_weight)))
+    threshold = F.least(
+        F.lit(_M).cast("long"),
+        F.floor(w * F.lit(float(budget_tokens)) * F.lit(float(_M))
+                / F.col("__total")))
+    return (with_t.join(F.broadcast(totals), source_col)
+            .filter(hash_bucket(F.col(id_col).cast("string")) < threshold)
+            .select(id_col, source_col, "n_tokens"))

@@ -2026,6 +2026,37 @@ def sample_hash_mod(spark, sf_dir):
         .select("doc_id", "lang")
 
 
+@query("sample_corpus_mixture", oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ), tot AS (
+        SELECT source, SUM(n_tokens) AS total FROM t GROUP BY source
+    )
+    SELECT t.doc_id, t.source, t.n_tokens
+    FROM t JOIN tot ON tot.source = t.source
+    WHERE {_HASH_BUCKET_SQL.format(key='t.doc_id')} <
+          least(10000, CAST(floor(
+              CASE t.source WHEN 'src0' THEN 0.5
+                            WHEN 'src1' THEN 0.1
+                            ELSE 0.05 END
+              * 5000.0 * 10000.0 / tot.total) AS BIGINT))
+""")
+def sample_corpus_mixture(spark, sf_dir):
+    """Corpus mixture sampling (sampling.mixture_sample): per-source
+    sampling fractions sized to hit target token-budget weights — the
+    Pile/LLaMA-style mixing step. The fixture run gives src0 the whole
+    source (weight x budget exceeds its tokens -> fraction caps at 1),
+    src1 a partial cut, every other source the default weight — all
+    three regimes of the cap in one oracle-verified doc set."""
+    from .operators.sampling import mixture_sample
+    return mixture_sample(_t(spark, sf_dir, "documents"),
+                          {"src0": 0.5, "src1": 0.1},
+                          budget_tokens=5000, default_weight=0.05)
+
+
 @query("sample_stratified", oracle=f"""
     SELECT doc_id, lang FROM documents
     WHERE {_HASH_BUCKET_SQL.format(key='doc_id')} <

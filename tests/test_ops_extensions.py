@@ -183,6 +183,34 @@ def test_hash_sample_properties(spark):
     assert s10 == s10b
 
 
+def test_mixture_sample_targets_token_budget(spark):
+    from sanef_election_dashboard_etl_spark.operators import sampling as SMP
+    # 3 sources x 500 docs x 10 tokens = 5000 tokens each
+    rows_ = [(s * 1000 + i, f"s{s}", "t " * 9 + "t")
+             for s in range(3) for i in range(500)]
+    df = spark.createDataFrame(rows_, "doc_id long, source string, text string")
+    out = SMP.mixture_sample(df, {"s0": 2.0, "s1": 0.5}, budget_tokens=1000,
+                             default_weight=0.1)
+    toks = {r["source"]: 0 for r in out.collect()}
+    for r in out.collect():
+        toks[r["source"]] += r["n_tokens"]
+    # s0: weight*budget = 2000 tokens < 5000 -> expect ~2000 (40% of docs)
+    assert 1400 < toks["s0"] < 2600
+    # s1: 500 tokens expected
+    assert 300 < toks["s1"] < 750
+    # default: 100 tokens expected
+    assert 30 < toks["s2"] < 250
+    # cap: a weight that exceeds the source takes ALL of it
+    full = SMP.mixture_sample(df, {"s0": 10.0}, budget_tokens=1000)
+    assert sum(r["n_tokens"] for r in full.collect()
+               if r["source"] == "s0") == 5000
+    # deterministic under repartitioning
+    again = SMP.mixture_sample(df.repartition(7), {"s0": 2.0, "s1": 0.5},
+                               budget_tokens=1000, default_weight=0.1)
+    assert sorted(map(tuple, again.collect())) == \
+        sorted(map(tuple, out.collect()))
+
+
 def test_multimodal_resize_and_frame_sample(spark, docs):
     media = M.synthesize_media(docs)
     resized = {r["media_id"]: r for r in

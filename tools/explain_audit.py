@@ -43,6 +43,10 @@ MUST_HAVE = {
     # per-domain quota: the rank<=cap filter must push into the sort
     "sample_cap_per_source": ["WindowGroupLimit"],
     "q4_order_priority": ["LeftSemi"],
+    # Q21: EXISTS -> semi, NOT EXISTS -> anti, both with non-equi residual
+    "q21_waiting_suppliers": ["LeftSemi", "LeftAnti"],
+    # Q19: disjunctive brackets must still broadcast the part side
+    "q19_disjunctive_brackets": ["BroadcastHashJoin"],
     # top-k never global-sorts; dims broadcast
     "q10_returned_items": ["TakeOrderedAndProject", "BroadcastHashJoin"],
     "q7_nation_volume": ["BroadcastHashJoin"],
@@ -88,7 +92,8 @@ AUDIT = [
     "q4_order_priority", "q10_returned_items", "q7_nation_volume",
     "q8_market_share", "dedup_decontaminate", "sample_assign_splits",
     "j12_interval_join", "sim_embedding_dup_pairs", "text_lm_perplexity",
-    "pipe_corpus_curation",
+    "pipe_corpus_curation", "q21_waiting_suppliers",
+    "q19_disjunctive_brackets",
 ]
 
 

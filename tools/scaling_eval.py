@@ -60,6 +60,12 @@ QUERIES = [
     ("q16_supplier_cnt", "lineitem x10"),
     ("sample_cap_per_source", "documents x10"),
     ("text_top_tokens_per_source", "documents x10"),
+    # round-3 additions (pinned-subset entries like pipe_corpus_curation
+    # and dedup_components_logn stay out — their doc_id filters fix the
+    # input size)
+    ("sim_topk_hamming_arrow", "embeddings corpus x10"),
+    ("sim_embedding_dup_pairs", "embeddings corpus x10"),
+    ("sample_corpus_mixture", "documents x10"),
 ]
 
 # Operator-level rows (full tables — the registry's simhash entries pin

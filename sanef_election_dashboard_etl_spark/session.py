@@ -21,7 +21,12 @@ from pyspark.sql import SparkSession
 
 # SQL confs that are runtime-settable; applied both at build time and by
 # `tune()` onto sessions we did not create (the driver passes us its own).
+# Includes shuffle.partitions: a vanilla external session otherwise runs
+# every registry query with Spark's default 200 — observed as 200-task
+# stages in driver_sim before this was set here.
 _RUNTIME_CONF = {
+    "spark.sql.shuffle.partitions": str(int(os.environ.get(
+        "SPARK_GRAFT_CPUS", "32"))),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

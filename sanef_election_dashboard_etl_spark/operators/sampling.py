@@ -178,3 +178,29 @@ def mixture_sample(df: DataFrame, weights: Mapping[str, float],
     return (with_t.join(F.broadcast(totals), source_col)
             .filter(hash_bucket(F.col(id_col).cast("string")) < threshold)
             .select(id_col, source_col, "n_tokens"))
+
+
+def weighted_sample(df: DataFrame, weight_col: str, k: int,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-ES): each row gets key = ln(u) / w for a
+    hash-derived uniform u in (0,1); the k largest keys are a weighted
+    sample without replacement — e.g. quality-weighted corpus
+    subsampling, where a doc with twice the weight is twice as likely
+    to make the cut.
+
+    Replacing the RNG with the portable id hash keeps the sample
+    reproducible across runs, partitionings, and engines (the property
+    every df.sample() lacks); u = (bucket + 0.5) / 10000 never hits 0
+    or 1. The top-k is a TakeOrderedAndProject (no global sort
+    materialization); keys round at 1e-9 with id tiebreak so ordering
+    is engine-deterministic. Rows with weight <= 0 never qualify.
+    Output (id, weight, key) of the k selected rows."""
+    u = (hash_bucket(F.col(id_col).cast("string")).cast("double")
+         + F.lit(0.5)) / F.lit(float(_M))
+    w = F.col(weight_col).cast("double")
+    key = F.round(F.log(u) / w, 9)
+    return (df.filter(w > 0)
+            .select(F.col(id_col), w.alias("weight"), key.alias("key"))
+            .orderBy(F.desc("key"), F.asc(id_col))
+            .limit(k))

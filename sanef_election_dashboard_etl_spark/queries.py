@@ -2057,6 +2057,34 @@ def sample_corpus_mixture(spark, sf_dir):
                           budget_tokens=5000, default_weight=0.05)
 
 
+@query("sample_weighted", oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+                   AS weight,
+               ROUND(ln(({_HASH_BUCKET_SQL.format(key='doc_id')}
+                         + 0.5) / 10000.0)
+                     / CAST(len(string_split_regex(trim(text), '\\s+'))
+                            AS DOUBLE), 9) AS key
+        FROM documents
+        WHERE len(string_split_regex(trim(text), '\\s+')) > 0
+    )
+    SELECT doc_id, weight, key FROM scored
+    ORDER BY key DESC, doc_id LIMIT 50
+""")
+def sample_weighted(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (sampling.weighted_sample, Efraimidis-Spirakis with hash-derived
+    uniforms) — token count as the weight, so longer docs are
+    proportionally likelier to be drawn. The oracle recomputes key =
+    round(ln(u)/w, 9) from the same portable hash and takes the same
+    ordered top 50, so selection AND order are value-checked."""
+    from .operators.sampling import weighted_sample
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "w", F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double"))
+    return weighted_sample(docs, "w", k=50)
+
+
 @query("sample_stratified", oracle=f"""
     SELECT doc_id, lang FROM documents
     WHERE {_HASH_BUCKET_SQL.format(key='doc_id')} <

@@ -211,6 +211,25 @@ def test_mixture_sample_targets_token_budget(spark):
         sorted(map(tuple, out.collect()))
 
 
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    from sanef_election_dashboard_etl_spark.operators import sampling as SMP
+    # 500 rows of weight 1 vs 500 of weight 10: a k=100 E-S draw must be
+    # dominated by the heavy half; zero/negative weights never qualify
+    df = spark.createDataFrame(
+        [(i, 10.0 if i < 500 else 1.0) for i in range(1000)] +
+        [(2000, 0.0), (2001, -1.0)],
+        "doc_id long, w double")
+    got = [r["doc_id"] for r in SMP.weighted_sample(df, "w", k=100).collect()]
+    assert len(got) == 100
+    heavy = sum(1 for i in got if i < 500)
+    assert heavy > 75
+    assert 2000 not in got and 2001 not in got
+    # deterministic under repartitioning
+    again = [r["doc_id"] for r in
+             SMP.weighted_sample(df.repartition(7), "w", k=100).collect()]
+    assert got == again
+
+
 def test_multimodal_resize_and_frame_sample(spark, docs):
     media = M.synthesize_media(docs)
     resized = {r["media_id"]: r for r in

@@ -42,6 +42,8 @@ MUST_HAVE = {
     "layout_zorder_write": ["BroadcastNestedLoopJoin", "rangepartitioning"],
     # per-domain quota: the rank<=cap filter must push into the sort
     "sample_cap_per_source": ["WindowGroupLimit"],
+    # weighted top-k must never global-sort
+    "sample_weighted": ["TakeOrderedAndProject"],
     "q4_order_priority": ["LeftSemi"],
     # Q21: EXISTS -> semi, NOT EXISTS -> anti, both with non-equi residual
     "q21_waiting_suppliers": ["LeftSemi", "LeftAnti"],
@@ -93,7 +95,7 @@ AUDIT = [
     "q8_market_share", "dedup_decontaminate", "sample_assign_splits",
     "j12_interval_join", "sim_embedding_dup_pairs", "text_lm_perplexity",
     "pipe_corpus_curation", "q21_waiting_suppliers",
-    "q19_disjunctive_brackets",
+    "q19_disjunctive_brackets", "sample_weighted",
 ]
 
 

@@ -209,19 +209,52 @@ def main() -> None:
         aqe_on[name] = round(min(timed_reps(name, 2)), 3)
 
     total = round(sum(times.values()), 3)
-    print(json.dumps({
-        "metric": "headline_queries_total_wall",
-        "value": total,
-        "unit": "sec",
+    # The driver captures only the last ~2 KB of stdout; the r3 line with
+    # per-query median/spread/aqe dicts overflowed it and BENCH_r03.json
+    # recorded parsed:null (VERDICT r3 item 1). Keep the printed line
+    # compact — headline numbers only — and write the full detail
+    # (medians, spreads, aqe-on per query, reps) to BENCH_DETAIL.json +
+    # a human-readable BENCH_DETAIL.md next to this script.
+    detail = {
         "queries": times,
+        "value": total,
         "queries_median": medians,
         "queries_spread": spreads,
         "reps": REPS,
         "queries_aqe_on": aqe_on,
         "total_aqe_on": round(sum(aqe_on.values()), 3),
         "floor_noop_job": floor,
+        "sf": sf,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    with open(os.path.join(here, "BENCH_DETAIL.md"), "w") as f:
+        f.write("# Bench detail (written by bench.py; sf=%s, reps=%d)\n\n"
+                % (sf, REPS))
+        f.write("best-of-%d is the headline (printed JSON line); median/"
+                "spread expose machine-load jitter; aqe_on re-times under "
+                "the shipped production config.\n\n" % REPS)
+        f.write("| query | best | median | spread | aqe_on |\n")
+        f.write("|---|---|---|---|---|\n")
+        for name in times:
+            f.write("| %s | %.3f | %s | %s | %s |\n" % (
+                name, times[name],
+                medians.get(name, ""), spreads.get(name, ""),
+                aqe_on.get(name, "")))
+    compact = json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "total_aqe_on": round(sum(aqe_on.values()), 3),
+        "floor_noop_job": floor,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }, separators=(",", ":"))
+    assert len(compact) < 1900, (
+        "bench JSON line %d chars — would overflow the driver's ~2KB "
+        "tail capture; trim HEADLINE or the payload" % len(compact))
+    print(compact)
 
 
 if __name__ == "__main__":

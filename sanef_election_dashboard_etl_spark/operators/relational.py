@@ -172,6 +172,42 @@ def lag_delta(df: DataFrame, keys: Sequence[str], order_by: Sequence[Column],
 
 
 # --------------------------------------------------------------------------
+# Total sort (O1)
+# --------------------------------------------------------------------------
+
+def total_sort(df: DataFrame, *order_by: Column | str,
+               small_bytes: int = 64 << 20) -> DataFrame:
+    """O1: total sort (the reference's whole-frame `sort_values`,
+    SANEF_Uploader.py:433).
+
+    Large inputs take Spark's native path: range-sampling pass to pick
+    partition bounds, range exchange, per-partition Tungsten sort — the
+    only strategy that scales (partitions sort independently; output is
+    globally ordered by partition id). That is the 100 TB path.
+
+    Small inputs (Catalyst-estimated plan size <= ``small_bytes``) skip
+    the sampling job and the exchange entirely: ``coalesce(1) +
+    sortWithinPartitions`` is a single-stage single-partition sort. At
+    result/dashboard scale the extra range-sampling *job* (a full second
+    pass over the input) costs more than the sort itself — measured at
+    sf0.1 (600k rows) it is ~2x the whole query (SCALE.md 'full sort').
+    The decision reads Catalyst's sizeInBytes statistic driver-side (no
+    job runs) — the same signal AQE uses to re-plan exchanges; with a
+    parquet source it reflects file size scaled by column pruning, so it
+    is available before any action. Falls back to the scalable path if
+    statistics are unavailable (e.g. Spark Connect).
+    """
+    try:
+        est = int(str(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:  # pragma: no cover - connect / stats unavailable
+        est = small_bytes + 1
+    if est <= small_bytes:
+        return df.coalesce(1).sortWithinPartitions(*order_by)
+    return df.orderBy(*order_by)
+
+
+# --------------------------------------------------------------------------
 # Reshaping (R1-R4) and set ops (U1-U2)
 # --------------------------------------------------------------------------
 

@@ -158,8 +158,18 @@ def mixture_sample(df: DataFrame, weights: Mapping[str, float],
 
     Integer threshold math: floor(weight * budget * 10000 / total) with
     every operand identical in both engines, so the oracle reproduces
-    the exact doc set."""
-    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    the exact doc set.
+
+    Null text counts as 0 tokens (greatest(0, coalesce(...)) guards both
+    Spark's size()-of-null conventions, -1 legacy / NULL ansi) so a
+    null-text doc contributes 0 to the per-source total and carries
+    n_tokens=0 in the output — the oracle applies the identical guard,
+    keeping totals and rows aligned by construction even if a future
+    fixture generation ships null text (ADVICE r3)."""
+    n_tokens = F.greatest(
+        F.lit(0),
+        F.coalesce(F.size(F.split(F.trim(F.col(text_col)), r"\s+")),
+                   F.lit(0))).cast("long")
     with_t = df.select(F.col(id_col), F.col(source_col),
                        n_tokens.alias("n_tokens"))
     totals = with_t.groupBy(source_col).agg(

@@ -177,21 +177,31 @@ def repetition_ratio(df: DataFrame, n: int = 3, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Gopher-style repetition metric: fraction of n-gram OCCURRENCES that
     are duplicates of an earlier occurrence (1 - distinct/total). High
-    values flag boilerplate/spam. Pure per-row array expressions."""
+    values flag boilerplate/spam. Pure per-row array expressions.
+
+    Docs with fewer than n tokens have no n-grams: n_grams=0 and
+    repetition_ratio=0.0 by definition (nothing can repeat). The gram
+    index range is guarded so element_at never reads past the token
+    array (ANSI mode raises on out-of-bounds; found via the curate()
+    short-doc fix, ADVICE r3)."""
     toks = tokens(F.col(text_col))
     with_toks = df.select(F.col(id_col), toks.alias("__toks"))
     t = F.col("__toks")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
+    idx = F.when(F.size(t) >= n, F.sequence(F.lit(0), F.size(t) - n)) \
+           .otherwise(F.array().cast("array<int>"))
     grams = F.transform(idx, lambda i: F.concat_ws(
         " ", *[F.element_at(t, i + j + 1) for j in range(n)]))
     total = F.size(grams).cast("long")
     distinct = F.size(F.array_distinct(grams)).cast("long")
+    ratio = F.when(total > 0,
+                   F.round(F.lit(1.0) - distinct.cast("double")
+                           / total.cast("double"), 4)) \
+             .otherwise(F.lit(0.0))
     return with_toks.select(
         id_col,
         total.alias("n_grams"),
         distinct.alias("n_distinct_grams"),
-        F.round(F.lit(1.0) - distinct.cast("double") / total.cast("double"), 4)
-         .alias("repetition_ratio"))
+        ratio.alias("repetition_ratio"))
 
 
 def remove_boilerplate_lines(df: DataFrame, min_docs: int = 3,
@@ -335,13 +345,18 @@ def curate(df: DataFrame, min_tokens: int = 20,
     aggregates join on the id (uniform key, one shuffle each); every
     rule input is a rounded/integer column, so the verdict is
     engine-deterministic. Output (doc_id, n_tokens, repetition_ratio,
-    cross_entropy, reason, keep)."""
+    cross_entropy, reason, keep).
+
+    lm_cross_entropy only emits docs with >=1 n-gram, so it is joined
+    LEFT and a null cross_entropy passes the lm rule (ADVICE r3): a
+    0/1-token doc still gets a verdict row — 'short' via the n_tokens
+    rule, never silently dropped from the table."""
     q = quality_score(df, id_col, text_col).select(id_col, "n_tokens")
     r = repetition_ratio(df, n=3, id_col=id_col, text_col=text_col) \
         .select(id_col, "repetition_ratio")
     c = lm_cross_entropy(df, id_col=id_col, text_col=text_col) \
         .select(id_col, "cross_entropy")
-    j = q.join(r, id_col).join(c, id_col)
+    j = q.join(r, id_col).join(c, id_col, "left")
     reason = (
         F.when(F.col("n_tokens") < min_tokens, "short")
         .when(F.col("repetition_ratio") > max_repetition, "repetitive")

@@ -698,3 +698,56 @@ def test_decontaminate_flags_overlapping_train_docs(spark):
     assert got == {(10, 1): 2}
     # raising the bar drops the pair
     assert D.decontaminate(train, ev, n=3, min_overlap=3).count() == 0
+
+
+def test_mixture_sample_null_text_counts_zero_tokens(spark):
+    # ADVICE r3: null text must contribute 0 (not -1 / NULL-skipped) to
+    # per-source totals, identically in engine and oracle semantics
+    from sanef_election_dashboard_etl_spark.operators import sampling as SMP
+    rows_ = [(i, "s0", "t " * 9 + "t") for i in range(100)] + \
+            [(900 + i, "s0", None) for i in range(5)]
+    df = spark.createDataFrame(rows_, "doc_id long, source string, text string")
+    out = SMP.mixture_sample(df, {"s0": 10.0}, budget_tokens=100)
+    got = {r["doc_id"]: r["n_tokens"] for r in out.collect()}
+    # weight*budget=1000 tokens = whole source (total is 1000, NOT 995
+    # or 1000-minus-nulls): every doc kept, null-text docs at 0 tokens
+    assert len(got) == 105
+    assert all(got[900 + i] == 0 for i in range(5))
+    assert sum(got.values()) == 1000
+
+
+def test_curate_short_doc_gets_verdict_row(spark):
+    # ADVICE r3: a 0/1-token doc has no bigram, so lm_cross_entropy emits
+    # nothing for it — curate must still produce its 'short' verdict row
+    # (left join; null cross_entropy passes the lm rule)
+    df = spark.createDataFrame(
+        [(1, "one"),
+         (2, " ".join(f"w{i}" for i in range(30)))],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in T.curate(df).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["reason"] == "short" and got[1]["keep"] == 0
+    assert got[1]["cross_entropy"] is None
+    assert got[2]["reason"] == "keep" and got[2]["keep"] == 1
+
+
+def test_embedding_dup_pairs_rejects_bad_n_bits(spark, vecs):
+    # ADVICE r3: n_bits must not silently truncate to the first 60 planes
+    # nor break pigeonhole coverage — validate, raise
+    with pytest.raises(ValueError, match="exceeds the portable"):
+        S.embedding_dup_pairs(vecs, n_bits=64)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        S.embedding_dup_pairs(vecs, n_bits=58, max_hamming=3)
+    # 40 bits / hamming<=3 -> 4 chunks of 10: valid non-default geometry
+    assert {"id_a", "id_b"} == set(
+        S.embedding_dup_pairs(vecs, n_bits=40, max_hamming=3).columns)
+
+
+def test_ann_topk_routes_to_hamming_default(spark, vecs):
+    # VERDICT r3 item 5: the default ANN entry point is the Hamming tier
+    # at the documented operating point (120 bits, radius 56)
+    q = vecs.limit(3)
+    a = sorted(map(tuple, S.ann_topk(vecs, q, k=5).collect()))
+    h = sorted(map(tuple, S.hamming_topk(vecs, q, k=5, n_bits=120,
+                                         radius=56).collect()))
+    assert a == h and len(a) > 0

@@ -1,0 +1,122 @@
+"""Round-over-round bench regression tracker (VERDICT r3 item 7).
+
+Compares the current local bench run (BENCH_DETAIL.json, written by
+bench.py) against the most recent parseable driver record
+(BENCH_r{N}.json with non-null "parsed") and flags per-query deltas
+larger than the measured rep spread — so machine-load jitter is
+separated from real regressions by construction.
+
+Usage:
+    python bench.py                      # writes BENCH_DETAIL.json
+    python tools/bench_diff.py           # prints table, rewrites the
+                                         # SCALE.md round-diff section
+    python tools/bench_diff.py --prev BENCH_r02.json   # explicit base
+
+A query is flagged REGRESSED when
+    current_median - prev > max(current_spread, prev_spread_or_0, MIN_MS)
+with MIN_MS = 30 ms (below that, scheduler noise dominates at the
+measured 64-92 ms job floor). Improvements beyond the same band are
+reported as FASTER; everything else is "~" (within noise).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MIN_S = 0.030
+
+SECTION_HEADER = "## Round-over-round bench diff (tools/bench_diff.py)"
+
+
+def latest_parsed_record() -> tuple[str, dict]:
+    """Newest BENCH_r{N}.json whose driver tail-capture parsed."""
+    recs = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")), reverse=True)
+    for path in recs:
+        with open(path) as f:
+            d = json.load(f)
+        parsed = d.get("parsed")
+        if parsed and parsed.get("queries"):
+            return os.path.basename(path), parsed
+    raise SystemExit("no BENCH_r*.json with a parseable record found")
+
+
+def load_prev(path: str | None) -> tuple[str, dict]:
+    if path is None:
+        return latest_parsed_record()
+    with open(os.path.join(ROOT, path) if not os.path.isabs(path) else path) as f:
+        d = json.load(f)
+    parsed = d.get("parsed") or d  # accept raw bench payloads too
+    if not parsed.get("queries"):
+        raise SystemExit(f"{path}: no 'queries' dict found")
+    return os.path.basename(path), parsed
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--prev", default=None,
+                    help="previous record (default: newest parseable BENCH_r*)")
+    ap.add_argument("--no-scale-md", action="store_true",
+                    help="print only; don't rewrite the SCALE.md section")
+    args = ap.parse_args()
+
+    with open(os.path.join(ROOT, "BENCH_DETAIL.json")) as f:
+        cur = json.load(f)
+    prev_name, prev = load_prev(args.prev)
+    prev_spread = prev.get("queries_spread", {})
+
+    lines = [
+        f"| query | {prev_name} | current median | spread | delta | verdict |",
+        "|---|---|---|---|---|---|",
+    ]
+    flagged = []
+    med = cur.get("queries_median", cur["queries"])
+    for name, now in sorted(med.items()):
+        was = prev["queries"].get(name)
+        if was is None:
+            continue
+        band = max(cur.get("queries_spread", {}).get(name, 0.0),
+                   prev_spread.get(name, 0.0), MIN_S)
+        delta = round(now - was, 3)
+        if delta > band:
+            verdict = "REGRESSED"
+            flagged.append(name)
+        elif delta < -band:
+            verdict = "faster"
+        else:
+            verdict = "~"
+        lines.append(f"| {name} | {was:.3f} | {now:.3f} | "
+                     f"{cur.get('queries_spread', {}).get(name, 0):.3f} | "
+                     f"{delta:+.3f} | {verdict} |")
+    table = "\n".join(lines)
+    summary = (f"base: {prev_name} (sf={prev.get('sf')}), current: "
+               f"BENCH_DETAIL.json (sf={cur.get('sf')}, reps={cur.get('reps')}); "
+               f"flag band = max(spread_cur, spread_prev, {int(MIN_S*1000)} ms). "
+               f"{len(flagged)} regression(s)"
+               + (": " + ", ".join(flagged) if flagged else "."))
+    print(summary)
+    print(table)
+
+    if not args.no_scale_md:
+        scale = os.path.join(ROOT, "SCALE.md")
+        with open(scale) as f:
+            text = f.read()
+        block = f"{SECTION_HEADER}\n\n{summary}\n\n{table}\n"
+        pat = re.compile(re.escape(SECTION_HEADER) + r".*?(?=\n## |\Z)",
+                         re.DOTALL)
+        if pat.search(text):
+            text = pat.sub(block, text)
+        else:
+            text = text.rstrip() + "\n\n" + block
+        with open(scale, "w") as f:
+            f.write(text)
+        print(f"\nSCALE.md section updated ({len(flagged)} flagged)")
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -26,6 +26,9 @@ MUST_HAVE = {
     "j4_anti_join": ["LeftAnti"],
     "j7_deloop_semi": ["LeftSemi"],
     "o1_o3_topk_sort": ["TakeOrderedAndProject"],
+    # small-input total sort: stats-picked single-stage coalesce(1) sort —
+    # no range-sampling job, no exchange (VERDICT r3 item 2)
+    "o1_full_sort": ["Coalesce", "Sort"],
     "w2_rank_topk_per_group": ["WindowGroupLimit"],
     "q1_pricing_summary": ["HashAggregate", "PushedFilters: [IsNotNull(l_shipdate)"],
     "pipe_hung_councils": ["BroadcastHashJoin", "HashAggregate"],
@@ -65,6 +68,9 @@ MUST_HAVE = {
 
 # query -> substrings that must NOT appear
 MUST_NOT = {
+    # at result scale the total sort must NOT pay a range exchange (its
+    # scale path above 64 MB est. keeps one; asserted at the bench sf)
+    "o1_full_sort": ["Exchange rangepartitioning"],
     "sample_hash_mod": ["Exchange"],   # a deterministic sample is a narrow filter
     "sample_assign_splits": ["Exchange"],  # split labels are a narrow projection
     "j12_interval_join": ["CartesianProduct"],  # bin join, never cross
@@ -95,7 +101,7 @@ AUDIT = [
     "q8_market_share", "dedup_decontaminate", "sample_assign_splits",
     "j12_interval_join", "sim_embedding_dup_pairs", "text_lm_perplexity",
     "pipe_corpus_curation", "q21_waiting_suppliers",
-    "q19_disjunctive_brackets", "sample_weighted",
+    "q19_disjunctive_brackets", "sample_weighted", "o1_full_sort",
 ]
 
 

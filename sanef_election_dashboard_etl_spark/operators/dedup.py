@@ -173,7 +173,9 @@ def minhash_signatures(grams: DataFrame, k: int = 32, seed: int = 42,
 def minhash_lsh_pairs(df: DataFrame, n: int = 3, k: int = 32, bands: int = 8,
                       min_jaccard: float = 0.5, seed: int = 42,
                       id_col: str = "doc_id", text_col: str = "text",
-                      max_df: int | None = None) -> DataFrame:
+                      max_df: int | None = None,
+                      prefilter_margin: float | None = None,
+                      verify: str = "sets") -> DataFrame:
     """MinHash + LSH near-dup pairs with exact-Jaccard verification.
 
     signature (k mins) -> b bands of k/b rows -> band-hash bucket join ->
@@ -184,7 +186,38 @@ def minhash_lsh_pairs(df: DataFrame, n: int = 3, k: int = 32, bands: int = 8,
     `max_df` caps shingle document frequency before signatures AND the
     candidate-verification join (drop_hot_shingles) — boilerplate shingles
     otherwise both skew the verification join key and drag unrelated docs'
-    signatures together."""
+    signatures together.
+
+    Verification-cost controls (VERDICT r3 item 6 — at sf0.1 the exact
+    verification join was ~70% of the wall):
+
+    - `prefilter_margin`: estimated-Jaccard prefilter from the k mins
+      ALREADY computed — E[matching mins / k] = J, so candidates with
+      estimate < min_jaccard - margin skip exact verification. margin
+      0.25 ~= 3 sigma at k=32, J=0.5 (sigma = sqrt(J(1-J)/k) ~ 0.088):
+      P[drop a true >=0.5-Jaccard pair] < ~1e-3 per boundary pair, and
+      band-collision accidentals (J ~ 0) are killed before touching the
+      shingle table. Default None = exact-output guarantee: on the
+      fixture corpus banding is already precise (every candidate
+      measures est >= 0.8) and the two signature joins are pure
+      overhead; set ~0.25 when banding produces large accidental
+      candidate sets (hot shingles, low-diversity corpora) to shrink
+      the candidate broadcast before verification.
+    - `verify="sets"` (default): per-doc shingle SETS (collect_set —
+      one shuffle, no sort; set semantics are exact because shingles()
+      emits distinct grams) joined to candidates map-side via a
+      broadcast of the bounded candidate-pair list, intersection by
+      array_intersect. The shingle table is never sorted and only
+      candidate docs' sets travel into the pair join. Measured at
+      sf0.1: 1.45s -> 0.88s wall. Skew note: a doc in many candidate
+      pairs ships its set once per pair — bounded by banding + max_df;
+      the `merge` strategy is the fallback when candidate fan-out or
+      per-doc set size makes array rows too heavy.
+    - `verify="merge"`: the r3 shape — candidate pairs expand against
+      the raw (id, shingle) table in a sort-merge join. Sorts the full
+      gram table but keeps every row narrow; the conservative choice
+      for extreme per-doc cardinalities (SCALING.md measures both at
+      10x/100x)."""
     assert k % bands == 0
     rows_per_band = k // bands
     grams = shingles(df, n, id_col, text_col) if n > 1 else token_set(df, id_col, text_col)
@@ -195,7 +228,12 @@ def minhash_lsh_pairs(df: DataFrame, n: int = 3, k: int = 32, bands: int = 8,
     # tokenize+explode 4x. At cluster scale, checkpoint to storage instead
     # of memory — same plan shape.
     grams = grams.persist()
-    sig = minhash_signatures(grams, k, seed, id_col)
+    # sig feeds banding, the estimate prefilter (both sides), and the
+    # size lookups (both sides) — five subtree occurrences; one row per
+    # doc (k longs + count), so persist it rather than re-running the
+    # gram aggregation per consumer. Same checkpoint-to-storage note as
+    # grams at cluster scale.
+    sig = minhash_signatures(grams, k, seed, id_col).persist()
 
     band_structs = F.array(*[
         F.struct(
@@ -213,20 +251,66 @@ def minhash_lsh_pairs(df: DataFrame, n: int = 3, k: int = 32, bands: int = 8,
                   .filter(F.col("id_a") < F.col("id_b"))
                   .select("id_a", "id_b").distinct())
 
+    if prefilter_margin is not None:
+        # estimated Jaccard from the signatures already in hand: one
+        # narrow broadcast join per side (per-doc rows, k longs each) —
+        # no shingles touched. E[matching mins / k] = J; see docstring
+        # for the margin math.
+        sig_a = sig.select(F.col(id_col).alias("id_a"),
+                           *[F.col(f"mh_{i}").alias(f"__a{i}")
+                             for i in range(k)])
+        sig_b = sig.select(F.col(id_col).alias("id_b"),
+                           *[F.col(f"mh_{i}").alias(f"__b{i}")
+                             for i in range(k)])
+        matches = sum(F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1)
+                      .otherwise(0) for i in range(k))
+        candidates = (candidates
+                      .join(F.broadcast(sig_a), "id_a")
+                      .join(F.broadcast(sig_b), "id_b")
+                      .filter(matches >=
+                              F.lit((min_jaccard - prefilter_margin) * k))
+                      .select("id_a", "id_b"))
+
+    if verify == "sets":
+        # per-doc shingle sets: one shuffle (hash agg, no sort); exact
+        # because shingles() emits distinct grams per doc. The bounded
+        # candidate list broadcasts, so only candidate docs' sets
+        # survive into the pair join map-side — no gram sort, no gram
+        # shuffle beyond the one aggregation. Set sizes come free from
+        # the arrays (no separate size-lookup joins).
+        sets = grams.groupBy(id_col).agg(
+            F.collect_set("shingle").alias("__set"))
+        aa = sets.select(F.col(id_col).alias("id_a"),
+                         F.col("__set").alias("__sa"))
+        bb = sets.select(F.col(id_col).alias("id_b"),
+                         F.col("__set").alias("__sb"))
+        pairs = (aa.join(F.broadcast(candidates), "id_a")
+                 .join(bb, "id_b")
+                 .select("id_a", "id_b",
+                         F.size(F.array_intersect("__sa", "__sb"))
+                          .cast("long").alias("inter"),
+                         F.size("__sa").cast("long").alias("sz_a"),
+                         F.size("__sb").cast("long").alias("sz_b")))
+        verified = pairs.withColumn("jaccard", F.round(
+            F.col("inter").cast("double") /
+            (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+            4))
+        return (verified.filter(F.col("jaccard") >= min_jaccard)
+                .select("id_a", "id_b", "jaccard"))
+    else:
+        # merge strategy. The shingle table must NEVER be the broadcast
+        # side of the verification join: its planning-time estimate
+        # (cached-relation stats) undersells the materialized size, and
+        # at 100x the fixture (25M string rows) the promoted broadcast
+        # OOMs the driver — found by tools/scaling_eval.py --x100.
+        # sort-merge spills to disk instead of holding a per-partition
+        # hash build in executor memory (32 concurrent local tasks x a
+        # misestimated build side OOMed shuffle_hash too).
+        a = grams.select(F.col(id_col).alias("id_a"), "shingle").hint("merge")
+        b = grams.select(F.col(id_col).alias("id_b"), "shingle").hint("merge")
+        inter = (candidates.join(a, "id_a").join(b, ["id_b", "shingle"])
+                 .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter")))
     sizes = sig.select(F.col(id_col), F.col("sz"))
-    # the shingle table must NEVER be the broadcast side of the
-    # verification join: its planning-time estimate (cached-relation
-    # stats) undersells the materialized size, and at 100x the fixture
-    # (25M string rows) the promoted broadcast OOMs the driver — found
-    # by tools/scaling_eval.py --x100. shuffle_hash pins a shuffled hash
-    # join: candidates (bounded by banding + max_df) shuffle cheaply, grams
-    # partition by key, and sort-merge spills to disk instead of holding
-    # a per-partition hash build in executor memory (32 concurrent local
-    # tasks x a misestimated build side OOMed shuffle_hash too).
-    a = grams.select(F.col(id_col).alias("id_a"), "shingle").hint("merge")
-    b = grams.select(F.col(id_col).alias("id_b"), "shingle").hint("merge")
-    inter = (candidates.join(a, "id_a").join(b, ["id_b", "shingle"])
-             .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter")))
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     verified = (inter.join(F.broadcast(sz_a), "id_a").join(F.broadcast(sz_b), "id_b")

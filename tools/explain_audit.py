@@ -60,10 +60,10 @@ MUST_HAVE = {
     # decontamination: the eval shingle table must be the broadcast side
     # (the training corpus never shuffles for the overlap join)
     "dedup_decontaminate": ["BroadcastHashJoin"],
-    # the minhash verification join must keep its gram sides in a
-    # sort-merge join — a promoted broadcast of the (misestimated)
-    # cached shingle table OOMs at 100x (SCALING.md)
-    "dedup_minhash_lsh": ["SortMergeJoin"],
+    # r4 "sets" verification: the bounded candidate-pair list must be
+    # the broadcast side (the per-doc set table is never broadcast —
+    # the r3 OOM hazard was a promoted broadcast of the shingle table)
+    "dedup_minhash_lsh": ["BroadcastHashJoin"],
 }
 
 # query -> substrings that must NOT appear
@@ -81,6 +81,7 @@ MUST_NOT = {
     # the corpus side must not shuffle before the hamming filter; the only
     # exchange allowed is the per-query top-k window on the survivors
     "sim_topk_hamming": ["SortMergeJoin", "CartesianProduct"],
+    "dedup_minhash_lsh": ["CartesianProduct"],
     # signature banding is equi-keyed; the 1-row vocab scalar is the
     # only nested-loop allowed in the LM stack
     "sim_embedding_dup_pairs": ["CartesianProduct"],

@@ -149,19 +149,59 @@ def generate_100x(spark) -> int:
         oc = oi if oc is None else oc.unionByName(oi)
     lc.repartition(64).write.mode("overwrite").parquet(f"{DST100}/lineitem.parquet")
     oc.repartition(16).write.mode("overwrite").parquet(f"{DST100}/orders.parquet")
-    for t in ("customer", "supplier", "nation", "region", "part",
-              "embeddings"):
+    for t in ("customer", "supplier", "nation", "region", "part"):
         spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite") \
             .parquet(f"{DST100}/{t}.parquet")
-    d = spark.read.parquet(f"{SRC}/documents.parquet")
-    dc = None
-    for i in range(100):
-        di = (d.withColumn("doc_id", F.col("doc_id") + F.lit(i * SHIFT100))
-              .withColumn("text", F.regexp_replace("text", r"(\S+)",
-                                                   f"$1c{i}")))
-        dc = di if dc is None else dc.unionByName(di)
-    dc.repartition(32).write.mode("overwrite").parquet(f"{DST100}/documents.parquet")
+    _gen_100x_docs_embeddings(spark)
     return spark.read.parquet(f"{DST100}/lineitem.parquet").count()
+
+
+def _gen_100x_docs_embeddings(spark) -> None:
+    """documents x100 (copy-salted tokens — constant near-dup density, see
+    generate()) and embeddings x100 (values reused, disjoint vec_id spaces
+    — ANN cost is rows x dims, independent of values). Skips tables already
+    materialized at the right row count so the heavy-op mode can reuse a
+    prior --x100 run's output."""
+    d0 = spark.read.parquet(f"{SRC}/documents.parquet")
+    try:
+        have = spark.read.parquet(f"{DST100}/documents.parquet").count()
+    except Exception:
+        have = 0
+    if have != d0.count() * 100:
+        dc = None
+        for i in range(100):
+            di = (d0.withColumn("doc_id", F.col("doc_id") + F.lit(i * SHIFT100))
+                  .withColumn("text", F.regexp_replace("text", r"(\S+)",
+                                                       f"$1c{i}")))
+            dc = di if dc is None else dc.unionByName(di)
+        dc.repartition(32).write.mode("overwrite") \
+            .parquet(f"{DST100}/documents.parquet")
+    e0 = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    try:
+        have = spark.read.parquet(f"{DST100}/embeddings.parquet").count()
+    except Exception:
+        have = 0
+    if have != e0.count() * 100:
+        # Per-copy deterministic sign flips (an orthogonal transform):
+        # within-copy inner products are exactly preserved (every vector in
+        # copy i gets the SAME flip pattern), cross-copy cosine of the same
+        # source vector drops to ~sum(+-v_j^2)/|v|^2 ~ 0 — so dup DENSITY
+        # stays constant (each vector near-matches only its in-query clone,
+        # never its 99 siblings) and the x100 row measures pipeline cost,
+        # not a quadratically denser pair problem. Mirrors the documents
+        # copy-salt trick in vector space.
+        ec = None
+        for i in range(100):
+            flip = F.transform(
+                F.col("embedding"),
+                lambda x, j: x * F.when(
+                    F.pmod(F.hash(F.lit(i), j), F.lit(2)) == 0,
+                    F.lit(1.0)).otherwise(F.lit(-1.0)))
+            ei = (e0.withColumn("vec_id", F.col("vec_id") + F.lit(i * SHIFT100))
+                  .withColumn("embedding", flip.cast("array<float>")))
+            ec = ei if ec is None else ec.unionByName(ei)
+        ec.repartition(16).write.mode("overwrite") \
+            .parquet(f"{DST100}/embeddings.parquet")
 
 
 def main_100x() -> None:
@@ -210,6 +250,114 @@ def main_100x() -> None:
     with open("/root/repo/SCALING.md", "a") as fh:
         fh.write("\n".join(lines) + "\n")
     print("SCALING.md 100x section appended")
+
+
+# VERDICT r3 #4: the expensive ANN/dedup ops, measured over the SECOND
+# order of magnitude. Corpus constructions that keep dup/neighbor density
+# constant (sign-flipped embedding copies, salted document tokens) so each
+# row is a pipeline-cost measurement, not a denser-problem measurement.
+X100_HEAVY = [
+    ("sim_topk_hamming_arrow", "embeddings corpus x100 (200k vecs)"),
+    ("sim_embedding_dup_pairs", "embeddings corpus x100 (400k in-query)"),
+    ("sim_topk_ivf", "embeddings corpus x100 (200k vecs)"),
+]
+
+X100_HEAVY_OPERATORS = [
+    ("simhash_pairs_arrow", "documents x100 (500k docs, full table)",
+     lambda spark, sf: D.simhash_pairs_arrow(table(spark, sf, "documents"),
+                                             max_hamming=3)),
+]
+
+
+def _chain_edges(spark, n_chains: int, depth: int):
+    """n_chains disjoint path graphs of `depth` nodes — the adversarial
+    deep-diameter input for connected components (near-dup chains from
+    e.g. iterative re-crawls/re-encodes). Ids spaced so chains never
+    collide."""
+    base = spark.range(n_chains * depth).select(
+        (F.col("id") / depth).cast("long").alias("c"),
+        F.pmod(F.col("id"), F.lit(depth)).alias("j"))
+    return (base.filter(F.col("j") < depth - 1)
+            .select((F.col("c") * 1_000_000 + F.col("j")).alias("id_a"),
+                    (F.col("c") * 1_000_000 + F.col("j") + 1).alias("id_b")))
+
+
+def main_100x_heavy() -> None:
+    spark = get_spark("scaling-eval-100x-heavy")
+    spark.sparkContext.setLogLevel("ERROR")
+    _gen_100x_docs_embeddings(spark)
+    print("100x documents/embeddings ready at", DST100)
+
+    def run(sf_dir: str, fn) -> float:
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    lines = [
+        "",
+        "### Heavy ANN/dedup ops at 100x (`--x100-heavy`)",
+        "",
+        "Same decade-two question for the expensive LLM-pipeline ops.",
+        "Embedding copies are sign-flipped per copy (orthogonal transform:",
+        "within-copy geometry exact, cross-copy cosine ~0) and document",
+        "tokens copy-salted, so neighbor/dup density is constant and each",
+        "row measures pipeline cost at 100x rows, not a denser problem.",
+        "",
+        "| query | scaled input | sf0.1 | 100x data | time ratio | per-10x |",
+        "|---|---|---|---|---|---|",
+    ]
+    jobs = [(n, w, REGISTRY[n].fn) for n, w in X100_HEAVY] + \
+        [(n, w, fn) for n, w, fn in X100_HEAVY_OPERATORS]
+    for name, _, fn in jobs:
+        run(SRC, fn)                      # warm plans
+    for name, what, fn in jobs:
+        ts = min(run(SRC, fn), run(SRC, fn))
+        tb = min(run(DST100, fn), run(DST100, fn))
+        r = tb / ts
+        lines.append(f"| {name} | {what} | {ts:.2f}s | {tb:.2f}s | "
+                     f"{r:.1f}x | {r / 10:.2f}x |")
+        print(f"{name:28s} {ts:6.3f}s -> {tb:6.3f}s  ({r:.1f}x, "
+              f"{r / 10:.2f}x per 10x)  [{what}]")
+
+    # connected components on 100-deep chains: the round-count claim
+    # (O(log n) vs O(diameter)) measured, not asserted.
+    n_chains, depth = 2000, 100
+    edges = _chain_edges(spark, n_chains, depth).localCheckpoint(eager=True)
+    n_edges = edges.count()
+    t0 = time.perf_counter()
+    got = (D.connected_components_logn(edges, max_iter=40)
+           .select("component").distinct().count())
+    t_logn = time.perf_counter() - t0
+    r_logn = D.connected_components_logn.last_rounds
+    assert got == n_chains, f"logn components wrong: {got} != {n_chains}"
+    t0 = time.perf_counter()
+    got = (D.connected_components(edges, max_iter=200)
+           .select("component").distinct().count())
+    t_min = time.perf_counter() - t0
+    r_min = D.connected_components.last_rounds
+    assert got == n_chains, f"min-label components wrong: {got} != {n_chains}"
+    lines += [
+        "",
+        f"**Connected components, {n_chains} disjoint {depth}-deep chains**",
+        f"({n_edges} edges — diameter {depth - 1}, the worst case for",
+        "label propagation):",
+        "",
+        "| algorithm | rounds | wall |",
+        "|---|---|---|",
+        f"| min-label (O(diameter)) | {r_min} | {t_min:.1f}s |",
+        f"| large-star/small-star (O(log n)) | {r_logn} | {t_logn:.1f}s |",
+        "",
+        "Both converge to the identical component set (asserted in the",
+        "harness). The star algorithm's round count is what survives a",
+        "100 TB corpus whose dup chains are deep; per-round shuffle shape",
+        "is the same for both (uniform vertex keys).",
+    ]
+    with open("/root/repo/SCALING.md", "a") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print("SCALING.md heavy-100x section appended "
+          f"(components: min-label {r_min} rounds {t_min:.1f}s, "
+          f"log-n {r_logn} rounds {t_logn:.1f}s)")
 
 
 def main() -> None:
@@ -299,4 +447,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main_100x() if "--x100" in sys.argv else main()
+    if "--x100-heavy" in sys.argv:
+        main_100x_heavy()
+    elif "--x100" in sys.argv:
+        main_100x()
+    else:
+        main()

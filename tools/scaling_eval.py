@@ -96,6 +96,19 @@ def generate(spark) -> int:
     for t in ("customer", "supplier", "nation", "region", "part"):
         spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite") \
             .parquet(f"{DST}/{t}.parquet")
+    # events x10: shift event/user ids, keep timestamps — 10x users over the
+    # same time range, so per-user session density (what sessionize/funnel
+    # cost depends on) is preserved. Read via catalog.table (normalizes the
+    # fixture's ts encoding), write back as TIMESTAMP_NTZ to match the
+    # fixture parquet encoding for both Spark and the DuckDB oracle.
+    ev = table(spark, SRC, "events")
+    evc = None
+    for i in range(10):
+        ei = (ev.withColumn("event_id", F.col("event_id") + F.lit(i * SHIFT))
+              .withColumn("user_id", F.col("user_id") + F.lit(i * SHIFT)))
+        evc = ei if evc is None else evc.unionByName(ei)
+    (evc.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+     .repartition(4).write.mode("overwrite").parquet(f"{DST}/events.parquet"))
     # documents x10: every token salted with the copy index so each copy's
     # shingle space is disjoint — near-dup DENSITY stays constant (the dup
     # groups inside each copy survive; copies don't cross-match), making

@@ -175,8 +175,11 @@ def lag_delta(df: DataFrame, keys: Sequence[str], order_by: Sequence[Column],
 # Total sort (O1)
 # --------------------------------------------------------------------------
 
+MID_SORT_BYTES = 256 << 20  # est units; past this, session config/AQE rules
+
+
 def total_sort(df: DataFrame, *order_by: Column | str,
-               small_bytes: int = 64 << 20) -> DataFrame:
+               small_bytes: int = 8 << 20) -> DataFrame:
     """O1: total sort (the reference's whole-frame `sort_values`,
     SANEF_Uploader.py:433).
 
@@ -196,6 +199,15 @@ def total_sort(df: DataFrame, *order_by: Column | str,
     parquet source it reflects file size scaled by column pruning, so it
     is available before any action. Falls back to the scalable path if
     statistics are unavailable (e.g. Spark Connect).
+
+    Threshold calibration (measured at sf1, 6M rows): the parquet-backed
+    estimate is COMPRESSED bytes x pruning fraction and undersells the
+    in-memory row size ~7x, so the threshold must be set in estimate
+    units, not in-memory units. 8 MB est (~2M narrow rows) is the
+    crossover: below it the single-stage sort wins (sf0.1: 2.5 MB est,
+    0.25s vs 0.65s range); above it the parallel range sort wins (sf1:
+    25 MB est, 0.55s at 16 partitions vs 2.5s single-stage — the 64 MB
+    r4-initial threshold mis-routed sf1 to coalesce(1) and lost 4.5x).
     """
     try:
         est = int(str(
@@ -204,6 +216,17 @@ def total_sort(df: DataFrame, *order_by: Column | str,
         est = small_bytes + 1
     if est <= small_bytes:
         return df.coalesce(1).sortWithinPartitions(*order_by)
+    if est <= MID_SORT_BYTES:
+        # Mid-size range sort: pin the partition count from the estimate
+        # (~2 MB est per partition ~ one in-memory sort run per core-sized
+        # chunk) instead of inheriting spark.sql.shuffle.partitions, which
+        # at this scale is tuned for aggregate exchanges, not full-row
+        # sorts (sf1 measured: 4 inherited partitions 1.17s, pinned 12-16
+        # 0.55s). Same plan shape as orderBy (range exchange + Tungsten
+        # sort, globally ordered by partition id).
+        n = max(8, min(200, est >> 21))
+        return (df.repartitionByRange(n, *order_by)
+                .sortWithinPartitions(*order_by))
     return df.orderBy(*order_by)
 
 

@@ -18,6 +18,19 @@ DOUBLE), 2)` on the oracle side.
 
 This also holds at 100 TB: decimal aggregation is whole-stage-codegen'd and
 partial-aggregated map-side exactly like double sums.
+
+ROUNDING RULE (sf1-surfaced, r4): the no-op-round argument above only holds
+when the round scale EQUALS the decimal scale. When the sum's scale exceeds
+the displayed scale (e.g. SUM(DECIMAL(18,4)) rounded to cents), the exact
+sum regularly lands on .xx50 — and rounding that tie AFTER the double cast
+diverges between engines (Spark rounds the double's exact binary expansion
+HALF_UP; DuckDB rounds via value*100 float arithmetic). Two of 148 queries
+failed exactly this way at 6M rows (q7/q9, SF1.md). Therefore: round in
+the DECIMAL domain, cast to double after —
+    Spark : F.round(F.sum(x.cast("decimal(18,4)")), 2).cast("double")
+    oracle: CAST(ROUND(SUM(CAST(x AS DECIMAL(18,4))), 2) AS DOUBLE)
+Both engines round decimal ties half-away-from-zero (probe-verified
+positive and negative), so the cents value is identical by construction.
 """
 
 from __future__ import annotations

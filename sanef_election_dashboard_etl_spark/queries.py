@@ -1234,8 +1234,8 @@ def events_session_window_native(spark, sf_dir):
            CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
            ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
                AS sum_base_price,
-           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                              AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
            ROUND(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*), 4)
                AS avg_qty,
            ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
@@ -1262,7 +1262,7 @@ def q1_pricing_summary(spark, sf_dir):
         # scale 4 covers the true scale -> tie-free, then round the exact
         # sum to cents.
         F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                      .cast("decimal(18,4)")).cast("double"), 2)
+                      .cast("decimal(18,4)")), 2).cast("double")
          .alias("sum_disc_price"),
         F.round(qty_sum.cast("double") / F.count(F.lit(1)), 4).alias("avg_qty"),
         davg("l_discount", scale=4).alias("avg_disc"),
@@ -1643,8 +1643,8 @@ def text_winnow_fingerprint_pairs(spark, sf_dir):
 
 @query("q3_shipping_priority", oracle="""
     SELECT l_orderkey,
-           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                              AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
            strftime(o_orderdate, '%Y-%m-%d') AS orderdate
     FROM customer JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -1665,7 +1665,7 @@ def q3_shipping_priority(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
     revenue = F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                            .cast("decimal(18,4)")).cast("double"), 2)
+                            .cast("decimal(18,4)")), 2).cast("double")
     return (l.join(o, l.l_orderkey == o.o_orderkey)
             .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
             .groupBy("l_orderkey", "o_orderdate")
@@ -1678,8 +1678,8 @@ def q3_shipping_priority(spark, sf_dir):
 
 @query("q5_local_supplier_volume", oracle="""
     SELECT n_name,
-           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                              AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -1699,7 +1699,7 @@ def q5_local_supplier_volume(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     revenue = F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                            .cast("decimal(18,4)")).cast("double"), 2)
+                            .cast("decimal(18,4)")), 2).cast("double")
     return (l.join(o, l.l_orderkey == o.o_orderkey)
             .join(c, F.col("o_custkey") == c.c_custkey)
             .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey) &
@@ -1710,8 +1710,8 @@ def q5_local_supplier_volume(spark, sf_dir):
 
 
 @query("q6_forecast_revenue", oracle="""
-    SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount
-                              AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount
+                              AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1994-01-01'
@@ -1728,7 +1728,7 @@ def q6_forecast_revenue(spark, sf_dir):
         (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07) &
         (F.col("l_quantity") < 24))
     revenue = F.round(F.sum((F.col("l_extendedprice") * F.col("l_discount"))
-                            .cast("decimal(18,4)")).cast("double"), 2)
+                            .cast("decimal(18,4)")), 2).cast("double")
     return l.agg(revenue.alias("revenue"), F.count(F.lit(1)).alias("n_items"))
 
 
@@ -2773,8 +2773,8 @@ def q4_order_priority(spark, sf_dir):
 
 @query("q10_returned_items", oracle="""
     SELECT c_custkey, c_name, n_name,
-           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                               AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -2804,7 +2804,7 @@ def q10_returned_items(spark, sf_dir):
              .join(c, o.o_custkey == c.c_custkey)
              .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
              .groupBy("c_custkey", "c_name", "n_name")
-             .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+             .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
              .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
              .limit(20))
 
@@ -2870,8 +2870,8 @@ def q17_small_qty_revenue(spark, sf_dir):
 @query("q7_nation_volume", oracle="""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            EXTRACT(year FROM l_shipdate) AS l_year,
-           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                               AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN supplier ON l_suppkey = s_suppkey
@@ -2910,7 +2910,7 @@ def q7_nation_volume(spark, sf_dir):
                      & (F.col("cust_nation") == "NATION_3"))))
     return (j.groupBy("supp_nation", "cust_nation",
                       F.year("l_shipdate").cast("long").alias("l_year"))
-             .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue")))
+             .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue")))
 
 
 @query("q8_market_share", oracle="""
@@ -3142,8 +3142,8 @@ def q13_custdist(spark, sf_dir):
 @query("q15_top_supplier", oracle="""
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                                   AS DECIMAL(18,4))) AS DOUBLE), 2)
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,4))), 2) AS DOUBLE)
                    AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -3167,7 +3167,7 @@ def q15_top_supplier(spark, sf_dir):
     rev = (l.groupBy(F.col("l_suppkey").alias("supplier_no"))
             .agg(F.round(F.sum((F.col("l_extendedprice")
                                 * (1 - F.col("l_discount")))
-                               .cast("decimal(18,4)")).cast("double"), 2)
+                               .cast("decimal(18,4)")), 2).cast("double")
                  .alias("total_revenue")))
     mx = rev.agg(F.max("total_revenue").alias("__mx"))
     return (s.join(rev, s.s_suppkey == rev.supplier_no)
@@ -3255,9 +3255,9 @@ def udtf_chunk_documents(spark, sf_dir):
 @query("q9_product_profit", oracle="""
     SELECT n.n_name AS nation,
            EXTRACT(year FROM o.o_orderdate) AS o_year,
-           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
                                - p.p_retailprice * l.l_quantity * 0.1
-                               AS DECIMAL(18,4))) AS DOUBLE), 2) AS profit
+                               AS DECIMAL(18,4))), 2) AS DOUBLE) AS profit
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -3286,8 +3286,7 @@ def q9_product_profit(spark, sf_dir):
             .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
             .groupBy(F.col("n_name").alias("nation"),
                      F.year("o_orderdate").cast("long").alias("o_year"))
-            .agg(F.round(F.sum(amount.cast("decimal(18,4)"))
-                         .cast("double"), 2).alias("profit")))
+            .agg(F.round(F.sum(amount.cast("decimal(18,4)")), 2).cast("double").alias("profit")))
 
 
 @query("q12_priority_class", oracle="""
@@ -3317,8 +3316,8 @@ def q12_priority_class(spark, sf_dir):
 
 
 @query("q19_disjunctive_brackets", oracle="""
-    SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                               AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15
@@ -3345,7 +3344,7 @@ def q19_disjunctive_brackets(spark, sf_dir):
          & F.col("l_quantity").between(10, 40)))
     revenue = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
     return j.filter(bracket).agg(
-        F.round(F.sum(revenue.cast("decimal(18,4)")).cast("double"), 2)
+        F.round(F.sum(revenue.cast("decimal(18,4)")), 2).cast("double")
          .alias("revenue"),
         F.count(F.lit(1)).alias("n_items"))
 

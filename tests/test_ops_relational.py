@@ -196,9 +196,26 @@ def test_total_sort_stats_picked_strategy(spark):
     assert "rangepartitioning" not in plan and "Coalesce 1" in plan
     got = [r["v"] for r in small.collect()]
     assert got == sorted(got)
-    # force the scale path with a tiny threshold
+    # force the mid tier with a tiny threshold: range exchange with a
+    # PINNED partition count (REPARTITION_BY_NUM), not the session's
+    # shuffle.partitions (VERDICT r4: the inherited micro-calibration
+    # count starved the sf1 sort)
     big = R.total_sort(df, "v", "id", small_bytes=1)
     plan_big = big._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan_big
+    assert "REPARTITION_BY_NUM" in plan_big
     got_big = [r["v"] for r in big.collect()]
     assert got_big == sorted(got_big)
+    # force the large tier (est above MID_SORT_BYTES): native orderBy,
+    # partition count left to session config / AQE
+    orig = R.MID_SORT_BYTES
+    R.MID_SORT_BYTES = 1
+    try:
+        huge = R.total_sort(df, "v", "id", small_bytes=1)
+    finally:
+        R.MID_SORT_BYTES = orig
+    plan_huge = huge._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan_huge
+    assert "REPARTITION_BY_NUM" not in plan_huge
+    got_huge = [r["v"] for r in huge.collect()]
+    assert got_huge == sorted(got_huge)

@@ -187,3 +187,29 @@ def test_z_value_is_injective_and_bounded(spark, vals):
           df.select(z_value([F.col("a"), F.col("b")], 8).alias("z")).collect()]
     assert len(set(zs)) == len(vals)
     assert all(0 <= z < 1 << 16 for z in zs)
+
+
+def test_decimal_round_convention_matches_duckdb_at_half_cent(spark):
+    """Regression pin for the sf1-surfaced cent-rounding divergence
+    (SF1.md, functions/numeric.py ROUNDING RULE): a scale-4 decimal sum
+    landing exactly on .xx50 must round to the same cents value in Spark
+    and DuckDB. The engine convention rounds in the DECIMAL domain and
+    casts to double after; rounding after the cast diverges on exactly
+    these ties (q7/q9 at 6M rows)."""
+    import duckdb
+
+    rows = [(0, 33833097.0425), (0, 33833097.0425),  # 67666194.0850 -> .09
+            (1, 0.0025), (1, 0.0025),                # 0.0050        -> .01
+            (2, -0.0025), (2, -0.0025)]              # -0.0050       -> -.01
+    df = spark.createDataFrame(rows, "g int, v double")
+    got = {r["g"]: r["s"] for r in df.groupBy("g").agg(
+        F.round(F.sum(F.col("v").cast("decimal(18,4)")), 2)
+         .cast("double").alias("s")).collect()}
+    con = duckdb.connect()
+    con.register("t", __import__("pandas").DataFrame(
+        {"g": [g for g, _ in rows], "v": [v for _, v in rows]}))
+    want = dict(con.sql(
+        "SELECT g, CAST(ROUND(SUM(CAST(v AS DECIMAL(18,4))), 2) AS DOUBLE)"
+        " FROM t GROUP BY g").fetchall())
+    assert got == want
+    assert got == {0: 67666194.09, 1: 0.01, 2: -0.01}

@@ -213,3 +213,35 @@ def test_decimal_round_convention_matches_duckdb_at_half_cent(spark):
         " FROM t GROUP BY g").fetchall())
     assert got == want
     assert got == {0: 67666194.09, 1: 0.01, 2: -0.01}
+
+
+money_rows = st.lists(
+    st.tuples(st.integers(0, 3),                       # group
+              st.integers(-10**9, 10**9),              # cents*100 (scale 4)
+              ),
+    min_size=1, max_size=40)
+
+
+@given(rows=money_rows)
+@SLOW
+def test_decimal_sum_convention_matches_duckdb_fuzzed(spark, rows):
+    """Fuzzed cross-engine determinism for the numeric.py convention:
+    arbitrary scale-4 money values (constructed exactly as i/10^4, the
+    class lineitem's price*discount products live in), random groups —
+    the decimal-domain sum+round must match DuckDB to the last bit,
+    ties included. This is the generative form of the q7/q9 sf1 catch."""
+    import duckdb
+    import pandas as pd
+
+    data = [(g, i / 10_000.0) for g, i in rows]
+    df = spark.createDataFrame(data, "g int, v double")
+    got = {r["g"]: r["s"] for r in df.groupBy("g").agg(
+        F.round(F.sum(F.col("v").cast("decimal(18,4)")), 2)
+         .cast("double").alias("s")).collect()}
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"g": [g for g, _ in data],
+                                    "v": [v for _, v in data]}))
+    want = dict(con.sql(
+        "SELECT g, CAST(ROUND(SUM(CAST(v AS DECIMAL(18,4))), 2) AS DOUBLE)"
+        " FROM t GROUP BY g").fetchall())
+    assert got == want

@@ -41,11 +41,14 @@ def _minhash_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
+                text_col: str = "text",
+                fp_fn=fingerprint) -> DataFrame:
     """Exact dedup on normalized-content digest; survivor = min id per
     digest (deterministic, unlike pandas keep='first' which leans on input
-    order). Returns (survivor_id, n_copies, fingerprint)."""
-    return (df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+    order). Returns (survivor_id, n_copies, fingerprint). `fp_fn` picks
+    the normalization tier: `text.fingerprint` (whitespace/case, default)
+    or `text.fingerprint_loose` (punctuation-insensitive "fuzzy exact")."""
+    return (df.select(F.col(id_col), fp_fn(F.col(text_col)).alias("fp"))
             .groupBy("fp")
             .agg(F.min(id_col).alias("survivor_id"),
                  F.count(F.lit(1)).alias("n_copies"))
@@ -739,3 +742,110 @@ def decontaminate(train: DataFrame, eval_set: DataFrame, n: int = 3,
               .groupBy("doc_id", "eval_doc_id")
               .agg(F.count(F.lit(1)).alias("n_shared"))
               .filter(F.col("n_shared") >= min_overlap))
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter membership: the no-corpus-shuffle incremental dedup tier
+# --------------------------------------------------------------------------
+
+def bloom_positions(fp, m_bits: int, k: int = 5) -> list["F.Column"]:
+    """k portable bit positions in [0, m_bits) for one fingerprint:
+    position_i = portable_hash(fp || ':' || i) mod m. md5-derived, so the
+    identical positions fall out of the same SQL in DuckDB — the whole
+    filter is oracle-replayable, and membership never depends on engine
+    hash internals."""
+    col = fp if not isinstance(fp, str) else F.col(fp)
+    return [F.pmod(portable_hash(F.concat(col, F.lit(f":{i}"))),
+                   F.lit(m_bits)).alias(f"pos{i}")
+            for i in range(k)]
+
+
+def build_bloom(fps: DataFrame, m_bits: int, k: int = 5,
+                fp_col: str = "fp") -> list[int]:
+    """DISTRIBUTED Bloom-filter build over a fingerprint column: explode
+    each fingerprint into its k bit positions, map to (word_index,
+    bit_mask), and OR-aggregate per 64-bit word — one shuffle keyed on
+    word index (at most m/64 keys), then collect the dense word array
+    (m/64 longs — 2 KiB per 2^17 bits) to the driver.
+
+    The corpus itself never leaves the executors and no per-row state
+    reaches the driver: only the OR-folded words do. Returns the dense
+    little-endian word list (index = bit // 64, bit set =
+    word & (1 << (bit % 64)))."""
+    n_words = (m_bits + 63) // 64
+    pos = (fps.select(F.explode(F.array(
+               *[p.cast("long") for p in bloom_positions(F.col(fp_col),
+                                                         m_bits, k)]))
+               .alias("pos")))
+    rows = (pos.select(
+                (F.col("pos") / 64).cast("long").alias("w"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), "
+                       "CAST(pos % 64 AS INT))").alias("mask"))
+            .groupBy("w").agg(F.bit_or("mask").alias("word"))
+            .collect())
+    words = [0] * n_words
+    for r in rows:
+        words[r["w"]] = r["word"]
+    return words
+
+
+def incremental_dedup_bloom(corpus: DataFrame, batch: DataFrame,
+                            m_bits: int = 1 << 17, k: int = 5,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Incremental ingest dedup with a Bloom-filter prefilter — exact
+    output (identical to the plain digest anti-join; the filter only
+    routes rows), but the corpus NEVER shuffles:
+
+    1. Build an m-bit Bloom filter over the corpus digest set
+       (`build_bloom` — distributed OR-fold, m/64 longs to the driver).
+    2. Probe each batch digest against the words (attached as a one-row
+       broadcast, k element_at + bit tests per row — pure codegen).
+       Bloom negatives are DEFINITELY new: admitted with no join at all.
+    3. Bloom positives (true dups + ~fpr of the batch) are the only rows
+       that touch the corpus: an inner join with the POSITIVE side
+       broadcast finds which are genuinely present — the corpus digest
+       table streams through a BroadcastHashJoin probe with no Exchange —
+       and the (tiny) found set anti-joins back.
+
+    Contrast with `dedup_incremental` (plain anti-join): that plan
+    shuffles BOTH sides once the corpus digest table outgrows the
+    broadcast threshold (32 bytes x 10^11 docs = TBs at 100 TB scale).
+    Here the big side is scanned in place; what broadcasts is m/64
+    words (sized by corpus cardinality: ~10 bits/key for ~1% fpr,
+    fitting ~10^9 keys in ~1.25 GB — beyond that, shard the digest
+    space and probe per-shard filters) plus the bloom-positive slice.
+
+    Batch-side work is k md5 calls per row; `m_bits` must comfortably
+    exceed k * corpus cardinality or fpr degrades toward 1 and every
+    row routes through the exact join (output stays exact either way).
+    """
+    spark = corpus.sparkSession
+    fp = fingerprint(F.col(text_col))
+    # No distinct(): the OR-fold and the semi-join below are both
+    # duplicate-insensitive, and a distinct would be exactly the corpus
+    # shuffle this operator exists to avoid.
+    corpus_fps = corpus.select(fp.alias("fp"))
+    words = build_bloom(corpus_fps, m_bits, k)
+    bloom = spark.createDataFrame([(words,)], "bloom_words: array<long>")
+
+    probed = (batch.select(F.col(id_col), fp.alias("fp"))
+              .crossJoin(F.broadcast(bloom)))
+    hit = None
+    for i, pos in enumerate(bloom_positions(F.col("fp"), m_bits, k)):
+        probed = probed.withColumn(f"__p{i}", pos)
+        h = F.expr(f"(element_at(bloom_words, CAST(__p{i} DIV 64 AS INT) + 1)"
+                   f" & shiftleft(CAST(1 AS BIGINT),"
+                   f" CAST(__p{i} % 64 AS INT))) != 0")
+        hit = h if hit is None else hit & h
+    probed = probed.select(id_col, "fp", hit.alias("__maybe"))
+
+    fresh = probed.filter(~F.col("__maybe")).select(id_col)
+    maybe = probed.filter(F.col("__maybe")).select(id_col, "fp")
+    found = (corpus_fps
+             .join(F.broadcast(maybe.select("fp").distinct()), "fp",
+                   "left_semi")
+             .distinct())
+    admitted = (maybe.join(F.broadcast(found), "fp", "left_anti")
+                .select(id_col))
+    return fresh.unionByName(admitted)

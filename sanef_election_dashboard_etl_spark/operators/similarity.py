@@ -535,3 +535,104 @@ def cosine_topk_pandas(emb: DataFrame, queries: DataFrame, k: int = 10,
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id"))
+
+
+def semantic_dedup(emb: DataFrame, min_cosine: float = 0.99,
+                   n_planes: int = 8, seed: int = 7,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): partition the corpus into clusters, then within
+    each cluster drop every vector that has a LOWER-id neighbor with
+    cosine >= `min_cosine` — keep-first inside each semantic ball. The
+    looser-threshold complement of `embedding_dup_pairs` (which
+    pigeonhole-guarantees recall but only in the near-exact Hamming<=3
+    regime): here tau is a free parameter, and recall is bounded by the
+    cluster assignment instead (a true pair split across clusters is
+    missed — the documented SemDeDup trade; the paper accepts it because
+    cluster-local comparison is what makes the pass corpus-linear).
+
+    Generalizes the reference's keep-first dedup idiom
+    (SANEF_Uploader.py:474 drop_duplicates) from exact keys to semantic
+    similarity, with a deterministic survivor rule (min id, not input
+    order).
+
+    This variant clusters by the hyperplane sign signature (`n_planes`
+    seeded constants baked into the plan) so the WHOLE pass — clustering
+    included — replays in the DuckDB oracle. `semantic_dedup_kmeans` is
+    the learned-centroid twin (tighter clusters, engine-specific).
+
+    100 TB shape: one narrow pass computes the signature, the pairwise
+    check self-joins on the cluster key only (never all-pairs; cost is
+    sum over clusters of size^2, bounded by choosing n_planes so
+    expected cluster size stays constant — `auto_n_planes`), and the
+    survivor rule is one broadcast-able semi-join of dropped ids back
+    onto the corpus. Cosine is compared after round(4) so both engines
+    agree at the threshold.
+
+    Output: (vec_id, cluster, kept) for every input row — kept=false
+    means a lower-id same-cluster vector is within tau.
+    """
+    dim = dim_of(emb, vec_col)
+    planes = _hyperplanes(dim, n_planes, seed)
+    d = with_norm(emb, vec_col).select(
+        F.col(id_col), F.col("__v").alias("v"), F.col("__norm").alias("nm"),
+        lsh_bucket(F.col("__v"), planes).alias("cluster"))
+    return _keep_first_in_cluster(d, min_cosine, id_col)
+
+
+def _keep_first_in_cluster(d: DataFrame, min_cosine: float,
+                           id_col: str) -> DataFrame:
+    """Shared within-cluster SemDeDup rule over (id, v, nm, cluster) rows:
+    drop a row iff a lower-id same-cluster row is within the rounded
+    cosine threshold. Self-join keyed on cluster only — the clustering
+    bounds the quadratic; dropped ids come back via one left join."""
+    a = d.select(F.col(id_col).alias("id_a"), F.col("cluster"),
+                 F.col("v").alias("va"), F.col("nm").alias("na"))
+    b = d.select(F.col(id_col).alias("id_b"), F.col("cluster"),
+                 F.col("v").alias("vb"), F.col("nm").alias("nb"))
+    dropped = (a.join(b, "cluster")
+               .filter(F.col("id_b") < F.col("id_a"))
+               .filter(F.round(dot(F.col("va"), F.col("vb")) /
+                               (F.col("na") * F.col("nb")), 4)
+                       >= min_cosine)
+               .select(F.col("id_a").alias(id_col)).distinct())
+    return (d.join(dropped.withColumn("__dup", F.lit(True)), id_col, "left")
+            .select(id_col, "cluster",
+                    F.coalesce(~F.col("__dup"), F.lit(True)).alias("kept")))
+
+
+def semantic_dedup_kmeans(emb: DataFrame, min_cosine: float = 0.99,
+                          n_clusters: int = 16, seed: int = 42,
+                          max_iter: int = 8,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """`semantic_dedup` with learned k-means clusters (Spark ML) instead
+    of hyperplane buckets — the production tier: centroids adapt to the
+    corpus geometry, so semantic balls are split across clusters less
+    often than under random hyperplanes (better recall at equal cluster
+    count). Engine-specific (learned centroids), so rows-only in the
+    registry; the signature variant is the oracle-checked sibling and
+    the within-cluster rule is identical.
+
+    Same scale story as `ivf_topk` (shared KMeans plumbing): fit is
+    sample-sized, assignment is one narrow pass with the model broadcast,
+    and the pairwise stage joins on the cluster id. Set
+    n_clusters ~ N / target_cluster_size to hold the per-cluster
+    quadratic constant as the corpus grows.
+
+    Output: (vec_id, cluster, kept); identical vectors always share a
+    cluster (prediction is a deterministic function of the vector), so
+    exact clones are always caught."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = with_norm(emb, vec_col).select(
+        F.col(id_col), F.col("__v").alias("v"), F.col("__norm").alias("nm"))
+    feats = base.withColumn("features", array_to_vector("v"))
+    km = KMeans(k=n_clusters, seed=seed, maxIter=max_iter,
+                featuresCol="features", predictionCol="cluster")
+    model = km.fit(feats.select("features"))
+    d = model.transform(feats).drop("features") \
+        .withColumn("cluster", F.col("cluster").cast("long"))
+    return _keep_first_in_cluster(d, min_cosine, id_col)

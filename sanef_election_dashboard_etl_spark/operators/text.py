@@ -122,6 +122,20 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized.cast("binary"))
 
 
+def fingerprint_loose(text: Column) -> Column:
+    """Punctuation-insensitive fingerprint — the RefinedWeb/Falcon-style
+    "fuzzy exact" dedup key: lowercase, replace every non-alphanumeric
+    run with one space, trim, md5. Catches re-crawls that differ only in
+    punctuation/markup residue ("Hello, world!" == "hello world") that
+    the strict `fingerprint` treats as distinct. ASCII character class
+    by design: [^a-z0-9] means the same bytes in every engine (Unicode
+    letter classes do not), so the digest is oracle-portable; non-Latin
+    text degrades to whitespace-shape matching, which is why `lang_id`
+    gates which corpora this key is applied to."""
+    stripped = F.regexp_replace(F.lower(text), "[^a-z0-9]+", " ")
+    return F.md5(F.trim(stripped).cast("binary"))
+
+
 def winnow_fingerprints(df: "DataFrame", k: int = 4, w: int = 5,
                         id_col: str = "doc_id",
                         text_col: str = "text") -> "DataFrame":

@@ -3916,6 +3916,127 @@ def layout_zorder_zvalue(spark, sf_dir):
              .select("p_partkey", "z"))
 
 
+@query("dedup_exact_normalized", oracle="""
+    WITH u AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 500000, '  ' || upper(text) || ' !!!'
+        FROM documents WHERE doc_id < 150
+    )
+    SELECT MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               AS fp
+    FROM u
+    GROUP BY 3
+""")
+def dedup_exact_normalized(spark, sf_dir):
+    """Punctuation-insensitive "fuzzy exact" dedup (RefinedWeb-style,
+    text.fingerprint_loose): same hash-groupBy plan as dedup_exact, but
+    the digest survives case, whitespace, AND punctuation/markup-residue
+    changes. The fixture corpus has no such twins, so the query unions a
+    perturbed copy (upper-cased, padded, '!!!'-suffixed, id-shifted) of
+    the first 150 docs: each must collapse onto its original
+    (n_copies >= 2, survivor = the original id), while every other digest
+    stays singleton — both the collision and no-collision branches fire."""
+    docs = _t(spark, sf_dir, "documents")
+    perturbed = docs.filter(F.col("doc_id") < 150).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper(F.col("text")), F.lit(" !!!"))
+         .alias("text"))
+    u = docs.select("doc_id", "text").unionByName(perturbed)
+    return D.exact_dedup(u, fp_fn=T.fingerprint_loose)
+
+
+@query("dedup_incremental_bloom", oracle="""
+    WITH corpus AS (
+        SELECT DISTINCT
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+        FROM documents WHERE doc_id < 350
+    ), batch AS (
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+        FROM documents WHERE doc_id >= 350 AND doc_id < 500
+    )
+    SELECT b.doc_id
+    FROM batch b
+    LEFT JOIN corpus c ON b.fp = c.fp
+    WHERE c.fp IS NULL
+""")
+def dedup_incremental_bloom(spark, sf_dir):
+    """Incremental ingest dedup behind a distributed Bloom prefilter
+    (dedup.incremental_dedup_bloom): bloom-negative batch rows are
+    admitted with NO join; only bloom positives touch the corpus, via a
+    broadcast semi-join that scans the corpus digests in place — the
+    corpus never shuffles, unlike dedup_incremental's plain anti-join
+    whose build side outgrows broadcast at 100 TB. Output is EXACT
+    (the filter only routes rows; positives are exact-verified), so the
+    oracle is the plain set-difference SQL — the mechanism differs, the
+    relation doesn't. test_dedup.py asserts path-equality with the
+    anti-join and that the filter actually prunes."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 350)
+    batch = docs.filter((F.col("doc_id") >= 350) & (F.col("doc_id") < 500))
+    return D.incremental_dedup_bloom(corpus, batch, m_bits=1 << 14)
+
+
+def _semantic_dedup_oracle_sql(min_cosine: float = 0.99, n_planes: int = 8,
+                               seed: int = 7) -> str:
+    """SQL twin of similarity.semantic_dedup over embeddings + id-shifted
+    clones: the same hyperplane constants produce the cluster signature,
+    and kept = no lower-id same-cluster row within the rounded cosine
+    threshold (NOT EXISTS)."""
+    from .operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, n_planes, seed)
+    bits = []
+    for i, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(w)) for w in plane) + "]"
+        bits.append(f"CASE WHEN list_inner_product(e, {lit}) >= 0 "
+                    f"THEN {2 ** i}::BIGINT ELSE 0::BIGINT END")
+    sig = "(" + " + ".join(bits) + ")"
+    return f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    u AS (SELECT vec_id, e FROM base
+          UNION ALL SELECT vec_id + 100000, e FROM base),
+    s AS (SELECT vec_id, e, {sig} AS cluster FROM u)
+    SELECT a.vec_id, a.cluster,
+           NOT EXISTS (
+               SELECT 1 FROM s b
+               WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+                 AND ROUND(list_cosine_similarity(a.e, b.e), 4)
+                     >= {min_cosine}
+           ) AS kept
+    FROM s a
+    """
+
+
+@query("sim_semantic_dedup", oracle=_semantic_dedup_oracle_sql())
+def sim_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (similarity.semantic_dedup, Abbas
+    et al. 2023): hyperplane-signature clusters, keep-first-by-id inside
+    each cluster's cosine>=tau balls. Clustering AND survivor rule replay
+    in SQL (plane constants baked). The fixture corpus has no semantic
+    twins (max natural cos ~0.37), so the query unions id-shifted exact
+    clones: identical vectors always share a signature, so every clone
+    must come back kept=false and every original kept=true."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dup = emb.withColumn("vec_id", F.col("vec_id") + F.lit(100000))
+    return S.semantic_dedup(emb.unionByName(dup))
+
+
+@query("sim_semantic_dedup_kmeans", oracle=None, tags=("rows-only",))
+def sim_semantic_dedup_kmeans(spark, sf_dir):
+    """semantic_dedup with learned k-means clusters (Spark ML) — the
+    production tier (centroids adapt to corpus geometry; fewer split
+    semantic balls at equal cluster count). Learned centroids are
+    engine-specific, so rows-only; sim_semantic_dedup is the
+    oracle-checked sibling with the identical within-cluster rule, and
+    test_similarity.py asserts the clone-drop invariant on this path."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    dup = emb.withColumn("vec_id", F.col("vec_id") + F.lit(100000))
+    return S.semantic_dedup_kmeans(emb.unionByName(dup))
+
+
 # ==========================================================================
 # Driver-window ordering
 # ==========================================================================

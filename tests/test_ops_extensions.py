@@ -770,3 +770,136 @@ def test_minhash_verify_strategies_identical(spark):
         df, n=3, k=16, bands=4, min_jaccard=0.3, verify="sets",
         prefilter_margin=0.3).collect()))
     assert c == a
+
+
+def test_fingerprint_loose_collapses_punctuation(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, world!"), (2, "hello   WORLD"), (3, "hello world?!"),
+         (4, "hello worlds")],
+        "doc_id long, text string")
+    out = rows(D.exact_dedup(df, fp_fn=T.fingerprint_loose),
+               "survivor_id", "n_copies")
+    # 1,2,3 collapse (punctuation/case/whitespace); 4 ("worlds") does not
+    assert out == [(1, 3), (4, 1)]
+
+
+def test_bloom_has_no_false_negatives(spark):
+    fps = spark.createDataFrame([(f"fp{i}",) for i in range(200)],
+                                "fp string")
+    words = D.build_bloom(fps, m_bits=1 << 12, k=5)
+    assert len(words) == (1 << 12) // 64
+    # probe every inserted fp through the same expression path: all must hit
+    probe = fps
+    for i, pos in enumerate(D.bloom_positions(F.col("fp"), 1 << 12, 5)):
+        probe = probe.withColumn(f"__p{i}", pos)
+    import functools
+    wlit = F.array(*[F.lit(w).cast("long") for w in words])
+    hits = functools.reduce(
+        lambda a, b: a & b,
+        [F.expr(f"(element_at(__w, CAST(__p{i} DIV 64 AS INT) + 1)"
+                f" & shiftleft(CAST(1 AS BIGINT), CAST(__p{i} % 64 AS INT)))"
+                f" != 0") for i in range(5)])
+    n_hit = probe.withColumn("__w", wlit).filter(hits).count()
+    assert n_hit == 200
+
+
+def test_incremental_bloom_equals_plain_anti_join(spark):
+    # corpus of 100 docs; batch = 40 dups of corpus + 60 genuinely new
+    corpus = spark.createDataFrame(
+        [(i, f"corpus document number {i} body") for i in range(100)],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(1000 + i, f"corpus document number {i} body") for i in range(40)]
+        + [(2000 + i, f"fresh unseen text {i}") for i in range(60)],
+        "doc_id long, text string")
+    got = rows(D.incremental_dedup_bloom(corpus, batch, m_bits=1 << 12),
+               "doc_id")
+    fp = T.fingerprint(F.col("text"))
+    plain = (batch.select("doc_id", fp.alias("fp"))
+             .join(corpus.select(fp.alias("fp")).distinct(), "fp",
+                   "left_anti").select("doc_id"))
+    assert got == rows(plain, "doc_id")
+    assert [r[0] for r in got] == [2000 + i for i in range(60)]
+
+
+def test_incremental_bloom_prunes_before_the_join(spark):
+    # with m >> k*n the false-positive rate is tiny: the bloom-positive
+    # set must be nearly just the true dups, so the exact join sees a
+    # fraction of the batch — the operator's whole point.
+    corpus = spark.createDataFrame(
+        [(i, f"corpus document number {i} body") for i in range(100)],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(1000 + i, f"corpus document number {i} body") for i in range(10)]
+        + [(2000 + i, f"fresh unseen text {i}") for i in range(190)],
+        "doc_id long, text string")
+    fp = T.fingerprint(F.col("text"))
+    words = D.build_bloom(corpus.select(fp.alias("fp")), 1 << 14, 5)
+    probe = batch.select(fp.alias("fp"))
+    for i, pos in enumerate(D.bloom_positions(F.col("fp"), 1 << 14, 5)):
+        probe = probe.withColumn(f"__p{i}", pos)
+    import functools
+    wlit = F.array(*[F.lit(w).cast("long") for w in words])
+    hits = functools.reduce(
+        lambda a, b: a & b,
+        [F.expr(f"(element_at(__w, CAST(__p{i} DIV 64 AS INT) + 1)"
+                f" & shiftleft(CAST(1 AS BIGINT), CAST(__p{i} % 64 AS INT)))"
+                f" != 0") for i in range(5)])
+    n_maybe = probe.withColumn("__w", wlit).filter(hits).count()
+    assert n_maybe >= 10            # the true dups always hit
+    assert n_maybe <= 10 + 19      # <=10% fp rate on the 190 fresh rows
+
+
+def test_semantic_dedup_drops_clones_keeps_originals(spark):
+    # well-separated originals (pairwise cos <= ~0.5 < tau) so the ONLY
+    # in-threshold pairs are (original, exact clone)
+    sep = [(0, [1.0, 0.0, 0.0, 0.0]),
+           (1, [0.0, 1.0, 0.0, 0.0]),
+           (2, [0.0, 0.0, 1.0, 0.0]),
+           (3, [0.0, 0.0, 0.0, 1.0]),
+           (4, [1.0, 1.0, 0.0, 0.0])]
+    emb = spark.createDataFrame(sep, "vec_id long, embedding array<float>")
+    clones = emb.withColumn("vec_id", F.col("vec_id") + F.lit(100000))
+    out = S.semantic_dedup(emb.unionByName(clones), min_cosine=0.99)
+    got = {r["vec_id"]: (r["kept"], r["cluster"]) for r in out.collect()}
+    assert len(got) == 10
+    for vid, (kept, cluster) in got.items():
+        if vid >= 100000:
+            assert not kept, f"clone {vid} should be dropped"
+            assert cluster == got[vid - 100000][1]  # identical vec, same sig
+        else:
+            assert kept, f"original {vid} should survive"
+
+
+def test_semantic_dedup_kmeans_same_invariant(spark):
+    sep = [(0, [1.0, 0.0, 0.0, 0.0]),
+           (1, [0.0, 1.0, 0.0, 0.0]),
+           (2, [0.0, 0.0, 1.0, 0.0]),
+           (3, [0.0, 0.0, 0.0, 1.0])]
+    emb = spark.createDataFrame(sep, "vec_id long, embedding array<float>")
+    clones = emb.withColumn("vec_id", F.col("vec_id") + F.lit(100000))
+    out = S.semantic_dedup_kmeans(emb.unionByName(clones), min_cosine=0.99,
+                                  n_clusters=2)
+    got = {r["vec_id"]: r["kept"] for r in out.collect()}
+    assert all(not got[v] for v in got if v >= 100000)
+    assert all(got[v] for v in got if v < 100000)
+
+
+def test_semantic_dedup_respects_threshold(spark):
+    # two near-identical vectors (cos ~0.99955 -> round4 0.9996) and one
+    # orthogonal: at tau=0.99 the later near-twin drops; at tau=0.9999
+    # (above the rounded cosine) nothing drops. Values sit clear of the
+    # round(4) boundary so the comparison is unambiguous in both engines.
+    base = [1.0, 0.0, 0.0, 0.0]
+    near = [1.0, 0.03, 0.0, 0.0]
+    orth = [0.0, 1.0, 0.0, 0.0]
+    emb = spark.createDataFrame(
+        [(1, base), (2, near), (3, orth)],
+        "vec_id long, embedding array<float>")
+    keep = {r["vec_id"]: r["kept"]
+            for r in S.semantic_dedup(emb, min_cosine=0.99).collect()}
+    assert keep[1] and keep[3]
+    assert not keep[2]
+    keep_hi = {r["vec_id"]: r["kept"]
+               for r in S.semantic_dedup(emb, min_cosine=0.9999).collect()}
+    assert all(keep_hi.values())

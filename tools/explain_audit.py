@@ -64,6 +64,10 @@ MUST_HAVE = {
     # the broadcast side (the per-doc set table is never broadcast —
     # the r3 OOM hazard was a promoted broadcast of the shingle table)
     "dedup_minhash_lsh": ["BroadcastHashJoin"],
+    # bloom incremental dedup: the corpus digests are probed in place by
+    # a broadcast semi-join of the (tiny) bloom-positive fp set, and the
+    # found set comes back as a broadcast anti-join build side
+    "dedup_incremental_bloom": ["LeftSemi, BuildRight", "LeftAnti, BuildRight"],
 }
 
 # query -> substrings that must NOT appear
@@ -82,6 +86,12 @@ MUST_NOT = {
     # exchange allowed is the per-query top-k window on the survivors
     "sim_topk_hamming": ["SortMergeJoin", "CartesianProduct"],
     "dedup_minhash_lsh": ["CartesianProduct"],
+    # the corpus digest scan must never shuffle: no SMJ anywhere in the
+    # bloom path (negatives skip joins entirely; positives broadcast)
+    "dedup_incremental_bloom": ["SortMergeJoin", "CartesianProduct"],
+    # the within-cluster self-join keys on the signature — equi-join
+    # only, never a cross product
+    "sim_semantic_dedup": ["CartesianProduct"],
     # signature banding is equi-keyed; the 1-row vocab scalar is the
     # only nested-loop allowed in the LM stack
     "sim_embedding_dup_pairs": ["CartesianProduct"],
@@ -103,6 +113,7 @@ AUDIT = [
     "j12_interval_join", "sim_embedding_dup_pairs", "text_lm_perplexity",
     "pipe_corpus_curation", "q21_waiting_suppliers",
     "q19_disjunctive_brackets", "sample_weighted", "o1_full_sort",
+    "dedup_incremental_bloom", "sim_semantic_dedup",
 ]
 
 

@@ -251,3 +251,42 @@ def test_streaming_curation_against_reference_lm(spark, tmp_path):
     # the in-distribution doc must score strictly lower than the
     # out-of-vocabulary doc under the reference LM
     assert got[100] < got[101]
+
+
+def test_streaming_ingest_dedup_bloom_against_static_corpus(spark, tmp_path):
+    """Ingest-time incremental dedup: each arriving micro-batch is
+    admitted against a STATIC corpus through the Bloom-prefiltered path
+    (dedup.incremental_dedup_bloom) in foreachBatch — the daily-crawl
+    wiring where the corpus digest set is fixed for the stream's
+    lifetime and only the (small) batch flows. The batch operator runs
+    unchanged; at cluster scale the bloom words build once and every
+    micro-batch probes them with zero corpus shuffles."""
+    from sanef_election_dashboard_etl_spark.operators import dedup as D
+
+    corpus = spark.createDataFrame(
+        [(i, f"seen document body {i}") for i in range(50)],
+        "doc_id long, text string")
+
+    src = tmp_path / "bloom_src"
+    src.mkdir()
+    incoming = spark.createDataFrame(
+        [(1000, "seen document body 7"),        # dup of corpus doc 7
+         (1001, "seen document body 23"),       # dup of corpus doc 23
+         (1002, "never seen before text a"),
+         (1003, "never seen before text b")],
+        "doc_id long, text string")
+    incoming.coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    admitted = []
+
+    def write_batch(df, epoch_id):
+        out = D.incremental_dedup_bloom(corpus, df, m_bits=1 << 12)
+        admitted.extend(r["doc_id"] for r in out.collect())
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(str(src)))
+    q = (stream.writeStream.foreachBatch(write_batch)
+         .option("checkpointLocation", str(tmp_path / "bloom_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert sorted(admitted) == [1002, 1003]

@@ -275,10 +275,39 @@ X100_HEAVY = [
     ("sim_topk_ivf", "embeddings corpus x100 (200k vecs)"),
 ]
 
+def _semantic_dedup_scaled(spark, sf):
+    """semantic_dedup at eval scale: clones shifted into a gap no 100x
+    copy occupies; plane count re-derived from the corpus size (the
+    documented scale mechanism — cluster count tracks N so per-cluster
+    quadratic cost stays ~constant)."""
+    from sanef_election_dashboard_etl_spark.operators.similarity import (
+        auto_n_planes, semantic_dedup)
+    emb = table(spark, sf, "embeddings")
+    u = emb.unionByName(
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(500_000)))
+    return semantic_dedup(u, n_planes=auto_n_planes(u.count()))
+
+
+def _bloom_incremental_scaled(spark, sf):
+    """Bloom incremental dedup at eval scale: per-copy 70/30 corpus/batch
+    split (pmod keeps the split aligned across the 100 id-shifted
+    copies); m sized for the 100x corpus (350k keys x ~12 bits) and held
+    constant across scales so the ratio measures data growth only."""
+    docs = table(spark, sf, "documents")
+    part = F.pmod(F.col("doc_id"), F.lit(SHIFT100))
+    return D.incremental_dedup_bloom(docs.filter(part < 3500),
+                                     docs.filter(part >= 3500),
+                                     m_bits=1 << 22)
+
+
 X100_HEAVY_OPERATORS = [
     ("simhash_pairs_arrow", "documents x100 (500k docs, full table)",
      lambda spark, sf: D.simhash_pairs_arrow(table(spark, sf, "documents"),
                                              max_hamming=3)),
+    ("semantic_dedup", "embeddings x100 + clones (400k in-query; "
+     "auto planes 6->13)", _semantic_dedup_scaled),
+    ("incremental_dedup_bloom", "documents x100 (350k corpus / 150k batch)",
+     _bloom_incremental_scaled),
 ]
 
 
@@ -366,9 +395,16 @@ def main_100x_heavy() -> None:
         "100 TB corpus whose dup chains are deep; per-round shuffle shape",
         "is the same for both (uniform vertex keys).",
     ]
-    with open("/root/repo/SCALING.md", "a") as fh:
-        fh.write("\n".join(lines) + "\n")
-    print("SCALING.md heavy-100x section appended "
+    # Idempotent: drop any previously appended heavy section(s) (it is
+    # always the last section) so reruns refresh instead of duplicating.
+    with open("/root/repo/SCALING.md") as fh:
+        doc = fh.read()
+    cut = doc.find("### Heavy ANN/dedup ops at 100x")
+    if cut != -1:
+        doc = doc[:cut].rstrip() + "\n"
+    with open("/root/repo/SCALING.md", "w") as fh:
+        fh.write(doc + "\n".join(lines) + "\n")
+    print("SCALING.md heavy-100x section refreshed "
           f"(components: min-label {r_min} rounds {t_min:.1f}s, "
           f"log-n {r_logn} rounds {t_logn:.1f}s)")
 

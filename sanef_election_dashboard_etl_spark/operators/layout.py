@@ -103,3 +103,38 @@ def z_order(df: DataFrame, cols: Sequence[str], bits: int = 8,
     else:
         zdf = zdf.repartitionByRange(F.col("__z"))
     return zdf.sortWithinPartitions("__z").drop("__z")
+
+
+def bucketed_write(df: DataFrame, table: str, keys: Sequence[str],
+                   n_buckets: int, sort_keys: Sequence[str] | None = None,
+                   mode: str = "overwrite") -> None:
+    """Write `df` as a bucketed (hash-clustered) parquet table: rows are
+    hash-partitioned on `keys` into `n_buckets` files per write task,
+    optionally sorted by `sort_keys` within each bucket.
+
+    THE co-located-join layout at 100 TB: two tables bucketed on the
+    same key with the same bucket count join with ZERO exchanges — the
+    bucket spec replaces the shuffle both sides would otherwise pay on
+    EVERY join (Exchange elimination is test- and audit-asserted, and
+    measured in SCALE.md BUCKETING). Same story for aggregations on the
+    bucket key: the partial agg becomes final directly. `sort_keys`
+    additionally drop the per-join sort (SortMergeJoin reads the bucket
+    files already ordered).
+
+    Worth paying one up-front clustered write when a fact table is
+    joined/aggregated on the same key repeatedly (the fact-to-fact
+    orders x lineitem shape where neither side broadcasts); pick
+    n_buckets so one bucket ~ one task's worth of data (128-512 MB).
+    Bucket pruning also applies: an equality predicate on the bucket
+    key scans 1/n_buckets of the files.
+
+    The reference re-reads its SQL tables per query with no layout
+    control (SANEF_Uploader.py:33-38); this is the Spark-native answer
+    to the repeated self-join workloads it runs row-at-a-time.
+
+    Uses the session catalog (`saveAsTable` — bucket metadata lives in
+    the metastore; a path-based parquet write cannot carry it)."""
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *keys)
+    if sort_keys:
+        w = w.sortBy(*sort_keys)
+    w.saveAsTable(table)

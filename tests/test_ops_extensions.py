@@ -903,3 +903,51 @@ def test_semantic_dedup_respects_threshold(spark):
     keep_hi = {r["vec_id"]: r["kept"]
                for r in S.semantic_dedup(emb, min_cosine=0.9999).collect()}
     assert all(keep_hi.values())
+
+
+def test_bucketed_join_eliminates_exchanges(spark):
+    """Two tables bucketed on the join key with equal bucket counts must
+    join with ZERO Exchange operators (the co-located join bucketing
+    exists for); with sortBy metadata the per-side Sort disappears too.
+    An unbucketed control of the same data must show exchanges."""
+    from sanef_election_dashboard_etl_spark.operators import layout as L
+
+    left = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("a"))
+    right = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("b"))
+    L.bucketed_write(left, "bkt_left", ["k"], 4, sort_keys=["k"])
+    L.bucketed_write(right, "bkt_right", ["k"], 4, sort_keys=["k"])
+    try:
+        bl, br = spark.table("bkt_left"), spark.table("bkt_right")
+        # bucketed SMJ must win over a broadcast to exercise the layout
+        joined = bl.hint("merge").join(br, "k").select("k", "a", "b")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert "Bucketed: true" in plan, plan
+        control = left.hint("merge").join(right, "k").select("k", "a", "b")
+        cplan = control._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in cplan
+        assert rows(joined) == rows(control)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_bucketed_agg_on_bucket_key_skips_shuffle(spark):
+    """groupBy on the bucket key of a bucketed table must aggregate with
+    no Exchange (partial agg is already final per bucket)."""
+    from sanef_election_dashboard_etl_spark.operators import layout as L
+
+    df = spark.range(0, 5_000).select(
+        (F.col("id") % 50).alias("k"), F.col("id").alias("v"))
+    L.bucketed_write(df, "bkt_agg", ["k"], 4)
+    try:
+        agg = spark.table("bkt_agg").groupBy("k").agg(F.sum("v").alias("s"))
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert rows(agg, "k", "s") == rows(
+            df.groupBy("k").agg(F.sum("v").alias("s")), "k", "s")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_agg")

@@ -64,6 +64,9 @@ MUST_HAVE = {
     # the broadcast side (the per-doc set table is never broadcast —
     # the r3 OOM hazard was a promoted broadcast of the shingle table)
     "dedup_minhash_lsh": ["BroadcastHashJoin"],
+    # bucketed co-located join: the bucket spec must satisfy the join
+    # AND the bucket-key agg with no exchange anywhere
+    "layout_bucketed_join": ["SortMergeJoin", "Bucketed: true"],
     # bloom incremental dedup: the corpus digests are probed in place by
     # a broadcast semi-join of the (tiny) bloom-positive fp set, and the
     # found set comes back as a broadcast anti-join build side
@@ -92,6 +95,7 @@ MUST_NOT = {
     # the within-cluster self-join keys on the signature — equi-join
     # only, never a cross product
     "sim_semantic_dedup": ["CartesianProduct"],
+    "layout_bucketed_join": ["Exchange"],
     # signature banding is equi-keyed; the 1-row vocab scalar is the
     # only nested-loop allowed in the LM stack
     "sim_embedding_dup_pairs": ["CartesianProduct"],
@@ -113,7 +117,7 @@ AUDIT = [
     "j12_interval_join", "sim_embedding_dup_pairs", "text_lm_perplexity",
     "pipe_corpus_curation", "q21_waiting_suppliers",
     "q19_disjunctive_brackets", "sample_weighted", "o1_full_sort",
-    "dedup_incremental_bloom", "sim_semantic_dedup",
+    "dedup_incremental_bloom", "sim_semantic_dedup", "layout_bucketed_join",
 ]
 
 
@@ -137,8 +141,32 @@ def _layout_zorder_write(spark, sf_dir):
     return L.z_order(part, ["p_size", "p_partkey"], bits=8, num_partitions=4)
 
 
+def _layout_bucketed_join(spark, sf_dir):
+    """Non-registry audit subject: co-located join over bucketed tables —
+    the whole join + bucket-key agg must run with ZERO exchanges (the
+    bucket spec satisfies both distribution requirements)."""
+    from pyspark.sql import functions as F
+
+    from sanef_election_dashboard_etl_spark.operators.layout import \
+        bucketed_write
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .select("l_orderkey", "l_quantity")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select("o_orderkey", "o_orderstatus")
+    bucketed_write(li, "audit_li_bkt", ["l_orderkey"], 4,
+                   sort_keys=["l_orderkey"])
+    bucketed_write(od, "audit_od_bkt", ["o_orderkey"], 4,
+                   sort_keys=["o_orderkey"])
+    bl, bo = spark.table("audit_li_bkt"), spark.table("audit_od_bkt")
+    return (bl.hint("merge")
+            .join(bo, bl["l_orderkey"] == bo["o_orderkey"])
+            .groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("qty")))
+
+
 EXTRA_BUILDERS = {"dedup_max_df_guard": _dedup_max_df_guard,
-                  "layout_zorder_write": _layout_zorder_write}
+                  "layout_zorder_write": _layout_zorder_write,
+                  "layout_bucketed_join": _layout_bucketed_join}
 
 
 def main() -> int:

@@ -330,11 +330,27 @@ def main_100x_heavy() -> None:
     _gen_100x_docs_embeddings(spark)
     print("100x documents/embeddings ready at", DST100)
 
-    def run(sf_dir: str, fn) -> float:
+    def run(sf_dir: str, fn) -> tuple[float, float]:
+        """(build, exec): build = DataFrame construction — Catalyst
+        compile PLUS any eager build-phase jobs the operator runs
+        (KMeans fit, bloom word-fold, dim probe). exec = min of 2 timed
+        noop writes of the built plan. Split because compile is a
+        data-INDEPENDENT constant (measured ~8s for the 120-plane
+        hamming expressions at ANY scale) that, timed inline, flatters
+        the scale ratio; build-phase jobs however are data-dependent
+        and must stay visible (bloom build IS the corpus pass)."""
         spark.catalog.clearCache()
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+        df = fn(spark, sf_dir)
+        t_build = time.perf_counter() - t0
+        df.write.format("noop").mode("overwrite").save()   # warm exec
+        execs = []
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            execs.append(time.perf_counter() - t0)
+        return t_build, min(execs)
 
     lines = [
         "",
@@ -345,21 +361,31 @@ def main_100x_heavy() -> None:
         "within-copy geometry exact, cross-copy cosine ~0) and document",
         "tokens copy-salted, so neighbor/dup density is constant and each",
         "row measures pipeline cost at 100x rows, not a denser problem.",
+        "`build` = plan compile + eager build-phase jobs (KMeans fit,",
+        "bloom word-fold); `exec` = steady-state run of the built plan.",
+        "Compile is a data-independent constant (it reached ~8-11s for",
+        "the naive per-plane signature construction before the r4",
+        "SQL-parsed-literal fix, similarity.lsh_bucket; sub-second now),",
+        "so the scaling verdict reads on exec, with build shown so",
+        "data-dependent build phases (bloom word-fold, KMeans fit) stay",
+        "honest — note bloom's build growing with the corpus.",
         "",
-        "| query | scaled input | sf0.1 | 100x data | time ratio | per-10x |",
+        "| query | scaled input | sf0.1 build/exec | 100x build/exec "
+        "| exec ratio | per-10x |",
         "|---|---|---|---|---|---|",
     ]
     jobs = [(n, w, REGISTRY[n].fn) for n, w in X100_HEAVY] + \
         [(n, w, fn) for n, w, fn in X100_HEAVY_OPERATORS]
     for name, _, fn in jobs:
-        run(SRC, fn)                      # warm plans
+        run(SRC, fn)                      # warm workers + caches
     for name, what, fn in jobs:
-        ts = min(run(SRC, fn), run(SRC, fn))
-        tb = min(run(DST100, fn), run(DST100, fn))
+        bs, ts = run(SRC, fn)
+        bb, tb = run(DST100, fn)
         r = tb / ts
-        lines.append(f"| {name} | {what} | {ts:.2f}s | {tb:.2f}s | "
-                     f"{r:.1f}x | {r / 10:.2f}x |")
-        print(f"{name:28s} {ts:6.3f}s -> {tb:6.3f}s  ({r:.1f}x, "
+        lines.append(f"| {name} | {what} | {bs:.2f}s / {ts:.2f}s | "
+                     f"{bb:.2f}s / {tb:.2f}s | {r:.1f}x | {r / 10:.2f}x |")
+        print(f"{name:28s} build {bs:5.2f}s exec {ts:6.3f}s -> "
+              f"build {bb:5.2f}s exec {tb:6.3f}s  ({r:.1f}x, "
               f"{r / 10:.2f}x per 10x)  [{what}]")
 
     # connected components on 100-deep chains: the round-count claim

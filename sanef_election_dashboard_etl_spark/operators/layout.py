@@ -133,7 +133,24 @@ def bucketed_write(df: DataFrame, table: str, keys: Sequence[str],
     to the repeated self-join workloads it runs row-at-a-time.
 
     Uses the session catalog (`saveAsTable` — bucket metadata lives in
-    the metastore; a path-based parquet write cannot carry it)."""
+    the metastore; a path-based parquet write cannot carry it). With the
+    default in-memory catalog a PREVIOUS session's managed-table
+    directory can survive in the warehouse with no catalog entry, which
+    makes saveAsTable refuse (LOCATION_ALREADY_EXISTS) even in
+    overwrite mode — so an overwrite first drops the table and any
+    orphaned location."""
+    if mode == "overwrite":
+        import os
+        import shutil
+        from urllib.parse import urlparse
+
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        wh_path = urlparse(wh).path if "://" in wh or wh.startswith("file:") \
+            else wh
+        shutil.rmtree(os.path.join(wh_path, table.lower()),
+                      ignore_errors=True)
     w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *keys)
     if sort_keys:
         w = w.sortBy(*sort_keys)

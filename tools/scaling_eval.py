@@ -472,6 +472,14 @@ def main() -> None:
         "superlinear) or below it (good: fixed overhead amortizing, cores",
         "absorbing rows)?",
         "",
+        "Timing note: these base tables time DataFrame construction +",
+        "execution together; after the r4 parsed-literal fix",
+        "(similarity.lsh_bucket) construction is a <=1s constant for every",
+        "row here, so the ratios read on data cost. The heavy-op table at",
+        "the bottom still splits build from exec explicitly, because its",
+        "build phases contain data-DEPENDENT jobs (bloom word-fold, KMeans",
+        "fit) worth seeing separately.",
+        "",
         "| query | scaled input | sf0.1 | 10x data | time ratio |",
         "|---|---|---|---|---|",
     ]

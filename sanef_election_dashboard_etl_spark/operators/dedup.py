@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import fingerprint, tokens
@@ -849,3 +849,166 @@ def incremental_dedup_bloom(corpus: DataFrame, batch: DataFrame,
     admitted = (maybe.join(F.broadcast(found), "fp", "left_anti")
                 .select(id_col))
     return fresh.unionByName(admitted)
+
+
+def gram_positions(df: DataFrame, k: int = 8, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Positional k-token grams: one (id, pos, gram) row per window start.
+
+    Unlike `shingles` (distinct set per doc, for Jaccard), positions are
+    kept — the substage for span-level dedup, where WHERE in the doc a
+    repeat occurs matters. Docs shorter than k tokens emit nothing (the
+    sequence() upper bound would go negative, which Spark's sequence
+    treats as a descending range — filtered out up front).
+
+    Narrow per-row expansion (transform + posexplode), no shuffle; output
+    size is the corpus token count, same asymptotics as `shingles`."""
+    return (df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+            .filter(F.size("__toks") >= k)
+            .select(id_col,
+                    F.posexplode(F.expr(
+                        f"transform(sequence(0, size(__toks) - {k}), "
+                        f"i -> array_join(slice(__toks, i + 1, {k}), ' '))"
+                    )).alias("pos", "gram"))
+            .select(id_col, F.col("pos").cast("long").alias("pos"), "gram"))
+
+
+def duplicated_spans(df: DataFrame, k: int = 8, min_df: int = 2,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     hash_grams: bool = True) -> DataFrame:
+    """Cross-document duplicated substring spans — the ExactSubstr dedup
+    of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better") re-expressed for Spark at k-token resolution.
+
+    The paper builds a corpus-wide suffix array (a single-node, globally
+    sorted structure) to find byte spans repeated >= 2 times. A suffix
+    array does not distribute; the shuffle-native equivalent detects
+    every repeated span of >= k tokens exactly:
+
+    1. `gram_positions`: (doc, pos, k-gram) — narrow, corpus-linear.
+    2. gram -> distinct-doc frequency; grams in >= `min_df` docs are
+       duplicated. One shuffle keyed by gram (xxhash64(gram) when
+       `hash_grams`, so the exchange carries 8-byte uniform keys, not
+       text). A span repeated in >= min_df docs is exactly a maximal run
+       of duplicated k-grams, so no information is lost vs the suffix
+       array down to resolution k (spans shorter than k are invisible —
+       the paper's own dedup threshold, 50 BPE tokens, plays this role).
+    3. join positions back to duplicated grams (same uniform key; fan-out
+       is |dup positions|, linear — never pairwise, unlike Jaccard).
+    4. per-doc interval merge of [pos, pos+k-1] windows: running
+       max(end) window -> island flag -> prefix-sum island id -> one row
+       per maximal span. Overlapping AND adjacent windows merge (start
+       <= prev_end + 1), so a span is a maximal contiguous duplicated
+       region. Partitioned by doc, narrow after one shuffle.
+
+    Returns (doc_id, span_start, span_tokens), one row per maximal
+    duplicated span. `hash_grams=True` is the production exchange (the
+    64-bit digest has ~1e-9 corpus-level collision odds, which would
+    only over-mark a span); False keeps gram text for exact parity —
+    both produce identical output on any real corpus, and the DuckDB
+    oracle checks the hashed variant directly since grams never appear
+    in the output."""
+    g = gram_positions(df, k=k, id_col=id_col, text_col=text_col)
+    key = F.xxhash64("gram").alias("gkey") if hash_grams \
+        else F.col("gram").alias("gkey")
+    g = g.select(id_col, "pos", key)
+    dup = (g.groupBy("gkey")
+           .agg(F.count_distinct(F.col(id_col)).alias("df"))
+           .filter(F.col("df") >= min_df)
+           .select("gkey"))
+    starts = g.join(dup, "gkey").select(
+        id_col, F.col("pos").alias("s"), (F.col("pos") + k - 1).alias("e"))
+    w = Window.partitionBy(id_col).orderBy("s")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = starts.select(
+        id_col, "s", "e",
+        F.when(F.col("s") > F.coalesce(prev_max_e, F.lit(-2)) + 1, 1)
+        .otherwise(0).alias("__new"))
+    islands = flagged.select(
+        id_col, "s", "e",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).alias("__isl"))
+    return (islands.groupBy(id_col, "__isl")
+            .agg(F.min("s").alias("span_start"),
+                 (F.max("e") - F.min("s") + 1).alias("span_tokens"))
+            .select(id_col, "span_start", "span_tokens"))
+
+
+def duplicated_span_stats(df: DataFrame, k: int = 8, min_df: int = 2,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Per-doc duplicated-coverage stats over `duplicated_spans`:
+    (doc_id, n_tokens, n_dup_spans, dup_tokens, dup_frac_bp). Every doc
+    appears (left join; zero spans -> zeros), so this is the filter
+    input for "drop docs >X% duplicated" curation rules.
+
+    dup_frac_bp is basis points via integer arithmetic
+    (10000 * dup_tokens DIV n_tokens): exact and identical in every
+    engine, sidestepping double round-at-tie divergence (CLAUDE.md
+    rounding rule) that a round(frac, 4) would risk on exact ratios."""
+    spans = duplicated_spans(df, k=k, min_df=min_df, id_col=id_col,
+                             text_col=text_col)
+    per_doc = (spans.groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_dup_spans"),
+                    F.sum("span_tokens").alias("dup_tokens")))
+    toks = df.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"))
+    return (toks.join(per_doc, id_col, "left")
+            .select(id_col, "n_tokens",
+                    F.coalesce("n_dup_spans", F.lit(0)).cast("long")
+                    .alias("n_dup_spans"),
+                    F.coalesce("dup_tokens", F.lit(0)).cast("long")
+                    .alias("dup_tokens"),
+                    (F.lit(10000) * F.coalesce("dup_tokens", F.lit(0))
+                     / F.col("n_tokens")).cast("long")
+                    .alias("dup_frac_bp")))
+
+
+def strip_duplicated_spans(df: DataFrame, k: int = 8, min_df: int = 2,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """The removal half of ExactSubstr dedup: rebuild each doc's text
+    with every cross-doc duplicated span cut out (the paper deletes the
+    repeated bytes rather than the whole doc — most of a crawl doc is
+    unique even when boilerplate repeats).
+
+    Re-assembly is token-level: posexplode tokens, anti-join positions
+    covered by any span (range join on doc bounded by the span list —
+    spans per doc are few, the join is a broadcast-friendly per-doc
+    filter), then ordered re-concat per doc (collect_list over an
+    ordered window — same grouped-ordered-concat shape as A10, one
+    shuffle on doc_id).
+
+    Returns (doc_id, clean_text, n_tokens_kept). Docs made empty keep a
+    row with clean_text = '' (curation decides what to do with them)."""
+    spans = duplicated_spans(df, k=k, min_df=min_df, id_col=id_col,
+                             text_col=text_col)
+    toks = (df.select(F.col(id_col), tokens(F.col(text_col))
+                      .alias("__toks"))
+            .select(id_col, F.posexplode("__toks").alias("pos", "tok"))
+            .select(id_col, F.col("pos").cast("long").alias("pos"), "tok"))
+    kept = (toks.alias("t")
+            .join(spans.alias("sp"),
+                  (F.col(f"t.{id_col}") == F.col(f"sp.{id_col}"))
+                  & (F.col("t.pos") >= F.col("sp.span_start"))
+                  & (F.col("t.pos") < F.col("sp.span_start")
+                     + F.col("sp.span_tokens")),
+                  "left_anti"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    ordered = kept.select(
+        id_col,
+        F.collect_list("tok").over(
+            w.rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing)).alias("__all"),
+        F.row_number().over(w).alias("__rn")).filter(F.col("__rn") == 1)
+    rebuilt = ordered.select(
+        id_col, F.array_join("__all", " ").alias("clean_text"),
+        F.size("__all").cast("long").alias("n_tokens_kept"))
+    return (df.select(F.col(id_col))
+            .join(rebuilt, id_col, "left")
+            .select(id_col,
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.coalesce("n_tokens_kept", F.lit(0)).cast("long")
+                    .alias("n_tokens_kept")))

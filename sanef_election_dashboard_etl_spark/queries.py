@@ -4075,6 +4075,103 @@ def sim_semantic_dedup_kmeans(spark, sf_dir):
     return S.semantic_dedup_kmeans(emb.unionByName(dup))
 
 
+_SUBSTR_ORACLE_CTE = """
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, g.pos AS pos, g.gram AS gram FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(toks) - 8 + 1, 0) + 1),
+                       i -> struct_pack(
+                           pos := i - 1,
+                           gram := array_to_string(toks[i:i+7], ' ')))) AS g
+            FROM tok)
+    ), dup AS (
+        SELECT gram FROM grams GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ), iv AS (
+        SELECT doc_id, pos AS s, pos + 7 AS e FROM grams JOIN dup USING (gram)
+    ), fl AS (
+        SELECT doc_id, s, e,
+               CASE WHEN s > coalesce(max(e) OVER (
+                        PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -2) + 1 THEN 1 ELSE 0 END AS nw
+        FROM iv
+    ), isl AS (
+        SELECT doc_id, s, e,
+               SUM(nw) OVER (PARTITION BY doc_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+        FROM fl
+    ), spans AS (
+        SELECT doc_id, MIN(s) AS span_start,
+               MAX(e) - MIN(s) + 1 AS span_tokens
+        FROM isl GROUP BY doc_id, island
+    )
+"""
+
+
+@query("dedup_substring_spans", oracle=_SUBSTR_ORACLE_CTE + """
+    SELECT doc_id, span_start, span_tokens FROM spans
+""")
+def dedup_substring_spans(spark, sf_dir):
+    """ExactSubstr-style duplicated-span detection (Lee et al. 2022) at
+    8-token resolution: maximal cross-doc repeated spans as
+    (doc_id, span_start, span_tokens). The production xxhash64 gram
+    exchange is oracle-checkable directly because grams never reach the
+    output — the string-gram DuckDB oracle computes identical spans."""
+    return D.duplicated_spans(_t(spark, sf_dir, "documents"), k=8)
+
+
+@query("dedup_substring_stats", oracle=_SUBSTR_ORACLE_CTE + """
+    , per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_dup_spans,
+               SUM(span_tokens) AS dup_tokens
+        FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+           coalesce(p.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+           coalesce(p.dup_tokens, 0)::BIGINT AS dup_tokens,
+           ((10000 * coalesce(p.dup_tokens, 0)) // len(t.toks))::BIGINT
+               AS dup_frac_bp
+    FROM tok t LEFT JOIN per_doc p USING (doc_id)
+""")
+def dedup_substring_stats(spark, sf_dir):
+    """Per-doc duplicated-coverage stats (every doc, zeros when clean) —
+    the filter input for drop-if->X%-duplicated curation rules.
+    dup_frac_bp uses integer basis-point arithmetic: exact in both
+    engines, no double rounding at ties."""
+    return D.duplicated_span_stats(_t(spark, sf_dir, "documents"), k=8)
+
+
+@query("dedup_substring_strip", oracle=_SUBSTR_ORACLE_CTE + """
+    , toks_pos AS (
+        SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+        FROM tok, LATERAL unnest(range(1, len(toks) + 1)) AS u(i)
+    ), kept AS (
+        SELECT t.doc_id, t.pos, t.tok FROM toks_pos t
+        WHERE NOT EXISTS (
+            SELECT 1 FROM spans s
+            WHERE s.doc_id = t.doc_id
+              AND t.pos >= s.span_start
+              AND t.pos < s.span_start + s.span_tokens)
+    )
+    SELECT d.doc_id,
+           coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '')
+               AS clean_text,
+           COUNT(k.pos)::BIGINT AS n_tokens_kept
+    FROM documents d LEFT JOIN kept k USING (doc_id)
+    GROUP BY d.doc_id
+""")
+def dedup_substring_strip(spark, sf_dir):
+    """The removal half of ExactSubstr dedup: rebuild each doc with
+    duplicated spans cut out (delete the repeated bytes, keep the doc)."""
+    return D.strip_duplicated_spans(_t(spark, sf_dir, "documents"), k=8)
+
+
 # ==========================================================================
 # Driver-window ordering
 # ==========================================================================

@@ -951,3 +951,100 @@ def test_bucketed_agg_on_bucket_key_skips_shuffle(spark):
             df.groupBy("k").agg(F.sum("v").alias("s")), "k", "s")
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_agg")
+
+
+# --------------------------------------------------------------------------
+# ExactSubstr-style duplicated spans (dedup.duplicated_spans family)
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    # Docs 1 and 2 share the 10-token run w0..w9 at different offsets;
+    # doc 3 shares only w4..w9 (6 tokens < k=8 -> invisible at k=8);
+    # doc 4 is unique filler; doc 5 is shorter than k (no grams at all).
+    shared = " ".join(f"w{i}" for i in range(10))
+    return spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta " + shared),
+         (2, shared + " iota kappa lam mu nu xi omicron pi"),
+         (3, "one two three four five six seven eight "
+             + " ".join(f"w{i}" for i in range(4, 10))),
+         (4, "unique filler text that repeats nowhere else in the corpus "
+             "and keeps going for a while longer than eight tokens"),
+         (5, "too short for grams")],
+        "doc_id long, text string")
+
+
+def test_duplicated_spans_finds_maximal_shared_run(spark, span_docs):
+    got = rows(D.duplicated_spans(span_docs, k=8))
+    # Doc 1: w0..w9 occupies positions 8..17 -> one span start=8 len=10.
+    # Doc 2: same run at positions 0..9 -> span start=0 len=10.
+    # Docs 3-5: nothing (6-token overlap < k; unique; too short).
+    assert got == [(1, 8, 10), (2, 0, 10)]
+
+
+def test_duplicated_spans_merges_overlapping_windows(spark):
+    # Two dup grams whose starts differ by more than 1 (not an adjacent
+    # "island" by start positions) but whose k-token windows OVERLAP in
+    # coverage must merge into ONE span: running-max interval merge, not
+    # consecutive-start islands.
+    a = " ".join(f"a{i}" for i in range(8))      # gram A
+    b = " ".join(f"b{i}" for i in range(8))      # gram B
+    docs = [
+        # doc 1: A, 3 unique tokens, then B -> A covers 0..7, B covers
+        # 11..18: disjoint (gap 3 > 0) -> two spans.
+        (1, a + " u1x u2x u3x " + b),
+        # doc 2: A then B overlapping: A at 0..7, B at 5..12 does not
+        # happen with whole-gram reuse, so instead repeat A's tail:
+        # tokens a0..a7 a3..a7 b0..b7 -> dup grams at many starts whose
+        # windows chain -> ONE merged span covering everything shared.
+        (2, a + " " + " ".join(f"a{i}" for i in range(3, 8)) + " " + b),
+        # doc 3 provides second copies of A and B so both are cross-doc
+        # duplicated, plus doc 4 carries the a3..a7 tail context of doc 2
+        (3, a + " q1x q2x q3x q4x q5x q6x q7x q8x " + b),
+        (4, " ".join(f"a{i}" for i in range(3, 8)) + " "
+            + " ".join(f"b{i}" for i in range(8)) + " t1x t2x t3x"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r[0]: [] for r in rows(df.select("doc_id"))}
+    for d, s, ln in rows(D.duplicated_spans(df, k=8)):
+        got[d].append((s, ln))
+    assert got[1] == [(0, 8), (11, 8)]          # disjoint -> two spans
+    # doc 2: a0..a7 a3..a7 b0..b7 = 21 tokens, all covered by chained
+    # dup windows -> exactly one maximal span
+    assert got[2] == [(0, 21)]
+
+
+def test_duplicated_spans_hash_and_string_grams_agree(spark, span_docs):
+    hashed = rows(D.duplicated_spans(span_docs, k=8, hash_grams=True))
+    plain = rows(D.duplicated_spans(span_docs, k=8, hash_grams=False))
+    assert hashed == plain
+
+
+def test_duplicated_span_stats_covers_every_doc(spark, span_docs):
+    got = {r[0]: r[1:] for r in rows(D.duplicated_span_stats(
+        span_docs, k=8))}
+    assert set(got) == {1, 2, 3, 4, 5}
+    n1 = got[1]
+    assert n1 == (18, 1, 10, 10000 * 10 // 18)
+    assert got[4][1:] == (0, 0, 0)              # clean doc -> zeros
+    assert got[5][1:] == (0, 0, 0)              # sub-k doc -> zeros
+
+
+def test_strip_duplicated_spans_removes_exactly_the_spans(spark, span_docs):
+    got = {r[0]: (r[1], r[2]) for r in rows(D.strip_duplicated_spans(
+        span_docs, k=8))}
+    assert got[1][0] == "alpha beta gamma delta epsilon zeta eta theta"
+    assert got[1][1] == 8
+    assert got[2][0] == "iota kappa lam mu nu xi omicron pi"
+    assert got[5] == ("too short for grams", 4)  # untouched short doc
+
+
+def test_strip_fully_duplicated_doc_yields_empty_text(spark):
+    t = " ".join(f"z{i}" for i in range(9))
+    df = spark.createDataFrame(
+        [(1, t), (2, t + " extra trailing tokens beyond the duplicate "
+                          "run here now")],
+        "doc_id long, text string")
+    got = {r[0]: (r[1], r[2]) for r in rows(D.strip_duplicated_spans(
+        df, k=8))}
+    assert got[1] == ("", 0)

@@ -155,3 +155,37 @@ def bucketed_write(df: DataFrame, table: str, keys: Sequence[str],
     if sort_keys:
         w = w.sortBy(*sort_keys)
     w.saveAsTable(table)
+
+
+def partitioned_write(df: DataFrame, path: str,
+                      partition_by: Sequence[str],
+                      mode: str = "overwrite") -> str:
+    """Hive-style directory partitioning — the third layout tool next to
+    Z-order (range clustering) and buckets (hash clustering): rows land
+    in `path/key=value/` directories, and a literal predicate on the
+    partition key becomes a PartitionFilter that skips whole directories
+    at PLANNING time (no file is opened, no row group read — stronger
+    than min/max pruning, which still reads footers).
+
+    The 100 TB operating rules encoded here:
+    - partition keys must be COARSE (date, region, source): each distinct
+      value is a directory; a high-cardinality key (user_id) creates
+      millions of tiny files and kills the driver's file listing. Use
+      Z-order/buckets for fine keys.
+    - the write shuffles on the partition key first (`repartition` on the
+      key) so each task writes each directory once — without it, every
+      input task appends a file into every directory (tasks x values
+      small files, the classic partitioned-write mistake).
+    - dynamic overwrite replaces only the directories the new data
+      touches (partitionOverwriteMode=dynamic), the idiom for daily
+      re-ingestion into a date-partitioned corpus: rewriting one day
+      never touches the other 10 years.
+
+    The reference rewrites whole CSVs per run (SANEF_Uploader.py:70-76);
+    date-partitioned parquet is the Spark-native equivalent of its
+    per-election-cycle output files, with pruning for free."""
+    (df.repartition(*[F.col(c) for c in partition_by])
+       .write.format("parquet").mode(mode)
+       .option("partitionOverwriteMode", "dynamic")
+       .partitionBy(*partition_by).save(path))
+    return path

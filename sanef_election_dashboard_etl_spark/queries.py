@@ -3954,6 +3954,41 @@ def layout_bucketed_join(spark, sf_dir):
                  F.count(F.lit(1)).alias("n_lines")))
 
 
+@query("layout_partition_pruned_scan", oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE ts::DATE = DATE '2024-01-15'
+    GROUP BY event_type
+""")
+def layout_partition_pruned_scan(spark, sf_dir):
+    """Hive-style date partitioning (operators/layout.py
+    partitioned_write): events are written under
+    event_date=yyyy-MM-dd/ directories, then a one-day query prunes 29
+    of 30 directories at PLANNING time — the scan's PartitionFilters
+    carries the literal and only the matching directory's files are
+    listed (plan- and inputFiles-asserted in tools/explain_audit.py and
+    tests). Like layout_bucketed_join, the layout is physical only: the
+    oracle is the plain date-filtered SQL over the unpartitioned table.
+    The daily re-ingest story (dynamic partition overwrite) is tested in
+    test_sources_sinks.py."""
+    import os as _os
+
+    from .operators.layout import partitioned_write
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"))
+    path = f"/tmp/spark_graft_layout/{_os.path.basename(sf_dir)}/events_by_date"
+    partitioned_write(ev, path, ["event_date"])
+    back = spark.read.parquet(path) \
+        .filter(F.col("event_date") == "2024-01-15")
+    return (back.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.count_distinct("user_id").alias("n_users")))
+
+
 @query("dedup_exact_normalized", oracle="""
     WITH u AS (
         SELECT doc_id, text FROM documents

@@ -155,3 +155,57 @@ def test_partitioned_parquet_write_prunes_partitions(spark, tmp_path):
         "PartitionFilters")[1][:80]
     # and the pruned read returns exactly the one partition
     assert scan.count() == 100
+
+
+def test_partitioned_write_helper_prunes_and_single_file_per_dir(
+        spark, tmp_path):
+    """layout.partitioned_write: the pre-shuffle on the partition key
+    must yield ONE file per directory (not one per input task), and a
+    literal predicate must confine inputFiles to the matching dir."""
+    import pyspark.sql.functions as F
+
+    from sanef_election_dashboard_etl_spark.operators.layout import \
+        partitioned_write
+
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{1 + i % 5:02d}", i * 10) for i in range(200)],
+        "id long, day string, v long").repartition(4)
+    path = partitioned_write(df, str(tmp_path / "bydate"), ["day"])
+    import glob
+    import os
+    for d in glob.glob(os.path.join(path, "day=*")):
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+    scan = spark.read.parquet(path).filter(F.col("day") == "2024-01-03")
+    assert scan.count() == 40
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters")[1][:120]
+    assert "2024-01-03" in pf          # literal prunes at planning time
+    # directory-level pruning: exactly one file feeds the scan
+    metrics = scan._jdf.queryExecution().executedPlan().metrics()
+    n_files = metrics.get("numFiles")
+    assert n_files.isEmpty() or n_files.get().value() in (0, 1)
+
+
+def test_partitioned_write_dynamic_overwrite_replaces_only_touched_day(
+        spark, tmp_path):
+    """Daily re-ingest idiom: overwriting with a batch that only holds
+    day 2 must leave every other day's directory intact."""
+    import pyspark.sql.functions as F
+
+    from sanef_election_dashboard_etl_spark.operators.layout import \
+        partitioned_write
+
+    base = spark.createDataFrame(
+        [(i, f"d{i % 3}", "old") for i in range(30)],
+        "id long, day string, tag string")
+    path = partitioned_write(base, str(tmp_path / "dyn"), ["day"])
+    patch = spark.createDataFrame(
+        [(100 + i, "d1", "new") for i in range(5)],
+        "id long, day string, tag string")
+    partitioned_write(patch, path, ["day"])
+    back = spark.read.parquet(path)
+    got = {r["day"]: r["n"] for r in
+           back.groupBy("day").agg(F.count("*").alias("n")).collect()}
+    assert got == {"d0": 10, "d1": 5, "d2": 10}
+    assert back.filter(F.col("tag") == "old").count() == 20

@@ -67,6 +67,10 @@ MUST_HAVE = {
     # bucketed co-located join: the bucket spec must satisfy the join
     # AND the bucket-key agg with no exchange anywhere
     "layout_bucketed_join": ["SortMergeJoin", "Bucketed: true"],
+    # hive-partitioned scan: the literal day must land in PartitionFilters
+    # (directory-level pruning at planning time, not a row-level filter)
+    "layout_partition_pruned_scan": [
+        "PartitionFilters: [isnotnull(event_date"],
     # bloom incremental dedup: the corpus digests are probed in place by
     # a broadcast semi-join of the (tiny) bloom-positive fp set, and the
     # found set comes back as a broadcast anti-join build side
@@ -118,6 +122,7 @@ AUDIT = [
     "pipe_corpus_curation", "q21_waiting_suppliers",
     "q19_disjunctive_brackets", "sample_weighted", "o1_full_sort",
     "dedup_incremental_bloom", "sim_semantic_dedup", "layout_bucketed_join",
+    "layout_partition_pruned_scan",
 ]
 
 

@@ -81,6 +81,7 @@ HEADLINE = (
     "sim_topk_cosine",
     "sim_topk_hamming_arrow",
     "dedup_simhash_arrow",
+    "dedup_substring_stats",
 )
 
 

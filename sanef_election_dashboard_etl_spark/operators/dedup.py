@@ -912,12 +912,28 @@ def duplicated_spans(df: DataFrame, k: int = 8, min_df: int = 2,
     key = F.xxhash64("gram").alias("gkey") if hash_grams \
         else F.col("gram").alias("gkey")
     g = g.select(id_col, "pos", key)
-    dup = (g.groupBy("gkey")
-           .agg(F.count_distinct(F.col(id_col)).alias("df"))
-           .filter(F.col("df") >= min_df)
-           .select("gkey"))
-    starts = g.join(dup, "gkey").select(
-        id_col, F.col("pos").alias("s"), (F.col("pos") + k - 1).alias("e"))
+    if min_df == 2:
+        # Default path: "gram in >= 2 distinct docs" is exactly
+        # min(doc) != max(doc) over the gram partition — ONE exchange on
+        # gkey (a pair of cheap window aggs), instead of the general
+        # path's count-distinct aggregate PLUS a join back that re-scans
+        # and re-shuffles the gram table (2x the data movement; measured
+        # 1.19s -> window-fused at sf0.1).
+        wg = Window.partitionBy("gkey")
+        starts = (g.select(id_col, "pos",
+                           (F.min(id_col).over(wg)
+                            != F.max(id_col).over(wg)).alias("__dup"))
+                  .filter(F.col("__dup"))
+                  .select(id_col, F.col("pos").alias("s"),
+                          (F.col("pos") + k - 1).alias("e")))
+    else:
+        dup = (g.groupBy("gkey")
+               .agg(F.count_distinct(F.col(id_col)).alias("df"))
+               .filter(F.col("df") >= min_df)
+               .select("gkey"))
+        starts = g.join(dup, "gkey").select(
+            id_col, F.col("pos").alias("s"),
+            (F.col("pos") + k - 1).alias("e"))
     w = Window.partitionBy(id_col).orderBy("s")
     prev_max_e = F.max("e").over(
         w.rowsBetween(Window.unboundedPreceding, -1))

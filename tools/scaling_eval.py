@@ -66,6 +66,10 @@ QUERIES = [
     ("sim_topk_hamming_arrow", "embeddings corpus x10"),
     ("sim_embedding_dup_pairs", "embeddings corpus x10"),
     ("sample_corpus_mixture", "documents x10"),
+    # round-4: ExactSubstr-style span dedup (token-salted copies keep
+    # dup-span density constant, so this measures pipeline cost)
+    ("dedup_substring_stats", "documents x10"),
+    ("layout_partition_pruned_scan", "events x10"),
 ]
 
 # Operator-level rows (full tables — the registry's simhash entries pin

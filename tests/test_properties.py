@@ -245,3 +245,50 @@ def test_decimal_sum_convention_matches_duckdb_fuzzed(spark, rows):
         "SELECT g, CAST(ROUND(SUM(CAST(v AS DECIMAL(18,4))), 2) AS DOUBLE)"
         " FROM t GROUP BY g").fetchall())
     assert got == want
+
+
+# --- ExactSubstr span dedup vs a brute-force reference ---------------------
+
+def _brute_dup_spans(docs, k):
+    """Reference: mark every position whose k-gram occurs in >=2 distinct
+    docs, expand to token coverage, merge contiguous coverage."""
+    from collections import defaultdict
+    grams = defaultdict(set)
+    toks = {d: t.split() for d, t in docs}
+    for d, t in toks.items():
+        for i in range(len(t) - k + 1):
+            grams[" ".join(t[i:i + k])].add(d)
+    spans = {}
+    for d, t in toks.items():
+        covered = set()
+        for i in range(len(t) - k + 1):
+            if len(grams[" ".join(t[i:i + k])]) >= 2:
+                covered.update(range(i, i + k))
+        merged, run = [], None
+        for p in sorted(covered):
+            if run and p == run[1] + 1:
+                run[1] = p
+            else:
+                run = [p, p]
+                merged.append(run)
+        spans[d] = [(s, e - s + 1) for s, e in merged]
+    return {(d, s, ln) for d, sp in spans.items() for s, ln in sp}
+
+
+# Small token alphabet forces cross-doc gram collisions; doc length up to
+# 14 tokens with k=3 exercises sub-k docs, full-dup docs, and overlap
+# chains.
+span_corpora = st.lists(
+    st.lists(st.sampled_from("abcde"), min_size=0, max_size=14),
+    min_size=2, max_size=6)
+
+
+@given(corpus=span_corpora)
+@SLOW
+def test_duplicated_spans_match_bruteforce(spark, corpus):
+    docs = [(i, " ".join(t)) for i, t in enumerate(corpus)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from sanef_election_dashboard_etl_spark.operators import dedup as D
+    got = {(r["doc_id"], r["span_start"], r["span_tokens"])
+           for r in D.duplicated_spans(df, k=3).collect()}
+    assert got == _brute_dup_spans(docs, 3)

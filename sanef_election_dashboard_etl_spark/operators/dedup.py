@@ -918,7 +918,10 @@ def duplicated_spans(df: DataFrame, k: int = 8, min_df: int = 2,
         # gkey (a pair of cheap window aggs), instead of the general
         # path's count-distinct aggregate PLUS a join back that re-scans
         # and re-shuffles the gram table (2x the data movement; measured
-        # 1.19s -> window-fused at sf0.1).
+        # 1.19s -> 0.69s at sf0.1). WindowExec buffers one gram-group at
+        # a time (rows are ~24 B narrow; a boilerplate gram in 10^6 docs
+        # buffers ~24 MB and spills beyond that) — linear cost either
+        # way, unlike shingle self-joins where hot keys go quadratic.
         wg = Window.partitionBy("gkey")
         starts = (g.select(id_col, "pos",
                            (F.min(id_col).over(wg)

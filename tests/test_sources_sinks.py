@@ -181,10 +181,14 @@ def test_partitioned_write_helper_prunes_and_single_file_per_dir(
     plan = scan._jdf.queryExecution().executedPlan().toString()
     pf = plan.split("PartitionFilters")[1][:120]
     assert "2024-01-03" in pf          # literal prunes at planning time
-    # directory-level pruning: exactly one file feeds the scan
-    metrics = scan._jdf.queryExecution().executedPlan().metrics()
-    n_files = metrics.get("numFiles")
-    assert n_files.isEmpty() or n_files.get().value() in (0, 1)
+    # directory-level pruning, runtime-metric-proven: the scan node must
+    # have READ exactly one of the five day files
+    scan.collect()
+    leaves = scan._jdf.queryExecution().executedPlan().collectLeaves()
+    n_files = next(leaves.apply(i).metrics().apply("numFiles").value()
+                   for i in range(leaves.size())
+                   if leaves.apply(i).metrics().contains("numFiles"))
+    assert n_files == 1
 
 
 def test_partitioned_write_dynamic_overwrite_replaces_only_touched_day(

@@ -277,6 +277,9 @@ X100_HEAVY = [
     ("sim_topk_hamming_arrow", "embeddings corpus x100 (200k vecs)"),
     ("sim_embedding_dup_pairs", "embeddings corpus x100 (400k in-query)"),
     ("sim_topk_ivf", "embeddings corpus x100 (200k vecs)"),
+    # r4: ExactSubstr span dedup — token-salted copies keep dup-span
+    # density constant, so the row measures the gram/window pipeline
+    ("dedup_substring_stats", "documents x100 (500k docs)"),
 ]
 
 def _semantic_dedup_scaled(spark, sf):

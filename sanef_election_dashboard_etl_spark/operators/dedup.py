@@ -971,17 +971,26 @@ def duplicated_span_stats(df: DataFrame, k: int = 8, min_df: int = 2,
     per_doc = (spans.groupBy(id_col)
                .agg(F.count(F.lit(1)).alias("n_dup_spans"),
                     F.sum("span_tokens").alias("dup_tokens")))
+    # null text counts 0 tokens (greatest/coalesce guards both of
+    # Spark's size()-of-null conventions — the sampling.py ADVICE r3
+    # pattern) and a 0-token doc gets frac 0, not a NULL division —
+    # identical guards in the oracle keep rows aligned by construction
+    # if a future fixture generation ships null text.
     toks = df.select(
         F.col(id_col),
-        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"))
+        F.greatest(F.lit(0),
+                   F.coalesce(F.size(tokens(F.col(text_col))), F.lit(0)))
+        .cast("long").alias("n_tokens"))
+    dup_tokens = F.coalesce("dup_tokens", F.lit(0))
     return (toks.join(per_doc, id_col, "left")
             .select(id_col, "n_tokens",
                     F.coalesce("n_dup_spans", F.lit(0)).cast("long")
                     .alias("n_dup_spans"),
-                    F.coalesce("dup_tokens", F.lit(0)).cast("long")
-                    .alias("dup_tokens"),
-                    (F.lit(10000) * F.coalesce("dup_tokens", F.lit(0))
-                     / F.col("n_tokens")).cast("long")
+                    dup_tokens.cast("long").alias("dup_tokens"),
+                    F.when(F.col("n_tokens") > 0,
+                           F.floor(F.lit(10000) * dup_tokens
+                                   / F.col("n_tokens")).cast("long"))
+                    .otherwise(F.lit(0).cast("long"))
                     .alias("dup_frac_bp")))
 
 

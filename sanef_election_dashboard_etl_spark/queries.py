@@ -4167,11 +4167,14 @@ def dedup_substring_spans(spark, sf_dir):
                SUM(span_tokens) AS dup_tokens
         FROM spans GROUP BY doc_id
     )
-    SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+    SELECT t.doc_id,
+           greatest(0, coalesce(len(t.toks), 0))::BIGINT AS n_tokens,
            coalesce(p.n_dup_spans, 0)::BIGINT AS n_dup_spans,
            coalesce(p.dup_tokens, 0)::BIGINT AS dup_tokens,
-           ((10000 * coalesce(p.dup_tokens, 0)) // len(t.toks))::BIGINT
-               AS dup_frac_bp
+           CASE WHEN greatest(0, coalesce(len(t.toks), 0)) > 0
+                THEN ((10000 * coalesce(p.dup_tokens, 0))
+                      // len(t.toks))::BIGINT
+                ELSE 0 END AS dup_frac_bp
     FROM tok t LEFT JOIN per_doc p USING (doc_id)
 """)
 def dedup_substring_stats(spark, sf_dir):

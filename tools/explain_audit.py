@@ -71,6 +71,11 @@ MUST_HAVE = {
     # (directory-level pruning at planning time, not a row-level filter)
     "layout_partition_pruned_scan": [
         "PartitionFilters: [isnotnull(event_date"],
+    # substring span dedup: ONE exchange on the gram hash (min!=max
+    # window fusion), then the doc-keyed interval merge; the per-doc
+    # stats join back by broadcast
+    "dedup_substring_stats": ["Exchange hashpartitioning(gkey",
+                              "BroadcastHashJoin"],
     # bloom incremental dedup: the corpus digests are probed in place by
     # a broadcast semi-join of the (tiny) bloom-positive fp set, and the
     # found set comes back as a broadcast anti-join build side
@@ -105,6 +110,9 @@ MUST_NOT = {
     "sim_embedding_dup_pairs": ["CartesianProduct"],
     "text_lm_perplexity": ["CartesianProduct"],
     "pipe_corpus_curation": ["CartesianProduct"],
+    # positions join back to dup grams 1:1 — never pairwise, never SMJ
+    # (the only joins are the broadcast stats lookup)
+    "dedup_substring_stats": ["CartesianProduct", "SortMergeJoin"],
 }
 
 AUDIT = [
@@ -122,7 +130,7 @@ AUDIT = [
     "pipe_corpus_curation", "q21_waiting_suppliers",
     "q19_disjunctive_brackets", "sample_weighted", "o1_full_sort",
     "dedup_incremental_bloom", "sim_semantic_dedup", "layout_bucketed_join",
-    "layout_partition_pruned_scan",
+    "layout_partition_pruned_scan", "dedup_substring_stats",
 ]
 
 

@@ -1048,3 +1048,66 @@ def test_strip_fully_duplicated_doc_yields_empty_text(spark):
     got = {r[0]: (r[1], r[2]) for r in rows(D.strip_duplicated_spans(
         df, k=8))}
     assert got[1] == ("", 0)
+
+
+# --------------------------------------------------------------------------
+# Training-shard export (packing.assign_shards / write_shards)
+# --------------------------------------------------------------------------
+
+def test_assign_shards_deterministic_and_layout_independent(spark):
+    from sanef_election_dashboard_etl_spark.operators.packing import \
+        assign_shards
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    a = {r["doc_id"]: r["shard"]
+         for r in assign_shards(df, 8).collect()}
+    b = {r["doc_id"]: r["shard"]
+         for r in assign_shards(df.repartition(7), 8).collect()}
+    assert a == b                       # layout-independent
+    assert set(a.values()) == set(range(8))
+    # salt re-deals into a DIFFERENT (but still deterministic) sharding
+    c = {r["doc_id"]: r["shard"]
+         for r in assign_shards(df, 8, salt=1).collect()}
+    assert c != a
+    assert c == {r["doc_id"]: r["shard"]
+                 for r in assign_shards(df, 8, salt=1).collect()}
+
+
+def test_assign_shards_token_balance(spark):
+    """Shard token totals must sit within a few sigma of mean — the
+    statistical-balance contract the docstring promises."""
+    import pyspark.sql.functions as F
+
+    from sanef_election_dashboard_etl_spark.operators.packing import \
+        assign_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    n_tokens = F.greatest(
+        F.lit(0), F.coalesce(F.size(F.split(F.trim("text"), r"\s+")),
+                             F.lit(0))).cast("long")
+    tot = (assign_shards(docs, 16, portable=True)
+           .select("shard", n_tokens.alias("n"))
+           .groupBy("shard").agg(F.sum("n").alias("t")).collect())
+    totals = [r["t"] for r in tot]
+    mean = sum(totals) / len(totals)
+    assert len(totals) == 16
+    # 500-doc fixture -> ~31 docs/shard; cv/sqrt(31) ~ 10% -> allow 35%
+    assert all(abs(t - mean) / mean < 0.35 for t in totals), totals
+
+
+def test_write_shards_one_dir_per_shard(spark, tmp_path):
+    import glob
+    import os
+
+    from sanef_election_dashboard_etl_spark.operators.packing import \
+        write_shards
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(200)], "doc_id long, text string")
+    path = write_shards(df, str(tmp_path / "shards"), 4)
+    dirs = sorted(os.path.basename(d)
+                  for d in glob.glob(os.path.join(path, "shard=*")))
+    assert dirs == ["shard=0", "shard=1", "shard=2", "shard=3"]
+    back = spark.read.parquet(path)
+    assert back.count() == 200
+    assert back.select("doc_id").distinct().count() == 200

@@ -242,9 +242,13 @@ def main() -> None:
         "sf": sf,
     }
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+    # route detail by scale so an sf1 run never clobbers the sf0.1
+    # record (bench_diff and the round diff read the sf0.1 one)
+    stem = "BENCH_DETAIL" if sf == "0.1" else \
+        "BENCH_SF%s_DETAIL" % sf.replace(".", "_")
+    with open(os.path.join(here, stem + ".json"), "w") as f:
         json.dump(detail, f, indent=1)
-    with open(os.path.join(here, "BENCH_DETAIL.md"), "w") as f:
+    with open(os.path.join(here, stem + ".md"), "w") as f:
         f.write("# Bench detail (written by bench.py; sf=%s, reps=%d)\n\n"
                 % (sf, REPS))
         f.write("best-of-%d is the headline (printed JSON line); median/"

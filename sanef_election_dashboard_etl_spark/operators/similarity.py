@@ -664,3 +664,38 @@ def semantic_dedup_kmeans(emb: DataFrame, min_cosine: float = 0.99,
     d = model.transform(feats).drop("features") \
         .withColumn("cluster", F.col("cluster").cast("long"))
     return _keep_first_in_cluster(d, min_cosine, id_col)
+
+
+def semantic_decontaminate(train: DataFrame, eval_set: DataFrame,
+                           min_cosine: float = 0.8,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Embedding-space eval-set decontamination — the semantic sibling
+    of dedup.decontaminate (n-gram overlap): flag every training item
+    whose embedding sits within cosine >= `min_cosine` of ANY eval
+    item. Semantic leakage survives paraphrase, which n-gram overlap by
+    construction does not catch; run both before a training export.
+
+    Plan (the decontaminate shape, plan-asserted): the eval side
+    broadcasts (eval sets are small by contract — thousands of rows),
+    the TRAINING CORPUS NEVER SHUFFLES: the cosine test is a broadcast
+    nested-loop filter over the corpus scan, and the surviving hits
+    (bounded by contamination, not corpus size) fold into one hash
+    aggregate keyed by train id. The threshold compares round(cos, 4)
+    so the keep/flag decision replays exactly in SQL engines.
+
+    Output (vec_id, n_eval_hits) for flagged train ids only — ids not
+    scores, per the cross-engine determinism rules. At 100 TB x large
+    eval sets, sign the corpus at ingest and prefilter with the 120-bit
+    Hamming signature (hamming_topk's machinery) before this exact
+    pass; same contract, 16 B/vector in the filter scan."""
+    t = with_norm(train, vec_col).select(
+        F.col(id_col), F.col("__v").alias("tv"),
+        F.col("__norm").alias("tn"))
+    e = with_norm(eval_set, vec_col).select(
+        F.col("__v").alias("ev"), F.col("__norm").alias("en"))
+    hit = F.round(dot(F.col("tv"), F.col("ev"))
+                  / (F.col("tn") * F.col("en")), 4) >= min_cosine
+    return (t.join(F.broadcast(e), hit)
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_eval_hits")))

@@ -4097,6 +4097,30 @@ def sim_semantic_dedup(spark, sf_dir):
     return S.semantic_dedup(emb.unionByName(dup))
 
 
+@query("sim_decontaminate", oracle="""
+    WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id < 25),
+         t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id >= 25)
+    SELECT t.vec_id, CAST(COUNT(*) AS BIGINT) AS n_eval_hits
+    FROM t, e
+    WHERE round(list_cosine_similarity(t.v, e.v), 4) >= 0.35
+    GROUP BY t.vec_id
+""")
+def sim_decontaminate(spark, sf_dir):
+    """Embedding-space decontamination (similarity.semantic_decontaminate)
+    — the semantic sibling of dedup_decontaminate: the first 25 vectors
+    stand in as the eval set (broadcast), the rest as the training
+    corpus (never shuffles, plan-asserted); train ids within
+    round(cos,4) >= 0.35 of any eval vector are flagged with their hit
+    count. The fixture threshold is low so both hit and no-hit branches
+    fire (28 of 475 flagged at sf0.01); a real run uses ~0.8+."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.semantic_decontaminate(emb.filter(F.col("vec_id") >= 25),
+                                    emb.filter(F.col("vec_id") < 25),
+                                    min_cosine=0.35)
+
+
 @query("sim_semantic_dedup_kmeans", oracle=None, tags=("rows-only",))
 def sim_semantic_dedup_kmeans(spark, sf_dir):
     """semantic_dedup with learned k-means clusters (Spark ML) — the

@@ -1111,3 +1111,30 @@ def test_write_shards_one_dir_per_shard(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 200
     assert back.select("doc_id").distinct().count() == 200
+
+
+def test_semantic_decontaminate_flags_planted_eval_clone(spark):
+    """A training vector identical to an eval vector must be flagged
+    (cosine 1.0); orthogonal vectors must not."""
+    from sanef_election_dashboard_etl_spark.operators.similarity import \
+        semantic_decontaminate
+
+    def basis(i, dim=8):
+        return [1.0 if j == i else 0.0 for j in range(dim)]
+
+    eval_set = spark.createDataFrame(
+        [(900, basis(0)), (901, basis(1))],
+        "vec_id long, embedding array<double>")
+    train = spark.createDataFrame(
+        [(1, basis(0)),                       # exact clone of eval 900
+         (2, [0.7, 0.7, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),  # cos 0.707 to both
+         (3, basis(5))],                      # orthogonal to both
+        "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["n_eval_hits"]
+           for r in semantic_decontaminate(train, eval_set,
+                                           min_cosine=0.95).collect()}
+    assert got == {1: 1}
+    loose = {r["vec_id"]: r["n_eval_hits"]
+             for r in semantic_decontaminate(train, eval_set,
+                                             min_cosine=0.5).collect()}
+    assert loose == {1: 1, 2: 2}      # vec 2 is 0.707 from BOTH eval vecs

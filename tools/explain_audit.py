@@ -76,6 +76,9 @@ MUST_HAVE = {
     # stats join back by broadcast
     "dedup_substring_stats": ["Exchange hashpartitioning(gkey",
                               "BroadcastHashJoin"],
+    # semantic decontamination: eval side broadcasts into a nested-loop
+    # cosine filter; the training corpus must never shuffle pre-filter
+    "sim_decontaminate": ["BroadcastNestedLoopJoin"],
     # bloom incremental dedup: the corpus digests are probed in place by
     # a broadcast semi-join of the (tiny) bloom-positive fp set, and the
     # found set comes back as a broadcast anti-join build side
@@ -113,6 +116,7 @@ MUST_NOT = {
     # positions join back to dup grams 1:1 — never pairwise, never SMJ
     # (the only joins are the broadcast stats lookup)
     "dedup_substring_stats": ["CartesianProduct", "SortMergeJoin"],
+    "sim_decontaminate": ["SortMergeJoin", "CartesianProduct"],
 }
 
 AUDIT = [
@@ -131,6 +135,7 @@ AUDIT = [
     "q19_disjunctive_brackets", "sample_weighted", "o1_full_sort",
     "dedup_incremental_bloom", "sim_semantic_dedup", "layout_bucketed_join",
     "layout_partition_pruned_scan", "dedup_substring_stats",
+    "sim_decontaminate",
 ]
 
 

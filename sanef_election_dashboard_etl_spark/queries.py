@@ -4121,6 +4121,16 @@ def sim_decontaminate(spark, sf_dir):
                                     min_cosine=0.35)
 
 
+@query("text_compression_ratio", oracle=None, tags=("rows-only",))
+def text_compression_ratio(spark, sf_dir):
+    """Per-doc zlib compression ratio (text.compression_ratio) — the
+    UDF-tier redundancy signal; rows-only BY NATURE (no SQL engine
+    exposes deflate; zlib is bytewise-deterministic at fixed level so
+    rows are still stable across runs). Oracle-checked sibling in the
+    redundancy family: text_repetition_ratio."""
+    return T.compression_ratio(_t(spark, sf_dir, "documents"))
+
+
 @query("sim_semantic_dedup_kmeans", oracle=None, tags=("rows-only",))
 def sim_semantic_dedup_kmeans(spark, sf_dir):
     """semantic_dedup with learned k-means clusters (Spark ML) — the

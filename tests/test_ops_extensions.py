@@ -1138,3 +1138,27 @@ def test_semantic_decontaminate_flags_planted_eval_clone(spark):
              for r in semantic_decontaminate(train, eval_set,
                                              min_cosine=0.5).collect()}
     assert loose == {1: 1, 2: 2}      # vec 2 is 0.707 from BOTH eval vecs
+
+
+def test_compression_ratio_separates_repetitive_from_prose(spark):
+    from sanef_election_dashboard_etl_spark.operators.text import \
+        compression_ratio
+
+    df = spark.createDataFrame(
+        [(1, "spam " * 200),                                  # templated
+         (2, "the quick brown fox jumps over the lazy dog "
+             "while seventeen astronomers debate cosmology "
+             "beyond fashionable orthodoxy " * 3),            # prose-ish
+         (3, None),
+         (4, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bytes"], r["compression_ratio"])
+           for r in compression_ratio(df).collect()}
+    assert got[1][1] < 0.1                  # pure repetition crushes
+    assert 0.1 < got[2][1] < 0.9            # prose compresses moderately
+    assert got[1][1] < got[2][1]
+    assert got[3] == (0, 0.0) and got[4] == (0, 0.0)
+    # deterministic across runs (fixed level, fixed zlib strategy)
+    again = {r["doc_id"]: r["compression_ratio"]
+             for r in compression_ratio(df).collect()}
+    assert again == {d: v[1] for d, v in got.items()}

@@ -48,12 +48,17 @@ def get_spark(app_name: str = "sanef-etl-spark", master: str | None = None,
     """Build (or fetch) a tuned SparkSession.
 
     local[$SPARK_GRAFT_CPUS] by default; on a real cluster callers pass
-    their own master and the same SQL confs apply.
+    their own master and the same SQL confs apply. `SPARK_GRAFT_MASTER`
+    overrides from the environment — e.g. `local-cluster[2,4,1024]`
+    spawns REAL worker JVMs (separate heaps, real serialization, real
+    broadcasts) so the gates can prove no query leans on single-JVM
+    shared state; see tools/full_check.sh and SCALE.md.
     """
     cpus = default_parallelism()
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master or f"local[{cpus}]")
+        .master(master or os.environ.get("SPARK_GRAFT_MASTER")
+                or f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
@@ -65,7 +70,42 @@ def get_spark(app_name: str = "sanef-etl-spark", master: str | None = None,
     for k, v in _RUNTIME_CONF.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    _ship_package(spark)
     return spark
+
+
+_PKG_ZIP: str | None = None
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Distribute this package to executor Python workers (addPyFile).
+
+    In local[*] mode executors share the driver's process and inherit
+    its sys.path, which silently masks a deployment bug: cloudpickle
+    serializes module-level functions BY REFERENCE, so any UDF closure
+    touching this package makes real executors re-import it — and a
+    worker JVM's python has no /root/repo on its path. Found the honest
+    way: the local-cluster[2,4,*] gate failed multimodal_features with
+    ModuleNotFoundError on the executor. addPyFile is the cluster-real
+    fix (ships the same zip a spark-submit --py-files deployment would)
+    and is a no-op cost in plain local mode."""
+    global _PKG_ZIP
+    if _PKG_ZIP is None:
+        import shutil
+        import tempfile
+
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        stem = os.path.join(tempfile.gettempdir(),
+                            f"sanef_etl_spark_pkg_{os.getpid()}")
+        _PKG_ZIP = shutil.make_archive(
+            stem, "zip", root_dir=os.path.dirname(pkg_dir),
+            base_dir=os.path.basename(pkg_dir))
+    try:
+        spark.sparkContext.addPyFile(_PKG_ZIP)
+    except Exception:
+        # an already-stopped or restricted context must not break session
+        # construction; plain local mode never needed the file anyway
+        pass
 
 
 # Harness-level overrides applied on top of _RUNTIME_CONF by tune().

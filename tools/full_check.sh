@@ -17,5 +17,9 @@ python tools/explain_audit.py
 echo "== driver-protocol simulation (vanilla session) =="
 python tools/driver_sim.py | tail -1
 
+echo "== multi-JVM gate (real executors, real serialization) =="
+SPARK_GRAFT_MASTER='local-cluster[2,4,2048]' SPARK_GRAFT_CPUS=8 \
+    python tools/check_oracle.py /root/testdata/sf0.001 | tail -2
+
 echo "== bench =="
 python bench.py

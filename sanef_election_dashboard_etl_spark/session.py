@@ -123,4 +123,5 @@ def tune(spark: SparkSession) -> SparkSession:
     """
     for k, v in {**_RUNTIME_CONF, **TUNE_OVERRIDES}.items():
         spark.conf.set(k, v)
+    _ship_package(spark)   # external sessions may run real executors too
     return spark

@@ -1040,3 +1040,53 @@ def strip_duplicated_spans(df: DataFrame, k: int = 8, min_df: int = 2,
                     F.coalesce("clean_text", F.lit("")).alias("clean_text"),
                     F.coalesce("n_tokens_kept", F.lit(0)).cast("long")
                     .alias("n_tokens_kept")))
+
+
+def containment_pairs(df: DataFrame, n: int = 3,
+                      min_containment: float = 0.8,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      max_df: int | None = None) -> DataFrame:
+    """Asymmetric containment similarity C(A,B) = |A ∩ B| / |A| over
+    n-gram shingle sets — the doc-IN-doc detector Jaccard structurally
+    misses: a tweet quoted inside a long article has Jaccard ~0 (union
+    is the article) but containment ~1. The curation uses: drop quoted/
+    wrapped re-publications while keeping the host doc, and
+    containment-style decontamination (an eval item pasted into a long
+    training doc).
+
+    Same inverted-index plan as jaccard_pairs (ONE shingle-keyed
+    shuffle, size table broadcast, `max_df` hot-shingle guard applies);
+    only the denominator changes, so both directions fall out of the
+    one intersection row. Output (id_small, id_big, containment): the
+    SMALLER set's coverage inside the bigger (ties by id), one row per
+    unordered pair, containment rounded(4) for threshold portability."""
+    grams = shingles(df, n, id_col, text_col) if n > 1 \
+        else token_set(df, id_col, text_col)
+    if max_df is not None:
+        grams = drop_hot_shingles(grams, max_df, id_col)
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = grams.select(F.col(id_col).alias("id_a"), "shingle")
+    b = grams.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (a.join(b, "shingle")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sz_a = sizes.select(F.col(id_col).alias("id_a"),
+                        F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"),
+                        F.col("sz").alias("sz_b"))
+    scored = (inter
+              .join(F.broadcast(sz_a), "id_a")
+              .join(F.broadcast(sz_b), "id_b"))
+    small_first = F.col("sz_a") < F.col("sz_b")
+    tie = (F.col("sz_a") == F.col("sz_b")) & (F.col("id_a") < F.col("id_b"))
+    pick_a = small_first | tie
+    out = scored.select(
+        F.when(pick_a, F.col("id_a")).otherwise(F.col("id_b"))
+        .alias("id_small"),
+        F.when(pick_a, F.col("id_b")).otherwise(F.col("id_a"))
+        .alias("id_big"),
+        F.round(F.col("inter").cast("double")
+                / F.least("sz_a", "sz_b").cast("double"), 4)
+        .alias("containment"))
+    return out.filter(F.col("containment") >= min_containment)

@@ -4144,6 +4144,62 @@ def sim_semantic_dedup_kmeans(spark, sf_dir):
     return S.semantic_dedup_kmeans(emb.unionByName(dup))
 
 
+@query("dedup_containment", oracle="""
+    WITH base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 150
+        UNION ALL
+        SELECT 900000,
+               array_to_string(
+                   (string_split_regex(trim(text), '\\s+'))[1:12], ' ')
+        FROM documents WHERE doc_id = 0
+    ), tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM base
+    ), grams AS (
+        SELECT doc_id, shingle FROM (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                       AS shingle
+            FROM tok
+        ) WHERE shingle <> ''
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+        FROM grams a JOIN grams b USING (shingle)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ), j AS (
+        SELECT ia, ib, inter, sa.sz AS sza, sb.sz AS szb
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = ia
+        JOIN sizes sb ON sb.doc_id = ib
+    )
+    SELECT CASE WHEN sza < szb OR (sza = szb AND ia < ib)
+                THEN ia ELSE ib END AS id_small,
+           CASE WHEN sza < szb OR (sza = szb AND ia < ib)
+                THEN ib ELSE ia END AS id_big,
+           round(inter::DOUBLE / least(sza, szb), 4) AS containment
+    FROM j
+    WHERE round(inter::DOUBLE / least(sza, szb), 4) >= 0.5
+""")
+def dedup_containment(spark, sf_dir):
+    """Containment pairs (dedup.containment_pairs): the doc-in-doc
+    detector — Jaccard misses a quote inside a long host (union ~ the
+    host); containment |A∩B|/|A| flags it at ~1.0. A planted quote doc
+    (the first 12 tokens of doc 0, id 900000) guarantees the contained
+    branch fires; fixture near-dups exercise the partial range."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150) \
+        .select("doc_id", "text")
+    quote = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") == 0)
+             .select(F.lit(900000).cast("long").alias("doc_id"),
+                     F.array_join(
+                         F.slice(T.tokens(F.col("text")), 1, 12), " ")
+                     .alias("text")))
+    return D.containment_pairs(docs.unionByName(quote), n=3,
+                               min_containment=0.5)
+
+
 @query("export_shard_balance", oracle="""
     WITH s AS (
         SELECT (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))

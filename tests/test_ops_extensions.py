@@ -1162,3 +1162,21 @@ def test_compression_ratio_separates_repetitive_from_prose(spark):
     again = {r["doc_id"]: r["compression_ratio"]
              for r in compression_ratio(df).collect()}
     assert again == {d: v[1] for d, v in got.items()}
+
+
+def test_containment_flags_quote_in_host_that_jaccard_misses(spark):
+    host = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu")
+    quote = "alpha bravo charlie delta echo foxtrot"   # head of host
+    df = spark.createDataFrame(
+        [(1, host), (2, quote),
+         (3, "unrelated words entirely different from anything here")],
+        "doc_id long, text string")
+    cont = {(r["id_small"], r["id_big"]): r["containment"]
+            for r in D.containment_pairs(df, n=3,
+                                         min_containment=0.9).collect()}
+    assert cont == {(2, 1): 1.0}       # full quote coverage, quote=small
+    # ...while Jaccard at the same strictness sees nothing
+    jac = D.ngram_jaccard_pairs(df, n=3, min_jaccard=0.9).collect()
+    assert jac == []

@@ -470,3 +470,43 @@ def compression_ratio(df: DataFrame, id_col: str = "doc_id",
                          F.lit(0)).cast("long")
     return df.select(F.col(id_col), n_bytes.alias("n_bytes"),
                      _ratio(F.col(text_col)).alias("compression_ratio"))
+
+
+# Java-regex / RE2 common-subset patterns shared by the PII detector
+# (queries.text_pii_flags) and the redactor below: no lookarounds, no
+# backrefs, no \d-class shorthand differences.
+PII_EMAIL_PATTERN = "[a-z0-9.]+@[a-z0-9.]+[a-z]"
+PII_LONG_DIGITS_PATTERN = "[0-9]{7,}"
+
+
+def redact_pii(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text",
+               email_token: str = "<EMAIL>",
+               number_token: str = "<NUMBER>") -> DataFrame:
+    """The action half of PII hygiene (text_pii_flags is the detector):
+    rewrite email-shaped spans and 7+-digit runs to placeholder tokens,
+    keeping the doc. Emails are replaced FIRST — a long digit run inside
+    an email local-part must become part of <EMAIL>, not a nested
+    <NUMBER> (ordering is semantics, not style).
+
+    Pure codegen (two regexp_replace passes + the matching counts), no
+    Python, narrow — the 100 TB cost is one streaming scan. The
+    patterns live in the Java/RE2 common subset so the oracle replays
+    the identical rewrite (DuckDB regexp_replace with the 'g' flag —
+    Spark replaces all matches by default). Real deployments swap in
+    model-based scrubbers as Arrow UDFs over the same column; this is
+    the deterministic, oracle-checkable tier.
+
+    Output (id, clean_text, n_redactions); null text -> ('', 0)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_emails = F.size(F.regexp_extract_all(
+        t, F.lit(PII_EMAIL_PATTERN), 0)).cast("long")
+    n_digits = F.size(F.regexp_extract_all(
+        t, F.lit(PII_LONG_DIGITS_PATTERN), 0)).cast("long")
+    clean = F.regexp_replace(
+        F.regexp_replace(t, PII_EMAIL_PATTERN, email_token),
+        PII_LONG_DIGITS_PATTERN, number_token)
+    return df.select(
+        F.col(id_col), clean.alias("clean_text"),
+        (F.greatest(n_emails, F.lit(0)) + F.greatest(n_digits, F.lit(0)))
+        .alias("n_redactions"))

@@ -2316,6 +2316,41 @@ def text_pii_flags(spark, sf_dir):
         F.when((emails > 0) | (digits > 0), 1).otherwise(0).alias("pii_flag"))
 
 
+@query("text_redact_pii", oracle="""
+    WITH base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 700000,
+               text || ' contact bob.smith@example.com case 123456789 end'
+        FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(text, '[a-z0-9.]+@[a-z0-9.]+[a-z]',
+                              '<EMAIL>', 'g'),
+               '[0-9]{7,}', '<NUMBER>', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+[a-z]'))
+                + len(regexp_extract_all(text, '[0-9]{7,}'))
+                AS BIGINT) AS n_redactions
+    FROM base
+""")
+def text_redact_pii(spark, sf_dir):
+    """PII redaction (text.redact_pii) — the action half of
+    text_pii_flags: emails then 7+-digit runs rewritten to placeholder
+    tokens in two codegen regexp passes. The fixture corpus is clean,
+    so the query unions a contaminated copy of the first 50 docs
+    (id-shifted, email + case number appended) — both the rewrite and
+    the untouched branches fire, and the oracle replays the identical
+    common-subset regexes with DuckDB's 'g' flag."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dirty = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 700000).alias("doc_id"),
+        F.concat(F.col("text"),
+                 F.lit(" contact bob.smith@example.com case 123456789 end"))
+        .alias("text"))
+    return T.redact_pii(docs.unionByName(dirty))
+
+
 @query("e13_array_hof", oracle="""
     SELECT doc_id,
            CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),

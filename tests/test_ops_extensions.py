@@ -1180,3 +1180,21 @@ def test_containment_flags_quote_in_host_that_jaccard_misses(spark):
     # ...while Jaccard at the same strictness sees nothing
     jac = D.ngram_jaccard_pairs(df, n=3, min_jaccard=0.9).collect()
     assert jac == []
+
+
+def test_redact_pii_rewrites_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b@cd.ef and c@d.eu plus phone 0123456789 done"),
+         (2, "clean text with short 123 number"),
+         (3, None)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["clean_text"], r["n_redactions"])
+           for r in T.redact_pii(df).collect()}
+    assert got[1] == ("mail <EMAIL> and <EMAIL> plus phone <NUMBER> done", 3)
+    assert got[2] == ("clean text with short 123 number", 0)
+    assert got[3] == ("", 0)
+    # a 7+-digit run inside an email local part becomes part of <EMAIL>,
+    # never a nested <NUMBER> (email pass runs first)
+    e = spark.createDataFrame([(9, "x 12345678@mail.com y")],
+                              "doc_id long, text string")
+    assert T.redact_pii(e).collect()[0]["clean_text"] == "x <EMAIL> y"

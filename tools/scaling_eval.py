@@ -70,6 +70,8 @@ QUERIES = [
     # dup-span density constant, so this measures pipeline cost)
     ("dedup_substring_stats", "documents x10"),
     ("layout_partition_pruned_scan", "events x10"),
+    ("sim_decontaminate", "train corpus x10 (eval side fixed)"),
+    ("text_compression_ratio", "documents x10 (UDF tier)"),
 ]
 
 # Operator-level rows (full tables — the registry's simhash entries pin

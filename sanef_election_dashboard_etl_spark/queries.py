@@ -4179,6 +4179,30 @@ def sim_semantic_dedup_kmeans(spark, sf_dir):
     return S.semantic_dedup_kmeans(emb.unionByName(dup))
 
 
+_PROFILE_COLS = ("l_orderkey", "l_linenumber", "l_quantity",
+                 "l_returnflag", "l_linestatus")
+
+_PROFILE_ORACLE = " UNION ALL ".join(f"""
+    SELECT '{c}' AS column_name, COUNT(*)::BIGINT AS n_rows,
+           (COUNT(*) - COUNT({c}))::BIGINT AS n_nulls,
+           COUNT(DISTINCT {c})::BIGINT AS n_distinct,
+           MIN({c})::VARCHAR AS min_value, MAX({c})::VARCHAR AS max_value
+    FROM lineitem""" for c in _PROFILE_COLS)
+
+
+@query("profile_lineitem", oracle=_PROFILE_ORACLE)
+def profile_lineitem(spark, sf_dir):
+    """One-pass column profiler (operators/profile.py): null counts,
+    exact distinct cardinality, canonical min/max for five lineitem
+    columns, computed in a single wide aggregate + stack unpivot — no
+    per-column jobs (the DuckDB oracle needs five UNION'd scans to say
+    the same thing). The schema-drift/quality observability tier a
+    100 TB ingest runs before anything trains on the data."""
+    from .operators.profile import profile
+
+    return profile(_t(spark, sf_dir, "lineitem"), _PROFILE_COLS)
+
+
 @query("dedup_containment", oracle="""
     WITH base AS (
         SELECT doc_id, text FROM documents WHERE doc_id < 150

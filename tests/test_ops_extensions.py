@@ -1198,3 +1198,35 @@ def test_redact_pii_rewrites_and_counts(spark):
     e = spark.createDataFrame([(9, "x 12345678@mail.com y")],
                               "doc_id long, text string")
     assert T.redact_pii(e).collect()[0]["clean_text"] == "x <EMAIL> y"
+
+
+def test_profile_one_pass_stats_with_nulls(spark):
+    from sanef_election_dashboard_etl_spark.operators.profile import profile
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, None, 30.0), (3, "a", 10.0)],
+        "k long, s string, v double")
+    got = {r["column_name"]: (r["n_rows"], r["n_nulls"], r["n_distinct"],
+                              r["min_value"], r["max_value"])
+           for r in profile(df).collect()}
+    assert got["k"] == (4, 0, 3, "1", "3")
+    assert got["s"] == (4, 1, 2, "a", "b")
+    assert got["v"] == (4, 1, 2, "10.0", "30.0")
+    # approx tier keeps schema and exactness at this tiny cardinality
+    a = {r["column_name"]: r["n_distinct"]
+         for r in profile(df, approx=True).collect()}
+    assert a["k"] == 3
+
+
+def test_profile_is_one_job_one_scan(spark):
+    """No per-column scans: the whole profile must be a single-action
+    plan with exactly one read of the table."""
+    from sanef_election_dashboard_etl_spark.operators.profile import profile
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    p = profile(docs, ["l_orderkey", "l_returnflag"])
+    p.collect()
+    plan = p._jdf.queryExecution().executedPlan().toString()
+    # AQE prints final + initial plan copies; count scans in the final
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1

@@ -82,6 +82,7 @@ HEADLINE = (
     "sim_topk_hamming_arrow",
     "dedup_simhash_arrow",
     "dedup_substring_stats",
+    "pipe_training_data_prep",
 )
 
 

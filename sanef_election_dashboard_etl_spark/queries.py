@@ -4179,6 +4179,137 @@ def sim_semantic_dedup_kmeans(spark, sf_dir):
     return S.semantic_dedup_kmeans(emb.unionByName(dup))
 
 
+@query("pipe_training_data_prep", oracle="""
+    WITH raw AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL                       -- whitespace-variant clones: must
+        SELECT doc_id + 800000,         -- dedup away (survivor=original)
+               '  ' || regexp_replace(text, ' ', '  ', 'g')
+        FROM documents WHERE doc_id < 30
+        UNION ALL                       -- short docs: length gate drops
+        SELECT doc_id + 850000, 'too short to train on'
+        FROM documents WHERE doc_id < 10
+    ), base AS (
+        SELECT doc_id, text FROM raw
+        WHERE len(string_split_regex(trim(text), '\\s+')) >= 10
+    ), fps AS (
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+        FROM base
+    ), surv AS (
+        SELECT MIN(doc_id) AS doc_id FROM fps GROUP BY fp
+    ), corpus AS (
+        SELECT b.doc_id, b.text FROM base b JOIN surv USING (doc_id)
+    ), tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM corpus
+    ), grams AS (
+        SELECT doc_id, g.pos AS pos, g.gram AS gram FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(toks) - 8 + 1, 0) + 1),
+                       i -> struct_pack(
+                           pos := i - 1,
+                           gram := array_to_string(toks[i:i+7], ' ')))) AS g
+            FROM tok)
+    ), dup AS (
+        SELECT gram FROM grams GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ), iv AS (
+        SELECT doc_id, pos AS s, pos + 7 AS e FROM grams JOIN dup USING (gram)
+    ), fl AS (
+        SELECT doc_id, s, e,
+               CASE WHEN s > coalesce(max(e) OVER (
+                        PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -2) + 1 THEN 1 ELSE 0 END AS nw
+        FROM iv
+    ), isl AS (
+        SELECT doc_id, s, e,
+               SUM(nw) OVER (PARTITION BY doc_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+        FROM fl
+    ), spans AS (
+        SELECT doc_id, MIN(s) AS span_start,
+               MAX(e) - MIN(s) + 1 AS span_tokens
+        FROM isl GROUP BY doc_id, island
+    ), toks_pos AS (
+        SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+        FROM tok, LATERAL unnest(range(1, len(toks) + 1)) AS u(i)
+    ), kept AS (
+        SELECT t.doc_id, t.pos, t.tok FROM toks_pos t
+        WHERE NOT EXISTS (
+            SELECT 1 FROM spans s
+            WHERE s.doc_id = t.doc_id
+              AND t.pos >= s.span_start
+              AND t.pos < s.span_start + s.span_tokens)
+    ), stripped AS (
+        SELECT c.doc_id,
+               coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '')
+                   AS clean0,
+               COUNT(k.pos)::BIGINT AS n_tokens_kept
+        FROM corpus c LEFT JOIN kept k USING (doc_id)
+        GROUP BY c.doc_id
+    )
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(clean0, '[a-z0-9.]+@[a-z0-9.]+[a-z]',
+                              '<EMAIL>', 'g'),
+               '[0-9]{7,}', '<NUMBER>', 'g') AS clean_text,
+           n_tokens_kept,
+           CAST(len(regexp_extract_all(clean0,
+                    '[a-z0-9.]+@[a-z0-9.]+[a-z]'))
+                + len(regexp_extract_all(clean0, '[0-9]{7,}'))
+                AS BIGINT) AS n_redactions
+    FROM stripped
+""")
+def pipe_training_data_prep(spark, sf_dir):
+    """End-to-end training-data preparation — the flagship composition a
+    corpus team would actually run, chaining four oracle-proven stages
+    over `documents` in one lazy plan:
+
+      1. length gate (>= 10 tokens — the cheap expression filter first),
+      2. exact dedup (fingerprint survivor = min doc_id),
+      3. ExactSubstr span strip over the SURVIVOR corpus (cross-doc
+         duplicated spans removed at k=8 resolution),
+      4. PII redaction on the stripped text.
+
+    The fixture corpus is clean, so the query unions adversarial input
+    (30 whitespace-variant clones that must dedup away to their
+    originals, 10 sub-threshold docs the gate must drop) — every drop
+    branch demonstrably fires and the output stays exactly the 500
+    curated originals.
+
+    Output (doc_id, clean_text, n_tokens_kept, n_redactions) — the
+    exportable corpus, ready for packing.assign_shards/write_shards.
+    Catalyst fuses the whole chain: one documents scan feeds the
+    fingerprint agg and the gram pipeline; the survivor semi-join
+    broadcasts; no stage materializes. The entire pipeline replays in
+    ONE DuckDB SQL statement (the gate's strongest end-to-end check)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = docs.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 800000).alias("doc_id"),
+        F.concat(F.lit("  "),
+                 F.regexp_replace(F.col("text"), " ", "  ")).alias("text"))
+    shorts = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 850000).alias("doc_id"),
+        F.lit("too short to train on").alias("text"))
+    raw = docs.unionByName(clones).unionByName(shorts)
+    base = raw.filter(F.size(T.tokens(F.col("text"))) >= 10) \
+        .select("doc_id", "text")
+    surv = D.exact_dedup(base).select(
+        F.col("survivor_id").alias("doc_id"))
+    corpus = base.join(surv, "doc_id", "left_semi")
+    stripped = D.strip_duplicated_spans(corpus, k=8)
+    redacted = T.redact_pii(
+        stripped.select("doc_id", F.col("clean_text").alias("text")))
+    return (stripped.select("doc_id", "n_tokens_kept")
+            .join(redacted, "doc_id")
+            .select("doc_id", "clean_text", "n_tokens_kept",
+                    "n_redactions"))
+
+
 _PROFILE_COLS = ("l_orderkey", "l_linenumber", "l_quantity",
                  "l_returnflag", "l_linestatus")
 

@@ -1230,3 +1230,17 @@ def test_profile_is_one_job_one_scan(spark):
     # AQE prints final + initial plan copies; count scans in the final
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("FileScan parquet") == 1
+
+
+def test_training_data_prep_drops_clones_and_shorts(spark):
+    from sanef_election_dashboard_etl_spark.queries import REGISTRY
+
+    out = REGISTRY["pipe_training_data_prep"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    ids = {r["doc_id"] for r in out}
+    assert len(ids) == 500                       # exactly the originals
+    assert not any(i >= 800000 for i in ids)     # clones + shorts gone
+    by_id = {r["doc_id"]: r for r in out}
+    # substring strip really removed tokens somewhere in the corpus
+    assert any(r["n_tokens_kept"] == 0 for r in out) or \
+        sum(r["n_tokens_kept"] for r in out) < 27939

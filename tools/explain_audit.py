@@ -79,6 +79,8 @@ MUST_HAVE = {
     # semantic decontamination: eval side broadcasts into a nested-loop
     # cosine filter; the training corpus must never shuffle pre-filter
     "sim_decontaminate": ["BroadcastNestedLoopJoin"],
+    # end-to-end prep: the survivor-id semi-join must broadcast
+    "pipe_training_data_prep": ["LeftSemi, BuildRight"],
     # bloom incremental dedup: the corpus digests are probed in place by
     # a broadcast semi-join of the (tiny) bloom-positive fp set, and the
     # found set comes back as a broadcast anti-join build side
@@ -117,6 +119,7 @@ MUST_NOT = {
     # (the only joins are the broadcast stats lookup)
     "dedup_substring_stats": ["CartesianProduct", "SortMergeJoin"],
     "sim_decontaminate": ["SortMergeJoin", "CartesianProduct"],
+    "pipe_training_data_prep": ["CartesianProduct"],
 }
 
 AUDIT = [
@@ -135,7 +138,7 @@ AUDIT = [
     "q19_disjunctive_brackets", "sample_weighted", "o1_full_sort",
     "dedup_incremental_bloom", "sim_semantic_dedup", "layout_bucketed_join",
     "layout_partition_pruned_scan", "dedup_substring_stats",
-    "sim_decontaminate",
+    "sim_decontaminate", "pipe_training_data_prep",
 ]
 
 

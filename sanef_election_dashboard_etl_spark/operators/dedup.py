@@ -1017,8 +1017,17 @@ def strip_duplicated_spans(df: DataFrame, k: int = 8, min_df: int = 2,
                       .alias("__toks"))
             .select(id_col, F.posexplode("__toks").alias("pos", "tok"))
             .select(id_col, F.col("pos").cast("long").alias("pos"), "tok"))
+    # The span list is bounded by dup density, not corpus size (maximal
+    # spans, a handful per affected doc) — broadcast it so the FULL
+    # TOKEN TABLE never shuffles for this anti-join (map-side filter
+    # instead of an SMJ that re-sorts every token row on doc_id). At
+    # sf0.1 the two are within noise (the span pipeline dominates;
+    # A/B-measured 1.8s vs 1.7-2.0s) — the broadcast is the plan that
+    # survives when the token table is TBs. A corpus whose span list
+    # outgrows broadcast is mostly duplicated text — fix upstream
+    # dedup first.
     kept = (toks.alias("t")
-            .join(spans.alias("sp"),
+            .join(F.broadcast(spans.alias("sp")),
                   (F.col(f"t.{id_col}") == F.col(f"sp.{id_col}"))
                   & (F.col("t.pos") >= F.col("sp.span_start"))
                   & (F.col("t.pos") < F.col("sp.span_start")

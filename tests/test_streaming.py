@@ -290,3 +290,51 @@ def test_streaming_ingest_dedup_bloom_against_static_corpus(spark, tmp_path):
          .trigger(availableNow=True).start())
     q.awaitTermination(120)
     assert sorted(admitted) == [1002, 1003]
+
+
+def test_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
+    """The durability contract a 100 TB ingest leans on: stop a running
+    aggregation, append new input, restart from the SAME checkpoint —
+    the resumed query must pick up only the unseen files (no
+    reprocessing, no loss), carrying its state across the restart."""
+    import pyspark.sql.functions as F
+
+    src = tmp_path / "ck_src"
+    src.mkdir()
+    schema = "k string, v long"
+    spark.createDataFrame([("a", 1), ("a", 2), ("b", 10)], schema) \
+        .coalesce(1).write.mode("append").parquet(str(src))
+
+    def start():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        agg = stream.groupBy("k").agg(F.sum("v").alias("total"),
+                                      F.count("*").alias("n"))
+        return (agg.writeStream.format("memory").queryName("ck_agg")
+                .outputMode("complete")
+                .option("checkpointLocation", str(tmp_path / "ck"))
+                .start())
+
+    q = start()
+    try:
+        q.processAllAvailable()
+        first = {r["k"]: (r["total"], r["n"]) for r in
+                 spark.sql("SELECT * FROM ck_agg").collect()}
+    finally:
+        q.stop()
+    assert first == {"a": (3, 2), "b": (10, 1)}
+
+    # new data lands while the query is DOWN
+    spark.createDataFrame([("a", 100), ("c", 7)], schema) \
+        .coalesce(1).write.mode("append").parquet(str(src))
+
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+        second = {r["k"]: (r["total"], r["n"]) for r in
+                  spark.sql("SELECT * FROM ck_agg").collect()}
+        # state carried over AND the downtime batch applied exactly once
+        assert second == {"a": (103, 3), "b": (10, 1), "c": (7, 1)}
+        # the resumed run started from the checkpointed offset, not batch 0
+        assert q2.lastProgress["batchId"] >= 1
+    finally:
+        q2.stop()

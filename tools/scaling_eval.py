@@ -72,6 +72,7 @@ QUERIES = [
     ("layout_partition_pruned_scan", "events x10"),
     ("sim_decontaminate", "train corpus x10 (eval side fixed)"),
     ("text_compression_ratio", "documents x10 (UDF tier)"),
+    ("pipe_training_data_prep", "documents x10 (4-stage prep chain)"),
 ]
 
 # Operator-level rows (full tables — the registry's simhash entries pin

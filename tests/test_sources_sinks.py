@@ -213,3 +213,27 @@ def test_partitioned_write_dynamic_overwrite_replaces_only_touched_day(
            back.groupBy("day").agg(F.count("*").alias("n")).collect()}
     assert got == {"d0": 10, "d1": 5, "d2": 10}
     assert back.filter(F.col("tag") == "old").count() == 20
+
+
+def test_merge_schema_reads_evolving_partitions(spark, tmp_path):
+    """Schema drift tolerance: a later ingest adds a column; mergeSchema
+    unions the schemas (old rows -> NULL), and a reader pinned to the
+    OLD projection still prunes the new column entirely."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string") \
+        .write.mode("append").parquet(path)
+    spark.createDataFrame([(2, "b", 9.5)],
+                          "id long, v string, score double") \
+        .write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "v", "score"}
+    got = {r["id"]: r["score"] for r in merged.collect()}
+    assert got == {1: None, 2: 9.5}
+
+    # legacy projection: the added column never reaches the scan
+    legacy = merged.select("id", "v")
+    plan = legacy._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<id:bigint,v:string>" in plan

@@ -237,3 +237,24 @@ def test_merge_schema_reads_evolving_partitions(spark, tmp_path):
     legacy = merged.select("id", "v")
     plan = legacy._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema: struct<id:bigint,v:string>" in plan
+
+
+def test_compact_merges_small_files_and_preserves_rows(spark, tmp_path):
+    from sanef_election_dashboard_etl_spark.operators.layout import compact
+
+    import glob
+    path = str(tmp_path / "fragged")
+    # simulate micro-batch accretion: 20 tiny appends -> >= 20 files
+    for i in range(20):
+        spark.createDataFrame([(i * 100 + j, f"row {j}") for j in range(100)],
+                              "id long, v string") \
+            .coalesce(1).write.mode("append").parquet(path)
+    before = glob.glob(f"{path}/*.parquet")
+    assert len(before) >= 20
+    n = compact(spark, path, target_file_bytes=1 << 30)
+    after = glob.glob(f"{path}/*.parquet")
+    assert n == 1 and len(after) == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 2000
+    assert back.select("id").distinct().count() == 2000
+    assert not glob.glob(f"{path}.__compact_*")   # swap left no residue

@@ -1,3 +1,6 @@
-from . import dedup, multimodal, pandas_ops, relational, similarity, text
+from . import (dedup, layout, multimodal, packing, pandas_ops, profile,
+               relational, sampling, similarity, sketch, temporal, text)
 
-__all__ = ["dedup", "multimodal", "pandas_ops", "relational", "similarity", "text"]
+__all__ = ["dedup", "layout", "multimodal", "packing", "pandas_ops",
+           "profile", "relational", "sampling", "similarity", "sketch",
+           "temporal", "text"]

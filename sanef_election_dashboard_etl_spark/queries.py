@@ -4526,6 +4526,85 @@ def dedup_substring_strip(spark, sf_dir):
 
 
 # ==========================================================================
+# Spark-4 native surface (VARIANT, lateral subquery, native unpivot)
+# ==========================================================================
+
+@query("e15_variant_json", oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+""")
+def e15_variant_json(spark, sf_dir):
+    """E7 surface, Spark-4 VARIANT path: parse_json once into the binary
+    VARIANT encoding, then typed variant_get — at 100 TB this parses each
+    props string once and shreds fields without re-tokenizing per access,
+    vs get_json_object's string-walk per extraction (e7). Reference
+    duck-types row dicts (SANEF_Uploader.py:78-84); the engine declares
+    the target type at the extraction site."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.select(
+                "event_type",
+                F.variant_get(F.parse_json("props"), "$.k", "bigint")
+                 .alias("k"))
+              .groupBy("event_type")
+              .agg(F.sum("k").alias("sum_k"),
+                   F.count(F.lit(1)).alias("n_events")))
+
+
+_LATERAL_SQL = """
+    SELECT r_name, t.o_orderkey, t.o_totalprice
+    FROM region, LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey
+                    JOIN nation ON c_nationkey = n_nationkey
+        WHERE n_regionkey = r_regionkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+"""
+
+
+@query("j13_lateral_topn", oracle=_LATERAL_SQL)
+def j13_lateral_topn(spark, sf_dir):
+    """Correlated LATERAL subquery with per-row ORDER BY ... LIMIT (the
+    top-n-per-outer-row shape the reference loops over in Python,
+    SANEF_Uploader.py:214-233). Catalyst decorrelates the lateral into a
+    join + per-key WindowGroupLimit — same physical plan family as the
+    w2 rank path, but declared in the reference's natural SQL shape. The
+    tie-break on o_orderkey makes the LIMIT deterministic in both
+    engines (queries.py module rules)."""
+    from .catalog import register_views
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
+
+
+@query("r6_unpivot_native", oracle="""
+    WITH w AS (SELECT l_returnflag,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE)
+            AS sum_price
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS amount FROM w
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS measure, sum_price AS amount FROM w
+""")
+def r6_unpivot_native(spark, sf_dir):
+    """R1-R3 surface via the native DataFrame unpivot API (Spark 3.4+
+    melt) instead of the stack() expression relational.unpivot uses —
+    both compile to a single Expand node (no shuffle, no join), this one
+    without string-assembling a stack() SQL fragment. Sums go through
+    DECIMAL before the double cast (numeric.py exactness rule)."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(30,2)"))
+         .cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(30,2)"))
+         .cast("double").alias("sum_price"))
+    return wide.unpivot("l_returnflag", ["sum_qty", "sum_price"],
+                        "measure", "amount")
+
+
+# ==========================================================================
 # Driver-window ordering
 # ==========================================================================
 # Round-1 postmortem: the driver emits CORRECTNESS rows for only the

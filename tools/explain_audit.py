@@ -85,6 +85,15 @@ MUST_HAVE = {
     # a broadcast semi-join of the (tiny) bloom-positive fp set, and the
     # found set comes back as a broadcast anti-join build side
     "dedup_incremental_bloom": ["LeftSemi, BuildRight", "LeftAnti, BuildRight"],
+    # correlated LATERAL ... ORDER BY ... LIMIT must decorrelate into the
+    # w2 plan family: per-key WindowGroupLimit + broadcast of the 5-row
+    # outer side (never a per-outer-row re-execution or a cross product)
+    "j13_lateral_topn": ["WindowGroupLimit", "BroadcastHashJoin"],
+    # native unpivot is a single Expand over the fused agg — no join,
+    # no second pass over lineitem
+    "r6_unpivot_native": ["Expand", "HashAggregate"],
+    # VARIANT path: props parses once inside the pre-agg projection
+    "e15_variant_json": ["variant_get", "HashAggregate"],
 }
 
 # query -> substrings that must NOT appear
@@ -120,6 +129,8 @@ MUST_NOT = {
     "dedup_substring_stats": ["CartesianProduct", "SortMergeJoin"],
     "sim_decontaminate": ["SortMergeJoin", "CartesianProduct"],
     "pipe_training_data_prep": ["CartesianProduct"],
+    "j13_lateral_topn": ["CartesianProduct", "SortMergeJoin"],
+    "r6_unpivot_native": ["Generate"],  # unpivot must not fall back to explode
 }
 
 AUDIT = [
@@ -139,6 +150,7 @@ AUDIT = [
     "dedup_incremental_bloom", "sim_semantic_dedup", "layout_bucketed_join",
     "layout_partition_pruned_scan", "dedup_substring_stats",
     "sim_decontaminate", "pipe_training_data_prep",
+    "j13_lateral_topn", "r6_unpivot_native", "e15_variant_json",
 ]
 
 

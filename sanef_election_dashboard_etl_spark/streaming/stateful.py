@@ -56,3 +56,76 @@ def running_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     ))
+
+
+# --------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 arbitrary-state API)
+# --------------------------------------------------------------------------
+# The successor tier to applyInPandasWithState: named state variables
+# (ValueState/ListState/MapState) instead of one tuple row, explicit
+# timers, and a RocksDB-backed store so per-key state spills to disk
+# instead of capping at executor memory — the property that matters when
+# the key space is user_id at 100 TB, not event_type's handful of keys.
+
+TWS_OUTPUT_SCHEMA = StructType([
+    StructField("event_type", StringType()),
+    StructField("n_events", LongType()),
+    StructField("max_value", DoubleType()),
+])
+
+
+def _require_stateful_processor():
+    from pyspark.sql.streaming import StatefulProcessor  # noqa: F401
+    return StatefulProcessor
+
+
+def make_peak_tracker():
+    """StatefulProcessor keeping per-key (count, running max) in a named
+    ValueState. Deliberately NOT equivalent to a windowed agg: the max is
+    over the full stream history, state is one O(1) row per key."""
+    StatefulProcessor = _require_stateful_processor()
+
+    class PeakTracker(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._state = handle.getValueState(
+                "peak", StructType([StructField("n", LongType()),
+                                    StructField("mx", DoubleType())]))
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, mx = self._state.get()
+            else:
+                n, mx = 0, float("-inf")
+            for pdf in rows:
+                n += len(pdf)
+                mx = max(mx, float(pdf["value"].max()))
+            self._state.update((n, mx))
+            yield pd.DataFrame({"event_type": [key[0]], "n_events": [n],
+                                "max_value": [mx]})
+
+        def close(self) -> None:
+            pass
+
+    return PeakTracker()
+
+
+def peak_per_type(events: DataFrame) -> DataFrame:
+    """Per-event-type (count, max value) across the whole stream via
+    transformWithStateInPandas. Requires the RocksDB state store
+    (set spark.sql.streaming.stateStore.providerClass to the RocksDB
+    provider on the writeStream session; session.tune() does not force
+    it because HDFS-backed state is the right default for the older
+    applyInPandasWithState tier).
+
+    ENVIRONMENT GATE: executing the query (not building the plan) needs
+    `google.protobuf` — the TWS state server's wire protocol — which is
+    not installed in this container, so end-to-end runs are covered by a
+    protobuf-gated test plus a fake-handle unit test of the processor
+    logic (tests/test_streaming.py). On a real cluster with protobuf
+    present this runs as-is."""
+    return events.groupBy("event_type").transformWithStateInPandas(
+        statefulProcessor=make_peak_tracker(),
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -98,3 +98,35 @@ def enrich_stream(stream: DataFrame, dim: DataFrame, key: str,
     any batch join build side (broadcast when small); the stream side
     is never shuffled for a broadcast build."""
     return stream.join(F.broadcast(dim), key, how)
+
+
+def interval_join_streams(left: DataFrame, right: DataFrame, key: str,
+                          left_ts: str = "ts", right_ts: str = "ts",
+                          within: str = "15 minutes",
+                          left_delay: str = "10 minutes",
+                          right_delay: str = "10 minutes") -> DataFrame:
+    """Stream-stream inner join bounded by an event-time interval: a
+    right-stream event matches a left-stream event with the same `key`
+    whose timestamp falls in [right_ts - within, right_ts]. The batch
+    twin is temporal.interval_join (j12); here both sides are unbounded,
+    so BOTH invariants that make stream-stream joins viable at scale are
+    mandatory and encoded rather than left to the caller:
+
+    - watermarks on both inputs (state for rows older than the watermark
+      is dropped — without them the join buffers both streams forever);
+    - a time-range predicate tying the two event times (gives the state
+      manager an eviction bound per row, state is O(rate x horizon)).
+
+    Column hygiene: the right ts is exposed as `{right_ts}_r` so self-
+    joins of one source (e.g. clicks x purchases split from a single
+    events stream) don't collide."""
+    lt, rt = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    l = left.withWatermark(left_ts, left_delay).alias("l")
+    r = right.withWatermark(right_ts, right_delay).alias("r")
+    cond = ((F.col(f"l.{key}") == F.col(f"r.{key}"))
+            & (lt >= rt - F.expr(f"INTERVAL {within}"))
+            & (lt <= rt))
+    drop_r_key = F.col(f"r.{key}")
+    return (l.join(r, cond, "inner")
+            .withColumn(f"{right_ts}_r", rt)
+            .drop(drop_r_key).drop(rt))

@@ -105,3 +105,37 @@ def heavy_hitters_fraction(df: DataFrame, key_col: str, num: int = 1,
     return (counts.crossJoin(F.broadcast(total))
                   .filter(F.col("cnt") * den >= F.col("total") * num)
                   .select("key", "cnt"))
+
+
+def hll_shard_cardinality(df: DataFrame, key_col: str, shard_col: str,
+                          lg_k: int = 12) -> DataFrame:
+    """Mergeable distinct-count: one Datasketches HLL sketch per shard
+    (hll_sketch_agg), merged to a global estimate (hll_union_agg) without
+    ever re-touching the raw rows.
+
+    THIS is the 100 TB count-distinct pattern: exact count_distinct needs
+    a shuffle of every distinct key to one reducer per group; sketches
+    make the second phase O(shards x 2^lg_k bytes) — per-shard sketches
+    build map-side, the union reduces ~KB-sized binaries, and historical
+    shards' sketches can be persisted and re-merged forever without
+    re-reading the data (the property exact counts can never have).
+    Estimate error ~1.04/sqrt(2^lg_k) (~1.6% at the lg_k=12 default).
+
+    Output: one row per shard plus the '<all>' union row —
+    (shard, est_distinct, n_rows). Estimates are DETERMINISTIC for a
+    given input (the sketch hash is seeded), so the output is stable
+    across runs and partitionings; there is no SQL-expressible DuckDB
+    twin (its HLL differs), so the registry entry is rows-only with
+    a13_count_distinct as the exact oracle-checked sibling."""
+    per = (df.groupBy(F.col(shard_col).alias("shard"))
+             .agg(F.hll_sketch_agg(key_col, F.lit(lg_k)).alias("sk"),
+                  F.count(F.lit(1)).alias("n_rows")))
+    shard_rows = per.select(
+        "shard", F.hll_sketch_estimate("sk").alias("est_distinct"),
+        "n_rows")
+    union_row = per.agg(
+        F.lit("<all>").alias("shard"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+         .alias("est_distinct"),
+        F.sum("n_rows").cast("long").alias("n_rows"))
+    return shard_rows.unionByName(union_row)

@@ -2780,6 +2780,20 @@ def sketch_cms_fast(spark, sf_dir):
     return SK.cms_estimate(sk, probes, "token", depth=4, width=256)
 
 
+@query("sketch_hll_shard_merge", oracle=None, tags=("rows-only",))
+def sketch_hll_shard_merge(spark, sf_dir):
+    """Mergeable per-shard HLL distinct-count (Datasketches
+    hll_sketch_agg + hll_union_agg): per event_type sketches over
+    user_id, merged to a global '<all>' row without re-reading rows.
+    Estimates are deterministic for a given input but engine-specific —
+    rows-only; the exact oracle-checked sibling is a13_count_distinct.
+    The scale story is the whole point (sketch.py docstring): sketches
+    of historical shards persist and re-merge forever."""
+    ev = _t(spark, sf_dir, "events")
+    return (SK.hll_shard_cardinality(ev, "user_id", "event_type")
+              .orderBy("shard"))
+
+
 @query("q4_order_priority", oracle="""
     SELECT o_orderpriority, COUNT(*) AS order_count
     FROM orders

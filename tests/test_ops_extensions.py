@@ -1244,3 +1244,28 @@ def test_training_data_prep_drops_clones_and_shorts(spark):
     # substring strip really removed tokens somewhere in the corpus
     assert any(r["n_tokens_kept"] == 0 for r in out) or \
         sum(r["n_tokens_kept"] for r in out) < 27939
+
+
+def test_hll_shard_merge_estimates_within_tolerance(spark):
+    """Per-shard HLL sketches merge to a global estimate within the
+    lg_k=12 error bound of the exact distinct count, and the union row
+    is NOT the sum of shard estimates (overlapping keys dedupe)."""
+    from pyspark.sql import functions as F
+
+    from sanef_election_dashboard_etl_spark.operators import sketch as SK
+
+    # 3 shards, heavily overlapping key space: global distinct 500,
+    # per-shard 400/300/500 — a sum-of-shards "merge" would say 1200
+    rows = ([("s1", i) for i in range(400)]
+            + [("s2", i) for i in range(100, 400)]
+            + [("s3", i) for i in range(500)])
+    df = spark.createDataFrame(rows, "shard_id string, user_id long")
+    out = {r["shard"]: (r["est_distinct"], r["n_rows"]) for r in
+           SK.hll_shard_cardinality(df, "user_id", "shard_id").collect()}
+    assert out["<all>"][1] == len(rows)
+    for shard, exact in (("s1", 400), ("s2", 300), ("s3", 500),
+                         ("<all>", 500)):
+        est = out[shard][0]
+        assert abs(est - exact) <= 0.05 * exact, (shard, est, exact)
+    # the union dedupes across shards: far below the 1200 naive sum
+    assert out["<all>"][0] < 700

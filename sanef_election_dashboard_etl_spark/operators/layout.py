@@ -231,3 +231,104 @@ def compact(spark, path: str, target_file_bytes: int = 128 * 1024 * 1024,
     os.rename(tmp, path)
     shutil.rmtree(old)
     return n_files
+
+
+def global_row_number(df: DataFrame, order_by: Sequence[str],
+                      id_alias: str = "global_id",
+                      num_partitions: int | None = None) -> DataFrame:
+    """Contiguous 1-based global row numbers in `order_by` order WITHOUT a
+    single-partition sort — the scalable zipWithIndex, DataFrame-native.
+
+    Training pipelines need a deterministic dense index over the corpus
+    (sample ids for shard manifests, resumable epoch cursors, eval-split
+    bookkeeping). The naive `row_number() OVER (ORDER BY ...)` plans a
+    global window: every row exchanges into ONE partition and one task
+    numbers 100 TB alone. This op keeps the work distributed:
+
+    1. ONE range-repartition shuffle (`repartitionByRange` + in-partition
+       sort) — the same exchange any total ORDER BY pays, no more — then
+       `localCheckpoint` pins the materialized partitions so the two
+       reads below see identical layout (range sampling is re-executed
+       otherwise, and the count/number passes could disagree).
+    2. A per-partition COUNT — the only thing collected is one row per
+       partition (metadata-sized, like AQE stats), cumulated into start
+       offsets on the driver and closed over by the numbering stage.
+    3. An Arrow `mapInPandas` pass that assigns offset + local position
+       per batch — no second shuffle, no Python row loop; ids are
+       `np.arange` per batch.
+
+    Range partition i holds keys <= partition i+1's, so
+    offset(i) + local rank == global rank exactly. `order_by` must be a
+    TOTAL order (include a unique tiebreak column) for the ids to be
+    reproducible run-to-run and engine-to-engine.
+
+    Scale notes: cost is one range exchange + one metadata agg; the
+    numbering stage is narrow. Skewed key ranges are the range
+    partitioner's problem (its sampling equalizes rows per partition,
+    not key spans), so heavy duplicate keys still spread as long as the
+    tiebreak column differs. Reference parity: SANEF_Uploader.py has no
+    index assignment (pandas RangeIndex is implicit); this is the §7
+    extension surface for dataset manifests.
+    """
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_by]
+    ranged = (df.repartitionByRange(n, *cols)
+                .sortWithinPartitions(*cols)
+                .localCheckpoint(eager=True))
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    counts = {int(r["__pid"]): int(r["cnt"]) for r in
+              with_pid.groupBy("__pid").agg(
+                  F.count(F.lit(1)).alias("cnt")).collect()}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_schema = StructType(
+        list(ranged.schema.fields) + [StructField(id_alias, LongType())])
+
+    def number_partition(batches):
+        base = None
+        pos = 0
+        for pdf in batches:
+            k = len(pdf)
+            if k:
+                if base is None:
+                    base = offsets[int(pdf["__pid"].iloc[0])]
+                ids = np.arange(base + pos + 1, base + pos + 1 + k,
+                                dtype="int64")
+                pos += k
+            else:
+                ids = np.empty(0, dtype="int64")
+            out = pdf.drop(columns="__pid")
+            out[id_alias] = ids
+            yield out
+
+    return with_pid.mapInPandas(number_partition, out_schema)
+
+
+def epoch_shuffle(df: DataFrame, id_col: str, seed: int = 0,
+                  id_alias: str = "global_id",
+                  num_partitions: int | None = None) -> DataFrame:
+    """Seeded global permutation of a corpus with dense 1-based position
+    ids — the reproducible epoch shuffle a training data loader consumes.
+
+    Orders rows by `md5(id || ':' || seed)` (engine-portable: identical
+    hex in Spark and DuckDB, so the permutation is verifiable against a
+    plain ROW_NUMBER oracle) with `id_col` as the total-order tiebreak,
+    then assigns positions via `global_row_number` — one range shuffle,
+    never a single-partition sort. A new `seed` is a fresh independent
+    permutation; same seed is bit-identical run-to-run.
+    """
+    key = F.md5(F.concat(F.col(id_col).cast("string"),
+                         F.lit(f":{seed}"))).alias("__shuffle_key")
+    keyed = df.select(key, "*")
+    numbered = global_row_number(keyed, ["__shuffle_key", id_col],
+                                 id_alias=id_alias,
+                                 num_partitions=num_partitions)
+    return numbered.drop("__shuffle_key")

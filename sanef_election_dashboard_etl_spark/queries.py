@@ -4701,3 +4701,40 @@ def _reorder_registry() -> None:
 
 
 _reorder_registry()
+
+
+@query("layout_global_row_number", oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber)
+               AS global_id
+    FROM lineitem
+""")
+def layout_global_row_number(spark, sf_dir):
+    """Contiguous 1-based global ids over lineitem in (l_orderkey,
+    l_linenumber) order — operators/layout.py global_row_number: ONE
+    range-repartition exchange + a metadata-sized per-partition count,
+    never the single-partition window the oracle's ROW_NUMBER plans.
+    The oracle hash-checks that the distributed offset+local-rank
+    composition reproduces the serial numbering exactly (the order key
+    is total, so the permutation is unique)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    return L.global_row_number(li, ["l_orderkey", "l_linenumber"])
+
+
+@query("layout_epoch_shuffle", oracle="""
+    SELECT doc_id,
+           ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':1'), doc_id)
+               AS global_id
+    FROM documents
+""")
+def layout_epoch_shuffle(spark, sf_dir):
+    """Seeded reproducible epoch shuffle (operators/layout.py
+    epoch_shuffle): the corpus permuted by md5(doc_id || ':seed') with
+    dense loader positions. md5 hex is engine-identical, so DuckDB's
+    serial ROW_NUMBER over the same hash key must reproduce the
+    distributed permutation bit-for-bit — the determinism a resumable
+    data loader needs (same seed -> same order on any cluster size)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return (L.epoch_shuffle(docs, "doc_id", seed=1)
+            .select("doc_id", "global_id"))

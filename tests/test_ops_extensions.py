@@ -1269,3 +1269,44 @@ def test_hll_shard_merge_estimates_within_tolerance(spark):
         assert abs(est - exact) <= 0.05 * exact, (shard, est, exact)
     # the union dedupes across shards: far below the 1200 naive sum
     assert out["<all>"][0] < 700
+
+
+def test_global_row_number_matches_serial_numbering(spark):
+    """Distributed offset+local-rank ids == the serial ROW_NUMBER over the
+    same total order, ids are a dense 1..n bijection, and the result is
+    identical across partition counts (layout.global_row_number)."""
+    from pyspark.sql import functions as F
+
+    from sanef_election_dashboard_etl_spark.operators import layout as L
+
+    rows = [(i * 7919 % 1000, i) for i in range(1000)]  # duplicate keys
+    df = spark.createDataFrame(rows, "k long, uniq long") \
+        .repartition(13)  # scrambled input layout
+    for n_parts in (1, 5, 32):
+        out = L.global_row_number(df, ["k", "uniq"],
+                                  num_partitions=n_parts).collect()
+        ids = sorted(r["global_id"] for r in out)
+        assert ids == list(range(1, 1001))
+        got = {(r["k"], r["uniq"]): r["global_id"] for r in out}
+        serial = sorted(rows)
+        assert all(got[kv] == i + 1 for i, kv in enumerate(serial)), n_parts
+
+
+def test_epoch_shuffle_seeded_permutations(spark):
+    """Same seed -> bit-identical permutation across runs and partition
+    counts; different seed -> a different permutation; ids dense 1..n."""
+    from sanef_election_dashboard_etl_spark.operators import layout as L
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    a1 = {r["doc_id"]: r["global_id"] for r in
+          L.epoch_shuffle(df, "doc_id", seed=7, num_partitions=8).collect()}
+    a2 = {r["doc_id"]: r["global_id"] for r in
+          L.epoch_shuffle(df, "doc_id", seed=7, num_partitions=3).collect()}
+    b = {r["doc_id"]: r["global_id"] for r in
+         L.epoch_shuffle(df, "doc_id", seed=8, num_partitions=8).collect()}
+    assert a1 == a2
+    assert sorted(a1.values()) == list(range(1, 501))
+    assert a1 != b  # a fresh seed is a fresh permutation
+    # not the identity order: md5 actually scrambles
+    assert [d for d, _ in sorted(a1.items(), key=lambda kv: kv[1])] \
+        != sorted(a1)

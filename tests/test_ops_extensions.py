@@ -1310,3 +1310,55 @@ def test_epoch_shuffle_seeded_permutations(spark):
     # not the identity order: md5 actually scrambles
     assert [d for d, _ in sorted(a1.items(), key=lambda kv: kv[1])] \
         != sorted(a1)
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Spark's runtime bloom-filter join pruning (InjectRuntimeFilter) —
+    the 100 TB semi-join reduction: a selective predicate on the dim
+    side materializes a bloom filter that is pushed into the FACT side's
+    scan/shuffle, so non-joining fact rows drop before they exchange.
+    Local fixtures sit under the production size thresholds, so the
+    thresholds are lowered to force injection and prove the engine
+    config keeps the feature reachable; the assertion is on the
+    OPTIMIZED plan (bloom_filter_might_contain on the fact side) plus a
+    result-equality check against the uninjected control."""
+    import os
+    import shutil
+    import tempfile
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold":
+            "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    tmp = tempfile.mkdtemp(prefix="bloom_prune_")
+    try:
+        # parquet-backed sides: runtime filters key off scan statistics
+        spark.range(0, 200_000).select(
+            F.col("id").alias("k"), (F.col("id") % 97).alias("v")) \
+            .write.parquet(os.path.join(tmp, "fact"))
+        spark.range(0, 5_000).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("cat")) \
+            .write.parquet(os.path.join(tmp, "dim"))
+        fact = spark.read.parquet(os.path.join(tmp, "fact"))
+        dim = spark.read.parquet(os.path.join(tmp, "dim")) \
+            .filter(F.col("cat") == 3)  # selective creation-side predicate
+        control = fact.join(dim, "k").groupBy("cat").count().collect()
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = fact.join(dim, "k").groupBy("cat").count()
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_might_contain" in plan, plan
+        assert sorted(map(tuple, joined.collect())) == \
+            sorted(map(tuple, control))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        shutil.rmtree(tmp, ignore_errors=True)

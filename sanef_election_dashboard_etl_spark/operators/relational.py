@@ -283,3 +283,38 @@ def salted_join(skewed: DataFrame, other: DataFrame, on: str,
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))))
     out = salted_l.join(salted_r, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str,
+                  cols: Sequence[str]) -> DataFrame:
+    """Dataset-version diff: per-key status `added | removed | changed |
+    unchanged` between two corpus snapshots — the primitive behind
+    incremental training (re-train only on added+changed), ingest audits,
+    and drift dashboards.
+
+    Each side reduces to (key, md5-of-`cols`) BEFORE the join, so the
+    full-outer exchange moves 32-byte fingerprints, never payloads —
+    at 100 TB the text column stays columnar-pruned in the scans and the
+    shuffle is ~rowcount x 40 bytes. One shuffle on `key`; the digest is
+    concat_ws over canonical string casts with a 0x1f separator (no
+    value ambiguity), null-folded to '' so it is engine-portable
+    (oracle replays it verbatim). Reference parity: SANEF_Uploader.py
+    overwrites outputs wholesale (:55, :70-76) — versioned diffing is
+    the §7 extension that makes re-ingest incremental.
+    """
+    def digest(df: DataFrame) -> DataFrame:
+        parts = [F.coalesce(F.col(c).cast("string"), F.lit(""))
+                 for c in cols]
+        return df.select(F.col(key),
+                         F.md5(F.concat_ws("\x1f", *parts)).alias("__d"))
+
+    o = digest(old).alias("o")
+    n = digest(new).alias("n")
+    joined = o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
+    status = (F.when(F.col(f"o.{key}").isNull(), F.lit("added"))
+               .when(F.col(f"n.{key}").isNull(), F.lit("removed"))
+               .when(F.col("o.__d") != F.col("n.__d"), F.lit("changed"))
+               .otherwise(F.lit("unchanged")))
+    return joined.select(
+        F.coalesce(F.col(f"o.{key}"), F.col(f"n.{key}")).alias(key),
+        status.alias("status"))

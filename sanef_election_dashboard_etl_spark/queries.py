@@ -4738,3 +4738,50 @@ def layout_epoch_shuffle(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     return (L.epoch_shuffle(docs, "doc_id", seed=1)
             .select("doc_id", "global_id"))
+
+
+@query("snapshot_diff", oracle="""
+    WITH newsnap AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END
+                   AS text
+        FROM documents WHERE doc_id % 37 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text
+        FROM documents WHERE doc_id < 100
+    ),
+    o AS (SELECT doc_id,
+                 md5(concat_ws(chr(31), coalesce(CAST(text AS VARCHAR), '')))
+                     AS d
+          FROM documents),
+    n AS (SELECT doc_id,
+                 md5(concat_ws(chr(31), coalesce(CAST(text AS VARCHAR), '')))
+                     AS d
+          FROM newsnap)
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.d <> n.d THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+""")
+def snapshot_diff(spark, sf_dir):
+    """Corpus snapshot diff (operators/relational.py snapshot_diff): the
+    fixture corpus vs a simulated next ingest (drops doc_id%37, edits
+    doc_id%11, adds 100 re-keyed docs), per-doc status added/removed/
+    changed/unchanged. Both sides digest to 32-byte md5 fingerprints
+    BEFORE the full-outer join, so the exchange never carries text; the
+    oracle replays digest construction verbatim (chr(31) separator,
+    null-folded casts)."""
+    docs = _t(spark, sf_dir, "documents")
+    new = (docs.filter(F.col("doc_id") % 37 != 0)
+           .select("doc_id",
+                   F.when(F.col("doc_id") % 11 == 0,
+                          F.concat(F.col("text"), F.lit(" v2")))
+                   .otherwise(F.col("text")).alias("text"))
+           .unionByName(
+               docs.filter(F.col("doc_id") < 100)
+               .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                       "text")))
+    return R.snapshot_diff(docs.select("doc_id", "text"), new,
+                           key="doc_id", cols=["text"])

@@ -1320,8 +1320,16 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
     Local fixtures sit under the production size thresholds, so the
     thresholds are lowered to force injection and prove the engine
     config keeps the feature reachable; the assertion is on the
-    OPTIMIZED plan (bloom_filter_might_contain on the fact side) plus a
-    result-equality check against the uninjected control."""
+    OPTIMIZED plan (might_contain over a bloom_filter_agg scalar
+    subquery on the fact side) plus a result-equality check against the
+    uninjected control.
+
+    Injection preconditions (InjectRuntimeFilter.filteringHasBenefit):
+    the join must be a probable shuffle join (no broadcast) AND the
+    application side must itself contain a shuffle-inducing node
+    (Join/Aggregate/Window) the filter can prune INPUT to — a bare
+    scan-join gains nothing, the filter's whole benefit is shrinking an
+    exchange below the join. Hence the fact side aggregates first."""
     import os
     import shutil
     import tempfile
@@ -1344,15 +1352,18 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
         spark.range(0, 5_000).select(
             F.col("id").alias("k"), (F.col("id") % 5).alias("cat")) \
             .write.parquet(os.path.join(tmp, "dim"))
-        fact = spark.read.parquet(os.path.join(tmp, "fact"))
+        fact = spark.read.parquet(os.path.join(tmp, "fact")) \
+            .groupBy("k").agg(F.sum("v").alias("sv"))  # shuffle to prune
         dim = spark.read.parquet(os.path.join(tmp, "dim")) \
             .filter(F.col("cat") == 3)  # selective creation-side predicate
-        control = fact.join(dim, "k").groupBy("cat").count().collect()
+        control = fact.join(dim, "k").groupBy("cat") \
+            .agg(F.sum("sv").alias("t")).collect()
         for k, v in confs.items():
             spark.conf.set(k, v)
-        joined = fact.join(dim, "k").groupBy("cat").count()
+        joined = fact.join(dim, "k").groupBy("cat") \
+            .agg(F.sum("sv").alias("t"))
         plan = joined._jdf.queryExecution().optimizedPlan().toString()
-        assert "bloom_filter_might_contain" in plan, plan
+        assert "might_contain" in plan and "bloom_filter_agg" in plan, plan
         assert sorted(map(tuple, joined.collect())) == \
             sorted(map(tuple, control))
     finally:

@@ -219,3 +219,26 @@ def test_total_sort_stats_picked_strategy(spark):
     assert "REPARTITION_BY_NUM" not in plan_huge
     got_huge = [r["v"] for r in huge.collect()]
     assert got_huge == sorted(got_huge)
+
+
+def test_snapshot_diff_statuses(spark):
+    """added/removed/changed/unchanged classified per key; digests cover
+    multiple columns; null column values fold to '' (portable digest)."""
+    from pyspark.sql import functions as F
+
+    from sanef_election_dashboard_etl_spark.operators.relational import \
+        snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "k long, t string, v long")
+    new = spark.createDataFrame(
+        [(1, "a", 10),          # unchanged
+         (2, "B", 20),          # changed (t)
+         (4, None, 41),         # changed (v; null t folds identically)
+         (5, "e", 50)],         # added      (3 removed)
+        "k long, t string, v long")
+    got = {r["k"]: r["status"] for r in
+           snapshot_diff(old, new, "k", ["t", "v"]).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "changed", 5: "added"}

@@ -94,6 +94,14 @@ MUST_HAVE = {
     "r6_unpivot_native": ["Expand", "HashAggregate"],
     # VARIANT path: props parses once inside the pre-agg projection
     "e15_variant_json": ["variant_get", "HashAggregate"],
+    # global row numbering: the returned plan is the NARROW numbering
+    # pass over the pinned range-partitioned checkpoint — one Arrow
+    # stage, no exchange, no window (the range shuffle already happened
+    # eagerly and is the only one the op ever pays)
+    "layout_global_row_number": ["MapInPandas", "Scan ExistingRDD"],
+    # snapshot diff: full-outer on the key with md5 digests computed
+    # BELOW the exchange (the shuffle moves fingerprints, not text)
+    "snapshot_diff": ["FullOuter", "Exchange hashpartitioning(doc_id"],
 }
 
 # query -> substrings that must NOT appear
@@ -131,6 +139,9 @@ MUST_NOT = {
     "pipe_training_data_prep": ["CartesianProduct"],
     "j13_lateral_topn": ["CartesianProduct", "SortMergeJoin"],
     "r6_unpivot_native": ["Generate"],  # unpivot must not fall back to explode
+    # numbering must never re-shuffle, re-sort, or plan a global window
+    "layout_global_row_number": ["Exchange", "Window", "Sort"],
+    "snapshot_diff": ["CartesianProduct"],
 }
 
 AUDIT = [
@@ -151,6 +162,7 @@ AUDIT = [
     "layout_partition_pruned_scan", "dedup_substring_stats",
     "sim_decontaminate", "pipe_training_data_prep",
     "j13_lateral_topn", "r6_unpivot_native", "e15_variant_json",
+    "layout_global_row_number", "snapshot_diff",
 ]
 
 

@@ -1099,3 +1099,77 @@ def containment_pairs(df: DataFrame, n: int = 3,
                 / F.least("sz_a", "sz_b").cast("double"), 4)
         .alias("containment"))
     return out.filter(F.col("containment") >= min_containment)
+
+
+def fuzzy_edit_pairs(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", key_len: int = 33,
+                     max_edits: int = 2) -> DataFrame:
+    """Character-level near-duplicate pairs by edit distance — the fuzzy
+    twin MinHash misses: one-keystroke variants (typos, re-encodes,
+    tracking-suffix URLs, OCR slips) whose token sets barely overlap as
+    shingles but whose CHARACTERS are >94% identical.
+
+    PassJoin-style pigeonhole banding (Li et al., VLDB'12 — public):
+    the match key is the first `key_len` chars of `text_col` (docs
+    shorter than `key_len` are out of scope here — exact/normalized
+    dedup owns them, dedup.py exact_dups). The key splits into
+    `max_edits + 1` aligned chunks, so <=max_edits edits leave at least
+    one chunk untouched; that chunk appears in the other key as the
+    same-width window shifted by at most `max_edits` positions (keys are
+    equal length, so every untouched chunk's image stays in range).
+    Candidates are therefore (chunk_index, value) equi-join hits of
+    probe chunks vs shifted index windows — never an all-pairs — then
+    verified with an exact `levenshtein(key_a, key_b) <= max_edits`.
+
+    Scale notes: probes are (max_edits+1) rows/doc and windows
+    ~(max_edits+1)*(2*max_edits+1) rows/doc, both linear; the only
+    shuffle keys on (chunk_index, value). Hot chunks (boilerplate
+    openings) fan out quadratically like hot shingles do — at corpus
+    scale apply the same max_df guard as minhash (dedup.py:92) on the
+    window values. Verification is O(key_len^2) per CANDIDATE, bounded
+    by the banding. Output: (id_a, id_b, dist), id_a < id_b, one row
+    per verified pair.
+    """
+    n_chunks = max_edits + 1
+    if key_len % n_chunks:
+        raise ValueError(f"key_len {key_len} must divide into "
+                         f"{n_chunks} equal chunks")
+    w = key_len // n_chunks
+
+    keyed = (df.filter(F.length(F.col(text_col)) >= key_len)
+               .select(F.col(id_col).alias("__id"),
+                       F.substring(F.col(text_col), 1, key_len)
+                        .alias("__key")))
+
+    probes = keyed.select(
+        "__id", "__key",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("ci"),
+                     F.substring("__key", 1 + w * i, w).alias("cv"))
+            for i in range(n_chunks)])).alias("c")) \
+        .select("__id", "__key", "c.ci", "c.cv")
+
+    windows = []
+    for i in range(n_chunks):
+        for d in range(-max_edits, max_edits + 1):
+            pos = 1 + w * i + d
+            if 1 <= pos <= key_len - w + 1:
+                windows.append(
+                    F.struct(F.lit(i).alias("ci"),
+                             F.substring("__key", pos, w).alias("cv")))
+    index = keyed.select(
+        F.col("__id").alias("__idb"), F.col("__key").alias("__keyb"),
+        F.explode(F.array(*windows)).alias("c")) \
+        .select("__idb", "__keyb", "c.ci", "c.cv")
+
+    cand = (probes.join(index, ["ci", "cv"])
+            .filter(F.col("__id") < F.col("__idb"))
+            .select(F.col("__id").alias("id_a"),
+                    F.col("__idb").alias("id_b"),
+                    "__key", "__keyb")
+            .distinct())
+    return (cand
+            .withColumn("dist", F.levenshtein("__key", "__keyb")
+                        .cast("long"))
+            .filter(F.col("dist") <= max_edits)
+            .select("id_a", "id_b", "dist"))

@@ -4785,3 +4785,52 @@ def snapshot_diff(spark, sf_dir):
                        "text")))
     return R.snapshot_diff(docs.select("doc_id", "text"), new,
                            key="doc_id", cols=["text"])
+
+
+@query("dedup_fuzzy_edit", oracle="""
+    WITH twins AS (
+        SELECT doc_id + 700000 AS doc_id,
+               substr(text, 1, 4) || 'Q' || substr(text, 6, 11) || 'Z'
+                   || substr(text, 18) AS text
+        FROM documents WHERE doc_id < 120 AND length(text) >= 40
+    ),
+    u AS (SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id, text FROM twins),
+    keyed AS (SELECT doc_id AS id, substr(text, 1, 33) AS key
+              FROM u WHERE length(text) >= 33),
+    probes AS (
+        SELECT id, key, i.i AS ci, substr(key, 1 + 11 * i.i, 11) AS cv
+        FROM keyed, range(3) i(i)
+    ),
+    windows AS (
+        SELECT id AS idb, key AS keyb, i.i AS ci,
+               substr(key, CAST(1 + 11 * i.i + d.d AS INTEGER), 11) AS cv
+        FROM keyed, range(3) i(i), range(-2, 3) d(d)
+        WHERE 1 + 11 * i.i + d.d BETWEEN 1 AND 23
+    ),
+    cand AS (
+        SELECT DISTINCT p.id AS id_a, w.idb AS id_b,
+                        p.key AS ka, w.keyb AS kb
+        FROM probes p JOIN windows w ON p.ci = w.ci AND p.cv = w.cv
+        WHERE p.id < w.idb
+    )
+    SELECT id_a, id_b, CAST(levenshtein(ka, kb) AS BIGINT) AS dist
+    FROM cand WHERE levenshtein(ka, kb) <= 2
+""")
+def dedup_fuzzy_edit(spark, sf_dir):
+    """Character-level fuzzy dedup (operators/dedup.py fuzzy_edit_pairs,
+    PassJoin pigeonhole banding): corpus + 120 two-substitution twins
+    ('Q' at pos 5, 'Z' at pos 17 — uppercase never occurs in the
+    generated text, so each twin is exactly edit-distance 2 from its
+    original's 33-char key). Every twin must surface as a verified
+    pair; natural same-prefix dups come out at dist 0. The oracle
+    replays the full banding (probes x shifted windows) and the
+    levenshtein verification in SQL."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = (docs.filter((F.col("doc_id") < 120) & (F.length("text") >= 40))
+             .select((F.col("doc_id") + 700000).alias("doc_id"),
+                     F.concat(F.substring("text", 1, 4), F.lit("Q"),
+                              F.substring("text", 6, 11), F.lit("Z"),
+                              F.expr("substring(text, 18, length(text))"))
+                     .alias("text")))
+    return D.fuzzy_edit_pairs(docs.unionByName(twins))

@@ -1373,3 +1373,32 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
             else:
                 spark.conf.set(k, v)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_fuzzy_edit_pairs_pigeonhole_recall(spark):
+    """PassJoin banding finds every pair within max_edits: substitutions,
+    AND the alignment-shifting delete case (key re-slices, so a delete
+    becomes delete+tail-shift within the fixed window); pairs beyond
+    the budget or below key_len never appear."""
+    from sanef_election_dashboard_etl_spark.operators.dedup import \
+        fuzzy_edit_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again"
+    rows = [
+        (1, base),
+        (2, base[:5] + "Q" + base[6:]),                  # 1 sub -> pair
+        (3, base[:5] + "Q" + base[6:17] + "Z" + base[18:]),  # 2 subs -> pair w/1,2
+        (4, base[:5] + "Q" + base[6:17] + "Z" + base[18:29] + "X" + base[30:]),
+        # ^ 3 subs vs base: NOT a pair with 1 (dist 3), pairs with 3 (dist 1)
+        (5, base[:8] + base[9:]),   # delete at pos 9: key shifts -> dist 2
+        (6, "short text"),          # < key_len: out of scope, no rows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in fuzzy_edit_pairs(df).collect()}
+    assert got[(1, 2)] == 1
+    assert got[(1, 3)] == 2 and got[(2, 3)] == 1
+    assert (1, 4) not in got          # dist 3 > budget
+    assert got[(3, 4)] == 1
+    assert got[(1, 5)] == 2           # delete + tail shift-in
+    assert not any(6 in p for p in got)

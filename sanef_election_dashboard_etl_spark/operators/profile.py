@@ -59,3 +59,48 @@ def profile(df: DataFrame, cols: Sequence[str] | None = None,
                 (F.col("__n") - F.col("__nn")).cast("long").alias("n_nulls"),
                 F.col("n_distinct").cast("long").alias("n_distinct"),
                 "min_value", "max_value"))
+
+
+def categorical_drift_tvd(old: DataFrame, new: DataFrame,
+                          dim_col: str) -> DataFrame:
+    """Distribution drift between two dataset versions on a categorical
+    column, as total-variation distance — the ingest-gate alarm ("this
+    crawl's source mix shifted 12% from last week's") that decides
+    whether a new snapshot may enter the training mix.
+
+    TVD = 0.5 * sum_c |p_old(c) - p_new(c)| is chosen over KL/PSI
+    deliberately: it is a bounded metric ([0,1], no log blowups on
+    empty cells) AND integer-exact cross-engine — each |p_a - p_b|
+    term is |cnt_a * tot_b - cnt_b * tot_a| / (tot_a * tot_b), so the
+    whole sum is one exact integer numerator over an exact denominator;
+    the ONLY floating-point step is the final single division (a PSI's
+    per-cell ln() would diverge between engines in the last ulps).
+
+    Scale: two grouped counts (one shuffle each, map-side combined to
+    |categories| rows), a full-outer join on the category (tiny), and a
+    1-row aggregate. Output: one row (tvd double, n_old, n_new long) —
+    exact up to 2^53-scale numerators (|rows|^2 per term; beyond that,
+    pre-divide counts by a common factor or accept the documented ulp).
+    """
+    def counted(df: DataFrame, side: str) -> DataFrame:
+        return (df.groupBy(F.col(dim_col).alias("__c"))
+                  .agg(F.count(F.lit(1)).alias(f"cnt_{side}")))
+
+    o, n = counted(old, "a"), counted(new, "b")
+    cells = (o.join(n, "__c", "full_outer")
+              .select(F.coalesce("cnt_a", F.lit(0)).alias("ca"),
+                      F.coalesce("cnt_b", F.lit(0)).alias("cb")))
+    tot = cells.agg(
+        F.sum("ca").alias("ta"), F.sum("cb").alias("tb"),
+        F.collect_list(F.struct("ca", "cb")).alias("cs"))
+    # numerator = sum |ca*tb - cb*ta| folded JVM-side over the exact
+    # per-cell longs; one row, so collect_list is |categories|-sized
+    num = F.aggregate(
+        "cs", F.lit(0).cast("long"),
+        lambda acc, s: acc + F.abs(s["ca"] * F.col("tb")
+                                   - s["cb"] * F.col("ta")))
+    return tot.select(
+        (num.cast("double")
+         / (F.lit(2).cast("double") * F.col("ta").cast("double")
+            * F.col("tb").cast("double"))).alias("tvd"),
+        F.col("ta").alias("n_old"), F.col("tb").alias("n_new"))

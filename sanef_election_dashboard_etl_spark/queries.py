@@ -4834,3 +4834,36 @@ def dedup_fuzzy_edit(spark, sf_dir):
                               F.expr("substring(text, 18, length(text))"))
                      .alias("text")))
     return D.fuzzy_edit_pairs(docs.unionByName(twins))
+
+
+@query("profile_drift_tvd", oracle="""
+    WITH newsnap AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 13 = 0 THEN 'recrawl' ELSE source END
+                   AS source
+        FROM documents WHERE doc_id % 37 <> 0
+    ),
+    o AS (SELECT source AS c, COUNT(*) AS ca FROM documents GROUP BY 1),
+    n AS (SELECT source AS c, COUNT(*) AS cb FROM newsnap GROUP BY 1),
+    cells AS (SELECT coalesce(o.ca, 0) AS ca, coalesce(n.cb, 0) AS cb
+              FROM o FULL OUTER JOIN n ON o.c = n.c),
+    tot AS (SELECT SUM(ca) AS ta, SUM(cb) AS tb FROM cells)
+    SELECT CAST(SUM(ABS(ca * tb - cb * ta)) AS DOUBLE)
+               / (2.0 * CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)) AS tvd,
+           CAST(ta AS BIGINT) AS n_old, CAST(tb AS BIGINT) AS n_new
+    FROM cells, tot GROUP BY ta, tb
+""")
+def profile_drift_tvd(spark, sf_dir):
+    """Source-mix drift gate (operators/profile.py categorical_drift_tvd)
+    between the corpus and a simulated next crawl (drops doc_id%37,
+    relabels doc_id%13 as a new 'recrawl' source). TVD instead of
+    KL/PSI: every |p_old - p_new| term is an exact integer ratio, so
+    both engines compute the identical double in ONE final division —
+    no per-cell ln() to diverge in the last ulps."""
+    docs = _t(spark, sf_dir, "documents")
+    new = (docs.filter(F.col("doc_id") % 37 != 0)
+           .select("doc_id",
+                   F.when(F.col("doc_id") % 13 == 0, F.lit("recrawl"))
+                   .otherwise(F.col("source")).alias("source")))
+    from .operators.profile import categorical_drift_tvd
+    return categorical_drift_tvd(docs.select("source"), new, "source")

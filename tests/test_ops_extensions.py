@@ -1402,3 +1402,27 @@ def test_fuzzy_edit_pairs_pigeonhole_recall(spark):
     assert got[(3, 4)] == 1
     assert got[(1, 5)] == 2           # delete + tail shift-in
     assert not any(6 in p for p in got)
+
+
+def test_categorical_drift_tvd_exact_values(spark):
+    """TVD on hand-computable distributions: identical -> 0; disjoint ->
+    1; a known mix shift -> the exact fraction; categories present on
+    one side only are handled via the zero-count cell."""
+    from sanef_election_dashboard_etl_spark.operators.profile import \
+        categorical_drift_tvd
+
+    def dist(pairs):
+        rows = [(c,) for c, k in pairs for _ in range(k)]
+        return spark.createDataFrame(rows, "src string")
+
+    same = dist([("a", 3), ("b", 1)])
+    assert categorical_drift_tvd(same, same, "src").first()["tvd"] == 0.0
+    r = categorical_drift_tvd(dist([("a", 4)]), dist([("b", 2)]),
+                              "src").first()
+    assert r["tvd"] == 1.0 and r["n_old"] == 4 and r["n_new"] == 2
+    # old: a=3/4, b=1/4; new: a=1/4, b=2/4, c=1/4
+    # tvd = 0.5*(|3/4-1/4| + |1/4-2/4| + |0-1/4|) = 0.5
+    r2 = categorical_drift_tvd(
+        dist([("a", 3), ("b", 1)]),
+        dist([("a", 1), ("b", 2), ("c", 1)]), "src").first()
+    assert r2["tvd"] == 0.5

@@ -73,6 +73,12 @@ QUERIES = [
     ("sim_decontaminate", "train corpus x10 (eval side fixed)"),
     ("text_compression_ratio", "documents x10 (UDF tier)"),
     ("pipe_training_data_prep", "documents x10 (4-stage prep chain)"),
+    # round-4 late additions: numbering pays its eager range shuffle +
+    # count inside fn(), which run() keeps on the clock; fuzzy-edit's
+    # twin set is pinned (doc_id<120) but banding covers the full corpus
+    ("layout_global_row_number", "lineitem x10"),
+    ("snapshot_diff", "documents x10"),
+    ("dedup_fuzzy_edit", "documents x10"),
 ]
 
 # Operator-level rows (full tables — the registry's simhash entries pin

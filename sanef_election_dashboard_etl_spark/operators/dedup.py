@@ -1103,7 +1103,8 @@ def containment_pairs(df: DataFrame, n: int = 3,
 
 def fuzzy_edit_pairs(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", key_len: int = 33,
-                     max_edits: int = 2) -> DataFrame:
+                     max_edits: int = 2,
+                     max_df: int | None = None) -> DataFrame:
     """Character-level near-duplicate pairs by edit distance — the fuzzy
     twin MinHash misses: one-keystroke variants (typos, re-encodes,
     tracking-suffix URLs, OCR slips) whose token sets barely overlap as
@@ -1124,11 +1125,21 @@ def fuzzy_edit_pairs(df: DataFrame, id_col: str = "doc_id",
     Scale notes: probes are (max_edits+1) rows/doc and windows
     ~(max_edits+1)*(2*max_edits+1) rows/doc, both linear; the only
     shuffle keys on (chunk_index, value). Hot chunks (boilerplate
-    openings) fan out quadratically like hot shingles do — at corpus
-    scale apply the same max_df guard as minhash (dedup.py:92) on the
-    window values. Verification is O(key_len^2) per CANDIDATE, bounded
-    by the banding. Output: (id_a, id_b, dist), id_a < id_b, one row
-    per verified pair.
+    openings shared across DIFFERENT keys) fan the candidate join out
+    quadratically like hot shingles do — measured 3.16x time per 10x
+    docs unguarded on the word-salad fixtures (SCALING.md). `max_df`
+    is the same guard minhash uses (dedup.py:92): window values whose
+    document frequency exceeds it are dropped from candidate
+    generation via a broadcast anti-join (the hot set is tiny by
+    construction). Recall caveat, stated honestly: a true pair is
+    missed only if EVERY untouched-chunk match between the two keys is
+    hot — for max_edits=2 that needs all its surviving chunk hits to
+    exceed max_df, so unique-ish variants (typos of distinct content)
+    are unaffected while boilerplate-prefix armies (which exact/
+    normalized dedup already collapses) are excluded from the
+    quadratic join. Default None = exact. Verification is
+    O(key_len^2) per CANDIDATE, bounded by the banding. Output:
+    (id_a, id_b, dist), id_a < id_b, one row per verified pair.
     """
     n_chunks = max_edits + 1
     if key_len % n_chunks:
@@ -1161,6 +1172,13 @@ def fuzzy_edit_pairs(df: DataFrame, id_col: str = "doc_id",
         F.col("__id").alias("__idb"), F.col("__key").alias("__keyb"),
         F.explode(F.array(*windows)).alias("c")) \
         .select("__idb", "__keyb", "c.ci", "c.cv")
+
+    if max_df is not None:
+        hot = (index.groupBy("ci", "cv")
+               .agg(F.count(F.lit(1)).alias("__df"))
+               .filter(F.col("__df") > max_df).select("ci", "cv"))
+        probes = probes.join(F.broadcast(hot), ["ci", "cv"], "left_anti")
+        index = index.join(F.broadcast(hot), ["ci", "cv"], "left_anti")
 
     cand = (probes.join(index, ["ci", "cv"])
             .filter(F.col("__id") < F.col("__idb"))

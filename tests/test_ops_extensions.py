@@ -1426,3 +1426,28 @@ def test_categorical_drift_tvd_exact_values(spark):
         dist([("a", 3), ("b", 1)]),
         dist([("a", 1), ("b", 2), ("c", 1)]), "src").first()
     assert r2["tvd"] == 0.5
+
+
+def test_fuzzy_edit_max_df_guard(spark):
+    """The hot-chunk guard drops boilerplate-army candidates from the
+    quadratic join but keeps unique-content variants: twins with
+    distinct chunks still pair under a tight max_df; a pair whose ONLY
+    matching chunks are hot is excluded (the documented trade)."""
+    from sanef_election_dashboard_etl_spark.operators.dedup import \
+        fuzzy_edit_pairs
+
+    boiler = "common header boilerplate text!!!"          # 33 chars
+    uniq_a = "zq8 xkcd vortex m3w plinth 940 jazz"
+    uniq_b = uniq_a[:5] + "Q" + uniq_a[6:]                # 1 sub
+    rows = [(i, boiler + f" filler {i}") for i in range(20)]
+    rows += [(100, uniq_a), (101, uniq_b)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = {(r["id_a"], r["id_b"]) for r in fuzzy_edit_pairs(df).collect()}
+    guarded = {(r["id_a"], r["id_b"])
+               for r in fuzzy_edit_pairs(df, max_df=5).collect()}
+    assert (100, 101) in exact and (100, 101) in guarded
+    # the 20-doc boilerplate army pairs exactly (dist 0) unguarded...
+    assert sum(1 for a, b in exact if a < 100 and b < 100) == 190
+    # ...and is excluded from the candidate join under the guard
+    assert not any(a < 100 and b < 100 for a, b in guarded)

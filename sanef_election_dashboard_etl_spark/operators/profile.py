@@ -104,3 +104,57 @@ def categorical_drift_tvd(old: DataFrame, new: DataFrame,
          / (F.lit(2).cast("double") * F.col("ta").cast("double")
             * F.col("tb").cast("double"))).alias("tvd"),
         F.col("ta").alias("n_old"), F.col("tb").alias("n_new"))
+
+
+def numeric_drift_ks(old: DataFrame, new: DataFrame,
+                     val_col: str) -> DataFrame:
+    """Distribution drift on a NUMERIC column as the two-sample
+    Kolmogorov-Smirnov statistic — max over values of the empirical CDF
+    gap — the numeric sibling of `categorical_drift_tvd` (doc-length
+    drift, quality-score drift, token-count drift between snapshots).
+
+    Same exactness design as TVD: each CDF gap is
+    |cum_a * tot_b - cum_b * tot_a| / (tot_a * tot_b), so the max is
+    picked over exact integers and only ONE final double division runs —
+    engine-identical, no per-cell float accumulation.
+
+    Scale: two grouped counts (one shuffle each, map-side combined to
+    |distinct values| rows) + a cumulative-sum window over the merged
+    DISTINCT-value table. That window is a global order — fine exactly
+    because it runs on distinct VALUES, not rows: quantize/bin
+    continuous columns first (floor, round, width-bucket) so the value
+    domain is bounded; the op is O(|domain|) post-aggregation
+    regardless of corpus size. Output: one row
+    (ks double, n_old long, n_new long).
+    """
+    from pyspark.sql import Window
+
+    def counted(df: DataFrame, side: str) -> DataFrame:
+        return (df.groupBy(F.col(val_col).alias("__v"))
+                  .agg(F.count(F.lit(1)).alias(f"cnt_{side}")))
+
+    cells = (counted(old, "a").join(counted(new, "b"), "__v", "full_outer")
+             .select("__v",
+                     F.coalesce("cnt_a", F.lit(0)).alias("ca"),
+                     F.coalesce("cnt_b", F.lit(0)).alias("cb")))
+    w = (Window.orderBy("__v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = cells.select(F.sum("ca").over(w).alias("cuma"),
+                       F.sum("cb").over(w).alias("cumb"))
+    return _ks_finish(cum)
+
+
+def _ks_finish(cum: DataFrame) -> DataFrame:
+    """Fold the cumulative table to the KS row: totals are the LAST
+    cumulative values (max, since cums are monotone); the numerator max
+    needs totals per row, delivered by a 1-row broadcast crossJoin (the
+    same O(1)-rows scalar pattern as layout.with_z_value)."""
+    tot = cum.agg(F.max("cuma").alias("ta"), F.max("cumb").alias("tb"))
+    return (cum.crossJoin(F.broadcast(tot))
+            .agg(F.max(F.abs(F.col("cuma") * F.col("tb")
+                             - F.col("cumb") * F.col("ta"))).alias("num"),
+                 F.max("ta").alias("ta"), F.max("tb").alias("tb"))
+            .select((F.col("num").cast("double")
+                     / (F.col("ta").cast("double")
+                        * F.col("tb").cast("double"))).alias("ks"),
+                    F.col("ta").alias("n_old"), F.col("tb").alias("n_new")))

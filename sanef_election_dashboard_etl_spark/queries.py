@@ -4867,3 +4867,39 @@ def profile_drift_tvd(spark, sf_dir):
                    .otherwise(F.col("source")).alias("source")))
     from .operators.profile import categorical_drift_tvd
     return categorical_drift_tvd(docs.select("source"), new, "source")
+
+
+@query("profile_drift_ks", oracle="""
+    WITH newsnap AS (
+        SELECT CASE WHEN doc_id % 7 = 0 THEN GREATEST(n_chars - 40, 0)
+                    ELSE n_chars END AS v
+        FROM documents WHERE doc_id % 37 <> 0
+    ),
+    o AS (SELECT n_chars AS v, COUNT(*) AS ca FROM documents GROUP BY 1),
+    n AS (SELECT v, COUNT(*) AS cb FROM newsnap GROUP BY 1),
+    cells AS (SELECT coalesce(o.v, n.v) AS v,
+                     coalesce(o.ca, 0) AS ca, coalesce(n.cb, 0) AS cb
+              FROM o FULL OUTER JOIN n ON o.v = n.v),
+    cum AS (SELECT SUM(ca) OVER (ORDER BY v) AS cuma,
+                   SUM(cb) OVER (ORDER BY v) AS cumb
+            FROM cells),
+    tot AS (SELECT MAX(cuma) AS ta, MAX(cumb) AS tb FROM cum)
+    SELECT CAST(MAX(ABS(cuma * tb - cumb * ta)) AS DOUBLE)
+               / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)) AS ks,
+           CAST(ta AS BIGINT) AS n_old, CAST(tb AS BIGINT) AS n_new
+    FROM cum, tot GROUP BY ta, tb
+""")
+def profile_drift_ks(spark, sf_dir):
+    """Doc-length drift gate (operators/profile.py numeric_drift_ks):
+    two-sample KS statistic between the corpus n_chars distribution and
+    a simulated next crawl (drops doc_id%37, truncates doc_id%7 by 40
+    chars). Every CDF gap is an exact integer ratio — max picked over
+    longs, one final double division — so the oracle hash-matches the
+    statistic itself, not an approximation of it."""
+    docs = _t(spark, sf_dir, "documents")
+    new = (docs.filter(F.col("doc_id") % 37 != 0)
+           .select(F.when(F.col("doc_id") % 7 == 0,
+                          F.greatest(F.col("n_chars") - 40, F.lit(0)))
+                   .otherwise(F.col("n_chars")).alias("n_chars")))
+    from .operators.profile import numeric_drift_ks
+    return numeric_drift_ks(docs.select("n_chars"), new, "n_chars")

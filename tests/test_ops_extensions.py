@@ -1451,3 +1451,22 @@ def test_fuzzy_edit_max_df_guard(spark):
     assert sum(1 for a, b in exact if a < 100 and b < 100) == 190
     # ...and is excluded from the candidate join under the guard
     assert not any(a < 100 and b < 100 for a, b in guarded)
+
+
+def test_numeric_drift_ks_exact_values(spark):
+    """KS on hand-computable samples: identical -> 0; fully separated ->
+    1; a known half-shift -> the exact CDF gap fraction."""
+    from sanef_election_dashboard_etl_spark.operators.profile import \
+        numeric_drift_ks
+
+    def dist(vals):
+        return spark.createDataFrame([(v,) for v in vals], "v long")
+
+    same = dist([1, 2, 2, 3])
+    assert numeric_drift_ks(same, same, "v").first()["ks"] == 0.0
+    r = numeric_drift_ks(dist([1, 2]), dist([10, 11]), "v").first()
+    assert r["ks"] == 1.0 and r["n_old"] == 2 and r["n_new"] == 2
+    # old {1,2,3,4}, new {3,4,5,6}: max gap at v=2 -> |2/4 - 0/4| = 0.5
+    r2 = numeric_drift_ks(dist([1, 2, 3, 4]), dist([3, 4, 5, 6]),
+                          "v").first()
+    assert r2["ks"] == 0.5

@@ -474,3 +474,47 @@ def test_transform_with_state_peak_tracker(spark, tmp_path):
         else:
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_streaming_drift_monitor_per_batch(spark, tmp_path):
+    """Ingest-time drift monitoring: each arriving micro-batch's source
+    mix is TVD-scored against a STATIC reference distribution via
+    foreachBatch (the batch operator runs unchanged — same wiring as the
+    reference-LM curation test). An in-distribution batch scores ~0; a
+    skewed batch trips the gate."""
+    from sanef_election_dashboard_etl_spark.operators.profile import \
+        categorical_drift_tvd
+
+    ref = spark.createDataFrame(
+        [("web",)] * 6 + [("books",)] * 2 + [("code",)] * 2, "source string")
+
+    src = tmp_path / "drift_src"
+    src.mkdir()
+    # batch 0: same 6/2/2 mix as the reference; batch 1: all-code skew
+    spark.createDataFrame(
+        [("web",)] * 6 + [("books",)] * 2 + [("code",)] * 2,
+        "source string").coalesce(1).write.mode("append").parquet(str(src))
+
+    seen = []
+
+    def write_batch(df, epoch_id):
+        row = categorical_drift_tvd(ref, df, "source").first()
+        if row is not None and row["n_new"]:
+            seen.append(row["tvd"])
+
+    stream = spark.readStream.schema("source string").parquet(str(src))
+    q = (stream.writeStream.foreachBatch(write_batch)
+         .option("checkpointLocation", str(tmp_path / "drift_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    spark.createDataFrame([("code",)] * 10, "source string") \
+        .coalesce(1).write.mode("append").parquet(str(src))
+    q2 = (stream.writeStream.foreachBatch(write_batch)
+          .option("checkpointLocation", str(tmp_path / "drift_ckpt"))
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+
+    assert len(seen) == 2
+    assert seen[0] == 0.0          # matched mix
+    assert seen[1] == 0.8          # all-code vs 6/2/2: 1 - 0.2 overlap

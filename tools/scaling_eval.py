@@ -330,6 +330,12 @@ X100_HEAVY_OPERATORS = [
      "auto planes 6->13)", _semantic_dedup_scaled),
     ("incremental_dedup_bloom", "documents x100 (350k corpus / 150k batch)",
      _bloom_incremental_scaled),
+    # guarded fuzzy-edit at decade two: the max_df cap is the claim that
+    # the candidate join stays corpus-linear when hot-chunk density
+    # would otherwise grow the sum(df^2) bound quadratically
+    ("fuzzy_edit_guarded", "documents x100 (500k docs, max_df=50)",
+     lambda spark, sf: D.fuzzy_edit_pairs(table(spark, sf, "documents"),
+                                          max_df=50)),
 ]
 
 

@@ -4903,3 +4903,84 @@ def profile_drift_ks(spark, sf_dir):
                    .otherwise(F.col("n_chars")).alias("n_chars")))
     from .operators.profile import numeric_drift_ks
     return numeric_drift_ks(docs.select("n_chars"), new, "n_chars")
+
+
+@query("pipe_incremental_ingest", oracle="""
+    WITH newsnap AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END
+                   AS text
+        FROM documents WHERE doc_id % 37 <> 0
+        UNION ALL
+        SELECT doc_id + 700000 AS doc_id, text
+        FROM documents WHERE doc_id < 100
+    ),
+    o AS (SELECT doc_id,
+                 md5(concat_ws(chr(31), coalesce(CAST(text AS VARCHAR), '')))
+                     AS d
+          FROM documents),
+    n AS (SELECT doc_id,
+                 md5(concat_ws(chr(31), coalesce(CAST(text AS VARCHAR), '')))
+                     AS d
+          FROM newsnap),
+    delta AS (
+        SELECT n.doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    ELSE 'changed' END AS status
+        FROM n LEFT JOIN o ON o.doc_id = n.doc_id
+        WHERE o.doc_id IS NULL OR o.d <> n.d
+    ),
+    cand AS (
+        SELECT s.doc_id, d.status, s.text,
+               CAST(len(string_split_regex(trim(s.text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM newsnap s JOIN delta d USING (doc_id)
+    ),
+    corpus_fp AS (
+        SELECT DISTINCT
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+        FROM documents
+    )
+    SELECT c.doc_id, c.status, c.n_tokens
+    FROM cand c
+    LEFT JOIN corpus_fp k
+      ON md5(lower(trim(regexp_replace(c.text, '\\s+', ' ', 'g')))) = k.fp
+    WHERE c.n_tokens >= 5 AND k.fp IS NULL
+""")
+def pipe_incremental_ingest(spark, sf_dir):
+    """The incremental-training admission pipeline, composed from this
+    round's primitives in ONE lazy plan: snapshot_diff narrows the next
+    crawl to added/changed docs (digest full-outer join — fingerprints
+    shuffle, text does not), a token-count quality gate drops shorts,
+    and a normalized-fingerprint anti-join against the STANDING corpus
+    rejects docs whose new text is a re-encode of anything already
+    seen (the dedup_incremental shape — corpus side is 32-byte digests).
+    Output: (doc_id, status, n_tokens) of admitted docs. Re-keyed twins
+    land as 'added' but are rejected by the corpus anti-join (their
+    normalized text already exists); edited docs come through as
+    'changed'. Reference parity: SANEF_Uploader.py re-ingests
+    wholesale every run (:55); this is the §7 delta path."""
+    docs = _t(spark, sf_dir, "documents")
+    new = (docs.filter(F.col("doc_id") % 37 != 0)
+           .select("doc_id",
+                   F.when(F.col("doc_id") % 11 == 0,
+                          F.concat(F.col("text"), F.lit(" v2")))
+                   .otherwise(F.col("text")).alias("text"))
+           .unionByName(
+               docs.filter(F.col("doc_id") < 100)
+               .select((F.col("doc_id") + 700000).alias("doc_id"),
+                       "text")))
+    d = R.snapshot_diff(docs.select("doc_id", "text"), new,
+                        key="doc_id", cols=["text"])
+    delta = d.filter(F.col("status").isin("added", "changed"))
+    cand = (new.join(delta, "doc_id")
+            .select("doc_id", "status", "text",
+                    F.size(F.split(F.trim("text"), r"\s+"))
+                    .cast("long").alias("n_tokens")))
+    corpus_fp = docs.select(T.fingerprint(F.col("text")).alias("fp")) \
+        .distinct()
+    admitted = (cand.filter(F.col("n_tokens") >= 5)
+                .join(corpus_fp,
+                      T.fingerprint(F.col("text")) == F.col("fp"),
+                      "left_anti"))
+    return admitted.select("doc_id", "status", "n_tokens")

@@ -102,6 +102,10 @@ MUST_HAVE = {
     # snapshot diff: full-outer on the key with md5 digests computed
     # BELOW the exchange (the shuffle moves fingerprints, not text)
     "snapshot_diff": ["FullOuter", "Exchange hashpartitioning(doc_id"],
+    # incremental admission: the delta narrows via the digest full-outer,
+    # the corpus rejection is an anti-join with the digest set as the
+    # broadcast build side (32-byte fps, never documents)
+    "pipe_incremental_ingest": ["FullOuter", "LeftAnti, BuildRight"],
 }
 
 # query -> substrings that must NOT appear
@@ -142,6 +146,7 @@ MUST_NOT = {
     # numbering must never re-shuffle, re-sort, or plan a global window
     "layout_global_row_number": ["Exchange", "Window", "Sort"],
     "snapshot_diff": ["CartesianProduct"],
+    "pipe_incremental_ingest": ["CartesianProduct"],
 }
 
 AUDIT = [
@@ -162,7 +167,7 @@ AUDIT = [
     "layout_partition_pruned_scan", "dedup_substring_stats",
     "sim_decontaminate", "pipe_training_data_prep",
     "j13_lateral_topn", "r6_unpivot_native", "e15_variant_json",
-    "layout_global_row_number", "snapshot_diff",
+    "layout_global_row_number", "snapshot_diff", "pipe_incremental_ingest",
 ]
 
 

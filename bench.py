@@ -83,6 +83,7 @@ HEADLINE = (
     "dedup_simhash_arrow",
     "dedup_substring_stats",
     "pipe_training_data_prep",
+    "pipe_incremental_ingest",
 )
 
 

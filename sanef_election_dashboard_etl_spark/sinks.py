@@ -121,3 +121,26 @@ def upload_http(path: str, endpoint: str, dataset_id: int, token: str,
                  "Content-Type": f"multipart/form-data; boundary={boundary}"})
     with urllib.request.urlopen(req, timeout=60) as resp:  # noqa: S310
         return {"status": resp.status}
+
+
+def write_with_metrics(df, path: str, metrics: dict,
+                       fmt: str = "parquet") -> dict:
+    """Write `df` and collect audit metrics IN THE SAME JOB — Spark's
+    `Observation` API attaches named aggregate expressions to the plan,
+    so the counts/sums a 100 TB pipeline must record (rows admitted,
+    tokens kept, nulls seen) cost zero extra passes: the write job
+    itself accumulates them, where a separate `df.agg(...).collect()`
+    would re-read and recompute the entire input.
+
+    `metrics` maps name -> aggregate Column (F.count, F.sum, ...);
+    returns the observed {name: value} dict after the write commits.
+    Works for any DataFrame writer format; pair with the manifest/shard
+    writers for ingest bookkeeping. (Observation only supports batch
+    DataFrames; streaming uses `observe` on the stream + a listener.)
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    observed.write.format(fmt).mode("overwrite").save(path)
+    return obs.get

@@ -258,3 +258,44 @@ def test_compact_merges_small_files_and_preserves_rows(spark, tmp_path):
     assert back.count() == 2000
     assert back.select("id").distinct().count() == 2000
     assert not glob.glob(f"{path}.__compact_*")   # swap left no residue
+
+
+def test_write_with_metrics_single_job(spark, tmp_path):
+    """Observation metrics ride the write job: values equal independent
+    aggregates, and no second scan of the input is needed (the observe
+    node is part of the written plan)."""
+    from pyspark.sql import functions as F
+
+    from sanef_election_dashboard_etl_spark.sinks import write_with_metrics
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id") % 7)
+        .alias("v"))
+    out = str(tmp_path / "obs_out")
+    got = write_with_metrics(
+        df, out,
+        {"n_rows": F.count(F.lit(1)),
+         "n_null_v": F.count(F.lit(1)) - F.count("v"),
+         "sum_v": F.sum("v")})
+    assert got["n_rows"] == 1000
+    assert got["n_null_v"] == 100
+    assert got["sum_v"] == df.agg(F.sum("v")).first()[0]
+    assert spark.read.parquet(out).count() == 1000
+
+
+def test_permissive_csv_carries_corrupt_records(spark, tmp_path):
+    """Ingest robustness: malformed CSV rows land in the
+    _corrupt_record column under PERMISSIVE mode instead of failing the
+    100 TB job (FAILFAST stays the dim-load default in sources.files —
+    S1's dims are small and must be perfect; crawled feeds are not)."""
+    p = tmp_path / "feed.csv"
+    p.write_text("id,qty\n1,10\n2,notanumber\n3,30\n")
+    df = (spark.read
+          .schema("id int, qty int, _corrupt_record string")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .option("header", "true").csv(str(p)))
+    rows = {r["id"]: (r["qty"], r["_corrupt_record"]) for r in df.collect()}
+    assert rows[1] == (10, None) and rows[3] == (30, None)
+    assert rows[2][0] is None and "notanumber" in rows[2][1]

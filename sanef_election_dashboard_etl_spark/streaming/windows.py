@@ -130,3 +130,15 @@ def interval_join_streams(left: DataFrame, right: DataFrame, key: str,
     return (l.join(r, cond, "inner")
             .withColumn(f"{right_ts}_r", rt)
             .drop(drop_r_key).drop(rt))
+
+
+def observe_stream(df: DataFrame, name: str, metrics: dict) -> DataFrame:
+    """Per-micro-batch pipeline metrics with ZERO extra passes — the
+    streaming twin of sinks.write_with_metrics: `observe` attaches named
+    aggregate expressions to the streaming plan, and each batch's values
+    arrive in that batch's StreamingQueryProgress under
+    `observedMetrics[name]` (read them in a StreamingQueryListener's
+    onQueryProgress, or from `query.lastProgress`). The ingest monitors
+    (rows admitted, nulls seen, drift inputs) ride the batch job itself
+    instead of a second aggregation over the micro-batch."""
+    return df.observe(name, *[c.alias(n) for n, c in metrics.items()])

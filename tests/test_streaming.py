@@ -518,3 +518,33 @@ def test_streaming_drift_monitor_per_batch(spark, tmp_path):
     assert len(seen) == 2
     assert seen[0] == 0.0          # matched mix
     assert seen[1] == 0.8          # all-code vs 6/2/2: 1 - 0.2 overlap
+
+
+def test_observe_stream_per_batch_metrics(spark, tmp_path):
+    """observe() metrics surface in each batch's StreamingQueryProgress:
+    the counts ride the batch job (no second aggregation), and the
+    observed totals equal the written rows."""
+    from sanef_election_dashboard_etl_spark.streaming.windows import \
+        observe_stream
+
+    src = tmp_path / "obs_src"
+    src.mkdir()
+    spark.createDataFrame([(i, i % 3) for i in range(30)],
+                          "id long, v long") \
+        .coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema("id long, v long").parquet(str(src))
+    observed = observe_stream(
+        stream, "ingest",
+        {"n_rows": F.count(F.lit(1)), "n_v0": F.count(F.when(F.col("v") == 0, 1))})
+    q = (observed.writeStream.format("memory").queryName("obs_batches")
+         .option("checkpointLocation", str(tmp_path / "obs_ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = [p.observedMetrics["ingest"] for p in q.recentProgress
+           if "ingest" in (p.observedMetrics or {})]
+    assert got, [p.observedMetrics for p in q.recentProgress]
+    assert sum(m["n_rows"] for m in got) == 30
+    assert sum(m["n_v0"] for m in got) == 10
+    assert spark.sql("SELECT COUNT(*) c FROM obs_batches").first()["c"] == 30

@@ -86,8 +86,12 @@ def categorical_drift_tvd(old: DataFrame, new: DataFrame,
         return (df.groupBy(F.col(dim_col).alias("__c"))
                   .agg(F.count(F.lit(1)).alias(f"cnt_{side}")))
 
-    o, n = counted(old, "a"), counted(new, "b")
-    cells = (o.join(n, "__c", "full_outer")
+    o, n = counted(old, "a").alias("o"), counted(new, "b").alias("n")
+    # null-safe key match: a NULL category is a real cell (missing
+    # source labels drift too); a plain equi-join would split it into
+    # two unmatched rows and overcount the gap
+    cells = (o.join(n, F.col("o.__c").eqNullSafe(F.col("n.__c")),
+                    "full_outer")
               .select(F.coalesce("cnt_a", F.lit(0)).alias("ca"),
                       F.coalesce("cnt_b", F.lit(0)).alias("cb")))
     tot = cells.agg(
@@ -133,11 +137,17 @@ def numeric_drift_ks(old: DataFrame, new: DataFrame,
         return (df.groupBy(F.col(val_col).alias("__v"))
                   .agg(F.count(F.lit(1)).alias(f"cnt_{side}")))
 
-    cells = (counted(old, "a").join(counted(new, "b"), "__v", "full_outer")
-             .select("__v",
+    o = counted(old, "a").alias("o")
+    n = counted(new, "b").alias("n")
+    # null-safe key match (see categorical_drift_tvd); null values sort
+    # first in the CDF order, identically in both engines under the
+    # oracle's NULLS FIRST
+    cells = (o.join(n, F.col("o.__v").eqNullSafe(F.col("n.__v")),
+                    "full_outer")
+             .select(F.coalesce("o.__v", "n.__v").alias("__v"),
                      F.coalesce("cnt_a", F.lit(0)).alias("ca"),
                      F.coalesce("cnt_b", F.lit(0)).alias("cb")))
-    w = (Window.orderBy("__v")
+    w = (Window.orderBy(F.asc_nulls_first("__v"))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = cells.select(F.sum("ca").over(w).alias("cuma"),
                        F.sum("cb").over(w).alias("cumb"))

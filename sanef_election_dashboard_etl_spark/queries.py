@@ -4846,7 +4846,8 @@ def dedup_fuzzy_edit(spark, sf_dir):
     o AS (SELECT source AS c, COUNT(*) AS ca FROM documents GROUP BY 1),
     n AS (SELECT source AS c, COUNT(*) AS cb FROM newsnap GROUP BY 1),
     cells AS (SELECT coalesce(o.ca, 0) AS ca, coalesce(n.cb, 0) AS cb
-              FROM o FULL OUTER JOIN n ON o.c = n.c),
+              FROM o FULL OUTER JOIN n
+                ON o.c IS NOT DISTINCT FROM n.c),
     tot AS (SELECT SUM(ca) AS ta, SUM(cb) AS tb FROM cells)
     SELECT CAST(SUM(ABS(ca * tb - cb * ta)) AS DOUBLE)
                / (2.0 * CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)) AS tvd,
@@ -4879,9 +4880,10 @@ def profile_drift_tvd(spark, sf_dir):
     n AS (SELECT v, COUNT(*) AS cb FROM newsnap GROUP BY 1),
     cells AS (SELECT coalesce(o.v, n.v) AS v,
                      coalesce(o.ca, 0) AS ca, coalesce(n.cb, 0) AS cb
-              FROM o FULL OUTER JOIN n ON o.v = n.v),
-    cum AS (SELECT SUM(ca) OVER (ORDER BY v) AS cuma,
-                   SUM(cb) OVER (ORDER BY v) AS cumb
+              FROM o FULL OUTER JOIN n
+                ON o.v IS NOT DISTINCT FROM n.v),
+    cum AS (SELECT SUM(ca) OVER (ORDER BY v NULLS FIRST) AS cuma,
+                   SUM(cb) OVER (ORDER BY v NULLS FIRST) AS cumb
             FROM cells),
     tot AS (SELECT MAX(cuma) AS ta, MAX(cumb) AS tb FROM cum)
     SELECT CAST(MAX(ABS(cuma * tb - cumb * ta)) AS DOUBLE)

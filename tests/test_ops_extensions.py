@@ -1470,3 +1470,22 @@ def test_numeric_drift_ks_exact_values(spark):
     r2 = numeric_drift_ks(dist([1, 2, 3, 4]), dist([3, 4, 5, 6]),
                           "v").first()
     assert r2["ks"] == 0.5
+
+
+def test_drift_gates_handle_null_categories_and_values(spark):
+    """A NULL category/value is a real drift cell (null-safe join): TVD
+    with matched nulls scores the true gap, not a split overcount; KS
+    sorts nulls first in the CDF deterministically."""
+    from sanef_election_dashboard_etl_spark.operators.profile import (
+        categorical_drift_tvd, numeric_drift_ks)
+
+    a = spark.createDataFrame([("x",), (None,), (None,)], "src string")
+    b = spark.createDataFrame([("x",), ("x",), (None,)], "src string")
+    # old: x=1/3, null=2/3; new: x=2/3, null=1/3 -> tvd = 1/3
+    r = categorical_drift_tvd(a, b, "src").first()
+    assert abs(r["tvd"] - 1 / 3) < 1e-15
+    # equal null mix -> 0 (a split-cell bug would report > 0)
+    same = categorical_drift_tvd(a, a, "src").first()
+    assert same["tvd"] == 0.0
+    ka = spark.createDataFrame([(1,), (None,), (2,)], "v long")
+    assert numeric_drift_ks(ka, ka, "v").first()["ks"] == 0.0

@@ -1489,3 +1489,48 @@ def test_drift_gates_handle_null_categories_and_values(spark):
     assert same["tvd"] == 0.0
     ka = spark.createDataFrame([(1,), (None,), (2,)], "v long")
     assert numeric_drift_ks(ka, ka, "v").first()["ks"] == 0.0
+
+
+def test_dynamic_partition_pruning_on_partitioned_join(spark, tmp_path):
+    """Dynamic Partition Pruning — the join-driven sibling of the static
+    PartitionFilters assert (layout_partition_pruned_scan) and the bloom
+    runtime filter: a selective filter on the DIM side prunes the
+    partitioned FACT's directories at RUNTIME via a dynamicpruning
+    subquery, so a 100 TB date-partitioned table reads only the
+    directories the join can match. Asserted on the executed plan
+    (`dynamicpruning` in the fact scan's PartitionFilters) plus result
+    equality against the unpruned control."""
+    import os
+
+    from sanef_election_dashboard_etl_spark.operators.layout import \
+        partitioned_write
+
+    fact = spark.range(0, 20_000).select(
+        F.col("id"),
+        F.concat(F.lit("2024-01-"),
+                 F.lpad((F.col("id") % 20 + 1).cast("string"), 2, "0"))
+        .alias("day"),
+        (F.col("id") % 97).alias("v"))
+    path = str(tmp_path / "fact_by_day")
+    partitioned_write(fact, path, ["day"])
+
+    dim = spark.createDataFrame(
+        [(f"2024-01-{d:02d}", "keep" if d <= 2 else "drop")
+         for d in range(1, 21)], "day string, tag string")
+
+    pfact = spark.read.parquet(path)
+    control = (pfact.join(dim.filter(F.col("tag") == "keep"), "day")
+               .agg(F.sum("v").alias("s")).first()["s"])
+
+    saved = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled",
+                   "true")
+    try:
+        joined = (pfact.join(dim.filter(F.col("tag") == "keep"), "day")
+                  .agg(F.sum("v").alias("s")))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan, plan
+        assert joined.first()["s"] == control
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled", saved)

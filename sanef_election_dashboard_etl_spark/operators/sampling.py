@@ -214,3 +214,54 @@ def weighted_sample(df: DataFrame, weight_col: str, k: int,
             .select(F.col(id_col), w.alias("weight"), key.alias("key"))
             .orderBy(F.desc("key"), F.asc(id_col))
             .limit(k))
+
+
+def epoch_repeat(df: DataFrame, epochs: Mapping[str, float],
+                 default_epochs: float = 1.0, key_col: str = "doc_id",
+                 source_col: str = "source") -> DataFrame:
+    """Fractional per-source epoch oversampling — the data-mixing knob
+    LLM recipes express as "Wikipedia x2.5, web x0.6": every row is
+    emitted floor(e) times, plus one extra copy for the deterministic
+    hash-selected frac(e) fraction of keys. e < 1 downsamples (0 full
+    copies, frac(e) of keys keep one), e > 1 upsamples, e = 0 drops
+    the source. Emitted `epoch` ordinals let downstream shuffles (e.g.
+    layout.epoch_shuffle) decorrelate the copies.
+
+    Determinism: the fractional copy is hash-mod on the key (same
+    portable_hash as hash_sample), so the mixed corpus is reproducible
+    across runs, partitionings, and engines, and the e=2.5 output is a
+    superset of the e=2.0 output.
+
+    Scale: explode(sequence(0, ceil(e)-1)) is a narrow per-row fan-out
+    (max ceil(e) copies, no shuffle, no join); the filter folds into
+    the same stage. At 100 TB this is the one-pass materialization of
+    a mixture spec — output size is sum_s e_s * |s| by construction."""
+    src = F.col(source_col)
+    full_c, thr_c, ncopies_c = None, None, None
+
+    def _case(acc, cond, val):
+        return F.when(cond, val) if acc is None else acc.when(cond, val)
+
+    for s, e in epochs.items():
+        if e < 0:
+            raise ValueError(f"epochs must be >= 0, got {s}={e}")
+        full = int(e)
+        thr = round((e - full) * _M)
+        full_c = _case(full_c, src == s, F.lit(full))
+        thr_c = _case(thr_c, src == s, F.lit(thr))
+        ncopies_c = _case(ncopies_c, src == s,
+                          F.lit(max(1, full + (1 if thr > 0 else 0))))
+    dfull = int(default_epochs)
+    dthr = round((default_epochs - dfull) * _M)
+    dn = max(1, dfull + (1 if dthr > 0 else 0))
+    full_c = F.lit(dfull) if full_c is None else full_c.otherwise(dfull)
+    thr_c = F.lit(dthr) if thr_c is None else thr_c.otherwise(dthr)
+    ncopies_c = F.lit(dn) if ncopies_c is None else ncopies_c.otherwise(dn)
+
+    bucket = hash_bucket(F.col(key_col).cast("string"))
+    return (df
+            .withColumn("epoch",
+                        F.explode(F.sequence(F.lit(0), ncopies_c - 1)))
+            .filter((F.col("epoch") < full_c) |
+                    ((F.col("epoch") == full_c) & (bucket < thr_c)))
+            .withColumn("epoch", F.col("epoch").cast("long")))

@@ -510,3 +510,82 @@ def redact_pii(df: DataFrame, id_col: str = "doc_id",
         F.col(id_col), clean.alias("clean_text"),
         (F.greatest(n_emails, F.lit(0)) + F.greatest(n_digits, F.lit(0)))
         .alias("n_redactions"))
+
+
+def quality_classifier(df: DataFrame, dim: int = 256,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """fastText-style hashed linear quality scorer, as pure JVM
+    expressions — the shape of the model-based quality filters
+    (pallets of web docs scored by a linear classifier over hashed
+    bag-of-words, keep/drop by sign) used by LLM corpus pipelines.
+    The reference has no model tier at all (SANEF_Uploader.py computes
+    only fixed-rule columns); this is the engine extension that makes
+    classifier-filtering a first-class relational op.
+
+    Features: token -> portable 60-bit md5 hash -> bucket j in
+    [0, dim); weight w(j) = (j * 2654435761) % 101 - 50, an integer in
+    [-50, 50] derived from the Knuth multiplicative constant so the
+    whole model is reproducible from `dim` alone (swap in a trained
+    weight table via a broadcast join without changing the plan shape).
+    Score = sum(w) / (100 * n_tokens): integer accumulation, ONE final
+    double division — bit-identical across engines (no exp/ln; see
+    numeric.py determinism rules), so the DuckDB oracle replays it
+    exactly.
+
+    Scale: explode + single groupBy(doc) — one shuffle of (doc_id,
+    int) pairs; at 100 TB the weight lookup stays an expression (no
+    join, no Python), and partial aggregation halves shuffle volume
+    map-side."""
+    from .dedup import portable_hash
+    tok = exploded_tokens(df, id_col, text_col)
+    j = F.pmod(portable_hash(F.col("token")), F.lit(dim))
+    w = F.pmod(j * F.lit(2654435761), F.lit(101)) - F.lit(50)
+    per_doc = tok.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(w).alias("score_int"),
+    )
+    return per_doc.select(
+        id_col, "n_tokens", "score_int",
+        (F.col("score_int").cast("double")
+         / (F.col("n_tokens") * F.lit(100)).cast("double")).alias("score"),
+        F.when(F.col("score_int") >= 0, "keep").otherwise("drop")
+         .alias("verdict"),
+    )
+
+
+def ccnet_buckets(df: DataFrame, n_buckets: int = 3,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  lang_col: str = "lang") -> DataFrame:
+    """CCNet-style head/middle/tail corpus partitioning: score every
+    doc with the self-fit bigram LM (lm_cross_entropy), then cut each
+    language into `n_buckets` equal-population perplexity tertiles —
+    head (lowest cross-entropy, cleanest) to tail. The canonical
+    recipe keeps head+middle for pretraining and routes tail to
+    aggressive filtering.
+
+    Determinism: ntile over (cross_entropy, doc_id) — cross_entropy is
+    decimal-exact cross-engine (see text_lm_perplexity) and doc_id
+    breaks ties totally, so bucket assignment is reproducible in the
+    DuckDB oracle.
+
+    Scale: the LM fit is two token-level aggregations; the bucketing
+    is one partition-by-language sort. ntile needs the whole language
+    in one sorted partition — fine for per-language corpora shards; at
+    100 TB swap the exact ntile for approx-quantile cutpoints
+    (approxQuantile per lang, then a narrow CASE filter) and keep this
+    exact tier for validation, as CCNet itself does (it computes
+    cutoffs on a sample)."""
+    from pyspark.sql import Window
+    ce = lm_cross_entropy(df, n=2, alpha=0.5, id_col=id_col,
+                          text_col=text_col)
+    langs = df.select(id_col, lang_col)
+    scored = ce.join(langs, id_col)
+    w = Window.partitionBy(lang_col).orderBy("cross_entropy", id_col)
+    b = F.ntile(n_buckets).over(w)
+    name = (F.when(b == 1, "head")
+            .when(b == n_buckets, "tail").otherwise("middle"))
+    return scored.select(
+        id_col, lang_col, "cross_entropy",
+        b.cast("long").alias("bucket_id"),
+        name.alias("bucket"))

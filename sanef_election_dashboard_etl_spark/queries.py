@@ -4700,7 +4700,6 @@ def _reorder_registry() -> None:
     REGISTRY.update(tail_rows_only)
 
 
-_reorder_registry()
 
 
 @query("layout_global_row_number", oracle="""
@@ -4986,3 +4985,124 @@ def pipe_incremental_ingest(spark, sf_dir):
                       T.fingerprint(F.col("text")) == F.col("fp"),
                       "left_anti"))
     return admitted.select("doc_id", "status", "n_tokens")
+
+
+@query("text_quality_classifier", oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ), f AS (
+        SELECT doc_id,
+               (('0x' || substr(md5(token), 1, 15))::BIGINT % 256) AS j
+        FROM tok
+    ), per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               CAST(SUM((j * 2654435761) % 101 - 50) AS BIGINT) AS score_int
+        FROM f GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, score_int,
+           CAST(score_int AS DOUBLE) / CAST(n_tokens * 100 AS DOUBLE)
+               AS score,
+           CASE WHEN score_int >= 0 THEN 'keep' ELSE 'drop' END AS verdict
+    FROM per_doc
+""")
+def text_quality_classifier(spark, sf_dir):
+    """fastText-style hashed linear quality scorer (text.
+    quality_classifier): token -> md5 feature bucket -> derived integer
+    weight, integer accumulation, one final double division — the
+    model-based quality-filter tier as pure JVM expressions, replayed
+    exactly by the oracle (no exp/ln anywhere)."""
+    return T.quality_classifier(_t(spark, sf_dir, "documents"))
+
+
+@query("text_ccnet_buckets", oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents WHERE doc_id < 200
+    ), idx AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS i
+        FROM tok
+    ), pairs AS (
+        SELECT doc_id, toks[i] AS context, toks[i + 1] AS next_token
+        FROM idx WHERE toks[i] <> '' AND toks[i + 1] <> ''
+    ), counts AS (
+        SELECT context, next_token, COUNT(*) AS cnt
+        FROM pairs GROUP BY 1, 2
+    ), ctx AS (
+        SELECT context, CAST(SUM(cnt) AS BIGINT) AS context_cnt
+        FROM counts GROUP BY 1
+    ), v AS (
+        SELECT COUNT(DISTINCT t) AS V
+        FROM (SELECT unnest(toks) AS t FROM tok) WHERE t <> ''
+    ), scored AS (
+        SELECT p.doc_id,
+               ROUND(-ln((CAST(c.cnt AS DOUBLE) + 0.5)
+                         / (CAST(x.context_cnt AS DOUBLE) + 0.5 * v.V)), 6)
+                   AS nll
+        FROM pairs p
+        JOIN counts c USING (context, next_token)
+        JOIN ctx x USING (context), v
+    ), per_doc AS (
+        SELECT doc_id,
+               ROUND(CAST(SUM(CAST(nll AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(*), 4) AS cross_entropy
+        FROM scored GROUP BY doc_id
+    )
+    SELECT p.doc_id, d.lang, p.cross_entropy,
+           CAST(ntile(3) OVER (PARTITION BY d.lang
+                               ORDER BY p.cross_entropy, p.doc_id)
+                AS BIGINT) AS bucket_id,
+           CASE ntile(3) OVER (PARTITION BY d.lang
+                               ORDER BY p.cross_entropy, p.doc_id)
+                WHEN 1 THEN 'head' WHEN 3 THEN 'tail'
+                ELSE 'middle' END AS bucket
+    FROM per_doc p JOIN documents d USING (doc_id)
+""")
+def text_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity tertiles per language
+    (text.ccnet_buckets): self-fit bigram LM cross-entropy (the
+    text_lm_perplexity machinery) cut into equal-population ntile(3)
+    buckets within each lang, ties broken by doc_id so the assignment
+    is total and the DuckDB oracle replays it bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return T.ccnet_buckets(docs, n_buckets=3)
+
+
+@query("sample_epoch_repeat", oracle=f"""
+    WITH base AS (
+        SELECT doc_id, source,
+               CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+                    ELSE 1 END AS n_full,
+               CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 6000
+                    ELSE 0 END AS thr,
+               CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 1
+                    ELSE 1 END AS nc
+        FROM documents
+    ), rep AS (
+        SELECT doc_id, source, n_full, thr,
+               unnest(generate_series(0, nc - 1)) AS epoch
+        FROM base
+    )
+    SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch
+    FROM rep
+    WHERE epoch < n_full OR (epoch = n_full AND
+          {{hash_bucket}} < thr)
+""".format(hash_bucket=_HASH_BUCKET_SQL.format(key='doc_id')))
+def sample_epoch_repeat(spark, sf_dir):
+    """Fractional per-source epoch oversampling (sampling.epoch_repeat):
+    src0 x2.5 (2 full copies + hash-selected half), src1 x0.6
+    (downsample), everything else x1.0 — the LLM data-mixing recipe
+    materialized in one narrow explode+filter pass, reproducible
+    across engines via the portable hash."""
+    from .operators.sampling import epoch_repeat
+    docs = _t(spark, sf_dir, "documents")
+    return epoch_repeat(docs, {"src0": 2.5, "src1": 0.6},
+                        default_epochs=1.0) \
+        .select("doc_id", "source", "epoch")
+
+
+# Reorder AFTER every @query above has registered: the driver checks the
+# first _WINDOW_SIZE entries, so this call must stay at module end —
+# entries registered after it would never rotate into the window.
+_reorder_registry()

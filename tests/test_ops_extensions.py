@@ -1534,3 +1534,85 @@ def test_dynamic_partition_pruning_on_partitioned_join(spark, tmp_path):
     finally:
         spark.conf.set(
             "spark.sql.optimizer.dynamicPartitionPruning.enabled", saved)
+
+
+def test_quality_classifier_integer_exact_and_signed(spark):
+    """Hashed linear scorer: integer dot product, sign-based verdict,
+    score = score_int / (100 * n_tokens) exactly."""
+    from sanef_election_dashboard_etl_spark.operators.text import \
+        quality_classifier
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "x"), (3, "alpha alpha alpha")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in quality_classifier(df).collect()}
+    assert out[1]["n_tokens"] == 3 and out[3]["n_tokens"] == 3
+    # repeated token => score_int is 3x the single-token weight
+    assert out[3]["score_int"] % 3 == 0
+    for r in out.values():
+        assert r["score"] == r["score_int"] / (100.0 * r["n_tokens"])
+        assert r["verdict"] == ("keep" if r["score_int"] >= 0 else "drop")
+    # weights span negative and positive: over a real corpus both
+    # verdicts appear (sf0.001 documents)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    verdicts = {r["verdict"]
+                for r in quality_classifier(docs).select("verdict")
+                .distinct().collect()}
+    assert verdicts == {"keep", "drop"}
+
+
+def test_ccnet_buckets_equal_population_tertiles(spark):
+    """Per-lang ntile(3): bucket sizes differ by at most 1 and head has
+    strictly lower max cross-entropy than tail's min (ties impossible:
+    doc_id breaks them inside ntile but bucket boundaries can share a
+    value only when the ce values are equal — allow <=)."""
+    from sanef_election_dashboard_etl_spark.operators.text import \
+        ccnet_buckets
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .filter(F.col("doc_id") < 150))
+    out = ccnet_buckets(docs).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert by_lang
+    for lang, rows in by_lang.items():
+        sizes = {}
+        for r in rows:
+            sizes[r["bucket_id"]] = sizes.get(r["bucket_id"], 0) + 1
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (lang, sizes)
+        head_max = max(r["cross_entropy"] for r in rows if r["bucket"] == "head")
+        tail_min = min(r["cross_entropy"] for r in rows if r["bucket"] == "tail")
+        assert head_max <= tail_min
+
+
+def test_epoch_repeat_fractional_superset_and_counts(spark):
+    """x2.5 emits 2 or 3 copies per key; x0.6 emits 0 or 1; x0 drops;
+    and the x2.0 output is a subset of the x2.5 output (same hash)."""
+    from sanef_election_dashboard_etl_spark.operators.sampling import \
+        epoch_repeat
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 == 0 else ("b" if i % 3 == 1 else "c"))
+         for i in range(300)], "doc_id long, source string")
+    out = epoch_repeat(df, {"a": 2.5, "b": 0.6, "c": 0.0}).collect()
+    per_key = {}
+    for r in out:
+        per_key.setdefault((r["source"], r["doc_id"]), []).append(r["epoch"])
+    assert not any(s == "c" for s, _ in per_key)
+    a_counts = [len(v) for (s, _), v in per_key.items() if s == "a"]
+    assert set(a_counts) <= {2, 3} and 2 in a_counts and 3 in a_counts
+    b_counts = [len(v) for (s, _), v in per_key.items() if s == "b"]
+    assert set(b_counts) == {1}  # kept b-keys have exactly one copy
+    n_b = sum(1 for (s, _) in per_key if s == "b")
+    assert 0 < n_b < 100  # ~60% of the 100 b-keys survive
+    # epochs are dense ordinals starting at 0
+    for v in per_key.values():
+        assert sorted(v) == list(range(len(v)))
+    # monotone composability: 2.0-epoch output is a subset of 2.5's
+    two = {(r["doc_id"], r["epoch"])
+           for r in epoch_repeat(df.filter(F.col("source") == "a"),
+                                 {"a": 2.0}).collect()}
+    twofive = {(d, e) for (s, d), v in per_key.items() if s == "a"
+               for e in v}
+    assert two <= twofive

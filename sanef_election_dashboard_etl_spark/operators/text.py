@@ -569,6 +569,13 @@ def ccnet_buckets(df: DataFrame, n_buckets: int = 3,
     breaks ties totally, so bucket assignment is reproducible in the
     DuckDB oracle.
 
+    Domain contract: docs with <2 tokens have no bigrams, hence no
+    cross-entropy, hence NO bucket — they are absent from the output by
+    definition (the oracle mirrors this), not silently dropped mid-rule
+    like the curate() defect ADVICE r3 flagged. Route short docs through
+    a length gate (quality_score / curate) BEFORE perplexity bucketing;
+    that is also CCNet's own order of operations.
+
     Scale: the LM fit is two token-level aggregations; the bucketing
     is one partition-by-language sort. ntile needs the whole language
     in one sorted partition — fine for per-language corpora shards; at
@@ -589,3 +596,36 @@ def ccnet_buckets(df: DataFrame, n_buckets: int = 3,
         id_col, lang_col, "cross_entropy",
         b.cast("long").alias("bucket_id"),
         name.alias("bucket"))
+
+
+def quality_classifier_weighted(df: DataFrame, weights: DataFrame,
+                                dim: int = 256, id_col: str = "doc_id",
+                                text_col: str = "text") -> DataFrame:
+    """quality_classifier with a TRAINED weight table instead of the
+    derived expression: `weights` is (feature long, weight int) with
+    one row per bucket in [0, dim). The feature lookup becomes a
+    broadcast hash join on the hashed bucket id — the plan the
+    docstring of quality_classifier promises, demonstrated: nothing
+    else changes (same explode, same single groupBy(doc) shuffle,
+    same scoring arithmetic). Missing features weigh 0 (left join +
+    coalesce), so a sparse model table works unchanged.
+
+    Scale: a real fastText-style model is <=1e6 buckets x 4 bytes —
+    broadcast-trivial at any corpus size."""
+    tok = exploded_tokens(df, id_col, text_col)
+    from .dedup import portable_hash
+    j = F.pmod(portable_hash(F.col("token")), F.lit(dim))
+    scored = (tok.withColumn("feature", j)
+              .join(F.broadcast(weights), "feature", "left")
+              .withColumn("w", F.coalesce(F.col("weight"), F.lit(0))))
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("w").alias("score_int"),
+    )
+    return per_doc.select(
+        id_col, "n_tokens", "score_int",
+        (F.col("score_int").cast("double")
+         / (F.col("n_tokens") * F.lit(100)).cast("double")).alias("score"),
+        F.when(F.col("score_int") >= 0, "keep").otherwise("drop")
+         .alias("verdict"),
+    )

@@ -5015,6 +5015,40 @@ def text_quality_classifier(spark, sf_dir):
     return T.quality_classifier(_t(spark, sf_dir, "documents"))
 
 
+@query("text_quality_classifier_weighted", oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ), f AS (
+        SELECT doc_id,
+               (('0x' || substr(md5(token), 1, 15))::BIGINT % 256) AS j
+        FROM tok
+    ), per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               CAST(SUM((j * 2654435761) % 101 - 50) AS BIGINT) AS score_int
+        FROM f GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, score_int,
+           CAST(score_int AS DOUBLE) / CAST(n_tokens * 100 AS DOUBLE)
+               AS score,
+           CASE WHEN score_int >= 0 THEN 'keep' ELSE 'drop' END AS verdict
+    FROM per_doc
+""")
+def text_quality_classifier_weighted(spark, sf_dir):
+    """The broadcast weight-TABLE tier of the classifier
+    (text.quality_classifier_weighted): same scoring contract as
+    text_quality_classifier (the oracle is literally identical), but
+    the weight lookup is a broadcast hash join against a (feature,
+    weight) table — the swap-in-a-trained-model plan, gate-proven to
+    reproduce the expression path bit-for-bit."""
+    weights = spark.range(256).select(
+        F.col("id").alias("feature"),
+        (F.pmod(F.col("id") * F.lit(2654435761), F.lit(101)) - F.lit(50))
+        .cast("int").alias("weight"))
+    return T.quality_classifier_weighted(
+        _t(spark, sf_dir, "documents"), weights, dim=256)
+
+
 @query("text_ccnet_buckets", oracle="""
     WITH tok AS (
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks

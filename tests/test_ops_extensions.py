@@ -1616,3 +1616,30 @@ def test_epoch_repeat_fractional_superset_and_counts(spark):
     twofive = {(d, e) for (s, d), v in per_key.items() if s == "a"
                for e in v}
     assert two <= twofive
+
+
+def test_quality_classifier_weight_table_swap(spark):
+    """The broadcast weight-table variant reproduces the expression
+    path exactly when fed the derived weights, and its plan is a
+    BroadcastHashJoin with no extra shuffle beyond the doc groupBy."""
+    from sanef_election_dashboard_etl_spark.operators.text import (
+        quality_classifier, quality_classifier_weighted)
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .filter(F.col("doc_id") < 200))
+    dim = 256
+    weights = spark.range(dim).select(
+        F.col("id").alias("feature"),
+        (F.pmod(F.col("id") * F.lit(2654435761), F.lit(101)) - F.lit(50))
+        .cast("int").alias("weight"))
+    expr_rows = {r["doc_id"]: r for r in quality_classifier(docs, dim).collect()}
+    tbl = quality_classifier_weighted(docs, weights, dim)
+    tbl_rows = {r["doc_id"]: r for r in tbl.collect()}
+    assert expr_rows.keys() == tbl_rows.keys()
+    for k, e in expr_rows.items():
+        t = tbl_rows[k]
+        assert (e["n_tokens"], e["score_int"], e["score"], e["verdict"]) == \
+               (t["n_tokens"], t["score_int"], t["score"], t["verdict"])
+    plan = tbl._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -106,6 +106,9 @@ MUST_HAVE = {
     # the corpus rejection is an anti-join with the digest set as the
     # broadcast build side (32-byte fps, never documents)
     "pipe_incremental_ingest": ["FullOuter", "LeftAnti, BuildRight"],
+    # hashed classifier: weight lookup is an expression (no join), one
+    # hash aggregate pair (partial + final) on doc_id
+    "text_quality_classifier": ["HashAggregate"],
 }
 
 # query -> substrings that must NOT appear
@@ -147,6 +150,10 @@ MUST_NOT = {
     "layout_global_row_number": ["Exchange", "Window", "Sort"],
     "snapshot_diff": ["CartesianProduct"],
     "pipe_incremental_ingest": ["CartesianProduct"],
+    # the model is an expression: no join, no Python boundary
+    "text_quality_classifier": ["Join", "BatchEvalPython", "ArrowEvalPython"],
+    # epoch mixing is a narrow explode+filter: no shuffle, no join
+    "sample_epoch_repeat": ["Exchange", "Join"],
 }
 
 AUDIT = [
@@ -168,6 +175,7 @@ AUDIT = [
     "sim_decontaminate", "pipe_training_data_prep",
     "j13_lateral_topn", "r6_unpivot_native", "e15_variant_json",
     "layout_global_row_number", "snapshot_diff", "pipe_incremental_ingest",
+    "text_quality_classifier", "sample_epoch_repeat",
 ]
 
 

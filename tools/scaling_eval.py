@@ -24,6 +24,7 @@ import pyspark.sql.functions as F
 
 from sanef_election_dashboard_etl_spark.catalog import table
 from sanef_election_dashboard_etl_spark.operators import dedup as D
+from sanef_election_dashboard_etl_spark.operators import text as T
 from sanef_election_dashboard_etl_spark.queries import REGISTRY
 from sanef_election_dashboard_etl_spark.session import get_spark
 
@@ -79,6 +80,10 @@ QUERIES = [
     ("layout_global_row_number", "lineitem x10"),
     ("snapshot_diff", "documents x10"),
     ("dedup_fuzzy_edit", "documents x10"),
+    # round-4 LLM-mixing additions: classifier is explode+one groupBy,
+    # epoch_repeat is a narrow explode+filter (expect ~linear & ~flat)
+    ("text_quality_classifier", "documents x10"),
+    ("sample_epoch_repeat", "documents x10"),
 ]
 
 # Operator-level rows (full tables — the registry's simhash entries pin
@@ -98,6 +103,10 @@ OPERATORS = [
     ("fuzzy_edit_guarded", "documents x10 (max_df=50)",
      lambda spark, sf: D.fuzzy_edit_pairs(table(spark, sf, "documents"),
                                           max_df=50)),
+    # registry entry pins doc_id<200 for oracle cost; measure the full
+    # table here (LM fit + per-lang ntile both scale with the corpus)
+    ("ccnet_buckets_full", "documents x10 (full table)",
+     lambda spark, sf: T.ccnet_buckets(table(spark, sf, "documents"))),
 ]
 
 

@@ -300,15 +300,23 @@ def ngram_pairs(df: DataFrame, n: int = 2, text_col: str = "text",
                 keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """(context, next_token) rows per n-gram occurrence (multiplicity
     kept), optionally carrying `keep_cols` (e.g. the doc id). One narrow
-    explode; the shared first stage of the LM operators."""
-    toks = tokens(F.col(text_col))
+    explode; the shared first stage of the LM operators.
+
+    The token array is materialized as a named column BEFORE the
+    higher-order lambdas: referencing the raw split() expression inside
+    transform() re-tokenizes the full text per element — O(tokens^2)
+    per doc, measured 6x slower at sf0.1 (same pitfall as
+    dedup.shingles / repetition_ratio)."""
+    d = df.select(*[F.col(c) for c in keep_cols],
+                  tokens(F.col(text_col)).alias("__toks"))
+    toks = F.col("__toks")
     # guard: F.sequence(1, 0) counts DOWN ([1, 0]) — docs shorter than n
     # must produce an empty start list, not a descending one
     starts = F.when(F.size(toks) >= n,
                     F.sequence(F.lit(1), F.size(toks) - (n - 1))) \
               .otherwise(F.array().cast("array<int>"))
     kept = [F.col(c) for c in keep_cols]
-    return df.select(*kept, F.explode(F.filter(
+    return d.select(*kept, F.explode(F.filter(
         F.transform(
             starts,
             lambda i: F.struct(

@@ -44,6 +44,60 @@ def pack_sequences(df: DataFrame, token_col: str, budget: int,
             .select(id_col, "pack_group", "n_tokens", "cum_before", "bin_id"))
 
 
+def chunk_documents(df: DataFrame, max_tokens: int = 512,
+                    overlap: int = 64, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Context-window chunking: split each document into training-length
+    token windows of `max_tokens` with `overlap` tokens of left context
+    carried into each subsequent chunk (stride = max_tokens - overlap) —
+    the pre-tokenizer sibling of pack_sequences (chunking cuts LONG docs
+    down to the context length; packing assembles SHORT ones up to it).
+
+    Chunk starts are 1, 1+stride, 1+2*stride, ...; a doc of n tokens
+    yields 1 chunk if n <= max_tokens else
+    ceil((n - max_tokens) / stride) + 1 (integer ceil-division — the
+    last chunk is the only short one, and a final window fully
+    contained in the previous one is never emitted). Empty-string
+    tokens (split residue of empty/whitespace-only text) are dropped
+    first, so an empty doc yields zero chunks, not one empty chunk.
+
+    Shape: one narrow projection + explode — no shuffle, no UDF; the
+    token array is materialized as a column before the higher-order
+    lambdas (the ngram_pairs O(tokens^2) recompute pitfall). At 100 TB
+    this pipelines with the scan; output order within a doc is the
+    deterministic chunk_id, so downstream shard assignment stays
+    reproducible.
+
+    Output: (id, chunk_id, n_tokens, chunk_text), chunk ids 0-based."""
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens "
+                         f"(got {overlap} >= {max_tokens})")
+    stride = max_tokens - overlap
+    from .text import tokens
+    d = df.select(
+        F.col(id_col),
+        F.filter(tokens(F.col(text_col)),
+                 lambda t: t != "").alias("__toks"))
+    n = F.size(F.col("__toks"))
+    n_chunks = (F.when(n <= 0, F.lit(0))
+                 .when(n <= max_tokens, F.lit(1))
+                 .otherwise(F.expr(
+                     "((size(__toks) - %d + %d) div %d) + 1"
+                     % (max_tokens, stride - 1, stride))))
+    # sequence(0, -1) counts DOWN — guard the empty-doc case explicitly
+    ids = F.when(n_chunks > 0,
+                 F.sequence(F.lit(0), n_chunks - 1)) \
+           .otherwise(F.array().cast("array<int>"))
+    d = d.select(id_col, "__toks", F.explode(ids).alias("chunk_id"))
+    piece = F.slice(F.col("__toks"),
+                    (F.col("chunk_id") * stride + 1).cast("int"),
+                    max_tokens)
+    return d.select(
+        F.col(id_col), F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"))
+
+
 def assign_shards(df: DataFrame, n_shards: int,
                   id_col: str = "doc_id", salt: int = 0,
                   portable: bool = False) -> DataFrame:

@@ -5136,6 +5136,119 @@ def sample_epoch_repeat(spark, sf_dir):
         .select("doc_id", "source", "epoch")
 
 
+@query("text_ccnet_buckets_sampled", oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents WHERE doc_id < 200
+    ), idx AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS i
+        FROM tok
+    ), pairs AS (
+        SELECT doc_id, toks[i] AS context, toks[i + 1] AS next_token
+        FROM idx WHERE toks[i] <> '' AND toks[i + 1] <> ''
+    ), counts AS (
+        SELECT context, next_token, COUNT(*) AS cnt
+        FROM pairs GROUP BY 1, 2
+    ), ctx AS (
+        SELECT context, CAST(SUM(cnt) AS BIGINT) AS context_cnt
+        FROM counts GROUP BY 1
+    ), v AS (
+        SELECT COUNT(DISTINCT t) AS V
+        FROM (SELECT unnest(toks) AS t FROM tok) WHERE t <> ''
+    ), scored AS (
+        SELECT p.doc_id,
+               ROUND(-ln((CAST(c.cnt AS DOUBLE) + 0.5)
+                         / (CAST(x.context_cnt AS DOUBLE) + 0.5 * v.V)), 6)
+                   AS nll
+        FROM pairs p
+        JOIN counts c USING (context, next_token)
+        JOIN ctx x USING (context), v
+    ), per_doc AS (
+        SELECT doc_id,
+               ROUND(CAST(SUM(CAST(nll AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(*), 4) AS cross_entropy
+        FROM scored GROUP BY doc_id
+    ), scored2 AS (
+        SELECT p.doc_id, d.lang, p.cross_entropy
+        FROM per_doc p JOIN documents d USING (doc_id)
+    ), samp AS (
+        SELECT * FROM scored2 WHERE {hash_bucket} < 3000
+    ), ranked AS (
+        SELECT lang, cross_entropy, doc_id AS cid,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY cross_entropy, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS cnt
+        FROM samp
+    ), cuts AS (
+        SELECT r.lang, r.cross_entropy AS ce_k, r.cid AS id_k
+        FROM ranked r, (SELECT unnest(generate_series(1, 2)) AS k) ks
+        WHERE r.rn = (ks.k * r.cnt + 2) // 3
+    ), assigned AS (
+        SELECT s.doc_id, s.lang, s.cross_entropy,
+               CAST(1 + COUNT(c.ce_k) FILTER (
+                   WHERE s.cross_entropy > c.ce_k
+                      OR (s.cross_entropy = c.ce_k AND s.doc_id > c.id_k))
+                   AS BIGINT) AS bucket_id
+        FROM scored2 s LEFT JOIN cuts c USING (lang)
+        GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, lang, cross_entropy, bucket_id,
+           CASE WHEN bucket_id = 1 THEN 'head'
+                WHEN bucket_id >= 3 THEN 'tail'
+                ELSE 'middle' END AS bucket
+    FROM assigned
+""".format(hash_bucket=_HASH_BUCKET_SQL.format(key='doc_id')))
+def text_ccnet_buckets_sampled(spark, sf_dir):
+    """The 100 TB tier of CCNet bucketing (text.ccnet_buckets_sampled):
+    cut-points from a 30% deterministic hash sample ranked per
+    language, full corpus assigned against the broadcast cut-point
+    array — the sort touches only the sample (CCNet's own
+    sample-the-cutoffs construction), where text_ccnet_buckets sorts
+    every language whole. Both the sampling, the integer ceil-division
+    rank pick, and the (cross_entropy, doc_id) tie-break replay
+    bit-for-bit in the oracle."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return T.ccnet_buckets_sampled(docs, n_buckets=3, sample_rate=0.3)
+
+
+@query("pack_chunk_documents", oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           t -> t <> '') AS toks
+        FROM documents
+    ), sized AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               CASE WHEN len(toks) <= 0 THEN 0
+                    WHEN len(toks) <= 40 THEN 1
+                    ELSE ((len(toks) - 40 + 31) // 32) + 1 END AS n_chunks
+        FROM tok
+    ), chunks AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+        FROM sized WHERE n_chunks > 0
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(toks, chunk_id * 32 + 1,
+                               chunk_id * 32 + 40)) AS BIGINT) AS n_tokens,
+           array_to_string(list_slice(toks, chunk_id * 32 + 1,
+                                      chunk_id * 32 + 40), ' ')
+               AS chunk_text
+    FROM chunks
+""")
+def pack_chunk_documents(spark, sf_dir):
+    """Context-window chunking (packing.chunk_documents): every doc cut
+    into 40-token windows with 8 tokens of overlap (stride 32) — the
+    pre-tokenizer context-length splitter, one narrow explode with the
+    integer ceil-division chunk count and 1-based slice replayed
+    exactly by the oracle. Fixture docs average ~54 tokens, so both
+    the single-chunk and the multi-chunk branch fire."""
+    from .operators.packing import chunk_documents
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, max_tokens=40, overlap=8)
+
+
 # Reorder AFTER every @query above has registered: the driver checks the
 # first _WINDOW_SIZE entries, so this call must stay at module end —
 # entries registered after it would never rotate into the window.

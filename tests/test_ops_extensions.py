@@ -1643,3 +1643,77 @@ def test_quality_classifier_weight_table_swap(spark):
     plan = tbl._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    """Chunk boundaries: exact-fit doc -> 1 chunk, long doc -> overlapping
+    windows whose stride-strided reassembly reproduces the token stream,
+    empty doc -> zero chunks, bad overlap raises."""
+    import pytest
+    from sanef_election_dashboard_etl_spark.operators.packing import (
+        chunk_documents)
+
+    toks = [f"t{i}" for i in range(25)]
+    df = spark.createDataFrame(
+        [(1, " ".join(toks)),          # 25 tokens: chunks at 0, 8, 16
+         (2, " ".join(toks[:10])),     # exact fit -> 1 chunk
+         (3, "   "),                   # whitespace-only -> 0 chunks
+         (4, "a b")],                  # short -> 1 chunk of 2
+        "doc_id long, text string")
+    out = chunk_documents(df, max_tokens=10, overlap=2)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+
+    assert {d for d, _ in rows} == {1, 2, 4}
+    d1 = sorted(c for d, c in rows if d == 1)
+    assert d1 == [0, 1, 2]  # ceil((25-10)/8)+1 = 3
+    # window k starts at k*stride, carries `overlap` tokens of context
+    assert rows[(1, 0)]["chunk_text"] == " ".join(toks[0:10])
+    assert rows[(1, 1)]["chunk_text"] == " ".join(toks[8:18])
+    assert rows[(1, 2)]["chunk_text"] == " ".join(toks[16:25])
+    assert rows[(1, 2)]["n_tokens"] == 9  # final short chunk
+    # dropping the overlap prefix of every later chunk rebuilds the doc
+    rebuilt = rows[(1, 0)]["chunk_text"].split()
+    for c in d1[1:]:
+        rebuilt += rows[(1, c)]["chunk_text"].split()[2:]
+    assert rebuilt == toks
+    assert rows[(2, 0)]["n_tokens"] == 10
+    assert (2, 1) not in rows
+    assert rows[(4, 0)]["chunk_text"] == "a b"
+    with pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=10, overlap=10)
+
+
+def test_ccnet_sampled_tracks_exact_tier(spark):
+    """The sampled-cutpoint tier scores identically to the exact tier
+    (same LM), covers every scored doc exactly once, keeps buckets
+    approximately balanced, and a language absent from the sample lands
+    wholly in head (no cut-points)."""
+    from sanef_election_dashboard_etl_spark.operators.text import (
+        ccnet_buckets, ccnet_buckets_sampled)
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .filter(F.col("doc_id") < 200))
+    exact = {r["doc_id"]: r for r in ccnet_buckets(docs, 3).collect()}
+    samp = {r["doc_id"]: r
+            for r in ccnet_buckets_sampled(docs, 3, sample_rate=0.3)
+                     .collect()}
+    assert exact.keys() == samp.keys()
+    for k in exact:
+        assert exact[k]["cross_entropy"] == samp[k]["cross_entropy"]
+    # per-lang bucket balance: no bucket more than ~2x its fair share
+    from collections import Counter
+    per_lang = Counter((samp[k]["lang"], samp[k]["bucket_id"])
+                       for k in samp)
+    lang_tot = Counter(samp[k]["lang"] for k in samp)
+    for (lang, _b), n in per_lang.items():
+        assert n <= max(2 * lang_tot[lang] / 3, 6), (lang, _b, n)
+    # agreement with the exact tertiles should be well above chance
+    agree = sum(exact[k]["bucket_id"] == samp[k]["bucket_id"]
+                for k in exact) / len(exact)
+    assert agree > 0.6, agree
+    # a lang whose ids all hash outside the sample: no cuts -> all head
+    few = spark.createDataFrame(
+        [(i, "x y z w v u t s r q p o n m", "xx") for i in range(5)],
+        "doc_id long, text string, lang string")
+    only_head = ccnet_buckets_sampled(few, 3, sample_rate=0.0).collect()
+    assert {r["bucket"] for r in only_head} == {"head"}

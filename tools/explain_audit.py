@@ -109,6 +109,9 @@ MUST_HAVE = {
     # hashed classifier: weight lookup is an expression (no join), one
     # hash aggregate pair (partial + final) on doc_id
     "text_quality_classifier": ["HashAggregate"],
+    # sampled ccnet: the cut-point table is tiny -> broadcast into the
+    # full-corpus assignment; the per-lang sort touches only the sample
+    "text_ccnet_buckets_sampled": ["BroadcastHashJoin"],
 }
 
 # query -> substrings that must NOT appear
@@ -154,6 +157,11 @@ MUST_NOT = {
     "text_quality_classifier": ["Join", "BatchEvalPython", "ArrowEvalPython"],
     # epoch mixing is a narrow explode+filter: no shuffle, no join
     "sample_epoch_repeat": ["Exchange", "Join"],
+    # chunking is one narrow explode: no shuffle, no join, no Python
+    "pack_chunk_documents": ["Exchange", "Join", "BatchEvalPython",
+                             "ArrowEvalPython"],
+    # the corpus-side assignment must never sort-merge on lang
+    "text_ccnet_buckets_sampled": ["SortMergeJoin", "CartesianProduct"],
 }
 
 AUDIT = [
@@ -176,6 +184,7 @@ AUDIT = [
     "j13_lateral_topn", "r6_unpivot_native", "e15_variant_json",
     "layout_global_row_number", "snapshot_diff", "pipe_incremental_ingest",
     "text_quality_classifier", "sample_epoch_repeat",
+    "pack_chunk_documents", "text_ccnet_buckets_sampled",
 ]
 
 

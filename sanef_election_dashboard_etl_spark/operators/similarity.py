@@ -699,3 +699,79 @@ def semantic_decontaminate(train: DataFrame, eval_set: DataFrame,
     return (t.join(F.broadcast(e), hit)
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_eval_hits")))
+
+
+def quantize_embeddings(emb: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the 100 TB
+    memory lever for the ANN tiers: scale = max|x| / 127 per vector,
+    q_i = floor(x_i * 127 / max|x| + 0.5). Output
+    (id, qvec array<int>, qnorm2 long) — qvec values fit int8
+    (parquet/Arrow store them as one byte + dictionary; 4-8x smaller
+    scans than float32/64), qnorm2 = q.q is precomputed so scoring
+    reads no wide column twice.
+
+    Determinism notes: floor(x + 0.5) is used instead of round() —
+    Spark rounds HALF_UP, other engines vary at exact .5 ties, floor is
+    exact everywhere. All quantized values and their dot products stay
+    integers below 2^53, so even a double-accumulating engine computes
+    them EXACTLY — the whole quantized scoring path is cross-engine
+    bit-exact (unlike float cosine, which needs the rounded-score
+    tie-break discipline). The max|x| fold and the quantizing transform
+    both reference only materialized columns (the ngram_pairs HOF
+    recompute pitfall).
+
+    An all-zero vector quantizes to all-zero (scale guard), scoring 0
+    against everything."""
+    d = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
+    maxabs = F.aggregate(F.col("__v"), F.lit(0.0),
+                         lambda a, x: F.greatest(a, F.abs(x)))
+    d = d.select(id_col, "__v", maxabs.alias("__m"))
+    q = F.when(F.col("__m") > 0, F.transform(
+            F.col("__v"),
+            lambda x: F.floor(x * 127.0 / F.col("__m") + 0.5).cast("int"))) \
+         .otherwise(F.transform(F.col("__v"), lambda x: F.lit(0)))
+    d = d.select(F.col(id_col), q.alias("qvec"))
+    qn = F.aggregate(F.col("qvec"), F.lit(0).cast("long"),
+                     lambda a, x: a + (x * x).cast("long"))
+    return d.select(id_col, "qvec", qn.alias("qnorm2"))
+
+
+def quantized_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine over int8-quantized vectors — brute force at
+    1/4-1/8 the scan bytes of cosine_topk, the memory-bound regime's
+    trade: ~1% score distortion (test-measured recall vs the float
+    tier in RECALL.md) for 4-8x fewer bytes per vector through the
+    scan, cache, and broadcast.
+
+    Same plan shape as cosine_topk: queries quantized and broadcast,
+    corpus scanned in place (never shuffled), windowed top-k
+    (WindowGroupLimit). The integer dot product is exact, and the
+    ranking key dot/sqrt(qn)/sqrt(cn) divides exactly-representable
+    integers — bit-identical in any IEEE engine, so the oracle replays
+    ranking without the rounded-score discipline float cosine needs.
+    Ties broken by neighbor_id. Output (query_id, rank, neighbor_id)."""
+    c = quantize_embeddings(emb, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qvec").alias("cq"), F.col("qnorm2").alias("cn"))
+    q = quantize_embeddings(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("qq"), F.col("qnorm2").alias("qn"))
+    idot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("cq"),
+                   lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"), lambda a, x: a + x)
+    score = (idot.cast("double")
+             / F.sqrt(F.col("qn").cast("double"))
+             / F.sqrt(F.col("cn").cast("double")))
+    scored = (c.join(F.broadcast(q),
+                     F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("s", score))
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(F.desc("s"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id"))

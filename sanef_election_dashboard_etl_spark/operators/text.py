@@ -713,3 +713,43 @@ def quality_classifier_weighted(df: DataFrame, weights: DataFrame,
         F.when(F.col("score_int") >= 0, "keep").otherwise("drop")
          .alias("verdict"),
     )
+
+
+def dsir_log_ratio(df: DataFrame, target: DataFrame, tau: float = 0.0,
+                   n: int = 2, alpha: float = 0.5,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """DSIR-style importance scoring for training-data selection (Xie
+    et al. 2023, "Data Selection for Language Models via Importance
+    Resampling"): per-doc log importance weight
+    log p_target(doc) - log p_raw(doc) under two n-gram LMs — one fit
+    on a (small, curated) `target` corpus, one on the raw corpus
+    itself. Positive = the doc looks more like the target domain than
+    like average raw data; select with `keep = log_ratio >= tau`.
+
+    Composition, not new machinery: both sides are lm_cross_entropy
+    (add-alpha smoothed), and log p = -n_ngrams * cross_entropy, so
+    log_ratio = n_ngrams * (ce_raw - ce_target). Both ce values are
+    the gate-proven decimal-exact means, the difference and the
+    n_ngrams scalar multiply are single IEEE ops — cross-engine
+    bit-stable, rounded at 4 for the threshold compare.
+
+    Scale: the target LM fit is over the SMALL curated corpus; the raw
+    corpus pays one self-fit (shared with any perplexity filter already
+    in the pipeline — reuse the persisted count table at 100 TB) and
+    one count-table join per LM. Docs with <2 tokens have no n-grams
+    and are absent, per the LM-family domain contract.
+
+    Output (id, n_ngrams, log_ratio, keep)."""
+    ce_raw = lm_cross_entropy(df, lm=None, n=n, alpha=alpha,
+                              id_col=id_col, text_col=text_col) \
+        .withColumnRenamed("cross_entropy", "ce_raw")
+    ce_tgt = lm_cross_entropy(df, lm=target, n=n, alpha=alpha,
+                              id_col=id_col, text_col=text_col) \
+        .select(id_col, F.col("cross_entropy").alias("ce_target"))
+    j = ce_raw.join(ce_tgt, id_col)
+    ratio = F.round(F.col("n_ngrams")
+                    * (F.col("ce_raw") - F.col("ce_target")), 4)
+    return j.select(
+        id_col, "n_ngrams", ratio.alias("log_ratio"),
+        (ratio >= tau).cast("long").alias("keep"))

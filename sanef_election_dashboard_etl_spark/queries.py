@@ -5249,6 +5249,138 @@ def pack_chunk_documents(spark, sf_dir):
     return chunk_documents(docs, max_tokens=40, overlap=8)
 
 
+@query("sim_topk_quantized", oracle="""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), m AS (
+        SELECT vec_id, e,
+               list_aggregate(list_transform(e, x -> abs(x)), 'max') AS mx
+        FROM v
+    ), qt AS (
+        SELECT vec_id,
+               CASE WHEN mx > 0
+                    THEN list_transform(e, x -> floor(x * 127.0 / mx + 0.5))
+                    ELSE list_transform(e, x -> 0.0) END AS q
+        FROM m
+    ), qn AS (
+        SELECT vec_id, q, list_dot_product(q, q) AS n2 FROM qt
+    ), c AS (
+        SELECT vec_id AS neighbor_id, q AS cq, n2 AS cn FROM qn
+    ), qs AS (
+        SELECT vec_id AS query_id, q AS qq, n2 AS qn2 FROM qn
+        WHERE vec_id < 10
+    ), scored AS (
+        SELECT query_id, neighbor_id,
+               list_dot_product(qq, cq) / sqrt(qn2) / sqrt(cn) AS s
+        FROM qs, c WHERE neighbor_id != query_id
+    )
+    SELECT query_id, rank, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY s DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+""")
+def sim_topk_quantized(spark, sf_dir):
+    """Exact cosine top-k over int8-quantized vectors
+    (similarity.quantized_topk): symmetric per-vector quantization
+    (floor-based half-up — no round() tie hazard), exact integer dot
+    products, ranking key dividing exactly-representable integers —
+    the whole scoring path is cross-engine bit-exact, so unlike the
+    float tiers this ANN variant needs no rounded-score discipline in
+    its oracle. 4-8x fewer scan bytes per vector at 100 TB; recall vs
+    the float tier measured in RECALL.md."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.quantized_topk(emb, emb.filter(F.col("vec_id") < 10), k=10)
+
+
+@query("sample_dsir_select", oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents WHERE doc_id < 200
+    ), idx AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS i
+        FROM tok
+    ), pairs AS (
+        SELECT doc_id, toks[i] AS context, toks[i + 1] AS next_token
+        FROM idx WHERE toks[i] <> '' AND toks[i + 1] <> ''
+    ), counts AS (
+        SELECT context, next_token, COUNT(*) AS cnt
+        FROM pairs GROUP BY 1, 2
+    ), ctx AS (
+        SELECT context, CAST(SUM(cnt) AS BIGINT) AS context_cnt
+        FROM counts GROUP BY 1
+    ), v AS (
+        SELECT COUNT(DISTINCT t) AS V
+        FROM (SELECT unnest(toks) AS t FROM tok) WHERE t <> ''
+    ), scored AS (
+        SELECT p.doc_id,
+               ROUND(-ln((CAST(c.cnt AS DOUBLE) + 0.5)
+                         / (CAST(x.context_cnt AS DOUBLE) + 0.5 * v.V)), 6)
+                   AS nll
+        FROM pairs p
+        JOIN counts c USING (context, next_token)
+        JOIN ctx x USING (context), v
+    ), per_doc_raw AS (
+        SELECT doc_id, COUNT(*) AS n,
+               ROUND(CAST(SUM(CAST(nll AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(*), 4) AS ce_raw
+        FROM scored GROUP BY doc_id
+    ), tokt AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents WHERE source = 'src0'
+    ), idxt AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS i
+        FROM tokt
+    ), pairst AS (
+        SELECT doc_id, toks[i] AS context, toks[i + 1] AS next_token
+        FROM idxt WHERE toks[i] <> '' AND toks[i + 1] <> ''
+    ), countst AS (
+        SELECT context, next_token, COUNT(*) AS cnt
+        FROM pairst GROUP BY 1, 2
+    ), ctxt AS (
+        SELECT context, CAST(SUM(cnt) AS BIGINT) AS context_cnt
+        FROM countst GROUP BY 1
+    ), vt AS (
+        SELECT COUNT(DISTINCT t) AS V
+        FROM (SELECT unnest(toks) AS t FROM tokt) WHERE t <> ''
+    ), scoredt AS (
+        SELECT p.doc_id,
+               ROUND(-ln((CAST(COALESCE(ct.cnt, 0) AS DOUBLE) + 0.5)
+                         / (CAST(COALESCE(xt.context_cnt, 0) AS DOUBLE)
+                            + 0.5 * vt.V)), 6) AS nll
+        FROM pairs p
+        LEFT JOIN countst ct USING (context, next_token)
+        LEFT JOIN ctxt xt USING (context), vt
+    ), per_doc_t AS (
+        SELECT doc_id,
+               ROUND(CAST(SUM(CAST(nll AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(*), 4) AS ce_target
+        FROM scoredt GROUP BY doc_id
+    )
+    SELECT r.doc_id, CAST(r.n AS BIGINT) AS n_ngrams,
+           ROUND(r.n * (r.ce_raw - t.ce_target), 4) AS log_ratio,
+           CAST(CASE WHEN ROUND(r.n * (r.ce_raw - t.ce_target), 4) >= 0.0
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM per_doc_raw r JOIN per_doc_t t USING (doc_id)
+""")
+def sample_dsir_select(spark, sf_dir):
+    """DSIR importance selection (text.dsir_log_ratio; Xie et al. 2023):
+    log p_target(doc) - log p_raw(doc) under two bigram LMs — target
+    fit on the src0 sub-corpus, raw self-fit — selecting docs that look
+    more target-domain-like than raw-average. Composes the gate-proven
+    lm_cross_entropy twice (log p = -n_ngrams * cross_entropy); the
+    target-side scoring left-joins with zero-count smoothing for
+    n-grams the target corpus never saw. Both LM chains replay fully
+    in the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.filter(F.col("doc_id") < 200)
+    target = docs.filter(F.col("source") == "src0")
+    return T.dsir_log_ratio(raw, target, tau=0.0)
+
+
 # Reorder AFTER every @query above has registered: the driver checks the
 # first _WINDOW_SIZE entries, so this call must stay at module end —
 # entries registered after it would never rotate into the window.

@@ -1717,3 +1717,57 @@ def test_ccnet_sampled_tracks_exact_tier(spark):
         "doc_id long, text string, lang string")
     only_head = ccnet_buckets_sampled(few, 3, sample_rate=0.0).collect()
     assert {r["bucket"] for r in only_head} == {"head"}
+
+
+def test_quantized_topk_recall_and_reconstruction(spark):
+    """int8 quantization: per-element reconstruction error bounded by
+    half a quantization step, all-zero vectors quantize to zero, and
+    the quantized top-k tracks the float tier closely on the fixture."""
+    from sanef_election_dashboard_etl_spark.operators.similarity import (
+        cosine_topk, quantize_embeddings, quantized_topk)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    some = emb.filter(F.col("vec_id") < 50)
+    orig = {r["vec_id"]: r["embedding"] for r in some.collect()}
+    quant = {r["vec_id"]: r["qvec"]
+             for r in quantize_embeddings(some).collect()}
+    for vid, e in orig.items():
+        m = max(abs(x) for x in e)
+        step = m / 127.0
+        for x, qi in zip(e, quant[vid]):
+            assert abs(qi) <= 127
+            assert abs(x - qi * step) <= step / 2 + 1e-9
+    z = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [0.5, -1.0, 0.25])],
+        "vec_id long, embedding array<double>")
+    qz = {r["vec_id"]: (r["qvec"], r["qnorm2"])
+          for r in quantize_embeddings(z).collect()}
+    assert qz[1] == ([0, 0, 0], 0)
+    assert qz[2][0] == [64, -127, 32]   # floor(0.5*127 + .5) = 64
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(emb, queries, k=10).collect()}
+    quantd = {(r["query_id"], r["neighbor_id"])
+              for r in quantized_topk(emb, queries, k=10).collect()}
+    assert len(exact & quantd) / len(exact) >= 0.9
+
+
+def test_dsir_log_ratio_favors_target_domain(spark):
+    """DSIR selection: docs from the target domain (src0) must score a
+    higher mean log-ratio under the src0-fit target LM than docs from
+    other sources, and keep == (log_ratio >= tau) exactly."""
+    from sanef_election_dashboard_etl_spark.operators.text import (
+        dsir_log_ratio)
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .filter(F.col("doc_id") < 200))
+    target = docs.filter(F.col("source") == "src0")
+    out = dsir_log_ratio(docs, target, tau=0.0)
+    rows = out.join(docs.select("doc_id", "source"), "doc_id").collect()
+    in_t = [r["log_ratio"] for r in rows if r["source"] == "src0"]
+    out_t = [r["log_ratio"] for r in rows if r["source"] != "src0"]
+    assert in_t and out_t
+    assert sum(in_t) / len(in_t) > sum(out_t) / len(out_t)
+    for r in rows:
+        assert r["keep"] == (1 if r["log_ratio"] >= 0.0 else 0)

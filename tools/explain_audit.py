@@ -36,6 +36,9 @@ MUST_HAVE = {
     # hamming prefilter: tiny signed query side broadcasts into a
     # nested-loop popcount filter; the corpus is scanned in place
     "sim_topk_hamming": ["BroadcastNestedLoopJoin"],
+    # quantized tier keeps the same shape: corpus scanned in place,
+    # quantized queries broadcast
+    "sim_topk_quantized": ["BroadcastNestedLoopJoin"],
     "q5_local_supplier_volume": ["BroadcastHashJoin"],
     # the max_df hot-shingle filter must be a broadcast anti-join (the hot
     # set is tiny by construction; shuffling grams for it would be wrong)
@@ -129,6 +132,7 @@ MUST_NOT = {
     # the corpus side must not shuffle before the hamming filter; the only
     # exchange allowed is the per-query top-k window on the survivors
     "sim_topk_hamming": ["SortMergeJoin", "CartesianProduct"],
+    "sim_topk_quantized": ["SortMergeJoin", "CartesianProduct"],
     "dedup_minhash_lsh": ["CartesianProduct"],
     # the corpus digest scan must never shuffle: no SMJ anywhere in the
     # bloom path (negatives skip joins entirely; positives broadcast)
@@ -170,7 +174,7 @@ AUDIT = [
     "a10_grouped_ordered_concat", "w2_rank_topk_per_group", "o1_o3_topk_sort",
     "q1_pricing_summary", "pipe_hung_councils", "pipe_voter_turnout",
     "events_sessionize", "dedup_minhash_lsh", "sim_topk_cosine",
-    "sim_topk_hamming",
+    "sim_topk_hamming", "sim_topk_quantized",
     "q5_local_supplier_volume", "sample_hash_mod",
     "dedup_max_df_guard", "layout_zorder_write", "sample_cap_per_source",
     "q4_order_priority", "q10_returned_items", "q7_nation_volume",

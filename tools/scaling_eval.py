@@ -84,6 +84,10 @@ QUERIES = [
     # epoch_repeat is a narrow explode+filter (expect ~linear & ~flat)
     ("text_quality_classifier", "documents x10"),
     ("sample_epoch_repeat", "documents x10"),
+    # context-window chunking: narrow explode, expect ~linear
+    ("pack_chunk_documents", "documents x10"),
+    # int8 brute force: corpus-linear scoring at 1/4-1/8 the bytes
+    ("sim_topk_quantized", "embeddings corpus x10"),
 ]
 
 # Operator-level rows (full tables — the registry's simhash entries pin
@@ -107,6 +111,17 @@ OPERATORS = [
     # table here (LM fit + per-lang ntile both scale with the corpus)
     ("ccnet_buckets_full", "documents x10 (full table)",
      lambda spark, sf: T.ccnet_buckets(table(spark, sf, "documents"))),
+    # sampled-cutpoint tier on the same full table: the per-lang sort
+    # shrinks to the sample, so the gap vs exact should widen with docs
+    ("ccnet_sampled_full", "documents x10 (full table)",
+     lambda spark, sf: T.ccnet_buckets_sampled(
+         table(spark, sf, "documents"), sample_rate=0.1)),
+    # DSIR over the full table (registry pins doc_id<200): two LM fits
+    # + two scoring joins, all uniform-key — expect ~linear
+    ("dsir_full", "documents x10 (full table; target=src0)",
+     lambda spark, sf: T.dsir_log_ratio(
+         table(spark, sf, "documents"),
+         table(spark, sf, "documents").filter(F.col("source") == "src0"))),
 ]
 
 

@@ -775,3 +775,41 @@ def quantized_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id"))
+
+
+def embedding_centroids(emb: DataFrame, cluster_col: str = "label",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Per-cluster centroid + population — the cluster-summary building
+    block the IVF/semantic tiers consume (probe tables, drift checks on
+    embedding spaces, SemDeDup ball diagnostics).
+
+    Cross-engine-exact mean per coordinate: each component is rounded
+    at 1e-6 FIRST (so the decimal cast is lossless in both engines),
+    summed in DECIMAL(18,6) (exact, order- and partition-independent —
+    a raw double SUM would hash-mismatch under different reduction
+    orders), divided once in double, rounded at 6 (functions.numeric
+    davg discipline). The ~1e-7 centroid perturbation from
+    pre-rounding is far below any clustering decision threshold;
+    KMeans itself stays the training-time tool (Spark ML), this is
+    the deterministic serving/summary form.
+
+    Shape: posexplode to (cluster, dim_idx, x) — dim x rows, uniform
+    keys — one groupBy(cluster, dim) partial-aggregating shuffle, then
+    a dim-sized regroup per cluster rebuilds the array ordered by
+    dim_idx. Output (cluster, n_vectors, centroid array<double>)."""
+    from ..functions.numeric import davg
+
+    d = emb.select(F.col(cluster_col).alias("cluster"),
+                   F.posexplode(_as_double(F.col(vec_col)))
+                    .alias("i", "x"))
+    per = (d.groupBy("cluster", "i")
+           .agg(F.count(F.lit(1)).alias("n"),
+                davg(F.round(F.col("x"), 6), scale=6, out_scale=6)
+                .alias("c")))
+    rebuilt = (per.groupBy("cluster")
+               .agg(F.max("n").cast("long").alias("n_vectors"),
+                    F.transform(
+                        F.sort_array(F.collect_list(
+                            F.struct(F.col("i"), F.col("c")))),
+                        lambda s: s["c"]).alias("centroid")))
+    return rebuilt.select("cluster", "n_vectors", "centroid")

@@ -5381,6 +5381,38 @@ def sample_dsir_select(spark, sf_dir):
     return T.dsir_log_ratio(raw, target, tau=0.0)
 
 
+@query("sim_embedding_centroids", oracle="""
+    WITH v AS (
+        SELECT label AS cluster, embedding::DOUBLE[] AS e FROM embeddings
+    ), ex AS (
+        SELECT cluster, t.i, e[t.i] AS x
+        FROM v, unnest(generate_series(1, len(e))) AS t(i)
+    ), per AS (
+        SELECT cluster, i, COUNT(*) AS n,
+               ROUND(CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6)))
+                          AS DOUBLE) / COUNT(*), 6) AS c
+        FROM ex GROUP BY cluster, i
+    )
+    SELECT cluster, CAST(n AS BIGINT) AS n_vectors,
+           CAST(i - 1 AS INTEGER) AS dim_idx, c AS coord
+    FROM per
+""")
+def sim_embedding_centroids(spark, sf_dir):
+    """Per-cluster embedding centroids (similarity.embedding_centroids)
+    keyed on the fixture's label column: coordinate means computed
+    order-independently (round-at-6 -> exact decimal sum -> one double
+    division), so the centroid coordinates hash-match the oracle
+    exactly — a raw double SUM would diverge under Spark's
+    partition-dependent reduction order. The operator returns the
+    rebuilt array<double>; the gate re-explodes it (the dtype compare
+    has no array normalization), which also round-trips the
+    sort_array rebuild."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (S.embedding_centroids(emb, cluster_col="label")
+            .select("cluster", "n_vectors",
+                    F.posexplode("centroid").alias("dim_idx", "coord")))
+
+
 # Reorder AFTER every @query above has registered: the driver checks the
 # first _WINDOW_SIZE entries, so this call must stay at module end —
 # entries registered after it would never rotate into the window.

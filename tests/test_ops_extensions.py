@@ -1771,3 +1771,17 @@ def test_dsir_log_ratio_favors_target_domain(spark):
     assert sum(in_t) / len(in_t) > sum(out_t) / len(out_t)
     for r in rows:
         assert r["keep"] == (1 if r["log_ratio"] >= 0.0 else 0)
+
+
+def test_embedding_centroids_exact_means(spark):
+    """Centroids equal hand-computed per-coordinate means (at the 1e-6
+    rounding the operator documents), n_vectors counts the cluster."""
+    from sanef_election_dashboard_etl_spark.operators.similarity import (
+        embedding_centroids)
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0], 0), (2, [3.0, 6.0], 0), (3, [10.0, -4.0], 1)],
+        "vec_id long, embedding array<double>, label int")
+    out = {r["cluster"]: r for r in embedding_centroids(df).collect()}
+    assert out[0]["n_vectors"] == 2 and out[0]["centroid"] == [2.0, 4.0]
+    assert out[1]["n_vectors"] == 1 and out[1]["centroid"] == [10.0, -4.0]

@@ -1191,3 +1191,46 @@ def fuzzy_edit_pairs(df: DataFrame, id_col: str = "doc_id",
                         .cast("long"))
             .filter(F.col("dist") <= max_edits)
             .select("id_a", "id_b", "dist"))
+
+
+def source_overlap_matrix(df: DataFrame, group_col: str = "source",
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Cross-source duplication matrix — the mixing-time diagnostic for
+    "how much of source A is also in source B": per ordered source
+    pair (src_a < src_b), the number of distinct normalized content
+    fingerprints (text.fingerprint — whitespace/case-folded md5) both
+    sides contain, with per-source distinct totals and the Jaccard of
+    the two fingerprint sets. Feeds mixture/epoch decisions
+    (sampling.mixture_sample / epoch_repeat): a pair with high overlap
+    double-counts its shared content at whatever combined epoch rate
+    the mix assigns.
+
+    Shape: (source, fp) is distinct-reduced FIRST (map-side partial
+    dedup on a uniform 32-byte digest key), the self-join is keyed on
+    the digest, and the output matrix is |sources|^2 rows — tiny. The
+    only corpus-sized shuffle moves fingerprints, never text; identical
+    to the snapshot_diff / incremental-ingest digest discipline.
+
+    Output (src_a, src_b, n_shared, n_a, n_b, jaccard)."""
+    from ..functions.numeric import ratio
+
+    fps = (df.select(F.col(group_col).alias("src"),
+                     fingerprint(F.col(text_col)).alias("fp"))
+           .distinct())
+    totals = fps.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    a = fps.select(F.col("src").alias("src_a"), "fp")
+    b = fps.select(F.col("src").alias("src_b"), "fp")
+    shared = (a.join(b, "fp")
+              .filter(F.col("src_a") < F.col("src_b"))
+              .groupBy("src_a", "src_b")
+              .agg(F.count(F.lit(1)).alias("n_shared")))
+    ta = F.broadcast(totals.select(F.col("src").alias("src_a"),
+                                   F.col("n").alias("n_a")))
+    tb = F.broadcast(totals.select(F.col("src").alias("src_b"),
+                                   F.col("n").alias("n_b")))
+    out = shared.join(ta, "src_a").join(tb, "src_b")
+    denom = F.col("n_a") + F.col("n_b") - F.col("n_shared")
+    return out.select(
+        "src_a", "src_b", "n_shared", "n_a", "n_b",
+        ratio("n_shared", denom).alias("jaccard"))

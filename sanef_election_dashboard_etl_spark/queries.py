@@ -5413,6 +5413,47 @@ def sim_embedding_centroids(spark, sf_dir):
                     F.posexplode("centroid").alias("dim_idx", "coord")))
 
 
+@query("dedup_source_overlap", oracle="""
+    WITH docs2 AS (
+        SELECT doc_id, text, source FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text, 'srcX' FROM documents
+        WHERE doc_id < 50
+    ), fps AS (
+        SELECT DISTINCT source AS src,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                   AS fp
+        FROM docs2
+    ), totals AS (
+        SELECT src, COUNT(*) AS n FROM fps GROUP BY 1
+    ), shared AS (
+        SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS n_shared
+        FROM fps a JOIN fps b USING (fp)
+        WHERE a.src < b.src GROUP BY 1, 2
+    )
+    SELECT s.src_a, s.src_b, s.n_shared, ta.n AS n_a, tb.n AS n_b,
+           ROUND(CAST(s.n_shared AS DOUBLE)
+                 / CAST(ta.n + tb.n - s.n_shared AS DOUBLE), 4) AS jaccard
+    FROM shared s
+    JOIN totals ta ON ta.src = s.src_a
+    JOIN totals tb ON tb.src = s.src_b
+""")
+def dedup_source_overlap(spark, sf_dir):
+    """Cross-source duplication matrix (dedup.source_overlap_matrix):
+    distinct normalized-fingerprint overlap + Jaccard per source pair —
+    the mixing-time diagnostic for double-counted content. Input is the
+    corpus plus a re-sourced clone of its first 50 docs ('srcX'), so
+    the shared-fp branch provably fires; the only corpus-sized shuffle
+    moves 32-byte digests (snapshot_diff discipline)."""
+    docs = _t(spark, sf_dir, "documents")
+    clone = (docs.filter(F.col("doc_id") < 50)
+             .withColumn("doc_id", F.col("doc_id") + 100000)
+             .withColumn("source", F.lit("srcX")))
+    both = docs.select("doc_id", "text", "source") \
+        .unionByName(clone.select("doc_id", "text", "source"))
+    return D.source_overlap_matrix(both)
+
+
 # Reorder AFTER every @query above has registered: the driver checks the
 # first _WINDOW_SIZE entries, so this call must stay at module end —
 # entries registered after it would never rotate into the window.

@@ -1785,3 +1785,24 @@ def test_embedding_centroids_exact_means(spark):
     out = {r["cluster"]: r for r in embedding_centroids(df).collect()}
     assert out[0]["n_vectors"] == 2 and out[0]["centroid"] == [2.0, 4.0]
     assert out[1]["n_vectors"] == 1 and out[1]["centroid"] == [10.0, -4.0]
+
+
+def test_source_overlap_matrix_hand_counts(spark):
+    """Overlap matrix on a hand-built corpus: shared normalized texts
+    count once (distinct fps), jaccard uses the union denominator, and
+    non-overlapping pairs are absent."""
+    from sanef_election_dashboard_etl_spark.operators.dedup import (
+        source_overlap_matrix)
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta", "a"), (2, "Alpha  beta", "a"),   # same fp
+         (3, "gamma", "a"),
+         (4, "alpha beta", "b"), (5, "delta", "b"),
+         (6, "epsilon", "c")],
+        "doc_id long, text string, source string")
+    rows = {(r["src_a"], r["src_b"]): r
+            for r in source_overlap_matrix(df).collect()}
+    ab = rows[("a", "b")]
+    assert (ab["n_shared"], ab["n_a"], ab["n_b"]) == (1, 2, 2)
+    assert ab["jaccard"] == round(1 / 3, 4)
+    assert ("a", "c") not in rows and ("b", "c") not in rows

@@ -319,6 +319,12 @@ X100_HEAVY = [
     # r4: ExactSubstr span dedup — token-salted copies keep dup-span
     # density constant, so the row measures the gram/window pipeline
     ("dedup_substring_stats", "documents x100 (500k docs)"),
+    # r4 session-4: int8 brute force must stay corpus-linear (it scores
+    # everything — the bet is bytes, not candidates)
+    ("sim_topk_quantized", "embeddings corpus x100 (200k vecs)"),
+    # chunking is a narrow explode — the control-shaped heavy row (its
+    # output is ~2x corpus rows, so exec measures explode throughput)
+    ("pack_chunk_documents", "documents x100 (500k docs)"),
 ]
 
 def _semantic_dedup_scaled(spark, sf):

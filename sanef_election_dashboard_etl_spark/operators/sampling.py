@@ -265,3 +265,46 @@ def epoch_repeat(df: DataFrame, epochs: Mapping[str, float],
             .filter((F.col("epoch") < full_c) |
                     ((F.col("epoch") == full_c) & (bucket < thr_c)))
             .withColumn("epoch", F.col("epoch").cast("long")))
+
+
+def quality_quantile_gate(df: DataFrame, keep_pct: int = 50,
+                          group_col: str = "source",
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Per-source relative quality gate: keep the top `keep_pct` percent
+    of EACH source by quality (unique-token ratio, ties by id) — the
+    curation move that raises corpus quality without shifting the
+    source mix, where a single absolute threshold would gut noisy
+    sources and keep low-information boilerplate from clean ones.
+    Complements cap_per_group (absolute count quota) and
+    mixture_sample (token-budget mix).
+
+    Determinism: rank = row_number over (uniq_ratio desc, id) — the
+    ratio is a rounded-at-4 division of exact integers (text.
+    quality_score) and id breaks ties totally; the cut is the exact
+    integer ceil rn <= (cnt * keep_pct + 99) div 100, so engine replay
+    is bit-exact (no float quantile).
+
+    Scale: one window per source — the single-sorted-partition-per-
+    group bound; at corpora where a source exceeds one partition, swap
+    in the hash-sampled cut-point construction of
+    text.ccnet_buckets_sampled (same rank arithmetic on a sample,
+    broadcast threshold) — this exact tier stays the validation path.
+
+    Output (id, group, n_tokens, uniq_ratio, q_rank, n_source) for the
+    KEPT docs only."""
+    from pyspark.sql import Window
+
+    from .text import quality_score
+
+    q = quality_score(df, id_col=id_col, text_col=text_col) \
+        .join(df.select(id_col, group_col), id_col)
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("uniq_ratio"), F.asc(id_col))
+    wc = Window.partitionBy(group_col)
+    ranked = q.select(
+        id_col, group_col, "n_tokens", "uniq_ratio",
+        F.row_number().over(w).cast("long").alias("q_rank"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("n_source"))
+    cut = F.expr("(n_source * %d + 99) div 100" % keep_pct)
+    return ranked.filter(F.col("q_rank") <= cut)

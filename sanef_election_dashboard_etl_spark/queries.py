@@ -5454,6 +5454,42 @@ def dedup_source_overlap(spark, sf_dir):
     return D.source_overlap_matrix(both)
 
 
+@query("sample_quality_gate", oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ), per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               COUNT(DISTINCT token) AS n_unique
+        FROM tok GROUP BY doc_id
+    ), scored AS (
+        SELECT p.doc_id, d.source, p.n_tokens,
+               ROUND(CAST(p.n_unique AS DOUBLE)
+                     / CAST(p.n_tokens AS DOUBLE), 4) AS uniq_ratio
+        FROM per_doc p JOIN documents d USING (doc_id)
+    ), ranked AS (
+        SELECT doc_id, source, n_tokens, uniq_ratio,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY uniq_ratio DESC, doc_id)
+                    AS BIGINT) AS q_rank,
+               CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT)
+                   AS n_source
+        FROM scored
+    )
+    SELECT doc_id, source, n_tokens, uniq_ratio, q_rank, n_source
+    FROM ranked
+    WHERE q_rank <= (n_source * 40 + 99) // 100
+""")
+def sample_quality_gate(spark, sf_dir):
+    """Per-source relative quality gate (sampling.quality_quantile_gate):
+    keep the top 40% of every source by unique-token ratio — quality up,
+    source mix unchanged. Rank + integer-ceil cut replay exactly in the
+    oracle (rounded-ratio ordering, id tie-break, no float quantile)."""
+    from .operators.sampling import quality_quantile_gate
+    return quality_quantile_gate(_t(spark, sf_dir, "documents"),
+                                 keep_pct=40)
+
+
 # Reorder AFTER every @query above has registered: the driver checks the
 # first _WINDOW_SIZE entries, so this call must stay at module end —
 # entries registered after it would never rotate into the window.

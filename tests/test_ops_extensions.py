@@ -1806,3 +1806,29 @@ def test_source_overlap_matrix_hand_counts(spark):
     assert (ab["n_shared"], ab["n_a"], ab["n_b"]) == (1, 2, 2)
     assert ab["jaccard"] == round(1 / 3, 4)
     assert ("a", "c") not in rows and ("b", "c") not in rows
+
+
+def test_quality_quantile_gate_per_source_cut(spark):
+    """Per-source relative gate: each source keeps exactly
+    ceil(pct * n / 100) docs, chosen by unique-token ratio with id
+    tie-break."""
+    from sanef_election_dashboard_etl_spark.operators.sampling import (
+        quality_quantile_gate)
+
+    rows = []
+    for s, n in (("a", 10), ("b", 3)):
+        for i in range(n):
+            # doc i in source s: i+1 distinct tokens out of 10 total
+            toks = [f"w{j}" for j in range(i + 1)]
+            text = " ".join((toks * 10)[:10])
+            rows.append((len(rows), text, s))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = quality_quantile_gate(df, keep_pct=50)
+    got = {(r["source"], r["doc_id"]) for r in out.collect()}
+    by_src = {"a": [d for s, d in got if s == "a"],
+              "b": [d for s, d in got if s == "b"]}
+    assert len(by_src["a"]) == 5   # ceil(50% of 10)
+    assert len(by_src["b"]) == 2   # ceil(50% of 3)
+    # the kept docs are the highest-uniqueness ones (largest i per source)
+    assert sorted(by_src["a"]) == [5, 6, 7, 8, 9]
+    assert sorted(by_src["b"]) == [11, 12]

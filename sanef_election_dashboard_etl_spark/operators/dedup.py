@@ -1208,9 +1208,14 @@ def source_overlap_matrix(df: DataFrame, group_col: str = "source",
 
     Shape: (source, fp) is distinct-reduced FIRST (map-side partial
     dedup on a uniform 32-byte digest key), the self-join is keyed on
-    the digest, and the output matrix is |sources|^2 rows — tiny. The
-    only corpus-sized shuffle moves fingerprints, never text; identical
-    to the snapshot_diff / incremental-ingest digest discipline.
+    the digest, and the output matrix covers EVERY ordered source pair
+    (src_a < src_b) — C(|sources|, 2) rows, tiny — including pairs
+    with zero shared fingerprints (n_shared = 0, jaccard 0.0), so a
+    consumer iterating "all pairs" never silently misses one (ADVICE
+    r4: the old inner-join shape dropped zero-overlap pairs). The pair
+    universe is built from the metadata-sized totals table; the only
+    corpus-sized shuffle moves fingerprints, never text; identical to
+    the snapshot_diff / incremental-ingest digest discipline.
 
     Output (src_a, src_b, n_shared, n_a, n_b, jaccard)."""
     from ..functions.numeric import ratio
@@ -1225,12 +1230,16 @@ def source_overlap_matrix(df: DataFrame, group_col: str = "source",
               .filter(F.col("src_a") < F.col("src_b"))
               .groupBy("src_a", "src_b")
               .agg(F.count(F.lit(1)).alias("n_shared")))
-    ta = F.broadcast(totals.select(F.col("src").alias("src_a"),
-                                   F.col("n").alias("n_a")))
-    tb = F.broadcast(totals.select(F.col("src").alias("src_b"),
-                                   F.col("n").alias("n_b")))
-    out = shared.join(ta, "src_a").join(tb, "src_b")
-    denom = F.col("n_a") + F.col("n_b") - F.col("n_shared")
+    # all ordered pairs from the totals table (sources-squared, tiny —
+    # the BroadcastNestedLoop below is over metadata, not the corpus)
+    ta = totals.select(F.col("src").alias("src_a"),
+                       F.col("n").alias("n_a"))
+    tb = totals.select(F.col("src").alias("src_b"),
+                       F.col("n").alias("n_b"))
+    pairs = ta.join(F.broadcast(tb), F.col("src_a") < F.col("src_b"))
+    out = pairs.join(F.broadcast(shared), ["src_a", "src_b"], "left")
+    n_sh = F.coalesce(F.col("n_shared"), F.lit(0)).cast("long")
+    denom = F.col("n_a") + F.col("n_b") - n_sh
     return out.select(
-        "src_a", "src_b", "n_shared", "n_a", "n_b",
-        ratio("n_shared", denom).alias("jaccard"))
+        "src_a", "src_b", n_sh.alias("n_shared"), "n_a", "n_b",
+        ratio(n_sh, denom).alias("jaccard"))

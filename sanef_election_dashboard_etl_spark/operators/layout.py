@@ -235,7 +235,8 @@ def compact(spark, path: str, target_file_bytes: int = 128 * 1024 * 1024,
 
 def global_row_number(df: DataFrame, order_by: Sequence[str],
                       id_alias: str = "global_id",
-                      num_partitions: int | None = None) -> DataFrame:
+                      num_partitions: int | None = None,
+                      checkpoint: str = "local") -> DataFrame:
     """Contiguous 1-based global row numbers in `order_by` order WITHOUT a
     single-partition sort — the scalable zipWithIndex, DataFrame-native.
 
@@ -262,6 +263,21 @@ def global_row_number(df: DataFrame, order_by: Sequence[str],
     TOTAL order (include a unique tiebreak column) for the ids to be
     reproducible run-to-run and engine-to-engine.
 
+    Checkpoint durability trade-off (ADVICE r4): the default
+    `checkpoint="local"` materializes the ENTIRE dataset on executor
+    local storage (memory spilling to disk) with NON-RELIABLE lineage —
+    losing any executor after the checkpoint fails the job, and the
+    local-storage footprint is the full corpus. That is the right
+    price at notebook/job scale (no HDFS round-trip), but for a 100 TB
+    run pass `checkpoint="reliable"` to use `df.checkpoint()` against
+    the configured `spark.sparkContext.setCheckpointDir(...)` (HDFS/
+    object-store): survives executor loss, costs one extra
+    write+read of the corpus. `checkpoint="persist"` is the middle
+    tier — `persist(DISK_ONLY)` keeps lineage for recomputation on
+    executor loss (recompute re-samples the range partitioner, so
+    only use it when order_by is a total order over immutable input,
+    which this op already requires).
+
     Scale notes: cost is one range exchange + one metadata agg; the
     numbering stage is narrow. Skewed key ranges are the range
     partitioner's problem (its sampling equalizes rows per partition,
@@ -276,9 +292,17 @@ def global_row_number(df: DataFrame, order_by: Sequence[str],
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     cols = [F.col(c) for c in order_by]
-    ranged = (df.repartitionByRange(n, *cols)
-                .sortWithinPartitions(*cols)
-                .localCheckpoint(eager=True))
+    ranged = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+    if checkpoint == "reliable":
+        ranged = ranged.checkpoint(eager=True)
+    elif checkpoint == "persist":
+        from pyspark import StorageLevel
+        ranged = ranged.persist(StorageLevel.DISK_ONLY)
+    elif checkpoint == "local":
+        ranged = ranged.localCheckpoint(eager=True)
+    else:
+        raise ValueError(
+            f"checkpoint must be local|reliable|persist, got {checkpoint!r}")
     with_pid = ranged.withColumn("__pid", F.spark_partition_id())
     counts = {int(r["__pid"]): int(r["cnt"]) for r in
               with_pid.groupBy("__pid").agg(

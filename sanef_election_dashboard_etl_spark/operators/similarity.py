@@ -752,7 +752,10 @@ def quantized_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     ranking key dot/sqrt(qn)/sqrt(cn) divides exactly-representable
     integers — bit-identical in any IEEE engine, so the oracle replays
     ranking without the rounded-score discipline float cosine needs.
-    Ties broken by neighbor_id. Output (query_id, rank, neighbor_id)."""
+    Zero-norm vectors (qnorm2 = 0) score 0.0 — guarded explicitly
+    because sqrt(0) in the denominator is a fatal DIVIDE_BY_ZERO under
+    ANSI mode, not a quiet NaN (ADVICE r4). Ties broken by
+    neighbor_id. Output (query_id, rank, neighbor_id)."""
     c = quantize_embeddings(emb, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("qvec").alias("cq"), F.col("qnorm2").alias("cn"))
@@ -763,9 +766,15 @@ def quantized_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
         F.zip_with(F.col("qq"), F.col("cq"),
                    lambda x, y: (x * y).cast("long")),
         F.lit(0).cast("long"), lambda a, x: a + x)
-    score = (idot.cast("double")
-             / F.sqrt(F.col("qn").cast("double"))
-             / F.sqrt(F.col("cn").cast("double")))
+    # Zero-norm guard (ADVICE r4): an all-zero vector has qnorm2 = 0 and
+    # would divide by sqrt(0) — under Spark 4 ANSI mode that is a job-
+    # killing DIVIDE_BY_ZERO, not a NaN. Score it 0.0 against everything
+    # (the quantize_embeddings contract); mirrored in the DuckDB oracle.
+    score = F.when(
+        (F.col("qn") > 0) & (F.col("cn") > 0),
+        idot.cast("double")
+        / F.sqrt(F.col("qn").cast("double"))
+        / F.sqrt(F.col("cn").cast("double"))).otherwise(F.lit(0.0))
     scored = (c.join(F.broadcast(q),
                      F.col("neighbor_id") != F.col("query_id"))
               .withColumn("s", score))

@@ -668,7 +668,11 @@ def ccnet_buckets_sampled(df: DataFrame, n_buckets: int = 3,
             .agg(F.sort_array(F.collect_list(F.struct(
                 F.col("cross_entropy").alias("ce"),
                 F.col("cid").alias("cid")))).alias("cuts")))
-    empty = F.array().cast("array<struct<ce:double,cid:bigint>>")
+    # The empty-cut-array fallback must carry the SAME element type as
+    # the collected cuts struct, and `cid` inherits id_col's dtype — a
+    # hardcoded bigint fails analysis for string/int ids (ADVICE r4).
+    id_dt = df.schema[id_col].dataType.simpleString()
+    empty = F.array().cast(f"array<struct<ce:double,cid:{id_dt}>>")
     below = F.size(F.filter(
         F.coalesce(F.col("cuts"), empty),
         lambda c: (F.col("cross_entropy") > c["ce"]) |

@@ -4636,21 +4636,17 @@ def r6_unpivot_native(spark, sf_dir):
 # remains the local source of truth every round.
 
 _PINNED = [
-    # SURVEY §2 core (S/P/E/J/A/W/O/U/R ids), registration order
-    "s1_scan_project", "s10_literal_reset",
-    "p3_filter_conj", "p4_flag_filter", "p5_having_zero",
-    "p7_point_lookup", "p8_null_drop",
-    "e1_concat", "e2_html_template", "e3_e4_recode", "e5_arith",
-    "e6_date_format", "e7_json_extract",
-    "j1_dim_join", "j2_three_table", "j4_anti_join", "j5_enrich_join",
-    "j7_deloop_semi",
-    "a1_a2_j3_grouped_sum_count", "a3_count_two_keys", "a4_sum_two_keys",
-    "a5_sum_carried_key", "a6_w1_total_as_column", "a7_distinct",
-    "a8_dedup_keep_first", "a9_union_dedup", "a10_grouped_ordered_concat",
-    "w2_rank_topk_per_group", "w3_lag_delta",
+    # VERDICT r4 item 1: the 35-entry pinned window starved the
+    # rotation — 95/186 entries had no driver row after four rounds.
+    # The §2 core is already triple-guarded locally (oracle gate +
+    # pytest + plan audit) and has 3-4 driver-green rounds each, so the
+    # window now pins only the flagship plus four canaries spanning the
+    # op families (scan, broadcast join, fused agg, top-k sort); the
+    # other 45 slots rotate toward the least-driver-covered entries.
+    "s1_scan_project",
+    "j1_dim_join",
+    "a1_a2_j3_grouped_sum_count",
     "o1_o3_topk_sort",
-    "u1_union_by_name", "u2_except",
-    "r2_stack_hung_outright", "r4_explode_tokens",
     # the flagship pipeline (entry()) keeps a driver row every round
     "pipe_hung_councils",
 ]
@@ -5271,7 +5267,9 @@ def pack_chunk_documents(spark, sf_dir):
         WHERE vec_id < 10
     ), scored AS (
         SELECT query_id, neighbor_id,
-               list_dot_product(qq, cq) / sqrt(qn2) / sqrt(cn) AS s
+               CASE WHEN qn2 > 0 AND cn > 0
+                    THEN list_dot_product(qq, cq) / sqrt(qn2) / sqrt(cn)
+                    ELSE 0.0 END AS s
         FROM qs, c WHERE neighbor_id != query_id
     )
     SELECT query_id, rank, neighbor_id FROM (
@@ -5431,12 +5429,14 @@ def sim_embedding_centroids(spark, sf_dir):
         FROM fps a JOIN fps b USING (fp)
         WHERE a.src < b.src GROUP BY 1, 2
     )
-    SELECT s.src_a, s.src_b, s.n_shared, ta.n AS n_a, tb.n AS n_b,
-           ROUND(CAST(s.n_shared AS DOUBLE)
-                 / CAST(ta.n + tb.n - s.n_shared AS DOUBLE), 4) AS jaccard
-    FROM shared s
-    JOIN totals ta ON ta.src = s.src_a
-    JOIN totals tb ON tb.src = s.src_b
+    SELECT ta.src AS src_a, tb.src AS src_b,
+           COALESCE(s.n_shared, 0) AS n_shared, ta.n AS n_a, tb.n AS n_b,
+           ROUND(CAST(COALESCE(s.n_shared, 0) AS DOUBLE)
+                 / CAST(ta.n + tb.n - COALESCE(s.n_shared, 0) AS DOUBLE),
+                 4) AS jaccard
+    FROM totals ta
+    JOIN totals tb ON ta.src < tb.src
+    LEFT JOIN shared s ON s.src_a = ta.src AND s.src_b = tb.src
 """)
 def dedup_source_overlap(spark, sf_dir):
     """Cross-source duplication matrix (dedup.source_overlap_matrix):

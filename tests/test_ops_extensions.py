@@ -1290,6 +1290,13 @@ def test_global_row_number_matches_serial_numbering(spark):
         got = {(r["k"], r["uniq"]): r["global_id"] for r in out}
         serial = sorted(rows)
         assert all(got[kv] == i + 1 for i, kv in enumerate(serial)), n_parts
+    # the durability tiers (ADVICE r4) produce identical numbering
+    per = L.global_row_number(df, ["k", "uniq"], num_partitions=5,
+                              checkpoint="persist").collect()
+    assert sorted(r["global_id"] for r in per) == list(range(1, 1001))
+    assert {(r["k"], r["uniq"]): r["global_id"] for r in per} == got
+    with pytest.raises(ValueError):
+        L.global_row_number(df, ["k", "uniq"], checkpoint="bogus")
 
 
 def test_epoch_shuffle_seeded_permutations(spark):
@@ -1717,6 +1724,16 @@ def test_ccnet_sampled_tracks_exact_tier(spark):
         "doc_id long, text string, lang string")
     only_head = ccnet_buckets_sampled(few, 3, sample_rate=0.0).collect()
     assert {r["bucket"] for r in only_head} == {"head"}
+    # generic id dtype (ADVICE r4): a STRING id column must not fail
+    # analysis in the empty-cut-array coalesce (type is now derived
+    # from the input schema, not hardcoded bigint)
+    sfew = spark.createDataFrame(
+        [(f"d{i}", "x y z w v u t s r q p o n m", "xx")
+         for i in range(12)],
+        "doc_id string, text string, lang string")
+    sout = ccnet_buckets_sampled(sfew, 3, sample_rate=1.0).collect()
+    assert len(sout) == 12
+    assert {r["bucket_id"] for r in sout} <= {1, 2, 3}
 
 
 def test_quantized_topk_recall_and_reconstruction(spark):
@@ -1751,6 +1768,19 @@ def test_quantized_topk_recall_and_reconstruction(spark):
     quantd = {(r["query_id"], r["neighbor_id"])
               for r in quantized_topk(emb, queries, k=10).collect()}
     assert len(exact & quantd) / len(exact) >= 0.9
+
+    # zero-norm guard (ADVICE r4): an all-zero corpus vector and an
+    # all-zero query must NOT raise DIVIDE_BY_ZERO under ANSI mode —
+    # they score 0.0 against everything and rank last
+    zc = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    out = quantized_topk(zc, zc, k=3).collect()
+    ranks = {(r["query_id"], r["neighbor_id"]): r["rank"] for r in out}
+    # zero query 1: all scores 0.0, ties broken by neighbor_id
+    assert ranks[(1, 2)] == 1 and ranks[(1, 3)] == 2
+    # every (query, neighbor) pair survives the guard (no row lost)
+    assert len(ranks) == 6
 
 
 def test_dsir_log_ratio_favors_target_domain(spark):
@@ -1790,7 +1820,8 @@ def test_embedding_centroids_exact_means(spark):
 def test_source_overlap_matrix_hand_counts(spark):
     """Overlap matrix on a hand-built corpus: shared normalized texts
     count once (distinct fps), jaccard uses the union denominator, and
-    non-overlapping pairs are absent."""
+    EVERY ordered pair appears — zero-overlap pairs with n_shared=0
+    (ADVICE r4: the inner-join shape silently dropped them)."""
     from sanef_election_dashboard_etl_spark.operators.dedup import (
         source_overlap_matrix)
 
@@ -1805,7 +1836,12 @@ def test_source_overlap_matrix_hand_counts(spark):
     ab = rows[("a", "b")]
     assert (ab["n_shared"], ab["n_a"], ab["n_b"]) == (1, 2, 2)
     assert ab["jaccard"] == round(1 / 3, 4)
-    assert ("a", "c") not in rows and ("b", "c") not in rows
+    # all C(3,2) ordered pairs present, zero-overlap ones at 0
+    assert set(rows) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ac = rows[("a", "c")]
+    assert (ac["n_shared"], ac["n_a"], ac["n_b"], ac["jaccard"]) == \
+        (0, 2, 1, 0.0)
+    assert rows[("b", "c")]["n_shared"] == 0
 
 
 def test_quality_quantile_gate_per_source_cut(spark):

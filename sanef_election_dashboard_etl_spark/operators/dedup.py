@@ -544,11 +544,25 @@ def simhash_signature_arrow(df: DataFrame, id_col: str = "doc_id",
 
 def _band_pairs(sig: DataFrame, max_hamming: int, chunk_bits: int,
                 n_chunks: int, id_col: str,
-                sig_col: str = "simhash") -> DataFrame:
+                sig_col: str = "simhash",
+                max_df: int | None = None) -> DataFrame:
     """Pigeonhole banding over a packed signature: split into `n_chunks`
     chunks of `chunk_bits`; any pair within Hamming distance < n_chunks
     shares at least one exact chunk, so n_chunks chunk-equality self-joins
-    find all candidates; verify with bit_count of xor."""
+    find all candidates; verify with bit_count of xor.
+
+    `max_df` is the hot-band guard (r5, SCALING.md candidate-density
+    probe): band buckets holding more than max_df signatures are dropped
+    from BOTH join sides. Without it candidate pairs are quadratic in
+    corpus size — the band key space is fixed (2^chunk_bits values per
+    chunk) and signature chunks cluster on shared vocabulary, so bucket
+    df grows with n and sum C(df,2) grows with n^2 (measured 12-15x per
+    10x docs). With it, candidates <= max_df * n_chunks * n — linear.
+    Recall contract: a true pair is lost only if EVERY chunk the two
+    signatures share lands in a hot bucket; pairs at Hamming <=
+    n_chunks-2 share >= 2 chunks and need two hot hits. Hot buckets are
+    dominated by exact-duplicate signature clusters, which exact dedup
+    (dedup_exact) should consume before near-dup banding at scale."""
     mask = (1 << chunk_bits) - 1
     chunks = sig.select(
         id_col, sig_col,
@@ -558,6 +572,12 @@ def _band_pairs(sig: DataFrame, max_hamming: int, chunk_bits: int,
                       .alias("cval"))
             for c in range(n_chunks)
         ])).alias("b")).select(id_col, sig_col, "b.chunk", "b.cval")
+    if max_df is not None:
+        hot = (chunks.groupBy("chunk", "cval")
+               .agg(F.count(F.lit(1)).alias("__df"))
+               .filter(F.col("__df") > max_df).select("chunk", "cval"))
+        chunks = chunks.join(F.broadcast(hot), ["chunk", "cval"],
+                             "left_anti")
     lhs = chunks.select(F.col(id_col).alias("id_a"),
                         F.col(sig_col).alias("sh_a"), "chunk", "cval")
     rhs = chunks.select(F.col(id_col).alias("id_b"),
@@ -573,22 +593,28 @@ def _band_pairs(sig: DataFrame, max_hamming: int, chunk_bits: int,
 
 def simhash_pairs_arrow(df: DataFrame, max_hamming: int = 3,
                         portable: bool = False, id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        max_df: int | None = None) -> DataFrame:
     """simhash_pairs with the Arrow signature stage (no row blowup) —
     same banding and verification as the expression variants. With
     `portable=True` the pipeline is bit-identical to
     `simhash_pairs_portable` and shares its ANSI-SQL oracle; the default
     xxhash64 form is bit-identical to `simhash_pairs` (both
     test-asserted). This is the production configuration for long-doc
-    corpora; the expression paths stay as the oracle twins."""
+    corpora; the expression paths stay as the oracle twins.
+
+    `max_df` (the hot-band guard, see _band_pairs) is the 100 TB knob:
+    the r5 candidate-density probe (SCALING.md) measured unguarded band
+    candidates growing 12-15x per 10x docs — set it (e.g. 50) on any
+    corpus that hasn't been exact-deduped first."""
     if portable:
         sig = simhash_signature_arrow(df, id_col, text_col, portable=True,
                                       sig_col="sh")
         return _band_pairs(sig, max_hamming, chunk_bits=15, n_chunks=4,
-                           id_col=id_col, sig_col="sh")
+                           id_col=id_col, sig_col="sh", max_df=max_df)
     sig = simhash_signature_arrow(df, id_col, text_col, n_bits=64)
     out = _band_pairs(sig, max_hamming, chunk_bits=16, n_chunks=4,
-                      id_col=id_col, sig_col="simhash")
+                      id_col=id_col, sig_col="simhash", max_df=max_df)
     # expression simhash_pairs leaves bit_count's int type; match it
     return out.withColumn("hamming", F.col("hamming").cast("int"))
 

@@ -2019,6 +2019,59 @@ def dedup_simhash_arrow(spark, sf_dir):
     return D.simhash_pairs_arrow(docs, max_hamming=3, portable=True)
 
 
+@query("dedup_simhash_guarded", oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents WHERE doc_id < 300
+    ), hashes AS (
+        SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+        FROM tok
+    ), votes AS (
+        SELECT doc_id, r.i,
+               SUM(CASE WHEN (h >> CAST(r.i AS INT)) & 1 = 1
+                        THEN 1 ELSE -1 END) AS v
+        FROM hashes, range(60) r(i)
+        GROUP BY doc_id, r.i
+    ), sig AS (
+        SELECT doc_id,
+               SUM(CASE WHEN v >= 0 THEN (1::BIGINT << CAST(i AS INT))
+                        ELSE 0::BIGINT END) AS sh
+        FROM votes GROUP BY doc_id
+    ), chunks AS (
+        SELECT doc_id, sh, c.c AS chunk,
+               (sh >> CAST(15 * c.c AS INT)) & 32767 AS cval
+        FROM sig, range(4) c(c)
+    ), hot AS (
+        SELECT chunk, cval FROM chunks
+        GROUP BY chunk, cval HAVING COUNT(*) > 5
+    ), kept AS (
+        SELECT c.* FROM chunks c
+        LEFT JOIN hot h ON c.chunk = h.chunk AND c.cval = h.cval
+        WHERE h.chunk IS NULL
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, a.sh AS sh_a,
+                        b.doc_id AS id_b, b.sh AS sh_b
+        FROM kept a JOIN kept b
+          ON a.chunk = b.chunk AND a.cval = b.cval AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+""")
+def dedup_simhash_guarded(spark, sf_dir):
+    """SimHash banding with the hot-band max_df guard (r5, VERDICT r4
+    item 3): band buckets holding > max_df signatures are dropped from
+    both sides of the candidate join, bounding candidates at
+    max_df * n_chunks * n — the measured unguarded growth was 12-15x
+    candidate pairs per 10x docs (SCALING.md candidate-density table)
+    because the band key space is fixed (2^15 per chunk) while bucket
+    occupancy grows with the corpus. max_df=5 provably fires on this
+    fixture (12-19 hot buckets at doc_id<300 across SFs); the oracle
+    replays the guard exactly (hot CTE + anti-join)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return D.simhash_pairs_arrow(docs, max_hamming=3, portable=True,
+                                 max_df=5)
+
+
 # ==========================================================================
 # Reproducible sampling (training-data pipelines)
 # ==========================================================================

@@ -80,6 +80,32 @@ def test_simhash_arrow_bit_identical_to_expression(spark, docs):
         rows(D.simhash_pairs_portable(docs, max_hamming=3))
 
 
+def test_simhash_hot_band_guard(spark):
+    """max_df band guard (r5): hot buckets drop from BOTH join sides, the
+    guarded output is a subset of the unguarded one, and a pair inside a
+    hot bucket survives iff it shares another non-hot chunk."""
+    # 12 identical docs -> one signature cluster: every chunk bucket has
+    # df=12, so max_df=5 drops all four buckets and ALL their pairs;
+    # two other near-identical docs stay under the threshold and survive
+    rows_in = [(i, "alpha beta gamma delta epsilon zeta") for i in range(12)]
+    rows_in += [(100, "unique snowflake text one two three"),
+                (101, "unique snowflake text one two threeX")]
+    df = spark.createDataFrame(rows_in, "doc_id long, text string")
+    unguarded = {(r["id_a"], r["id_b"])
+                 for r in D.simhash_pairs_arrow(df, max_hamming=3).collect()}
+    guarded = {(r["id_a"], r["id_b"])
+               for r in D.simhash_pairs_arrow(df, max_hamming=3,
+                                              max_df=5).collect()}
+    assert guarded <= unguarded
+    # the 12-clone cluster (66 pairs) is entirely hot -> gone
+    assert not any(a < 12 and b < 12 for a, b in guarded)
+    assert sum(1 for a, b in unguarded if a < 12 and b < 12) == 66
+    # max_df larger than any bucket df -> bit-identical to unguarded
+    assert {(r["id_a"], r["id_b"])
+            for r in D.simhash_pairs_arrow(df, max_hamming=3,
+                                           max_df=1000).collect()} == unguarded
+
+
 def test_simhash_arrow_edge_docs_match_expression(spark):
     # whitespace-only text tokenizes to [""] (kept); null text drops —
     # the arrow stage must mirror the expression path on both

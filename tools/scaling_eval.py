@@ -356,6 +356,13 @@ X100_HEAVY_OPERATORS = [
     ("simhash_pairs_arrow", "documents x100 (500k docs, full table)",
      lambda spark, sf: D.simhash_pairs_arrow(table(spark, sf, "documents"),
                                              max_hamming=3)),
+    # r5: the hot-band guard (max_df) is the fix for the unguarded row's
+    # decade-2 superlinearity — candidate pairs are quadratic without it
+    # (fixed 2^16 band key space; see tools/candidate_density.py and the
+    # SCALING.md candidate-density section)
+    ("simhash_guarded", "documents x100 (500k docs, max_df=50)",
+     lambda spark, sf: D.simhash_pairs_arrow(table(spark, sf, "documents"),
+                                             max_hamming=3, max_df=50)),
     ("semantic_dedup", "embeddings x100 + clones (400k in-query; "
      "auto planes 6->13)", _semantic_dedup_scaled),
     ("incremental_dedup_bloom", "documents x100 (350k corpus / 150k batch)",

@@ -2,10 +2,21 @@
 
 North-star extension: treat image/audio/video as `binary` columns with a
 typed metadata struct, processed by Arrow-batched pandas functions via
-`mapInPandas`. The decode step itself is STUBBED (no image/audio libs in
-this container): `decode_image` raises NotImplementedError unless the
-deterministic fake decoder is requested. Everything Spark-side — schema,
-batch iteration, partitioning, UDF signatures — is real and tested.
+`mapInPandas`.
+
+Decode status (r5, VERDICT r4 item 4): UNCOMPRESSED formats decode for
+real — `decode_bmp` (24-bit BMP, pure-struct header parse + pixel
+extraction) and `decode_wav` (16-bit PCM RIFF/WAVE) need no codec
+library, and `synthesize_media_encoded` builds genuine BMP/WAV payloads
+so the decode round-trip is oracle-checkable end to end
+(`multimodal_decode` registry entry: every decoded width/height/
+n_samples/first-value must equal what the encoder embedded, replayed
+independently by DuckDB from the source table). COMPRESSED formats
+(JPEG/PNG/MP3/H.264) remain a documented NotImplementedError —
+`decode_image` dispatches on magic bytes and decodes BMP; anything else
+still needs PIL/ffmpeg, which this container does not ship. Everything
+Spark-side — schema, batch iteration, partitioning, UDF signatures — is
+real and tested in both regimes.
 
 At 100 TB: media bytes dominate row size, so the operators (a) never
 shuffle the binary column (feature extraction is a narrow map), (b) select
@@ -47,16 +58,82 @@ FEATURE_SCHEMA = StructType([
 ])
 
 
-def decode_image(payload: bytes) -> "object":
-    """Real decoder entry point — requires an image library.
+def decode_bmp(payload: bytes) -> dict:
+    """Pure-Python 24-bit BMP decoder — no codec library required.
 
-    STUB: this container ships no codec libraries; production swaps in
-    PIL/torchvision here. The Spark plumbing around it is fully functional
-    with the deterministic fake (`fake=True` in extract_features)."""
+    Parses the BITMAPFILEHEADER ('BM' magic, pixel-array offset) and
+    BITMAPINFOHEADER (width, height, planes, bpp), validates the format
+    (24 bpp, uncompressed), and slices out the pixel array honoring the
+    4-byte row stride and bottom-up/top-down height sign. Returns
+    {"width", "height", "pixels"} with pixels as raw BGR bytes,
+    stride-stripped, in row order as stored."""
+    import struct
+
+    if len(payload or b"") < 54:
+        raise ValueError("not a BMP: shorter than the 54-byte headers")
+    magic, _file_size, _r1, _r2, off = struct.unpack_from("<2sIHHI",
+                                                          payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP: missing 'BM' magic")
+    hdr_sz, w, h, _planes, bpp = struct.unpack_from("<IiiHH", payload, 14)
+    compression, = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP is supported (bpp={bpp}, "
+            f"compression={compression})")
+    height = abs(h)
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = [payload[off + r * stride: off + r * stride + w * 3]
+            for r in range(height)]
+    return {"width": w, "height": height, "pixels": b"".join(rows)}
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Pure-Python 16-bit PCM WAV decoder — no codec library required.
+
+    Walks the RIFF chunk list (handles extra chunks between 'fmt ' and
+    'data'), validates PCM/16-bit, and returns {"sample_rate",
+    "n_channels", "n_samples", "samples"} with samples as the raw
+    little-endian int16 byte string."""
+    import struct
+
+    if len(payload or b"") < 12 or payload[0:4] != b"RIFF" \
+            or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV: missing RIFF/WAVE header")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos:pos + 4], struct.unpack_from(
+            "<I", payload, pos + 4)[0]
+        body = payload[pos + 8: pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)     # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_fmt, n_channels, sample_rate, _brate, _align, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only 16-bit PCM is supported (format={audio_fmt}, "
+            f"bits={bits})")
+    return {"sample_rate": sample_rate, "n_channels": n_channels,
+            "n_samples": len(data) // (2 * n_channels), "samples": data}
+
+
+def decode_image(payload: bytes) -> dict:
+    """Image decoder entry point: dispatches on magic bytes. BMP decodes
+    for real (decode_bmp, pure struct parsing); compressed formats
+    (JPEG/PNG/...) raise NotImplementedError — they require a codec
+    library (PIL/torchvision) this container does not ship; production
+    swaps it in here."""
+    if (payload or b"")[:2] == b"BM":
+        return decode_bmp(payload)
     raise NotImplementedError(
-        "image decoding requires a codec library not present in this "
-        "environment; use extract_features(..., fake=True) for the "
-        "deterministic test double")
+        "compressed image decoding requires a codec library not present "
+        "in this environment; uncompressed BMP decodes via decode_bmp, "
+        "or use extract_features(..., fake=True) for the deterministic "
+        "test double")
 
 
 def _fake_feature(payload: bytes, dim: int = 16) -> list[float]:
@@ -81,20 +158,195 @@ def synthesize_media(docs: DataFrame, media_type: str = "image") -> DataFrame:
     )
 
 
+def _encode_bmp(tile: bytes, w: int, h: int) -> bytes:
+    """Deterministic 24-bit BMP: standard 54-byte headers + pixel array
+    tiled from `tile`. Width is kept a multiple of 4 by callers so the
+    row stride needs no padding (stride == 3w)."""
+    import struct
+
+    tile = tile or b"\x00"
+    size = w * 3 * h
+    pix = (tile * (size // len(tile) + 1))[:size]
+    header = struct.pack("<2sIHHI", b"BM", 54 + size, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, size,
+                      2835, 2835, 0, 0)
+    return header + dib + pix
+
+
+def _encode_wav(tile: bytes, n_samples: int,
+                sample_rate: int = 16_000) -> bytes:
+    """Deterministic 16-bit mono PCM WAV: RIFF/fmt/data chunks + sample
+    bytes tiled from `tile`."""
+    import struct
+
+    tile = tile or b"\x00"
+    raw = (tile * ((2 * n_samples) // len(tile) + 1))[:2 * n_samples]
+    return (b"RIFF" + struct.pack("<I", 36 + len(raw)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                    sample_rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(raw)) + raw)
+
+
+def synthesize_media_encoded(docs: DataFrame,
+                             media_type: str = "image") -> DataFrame:
+    """MEDIA_SCHEMA table whose payloads are GENUINE encoded bytes —
+    24-bit BMP images or 16-bit PCM WAV audio — built deterministically
+    from the documents fixture (dims/sample counts from doc_id/text
+    arithmetic, pixel/sample bytes tiled from the UTF-8 text). The
+    decode operators parse these for real, so the round-trip
+    (encode -> decode -> metadata/values) is oracle-checkable: DuckDB
+    recomputes every expected value from the source table without ever
+    seeing the binary (see the multimodal_decode registry entry).
+
+    Dims stay small (w in 8..68, h in 8..52, both multiples of 4 so the
+    BMP stride needs no padding; n_samples in 16..1012) — payloads are
+    KBs, which matters because the synthesis itself is a narrow
+    mapInPandas and the binary column never shuffles afterward."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            texts = pdf["text"]
+            payloads, widths, heights, rates, frames = [], [], [], [], []
+            for mid, text in zip(ids, texts):
+                tb = (text or "").encode("utf-8")
+                if media_type == "image":
+                    w = int(mid % 16) * 4 + 8
+                    h = int(mid % 12) * 4 + 8
+                    payloads.append(_encode_bmp(tb, w, h))
+                    widths.append(w)
+                    heights.append(h)
+                    rates.append(None)
+                    frames.append(None)
+                else:
+                    n = (len(tb) % 997) + 16
+                    payloads.append(_encode_wav(tb, n))
+                    widths.append(None)
+                    heights.append(None)
+                    rates.append(16_000)
+                    frames.append(n)
+            yield pd.DataFrame({
+                "media_id": pd.array(ids, dtype="int64"),
+                "media_type": media_type,
+                "payload": payloads,
+                "width": pd.array(widths, dtype="Int32"),
+                "height": pd.array(heights, dtype="Int32"),
+                "sample_rate": pd.array(rates, dtype="Int32"),
+                "n_frames": pd.array(frames, dtype="Int32"),
+            })
+
+    return docs.select("doc_id", "text").mapInPandas(run,
+                                                     schema=MEDIA_SCHEMA)
+
+
+DECODED_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("media_type", StringType(), False),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("n_pixels", LongType(), True),
+    StructField("sample_rate", IntegerType(), True),
+    StructField("n_samples", LongType(), True),
+    StructField("payload_bytes", LongType(), False),
+    StructField("first_value", LongType(), False),
+])
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """REAL decode over the binary payload column: BMP headers + pixels
+    and WAV chunks parsed per row inside one narrow mapInPandas pass
+    (Arrow batches; the binary column never shuffles). Output is
+    metadata + the first decoded value (blue channel of pixel 0 for
+    images, signed int16 sample 0 for audio) — each a genuine product
+    of the byte-level parse, so a header-math bug, stride error, or
+    endianness mistake fails the oracle comparison."""
+    import struct
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "media_type", "width",
+                                   "height", "n_pixels", "sample_rate",
+                                   "n_samples", "payload_bytes",
+                                   "first_value")}
+            for mid, mtype, payload in zip(pdf["media_id"],
+                                           pdf["media_type"],
+                                           pdf["payload"]):
+                out["media_id"].append(mid)
+                out["media_type"].append(mtype)
+                out["payload_bytes"].append(len(payload or b""))
+                if mtype == "image":
+                    d = decode_image(bytes(payload))
+                    out["width"].append(d["width"])
+                    out["height"].append(d["height"])
+                    out["n_pixels"].append(d["width"] * d["height"])
+                    out["sample_rate"].append(None)
+                    out["n_samples"].append(None)
+                    out["first_value"].append(d["pixels"][0])
+                else:
+                    d = decode_wav(bytes(payload))
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["n_pixels"].append(None)
+                    out["sample_rate"].append(d["sample_rate"])
+                    out["n_samples"].append(d["n_samples"])
+                    out["first_value"].append(
+                        struct.unpack_from("<h", d["samples"], 0)[0])
+            yield pd.DataFrame({
+                "media_id": pd.array(out["media_id"], dtype="int64"),
+                "media_type": out["media_type"],
+                "width": pd.array(out["width"], dtype="Int32"),
+                "height": pd.array(out["height"], dtype="Int32"),
+                "n_pixels": pd.array(out["n_pixels"], dtype="Int64"),
+                "sample_rate": pd.array(out["sample_rate"], dtype="Int32"),
+                "n_samples": pd.array(out["n_samples"], dtype="Int64"),
+                "payload_bytes": pd.array(out["payload_bytes"],
+                                          dtype="int64"),
+                "first_value": pd.array(out["first_value"], dtype="int64"),
+            })
+
+    return media.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
 def extract_features(media: DataFrame, fake: bool = True,
                      batch_size_hint: int = 256) -> DataFrame:
     """Arrow-batched feature extraction over the binary payload column.
 
-    mapInPandas: each task streams Arrow batches, decodes (stub), and emits
+    mapInPandas: each task streams Arrow batches, decodes, and emits
     FEATURE_SCHEMA rows — the narrow map keeps the big binary column from
-    ever shuffling; only the 16-float feature moves downstream."""
+    ever shuffling; only the 16-float feature moves downstream.
+
+    `fake=False` (r5) decodes for REAL where the format allows: BMP and
+    WAV payloads are parsed (decode_image / decode_wav) and the feature
+    is the normalized 16-bin byte histogram of the decoded pixel/sample
+    bytes — a genuine content feature. Compressed formats still raise
+    NotImplementedError from the decoder (no codec libs here)."""
+
+    def _real_feature(mtype: str, payload: bytes) -> list[float]:
+        import numpy as np
+
+        body = (decode_image(bytes(payload))["pixels"]
+                if mtype == "image" else
+                decode_wav(bytes(payload))["samples"])
+        hist = np.bincount(
+            np.frombuffer(body, dtype=np.uint8) >> 4, minlength=16)
+        return (hist / max(1, len(body))).astype("float32").tolist()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not fake:
-                # production path: decode_image / audio resample / frame
-                # sampling per media_type
-                raise NotImplementedError("no codec libraries in container")
+                payloads = pdf["payload"]
+                yield pd.DataFrame({
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "payload_bytes": payloads.map(
+                        lambda p: len(p or b"")).astype("int64"),
+                    "payload_sha256": payloads.map(
+                        lambda p: hashlib.sha256(p or b"").hexdigest()),
+                    "feature": [
+                        _real_feature(t, p) for t, p in
+                        zip(pdf["media_type"], payloads)],
+                })
+                continue
             payloads = pdf["payload"]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],

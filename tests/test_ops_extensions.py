@@ -163,8 +163,91 @@ def test_multimodal_feature_plumbing(spark, docs):
 
 
 def test_multimodal_decode_is_stubbed():
+    # compressed formats stay NotImplementedError (no codec libs here)
     with pytest.raises(NotImplementedError):
-        M.decode_image(b"\x89PNG")
+        M.decode_image(b"\x89PNG" + b"\x00" * 64)
+
+
+def test_bmp_decoder_roundtrip_and_stride():
+    # encoder output parses back exactly
+    d = M.decode_bmp(M._encode_bmp(b"abcdef", 8, 4))
+    assert (d["width"], d["height"]) == (8, 4)
+    assert d["pixels"][:6] == b"abcdef" and len(d["pixels"]) == 8 * 3 * 4
+    # decode_image dispatches BMP by magic
+    assert M.decode_image(M._encode_bmp(b"xy", 4, 4))["width"] == 4
+    # hand-built BMP with w=3 (stride 12, 3 pad bytes/row) and top-down
+    # height (negative): stride bytes must be stripped, rows preserved
+    import struct
+    w, h, stride = 3, 2, 12
+    rows = [bytes(range(r * 9, r * 9 + 9)) + b"\xee\xee\xee"
+            for r in range(h)]
+    payload = (struct.pack("<2sIHHI", b"BM", 54 + stride * h, 0, 0, 54)
+               + struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 24, 0,
+                             stride * h, 0, 0, 0, 0)
+               + b"".join(rows))
+    d = M.decode_bmp(payload)
+    assert (d["width"], d["height"]) == (3, 2)
+    assert d["pixels"] == bytes(range(9)) + bytes(range(9, 18))
+    with pytest.raises(ValueError):
+        M.decode_bmp(b"XX" + b"\x00" * 60)
+    with pytest.raises(NotImplementedError):   # 8-bit BMP
+        M.decode_bmp(struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54)
+                     + struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 8, 0,
+                                   4, 0, 0, 0, 0) + b"\x00" * 4)
+
+
+def test_wav_decoder_roundtrip_and_chunk_walk():
+    import struct
+    d = M.decode_wav(M._encode_wav(b"abcd", n_samples=10))
+    assert (d["sample_rate"], d["n_channels"], d["n_samples"]) == \
+        (16_000, 1, 10)
+    assert struct.unpack_from("<h", d["samples"], 0)[0] == \
+        ord("a") + 256 * ord("b")
+    # an extra LIST chunk between fmt and data must be skipped
+    raw = b"\x01\x02\x03\x04"
+    wav = (b"RIFF" + struct.pack("<I", 4 + 24 + 12 + 8 + len(raw))
+           + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000,
+                                   2, 16)
+           + b"LIST" + struct.pack("<I", 4) + b"INFO"
+           + b"data" + struct.pack("<I", len(raw)) + raw)
+    d = M.decode_wav(wav)
+    assert (d["sample_rate"], d["n_samples"]) == (8000, 2)
+    with pytest.raises(ValueError):
+        M.decode_wav(b"RIFX" + b"\x00" * 40)
+    bad = bytearray(M._encode_wav(b"ab", 4))
+    struct.pack_into("<H", bad, 34, 8)          # 8-bit PCM
+    with pytest.raises(NotImplementedError):
+        M.decode_wav(bytes(bad))
+
+
+def test_decode_media_and_real_features(spark, docs):
+    enc_i = M.synthesize_media_encoded(docs.filter(F.col("doc_id") <= 3))
+    enc_a = M.synthesize_media_encoded(docs.filter(F.col("doc_id") > 3),
+                                       "audio")
+    out = {r["media_id"]: r
+           for r in M.decode_media(enc_i.unionByName(enc_a)).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for mid, r in out.items():
+        t = texts[mid].encode()
+        if r["media_type"] == "image":
+            assert r["width"] == (mid % 16) * 4 + 8
+            assert r["n_pixels"] == r["width"] * r["height"]
+            assert r["payload_bytes"] == 54 + 3 * r["n_pixels"]
+            assert r["first_value"] == t[0]
+            assert r["sample_rate"] is None
+        else:
+            assert r["n_samples"] == (len(t) % 997) + 16
+            assert r["payload_bytes"] == 44 + 2 * r["n_samples"]
+            assert r["first_value"] == t[0] + 256 * t[1 % len(t)]
+            assert r["width"] is None
+    # fake=False features now decode for real: 16-bin histogram of the
+    # decoded body bytes, normalized
+    feats = {r["media_id"]: r["feature"] for r in
+             M.extract_features(enc_i.unionByName(enc_a),
+                                fake=False).collect()}
+    for mid, f in feats.items():
+        assert len(f) == 16 and abs(sum(f) - 1.0) < 1e-5
 
 
 def test_media_stats_prunes_payload(spark, docs):

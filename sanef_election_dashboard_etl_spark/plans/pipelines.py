@@ -232,3 +232,41 @@ def list_of_hung_councils(council_winners: DataFrame, munis: DataFrame,
         recoded, "ProvinceID", li, F.col("Municipality"), "Contents",
         prefix="<ul>", suffix="</ul>")
     return out.withColumnRenamed("ProvinceID", "Geography")
+
+
+def admit_increment(corpus: DataFrame, new: DataFrame,
+                    min_tokens: int = 5) -> DataFrame:
+    """The incremental-training admission pipeline as a PURE
+    (corpus, new) -> admitted function (§7 delta path; the registry
+    entry pipe_incremental_ingest wraps it): snapshot_diff narrows the
+    next crawl to added/changed docs, a token-count gate drops shorts,
+    and a normalized-fingerprint anti-join against the STANDING corpus
+    rejects re-encodes of anything already seen. Output
+    (doc_id, status, n_tokens).
+
+    Being a pure DataFrame function is what makes the streaming twin
+    free (streaming/pipelines.py doctrine): run it per micro-batch over
+    the arriving slice of `new` in foreachBatch and the UNION of the
+    per-batch outputs equals the one-shot batch run, because every stage
+    is per-doc-key local — the diff join touches only the batch's keys,
+    the gate is per-row, and the corpus-fingerprint side is static.
+    That equivalence is property-tested in
+    tests/test_streaming.py::test_incremental_ingest_stream_equals_batch.
+    """
+    from ..operators import relational as RL
+    from ..operators.text import fingerprint
+
+    d = RL.snapshot_diff(corpus.select("doc_id", "text"), new,
+                         key="doc_id", cols=["text"])
+    delta = d.filter(F.col("status").isin("added", "changed"))
+    cand = (new.join(delta, "doc_id")
+            .select("doc_id", "status", "text",
+                    F.size(F.split(F.trim("text"), r"\s+"))
+                    .cast("long").alias("n_tokens")))
+    corpus_fp = corpus.select(fingerprint(F.col("text")).alias("fp")) \
+        .distinct()
+    admitted = (cand.filter(F.col("n_tokens") >= min_tokens)
+                .join(corpus_fp,
+                      fingerprint(F.col("text")) == F.col("fp"),
+                      "left_anti"))
+    return admitted.select("doc_id", "status", "n_tokens")

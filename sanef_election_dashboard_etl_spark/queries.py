@@ -5069,6 +5069,8 @@ def pipe_incremental_ingest(spark, sf_dir):
     normalized text already exists); edited docs come through as
     'changed'. Reference parity: SANEF_Uploader.py re-ingests
     wholesale every run (:55); this is the §7 delta path."""
+    from .plans.pipelines import admit_increment
+
     docs = _t(spark, sf_dir, "documents")
     new = (docs.filter(F.col("doc_id") % 37 != 0)
            .select("doc_id",
@@ -5079,20 +5081,7 @@ def pipe_incremental_ingest(spark, sf_dir):
                docs.filter(F.col("doc_id") < 100)
                .select((F.col("doc_id") + 700000).alias("doc_id"),
                        "text")))
-    d = R.snapshot_diff(docs.select("doc_id", "text"), new,
-                        key="doc_id", cols=["text"])
-    delta = d.filter(F.col("status").isin("added", "changed"))
-    cand = (new.join(delta, "doc_id")
-            .select("doc_id", "status", "text",
-                    F.size(F.split(F.trim("text"), r"\s+"))
-                    .cast("long").alias("n_tokens")))
-    corpus_fp = docs.select(T.fingerprint(F.col("text")).alias("fp")) \
-        .distinct()
-    admitted = (cand.filter(F.col("n_tokens") >= 5)
-                .join(corpus_fp,
-                      T.fingerprint(F.col("text")) == F.col("fp"),
-                      "left_anti"))
-    return admitted.select("doc_id", "status", "n_tokens")
+    return admit_increment(docs, new, min_tokens=5)
 
 
 @query("text_quality_classifier", oracle="""

@@ -49,18 +49,24 @@ class Query:
     fn: QueryFn
     oracle: str | None
     tags: tuple[str, ...] = field(default_factory=tuple)
+    # Every rows-only entry (oracle=None) MUST name an oracle-checked
+    # registry sibling that hash-verifies the same semantics family —
+    # the CLAUDE.md rule, machine-checked by
+    # tests/test_registry_window.py::test_rows_only_entries_name_sibling
+    sibling: str | None = None
 
 
 REGISTRY: dict[str, Query] = {}
 
 
-def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (),
+          sibling: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             tune(spark)
             return fn(spark, sf_dir)
 
-        REGISTRY[name] = Query(wrapped, oracle, tags)
+        REGISTRY[name] = Query(wrapped, oracle, tags, sibling)
         return wrapped
 
     return deco
@@ -878,7 +884,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(docs, n=3, min_jaccard=0.05)
 
 
-@query("dedup_minhash_lsh", oracle=None, tags=("rows-only",))
+@query("dedup_minhash_lsh", oracle=None, tags=("rows-only",),
+       sibling="dedup_minhash_lsh_portable")
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pairs (scale path; xxhash64-based signatures
     are engine-specific, so rows-only — semantics are covered by the
@@ -892,7 +899,8 @@ def dedup_minhash_lsh(spark, sf_dir):
     return D.minhash_lsh_pairs(docs, n=3, k=32, bands=8, min_jaccard=0.5)
 
 
-@query("dedup_simhash", oracle=None, tags=("rows-only",))
+@query("dedup_simhash", oracle=None, tags=("rows-only",),
+       sibling="dedup_simhash_portable")
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs (Hamming<=3 via 16-bit-chunk banding)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
@@ -942,7 +950,8 @@ def sim_cosine_pairs(spark, sf_dir):
     return S.cosine_pairs(emb, min_cosine=0.35)
 
 
-@query("sim_topk_lsh", oracle=None, tags=("rows-only",))
+@query("sim_topk_lsh", oracle=None, tags=("rows-only",),
+       sibling="sim_topk_lsh_portable")
 def sim_topk_lsh(spark, sf_dir):
     """Random-hyperplane LSH top-k — the CURATED-CORPUS tier, not the
     default ANN (that is ann_topk -> hamming_topk, see sim_topk_hamming):
@@ -1051,7 +1060,8 @@ def sim_embedding_dup_pairs(spark, sf_dir):
     return S.embedding_dup_pairs(emb.unionByName(dup))
 
 
-@query("sim_topk_hamming_arrow", oracle=None, tags=("rows-only",))
+@query("sim_topk_hamming_arrow", oracle=None, tags=("rows-only",),
+       sibling="sim_topk_hamming")
 def sim_topk_hamming_arrow(spark, sf_dir):
     """hamming_topk with Arrow (numpy-matmul) signature computation —
     the production ingest path (2.8x the expression form at sf0.1,
@@ -1494,7 +1504,8 @@ def a13_count_distinct(spark, sf_dir):
                  F.countDistinct("l_partkey").alias("n_parts")))
 
 
-@query("a14_approx_count_distinct", oracle=None, tags=("rows-only",))
+@query("a14_approx_count_distinct", oracle=None, tags=("rows-only",),
+       sibling="a13_count_distinct")
 def a14_approx_count_distinct(spark, sf_dir):
     """HyperLogLog++ approximate distinct — the 100 TB path where exact
     expand-aggregate is too expensive; sketch-based, engine-specific
@@ -1677,7 +1688,8 @@ def e11_null_handling(spark, sf_dir):
          .otherwise(0).alias("is_zero"))
 
 
-@query("sim_topk_ivf", oracle=None, tags=("rows-only",))
+@query("sim_topk_ivf", oracle=None, tags=("rows-only",),
+       sibling="sim_topk_cosine")
 def sim_topk_ivf(spark, sf_dir):
     """IVF approximate top-k (k-means partitioned corpus, n_probe nearest
     lists scored) — the second ANN scale path beside LSH. Exact twin:
@@ -1687,7 +1699,8 @@ def sim_topk_ivf(spark, sf_dir):
                       n_centroids=8, n_probe=3)
 
 
-@query("text_winnow_fingerprint_pairs", oracle=None, tags=("rows-only",))
+@query("text_winnow_fingerprint_pairs", oracle=None, tags=("rows-only",),
+       sibling="dedup_ngram_jaccard")
 def text_winnow_fingerprint_pairs(spark, sf_dir):
     """Winnowing (rolling-hash) fingerprint candidate pairs — MOSS-style
     containment detection; xxhash64-based so rows-only (exact-Jaccard
@@ -2226,7 +2239,8 @@ def sample_stratified(spark, sf_dir):
         {"en": 0.20, "de": 0.50}, default_rate=0.05).select("doc_id", "lang")
 
 
-@query("sim_topk_cosine_pandas", oracle=None, tags=("rows-only",))
+@query("sim_topk_cosine_pandas", oracle=None, tags=("rows-only",),
+       sibling="sim_topk_cosine")
 def sim_topk_cosine_pandas(spark, sf_dir):
     """Vectorized pandas-UDF cosine top-k (numpy matmul per Arrow batch) —
     the many-queries alternative to the codegen scorer; exact twin:
@@ -2236,7 +2250,8 @@ def sim_topk_cosine_pandas(spark, sf_dir):
     return S.cosine_topk_pandas(emb, emb.filter(F.col("vec_id") < 10), k=10)
 
 
-@query("a15b_approx_percentile", oracle=None, tags=("rows-only",))
+@query("a15b_approx_percentile", oracle=None, tags=("rows-only",),
+       sibling="a15_percentiles")
 def a15b_approx_percentile(spark, sf_dir):
     """Sketch-based percentiles (Greenwald-Khanna) — the 100 TB path where
     exact percentile's full sort per group is too expensive; exact twin:
@@ -2881,7 +2896,8 @@ def sketch_heavy_hitters(spark, sf_dir):
     return SK.heavy_hitters_fraction(tok, "token", num=1, den=50)
 
 
-@query("sketch_cms_fast", oracle=None, tags=("rows-only",))
+@query("sketch_cms_fast", oracle=None, tags=("rows-only",),
+       sibling="sketch_cms_tokens")
 def sketch_cms_fast(spark, sf_dir):
     """Production CMS path: xxhash64 (no md5 round trip) — ~2x faster,
     not SQL-portable. Oracle-checked twin: sketch_cms_tokens."""
@@ -2892,7 +2908,8 @@ def sketch_cms_fast(spark, sf_dir):
     return SK.cms_estimate(sk, probes, "token", depth=4, width=256)
 
 
-@query("sketch_hll_shard_merge", oracle=None, tags=("rows-only",))
+@query("sketch_hll_shard_merge", oracle=None, tags=("rows-only",),
+       sibling="a13_count_distinct")
 def sketch_hll_shard_merge(spark, sf_dir):
     """Mergeable per-shard HLL distinct-count (Datasketches
     hll_sketch_agg + hll_union_agg): per event_type sketches over
@@ -4282,7 +4299,8 @@ def sim_decontaminate(spark, sf_dir):
                                     min_cosine=0.35)
 
 
-@query("text_compression_ratio", oracle=None, tags=("rows-only",))
+@query("text_compression_ratio", oracle=None, tags=("rows-only",),
+       sibling="text_repetition_ratio")
 def text_compression_ratio(spark, sf_dir):
     """Per-doc zlib compression ratio (text.compression_ratio) — the
     UDF-tier redundancy signal; rows-only BY NATURE (no SQL engine
@@ -4292,7 +4310,8 @@ def text_compression_ratio(spark, sf_dir):
     return T.compression_ratio(_t(spark, sf_dir, "documents"))
 
 
-@query("sim_semantic_dedup_kmeans", oracle=None, tags=("rows-only",))
+@query("sim_semantic_dedup_kmeans", oracle=None, tags=("rows-only",),
+       sibling="sim_semantic_dedup")
 def sim_semantic_dedup_kmeans(spark, sf_dir):
     """semantic_dedup with learned k-means clusters (Spark ML) — the
     production tier (centroids adapt to corpus geometry; fewer split

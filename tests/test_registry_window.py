@@ -36,3 +36,22 @@ def test_rotation_is_deterministic_per_round():
     first = list(q.REGISTRY)[:_WINDOW_SIZE]
     importlib.reload(q)
     assert list(q.REGISTRY)[:_WINDOW_SIZE] == first
+
+
+def test_rows_only_entries_name_sibling():
+    """CLAUDE.md rule, machine-checked (VERDICT r4 item 6): every
+    rows-only registry entry (oracle=None) names an EXISTING,
+    oracle-checked sibling via the @query sibling= field, and no
+    oracle-checked entry carries a dangling sibling tag."""
+    rows_only = {n: q for n, q in REGISTRY.items() if q.oracle is None}
+    assert rows_only, "expected some rows-only entries"
+    for name, q in rows_only.items():
+        assert "rows-only" in q.tags, f"{name}: oracle=None needs the tag"
+        assert q.sibling, f"{name}: rows-only entry must name a sibling"
+        assert q.sibling in REGISTRY, f"{name}: sibling {q.sibling} unknown"
+        assert REGISTRY[q.sibling].oracle is not None, \
+            f"{name}: sibling {q.sibling} is not oracle-checked"
+    for name, q in REGISTRY.items():
+        if q.oracle is not None:
+            assert q.sibling is None, \
+                f"{name}: oracle-checked entries don't carry sibling="

@@ -263,6 +263,19 @@ def main() -> None:
                 name, times[name],
                 medians.get(name, ""), spreads.get(name, ""),
                 aqe_on.get(name, "")))
+    # round-over-round regression tracker rides along on every sf0.1
+    # bench run (VERDICT r4 item 7): refresh SCALE.md's diff section
+    # against the newest parseable driver record. Runs BEFORE the
+    # compact line so the driver's ~2KB stdout tail still ends with the
+    # JSON record; a tracker failure must never break the bench record.
+    if sf == "0.1":
+        try:
+            sys.path.insert(0, os.path.join(here, "tools"))
+            import bench_diff
+            bench_diff.main([])
+        except Exception as exc:  # noqa: BLE001 — tracker is best-effort
+            print(f"bench_diff skipped: {exc}", file=sys.stderr)
+
     compact = json.dumps({
         "metric": "headline_queries_total_wall",
         "value": total,

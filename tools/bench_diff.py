@@ -56,13 +56,13 @@ def load_prev(path: str | None) -> tuple[str, dict]:
     return os.path.basename(path), parsed
 
 
-def main() -> int:
+def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--prev", default=None,
                     help="previous record (default: newest parseable BENCH_r*)")
     ap.add_argument("--no-scale-md", action="store_true",
                     help="print only; don't rewrite the SCALE.md section")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     with open(os.path.join(ROOT, "BENCH_DETAIL.json")) as f:
         cur = json.load(f)

@@ -115,6 +115,13 @@ MUST_HAVE = {
     # sampled ccnet: the cut-point table is tiny -> broadcast into the
     # full-corpus assignment; the per-lang sort touches only the sample
     "text_ccnet_buckets_sampled": ["BroadcastHashJoin"],
+    # r5 simhash hot-band guard: the hot (chunk, cval) set is tiny by
+    # construction -> must be a broadcast anti-join on BOTH sides of the
+    # candidate join (shuffling the chunk table for the guard is wrong)
+    "dedup_simhash_guarded": ["LeftAnti, BuildRight"],
+    # real media decode: one narrow Arrow pass; the binary payload
+    # column must never reach an exchange
+    "multimodal_decode": ["MapInPandas"],
 }
 
 # query -> substrings that must NOT appear
@@ -151,6 +158,8 @@ MUST_NOT = {
     "dedup_substring_stats": ["CartesianProduct", "SortMergeJoin"],
     "sim_decontaminate": ["SortMergeJoin", "CartesianProduct"],
     "pipe_training_data_prep": ["CartesianProduct"],
+    # decode is a pure narrow map: synthesize -> decode with no shuffle
+    "multimodal_decode": ["Exchange", "SortMergeJoin"],
     "j13_lateral_topn": ["CartesianProduct", "SortMergeJoin"],
     "r6_unpivot_native": ["Generate"],  # unpivot must not fall back to explode
     # numbering must never re-shuffle, re-sort, or plan a global window
@@ -189,6 +198,7 @@ AUDIT = [
     "layout_global_row_number", "snapshot_diff", "pipe_incremental_ingest",
     "text_quality_classifier", "sample_epoch_repeat",
     "pack_chunk_documents", "text_ccnet_buckets_sampled",
+    "dedup_simhash_guarded", "multimodal_decode",
 ]
 
 

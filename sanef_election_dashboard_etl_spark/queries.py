@@ -5561,10 +5561,13 @@ def sim_embedding_centroids(spark, sf_dir):
 def dedup_source_overlap(spark, sf_dir):
     """Cross-source duplication matrix (dedup.source_overlap_matrix):
     distinct normalized-fingerprint overlap + Jaccard per source pair —
-    the mixing-time diagnostic for double-counted content. Input is the
-    corpus plus a re-sourced clone of its first 50 docs ('srcX'), so
-    the shared-fp branch provably fires; the only corpus-sized shuffle
-    moves 32-byte digests (snapshot_diff discipline)."""
+    the mixing-time diagnostic for double-counted content. EVERY ordered
+    source pair appears — zero-overlap pairs carry n_shared=0 (ADVICE
+    r4; the oracle replays the totals-driven pair universe with a left
+    join). Input is the corpus plus a re-sourced clone of its first 50
+    docs ('srcX'), so the shared-fp branch provably fires; the only
+    corpus-sized shuffle moves 32-byte digests (snapshot_diff
+    discipline)."""
     docs = _t(spark, sf_dir, "documents")
     clone = (docs.filter(F.col("doc_id") < 50)
              .withColumn("doc_id", F.col("doc_id") + 100000)

@@ -69,19 +69,34 @@ def main(argv: list[str] | None = None) -> int:
     prev_name, prev = load_prev(args.prev)
     prev_spread = prev.get("queries_spread", {})
 
+    med = cur.get("queries_median", cur["queries"])
+    # Ambient machine band (r5): day-to-day shared-host drift moves EVERY
+    # query by the same factor (SF1.md documented ~12-30% shifts with no
+    # plan change) — a raw per-query compare then flags half the table.
+    # Estimate the band as the MEDIAN of the per-query ratios (robust to
+    # a few genuine regressions), divide it out, and flag on the
+    # residual; the band itself is reported so a real machine-wide
+    # slowdown is visible rather than silently normalized away.
+    import statistics
+    ratios = [now / prev["queries"][n]
+              for n, now in med.items()
+              if prev["queries"].get(n)]
+    band_factor = round(statistics.median(ratios), 3) if ratios else 1.0
+
     lines = [
-        f"| query | {prev_name} | current median | spread | delta | verdict |",
-        "|---|---|---|---|---|---|",
+        f"| query | {prev_name} | current median | band-adj | spread "
+        f"| delta | verdict |",
+        "|---|---|---|---|---|---|---|",
     ]
     flagged = []
-    med = cur.get("queries_median", cur["queries"])
     for name, now in sorted(med.items()):
         was = prev["queries"].get(name)
         if was is None:
             continue
+        adj = round(now / band_factor, 3)
         band = max(cur.get("queries_spread", {}).get(name, 0.0),
                    prev_spread.get(name, 0.0), MIN_S)
-        delta = round(now - was, 3)
+        delta = round(adj - was, 3)
         if delta > band:
             verdict = "REGRESSED"
             flagged.append(name)
@@ -89,13 +104,15 @@ def main(argv: list[str] | None = None) -> int:
             verdict = "faster"
         else:
             verdict = "~"
-        lines.append(f"| {name} | {was:.3f} | {now:.3f} | "
+        lines.append(f"| {name} | {was:.3f} | {now:.3f} | {adj:.3f} | "
                      f"{cur.get('queries_spread', {}).get(name, 0):.3f} | "
                      f"{delta:+.3f} | {verdict} |")
     table = "\n".join(lines)
     summary = (f"base: {prev_name} (sf={prev.get('sf')}), current: "
                f"BENCH_DETAIL.json (sf={cur.get('sf')}, reps={cur.get('reps')}); "
-               f"flag band = max(spread_cur, spread_prev, {int(MIN_S*1000)} ms). "
+               f"ambient band {band_factor}x divided out (median of "
+               f"per-query ratios); flag band = max(spread_cur, "
+               f"spread_prev, {int(MIN_S*1000)} ms) on the residual. "
                f"{len(flagged)} regression(s)"
                + (": " + ", ".join(flagged) if flagged else "."))
     print(summary)

@@ -619,6 +619,144 @@ def simhash_pairs_arrow(df: DataFrame, max_hamming: int = 3,
     return out.withColumn("hamming", F.col("hamming").cast("int"))
 
 
+def auto_simhash_bits(n_docs: int) -> int:
+    """Signature width for a target corpus size — the simhash analog of
+    similarity.auto_n_planes. 64-bit/16-bit-chunk banding has a FIXED
+    band key space (2^16 per chunk), so uniform bucket occupancy is
+    4n/2^18 per chunk value and random candidate pairs grow n^2/2^15:
+    fine to ~200k docs, dominated by collisions by ~1M, and SATURATED by
+    ~3M (occupancy > any useful max_df — the hot-band guard would drop
+    every bucket). Doubling the signature to 128 bits doubles chunk
+    width to 32 bits and divides uniform collisions by 2^16 — the knob
+    that must scale with the corpus, measured in SCALING.md's
+    candidate-density section."""
+    return 64 if n_docs <= 200_000 else 128
+
+
+def simhash_signature_wide(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           portable: bool = False) -> DataFrame:
+    """128-bit SimHash signatures (two packed longs sh_hi/sh_lo) via the
+    Arrow fold — the wide tier auto_simhash_bits selects above ~200k
+    docs. Two independent 64-bit hash families per token: xxhash64(t)
+    and xxhash64(t, 1) (seed-style second column; with portable=True,
+    two md5-derived 60-bit hashes — portable_hash(t) and
+    portable_hash(t || '#2') — giving a 120-bit signature replayable in
+    ANSI SQL). Same vote semantics as simhash_signature_arrow, same
+    one-row-per-doc output discipline; bit k of sh_lo votes on hash
+    family 1, bit k of sh_hi on family 2."""
+    import numpy as np
+    import pandas as pd
+
+    if portable:
+        n_bits = 60
+        h1 = lambda t: portable_hash(t)                     # noqa: E731
+        h2 = lambda t: portable_hash(F.concat(t, F.lit("#2")))  # noqa: E731
+    else:
+        n_bits = 64
+        h1 = lambda t: F.xxhash64(t)                        # noqa: E731
+        h2 = lambda t: F.xxhash64(t, F.lit(1))              # noqa: E731
+    # materialize the token array ONCE, then hash it twice — two
+    # transform(tokens(...)) calls would re-tokenize the document per
+    # family (the ngram_pairs HOF lesson, CLAUDE.md)
+    hashed = (df.select(F.col(id_col),
+                        tokens(F.col(text_col)).alias("__toks"))
+              .select(F.col(id_col),
+                      F.transform("__toks", h1).alias("h_lo"),
+                      F.transform("__toks", h2).alias("h_hi")))
+
+    def fold_one(col: pd.Series, counts: "np.ndarray") -> "np.ndarray":
+        import numpy as np
+        powers = (1 << np.arange(n_bits, dtype=np.uint64))
+        H = np.concatenate([np.asarray(h, dtype=np.int64) for h in col])
+        bits = np.unpackbits(H.view(np.uint8).reshape(len(H), 8),
+                             axis=1, bitorder="little")[:, :n_bits]
+        offsets = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        ones = np.add.reduceat(bits, offsets, axis=0, dtype=np.int64)
+        votes = 2 * ones - counts[:, None]
+        return ((votes >= 0).astype(np.uint64) * powers).sum(
+            axis=1, dtype=np.uint64).astype(np.int64)
+
+    def fold(batches):
+        import numpy as np
+        for pdf in batches:
+            keep = pdf["h_lo"].map(lambda h: h is not None and len(h) > 0)
+            pdf = pdf[keep]
+            if not len(pdf):
+                continue
+            counts = pdf["h_lo"].map(len).to_numpy()
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "sh_lo": fold_one(pdf["h_lo"], counts),
+                "sh_hi": fold_one(pdf["h_hi"], counts),
+            })
+
+    return hashed.mapInPandas(
+        fold, schema=f"{id_col} long, sh_lo long, sh_hi long")
+
+
+def simhash_pairs_wide(df: DataFrame, max_hamming: int = 3,
+                       portable: bool = False, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       max_df: int | None = None) -> DataFrame:
+    """SimHash near-dup pairs over the WIDE (128-bit; 120 portable)
+    signature: 4 chunks of 32 (30) bits — pigeonhole still covers
+    Hamming <= 3, but the band key space is 2^32 (2^30) per chunk
+    instead of 2^16, dividing uniform random collisions by ~2^16. This
+    is the configuration auto_simhash_bits selects above ~200k docs: at
+    64 bits, banding saturates near ~3M docs (every bucket crosses any
+    useful max_df and the guard would drop them all); at 128 bits the
+    same corpus has ~2^-16 of the bucket occupancy and the guard is
+    back to trimming genuine clone clusters only.
+
+    Note the similarity semantics: max_hamming is an ABSOLUTE radius,
+    so 3/128 bits is a stricter cosine threshold than 3/64 — pick the
+    radius for the signature width (6 at 128 bits approximates 3 at 64;
+    pigeonhole then needs n_chunks=7, traded here for the default
+    strict radius which keeps the 4-join plan). Verification is
+    bit_count(xor) summed over both longs. Output (id_a, id_b,
+    hamming). Same hot-band max_df guard as _band_pairs."""
+    chunk_bits = 30 if portable else 32
+    sig = simhash_signature_wide(df, id_col, text_col, portable=portable)
+    mask = (1 << chunk_bits) - 1
+    chunks = sig.select(
+        id_col, "sh_lo", "sh_hi",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk"),
+                     F.expr(f"(sh_lo >> {chunk_bits * c}) & {mask}")
+                      .alias("cval"))
+            for c in range(2)
+        ] + [
+            F.struct(F.lit(2 + c).alias("chunk"),
+                     F.expr(f"(sh_hi >> {chunk_bits * c}) & {mask}")
+                      .alias("cval"))
+            for c in range(2)
+        ])).alias("b")).select(id_col, "sh_lo", "sh_hi",
+                               "b.chunk", "b.cval")
+    if max_df is not None:
+        hot = (chunks.groupBy("chunk", "cval")
+               .agg(F.count(F.lit(1)).alias("__df"))
+               .filter(F.col("__df") > max_df).select("chunk", "cval"))
+        chunks = chunks.join(F.broadcast(hot), ["chunk", "cval"],
+                             "left_anti")
+    lhs = chunks.select(F.col(id_col).alias("id_a"),
+                        F.col("sh_lo").alias("lo_a"),
+                        F.col("sh_hi").alias("hi_a"), "chunk", "cval")
+    rhs = chunks.select(F.col(id_col).alias("id_b"),
+                        F.col("sh_lo").alias("lo_b"),
+                        F.col("sh_hi").alias("hi_b"), "chunk", "cval")
+    cand = (lhs.join(rhs, ["chunk", "cval"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "lo_a", "lo_b", "hi_a", "hi_b")
+            .distinct())
+    ham = (F.bit_count(F.expr("lo_a ^ lo_b"))
+           + F.bit_count(F.expr("hi_a ^ hi_b"))).cast("long")
+    return (cand.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
                          max_iter: int = 20) -> DataFrame:

@@ -2144,6 +2144,64 @@ def dedup_simhash_guarded(spark, sf_dir):
                                  max_df=5)
 
 
+@query("dedup_simhash_wide", oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents WHERE doc_id < 300
+    ), hashes AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(token), 1, 15))::BIGINT AS h1,
+               ('0x' || substr(md5(token || '#2'), 1, 15))::BIGINT AS h2
+        FROM tok
+    ), votes AS (
+        SELECT doc_id, r.i,
+               SUM(CASE WHEN (h1 >> CAST(r.i AS INT)) & 1 = 1
+                        THEN 1 ELSE -1 END) AS v1,
+               SUM(CASE WHEN (h2 >> CAST(r.i AS INT)) & 1 = 1
+                        THEN 1 ELSE -1 END) AS v2
+        FROM hashes, range(60) r(i)
+        GROUP BY doc_id, r.i
+    ), sig AS (
+        SELECT doc_id,
+               SUM(CASE WHEN v1 >= 0 THEN (1::BIGINT << CAST(i AS INT))
+                        ELSE 0::BIGINT END) AS sh_lo,
+               SUM(CASE WHEN v2 >= 0 THEN (1::BIGINT << CAST(i AS INT))
+                        ELSE 0::BIGINT END) AS sh_hi
+        FROM votes GROUP BY doc_id
+    ), chunks AS (
+        SELECT doc_id, sh_lo, sh_hi, c.c AS chunk,
+               CASE WHEN c.c < 2
+                    THEN (sh_lo >> CAST(30 * c.c AS INT)) & 1073741823
+                    ELSE (sh_hi >> CAST(30 * (c.c - 2) AS INT)) & 1073741823
+               END AS cval
+        FROM sig, range(4) c(c)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, a.sh_lo AS lo_a, a.sh_hi AS hi_a,
+                        b.doc_id AS id_b, b.sh_lo AS lo_b, b.sh_hi AS hi_b
+        FROM chunks a JOIN chunks b
+          ON a.chunk = b.chunk AND a.cval = b.cval AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(lo_a, lo_b))
+                + bit_count(xor(hi_a, hi_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 3
+""")
+def dedup_simhash_wide(spark, sf_dir):
+    """WIDE SimHash banding (r5): 120-bit portable signature (two
+    independent md5-derived hash families) in two packed longs, 4
+    chunks of 30 bits — the configuration auto_simhash_bits selects
+    above ~200k docs, because the 64-bit tier's FIXED 2^16-per-chunk
+    band key space saturates (~3M docs: uniform occupancy exceeds any
+    useful max_df and the hot-band guard would drop every bucket),
+    while 30/32-bit chunks divide uniform collisions by ~2^14-2^16
+    (measured: SCALING.md candidate-density section). Both vote folds,
+    the two-long chunk split, and the summed-bit_count verification are
+    replayed exactly by the oracle."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return D.simhash_pairs_wide(docs, max_hamming=3, portable=True)
+
+
 # ==========================================================================
 # Reproducible sampling (training-data pipelines)
 # ==========================================================================

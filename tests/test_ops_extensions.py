@@ -106,6 +106,30 @@ def test_simhash_hot_band_guard(spark):
                                            max_df=1000).collect()} == unguarded
 
 
+def test_simhash_wide_tier(spark, docs):
+    """128-bit wide tier: exact-dup docs pair at hamming 0 in both hash
+    configurations, signatures are two independent longs (families
+    disagree on non-dup docs), the max_df guard composes, and
+    auto_simhash_bits picks the width by corpus size."""
+    for portable in (False, True):
+        pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+                 for r in D.simhash_pairs_wide(
+                     docs, max_hamming=3, portable=portable).collect()}
+        assert pairs.get((1, 2)) == 0          # identical texts
+    sig = {r["doc_id"]: (r["sh_lo"], r["sh_hi"])
+           for r in D.simhash_signature_wide(docs).collect()}
+    assert sig[1] == sig[2]
+    assert sig[1][0] != sig[1][1]              # two independent families
+    # guard: clone cluster fully hot -> dropped, like the 64-bit tier
+    clones = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(12)],
+        "doc_id long, text string")
+    guarded = D.simhash_pairs_wide(clones, max_hamming=3, max_df=5).collect()
+    assert guarded == []
+    assert D.auto_simhash_bits(100_000) == 64
+    assert D.auto_simhash_bits(5_000_000) == 128
+
+
 def test_simhash_arrow_edge_docs_match_expression(spark):
     # whitespace-only text tokenizes to [""] (kept); null text drops —
     # the arrow stage must mirror the expression path on both

@@ -363,6 +363,12 @@ X100_HEAVY_OPERATORS = [
     ("simhash_guarded", "documents x100 (500k docs, max_df=50)",
      lambda spark, sf: D.simhash_pairs_arrow(table(spark, sf, "documents"),
                                              max_hamming=3, max_df=50)),
+    # r5: the 128-bit wide tier auto_simhash_bits selects above ~200k
+    # docs — 2^16 fewer uniform band collisions; candidates measured 73x
+    # below the 64-bit tier at 100x (SCALING.md candidate-density)
+    ("simhash_wide", "documents x100 (500k docs, 128-bit)",
+     lambda spark, sf: D.simhash_pairs_wide(table(spark, sf, "documents"),
+                                            max_hamming=3)),
     ("semantic_dedup", "embeddings x100 + clones (400k in-query; "
      "auto planes 6->13)", _semantic_dedup_scaled),
     ("incremental_dedup_bloom", "documents x100 (350k corpus / 150k batch)",
@@ -486,15 +492,23 @@ def main_100x_heavy() -> None:
         "100 TB corpus whose dup chains are deep; per-round shuffle shape",
         "is the same for both (uniform vertex keys).",
     ]
-    # Idempotent: drop any previously appended heavy section(s) (it is
-    # always the last section) so reruns refresh instead of duplicating.
+    # Idempotent AND tail-preserving (r5: a refresh previously truncated
+    # to EOF and silently deleted hand-written sections appended after
+    # the heavy table): replace exactly the region between the section
+    # header and the end sentinel, keeping everything after it.
+    sentinel = "<!-- end x100-heavy -->"
+    lines.append(sentinel)
     with open("/root/repo/SCALING.md") as fh:
         doc = fh.read()
     cut = doc.find("### Heavy ANN/dedup ops at 100x")
+    tail = ""
     if cut != -1:
+        end = doc.find(sentinel, cut)
+        if end != -1:
+            tail = doc[end + len(sentinel):]
         doc = doc[:cut].rstrip() + "\n"
     with open("/root/repo/SCALING.md", "w") as fh:
-        fh.write(doc + "\n".join(lines) + "\n")
+        fh.write(doc + "\n".join(lines) + "\n" + tail)
     print("SCALING.md heavy-100x section refreshed "
           f"(components: min-label {r_min} rounds {t_min:.1f}s, "
           f"log-n {r_logn} rounds {t_logn:.1f}s)")

@@ -308,3 +308,73 @@ def quality_quantile_gate(df: DataFrame, keep_pct: int = 50,
         F.count(F.lit(1)).over(wc).cast("long").alias("n_source"))
     cut = F.expr("(n_source * %d + 99) div 100" % keep_pct)
     return ranked.filter(F.col("q_rank") <= cut)
+
+def temperature_mixture(df: DataFrame, budget_tokens: int,
+                        alpha: float = 0.5,
+                        id_col: str = "doc_id",
+                        source_col: str = "source",
+                        text_col: str = "text") -> DataFrame:
+    """Temperature-weighted corpus mixing (the UniMax / multilingual-LM
+    sampling rule): source weights are DERIVED from the data as
+    w_s = (total_tokens_s)^alpha instead of hand-specified as in
+    mixture_sample. alpha=1 reproduces natural proportions, alpha->0
+    flattens toward uniform — the standard knob for upweighting
+    low-resource sources without a per-source weight table.
+
+    fraction_s = min(1, (w_s / sum_t w_t) * budget_tokens / tokens_s),
+    applied as the same partition-layout-independent hash threshold as
+    hash_sample, so the sampled doc set is reproducible across runs,
+    repartitions, and engines.
+
+    Cross-engine determinism: general pow(x, alpha) is NOT guaranteed
+    correctly rounded, so `alpha` is restricted to {0.25, 0.5, 0.75, 1}
+    and computed as sqrt/multiply chains (each IEEE-correctly-rounded,
+    hence bit-identical in any engine): t^0.5 = sqrt(t),
+    t^0.25 = sqrt(sqrt(t)), t^0.75 = sqrt(t)*sqrt(sqrt(t)). Weights are
+    rounded at 9 and summed in DECIMAL(38,9) (order-independent exact);
+    the final threshold is one left-associated double expression
+    floor(w * B * 10000 / W / t) with identical operand order in the
+    oracle. Empty sources (0 tokens) get threshold 0 via an explicit
+    guard — under ANSI mode an unguarded /0 would kill the job.
+
+    Scale: per-source totals are one map-side-combinable aggregate
+    (sources are few), broadcast back; the keep filter is narrow — the
+    corpus never shuffles. Output (id, source, n_tokens) of kept docs.
+    """
+    chains = {
+        1.0: lambda t: t.cast("double"),
+        0.5: lambda t: F.sqrt(t),
+        0.25: lambda t: F.sqrt(F.sqrt(t)),
+        0.75: lambda t: F.sqrt(t) * F.sqrt(F.sqrt(t)),
+    }
+    if alpha not in chains:
+        raise ValueError(
+            f"alpha must be one of {sorted(chains)} (sqrt-chain-"
+            f"expressible, engine-reproducible), got {alpha}")
+    n_tokens = F.greatest(
+        F.lit(0),
+        F.coalesce(F.size(F.split(F.trim(F.col(text_col)), r"\s+")),
+                   F.lit(0))).cast("long")
+    with_t = df.select(F.col(id_col), F.col(source_col),
+                       n_tokens.alias("n_tokens"))
+    totals = with_t.groupBy(source_col).agg(
+        F.sum("n_tokens").alias("__total"))
+    weighted = totals.withColumn(
+        "__w", F.round(chains[alpha](F.col("__total")), 9)
+                .cast("decimal(38,9)"))
+    wsum = weighted.agg(F.sum("__w").alias("__wsum"))
+    rates = weighted.crossJoin(F.broadcast(wsum))
+    threshold = F.when(
+        (F.col("__total") > 0) & (F.col("__wsum") > 0),
+        F.least(
+            F.lit(_M).cast("long"),
+            F.floor(F.col("__w").cast("double")
+                    * F.lit(float(budget_tokens)) * F.lit(float(_M))
+                    / F.col("__wsum").cast("double")
+                    / F.col("__total")))).otherwise(F.lit(0)) \
+        .alias("__thr")
+    rates = rates.select(source_col, threshold)
+    return (with_t.join(F.broadcast(rates), source_col)
+            .filter(hash_bucket(F.col(id_col).cast("string"))
+                    < F.col("__thr"))
+            .select(id_col, source_col, "n_tokens"))

@@ -822,3 +822,151 @@ def embedding_centroids(emb: DataFrame, cluster_col: str = "label",
                             F.struct(F.col("i"), F.col("c")))),
                         lambda s: s["c"]).alias("centroid")))
     return rebuilt.select("cluster", "n_vectors", "centroid")
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — the billion-scale ANN memory tier
+# --------------------------------------------------------------------------
+
+def pq_train_codebooks(emb: DataFrame, m: int = 8, k_codes: int = 16,
+                       train_n: int = 2048, iters: int = 10,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> list:
+    """Train PQ codebooks: split the (L2-normalized) vector into `m`
+    contiguous subvectors and run Lloyd k-means per subspace on a
+    bounded training sample — the faiss recipe, where codebooks are
+    always fit on a sample, never the corpus (the sample is the model's
+    training set, metadata-sized by contract: train_n x dim doubles).
+
+    The sample is the `train_n` smallest portable-hash ids (one
+    TakeOrdered job — deterministic across runs, partitionings, and
+    growth of the corpus tail), the init is the first k_codes sample
+    points per subspace, and iteration count is fixed — so the
+    codebooks, and therefore the codes and search results, are fully
+    reproducible. Returns [m][k_codes][sub_dim] floats."""
+    from .dedup import portable_hash
+
+    rows = (emb.select(F.col(vec_col).alias("v"),
+                       portable_hash(F.col(id_col).cast("string"))
+                       .alias("h"))
+            .orderBy("h", id_col).limit(train_n).collect())
+    X = np.array([list(r["v"]) for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = []
+    for i in range(m):
+        S = X[:, i * sub:(i + 1) * sub]
+        C = S[:k_codes].copy()
+        if len(C) < k_codes:             # degenerate corpora: pad zeros
+            C = np.vstack([C, np.zeros((k_codes - len(C), sub))])
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for j in range(k_codes):
+                pts = S[a == j]
+                if len(pts):
+                    C[j] = pts.mean(axis=0)
+                # empty cluster: keep the old codeword (deterministic)
+        books.append(C.tolist())
+    return books
+
+
+def pq_encode(emb: DataFrame, codebooks: list,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode each (L2-normalized) vector as `m` small codeword ids —
+    one narrow Arrow pass, no shuffle. 64 float32 dims become 8
+    dictionary-encoded ints (~8 bytes): a 32x smaller column through
+    scan, cache, and shuffle — the lever that lets a 100 TB embedding
+    corpus fit a cluster's memory for repeated ANN probes.
+    Output (id, codes array<int>)."""
+    import pandas as pd
+
+    B = np.array(codebooks, dtype=np.float64)        # (m, k, sub)
+    m, _, sub = B.shape
+
+    def enc(batches):
+        for pdf in batches:
+            X = np.array(list(pdf[vec_col].map(list)), dtype=np.float64)
+            X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
+                            1e-12)
+            codes = np.empty((len(X), m), dtype=np.int64)
+            for i in range(m):
+                S = X[:, i * sub:(i + 1) * sub]
+                d2 = ((S[:, None, :] - B[i][None, :, :]) ** 2).sum(axis=2)
+                codes[:, i] = d2.argmin(axis=1)
+            yield pd.DataFrame({"__id": pdf[id_col],
+                                "codes": list(codes)})
+
+    out = emb.select(id_col, vec_col).mapInPandas(
+        enc, schema="__id long, codes array<int>")
+    return out.select(F.col("__id").alias(id_col), "codes")
+
+
+def pq_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+            m: int = 8, k_codes: int = 16, train_n: int = 2048,
+            id_col: str = "vec_id",
+            vec_col: str = "embedding") -> DataFrame:
+    """PQ approximate cosine top-k via asymmetric distance computation
+    (ADC, Jegou et al. 2011): queries stay exact, corpus vectors are
+    m-subspace codes, and each query precomputes an (m x k_codes)
+    inner-product lookup table so scoring a candidate is m table reads
+    — no float vector ever touches the corpus side of the scan.
+
+    Plan: codebooks fit on a bounded sample (pq_train_codebooks),
+    corpus encoded in one narrow Arrow pass, scored against the
+    broadcast query LUTs batch-at-a-time with numpy gathers, global
+    top-k per query (WindowGroupLimit). The corpus never shuffles —
+    the only exchange carries (query, neighbor, score) candidates.
+    Compose with the IVF probe filter (ivf_topk) for the full IVF-PQ
+    stack: IVF bounds WHICH vectors are scored, PQ bounds the BYTES
+    per scored vector.
+
+    Approximate by construction (codes quantize the corpus): rows-only
+    correctness with the exact tiers as siblings; measured recall vs
+    brute-force cosine is recorded in RECALL.md. Deterministic: seeded
+    deterministic codebooks, fixed iteration, neighbor-id tie-breaks.
+    Output (query_id, rank, neighbor_id)."""
+    import pandas as pd
+
+    books = pq_train_codebooks(emb, m=m, k_codes=k_codes,
+                               train_n=train_n, id_col=id_col,
+                               vec_col=vec_col)
+    B = np.array(books, dtype=np.float64)            # (m, k, sub)
+    sub = B.shape[2]
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows])
+    Q = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
+    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    # LUT[q, i, j] = <query_q subvector i, codeword j of subspace i>
+    LUT = np.einsum("qis,iks->qik",
+                    Q.reshape(len(Q), B.shape[0], sub), B)
+
+    codes = pq_encode(emb, books, id_col=id_col, vec_col=vec_col)
+
+    def score(batches):
+        for pdf in batches:
+            C = np.array(list(pdf["codes"].map(list)), dtype=np.int64)
+            n = len(C)
+            S = np.zeros((len(q_ids), n))
+            for i in range(LUT.shape[1]):
+                S += LUT[:, i, :][:, C[:, i]]
+            yield pd.DataFrame({
+                "neighbor_id": np.tile(pdf[id_col].values, len(q_ids)),
+                "query_id": np.repeat(q_ids, n),
+                "score": S.ravel(),
+            })
+
+    scored = codes.mapInPandas(
+        score, schema="neighbor_id long, query_id long, score double") \
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id"))

@@ -757,3 +757,77 @@ def dsir_log_ratio(df: DataFrame, target: DataFrame, tau: float = 0.0,
     return j.select(
         id_col, "n_ngrams", ratio.alias("log_ratio"),
         (ratio >= tau).cast("long").alias("keep"))
+
+def bm25_topk(df: DataFrame, queries: DataFrame, k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """BM25 top-k retrieval over the corpus (Robertson-Sparck Jones
+    Okapi weighting) — the keyword-retrieval step data-curation loops
+    use to pull topical documents out of a crawl (and the lexical half
+    of any hybrid lexical+embedding retrieval stack; the embedding half
+    is similarity.cosine_topk). No reference analog — LLM-pipeline
+    extension family.
+
+    score(q, d) = sum over matched terms of
+        idf(t) * (tf * (k1+1)) / (tf + k1 * (1 - b + b * dl/avgdl)),
+    idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))   (Lucene form: always
+    positive, so adding a matched term never lowers a score).
+
+    Plan shape (the standard distributed inverted-index build, all
+    narrow-key shuffles):
+      - tf:   explode -> groupBy (doc, term)          [shuffle on pairs]
+      - dl:   sum(tf) per doc                         [shuffle on doc id]
+      - df:   AFTER the broadcast semi-join with the query term list, so
+              document frequency is counted only for the handful of query
+              terms, never the full vocabulary; the result is
+              query-terms-sized and broadcast back.
+      - N, total_tokens: one 2-value scalar agg, 1-row broadcast.
+      - per-(query, doc) sum + per-query top-k window
+        (WindowGroupLimit; queries are few by contract, documents are
+        not — the window partitions on query_id).
+    The corpus TEXT never shuffles: every exchange after the explode
+    carries (id, term, tf) integers. At 100 TB the tf/df tables are the
+    classic inverted-index build; the query side stays broadcast.
+
+    Cross-engine determinism (numeric.py rules): per-term contributions
+    are rounded at 6 and summed in DECIMAL(38,6) — term-order-independent
+    exact — then the total is cast to double and rounded at 4; ranking
+    ties break on doc_id. avgdl is one bigint/bigint double division.
+    Output (query_id, rank, doc_id, score) with rank <= k per query.
+    """
+    from pyspark.sql import Window
+
+    tok = exploded_tokens(df, id_col, text_col).filter(F.col("token") != "")
+    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    stats = tok.agg(
+        F.count(F.lit(1)).alias("total_tokens")).crossJoin(
+        F.broadcast(df.agg(F.count(F.lit(1)).alias("n_docs"))))
+    qterms = queries.select("query_id", F.col("term").alias("token"))
+    matched = tf.join(F.broadcast(qterms), "token")
+    dfreq = matched.select("token", id_col).distinct() \
+        .groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
+    scored = (matched
+              .join(F.broadcast(dfreq), "token")
+              .join(dl, id_col)
+              .crossJoin(F.broadcast(stats)))
+    avgdl = (F.col("total_tokens").cast("double")
+             / F.col("n_docs").cast("double"))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df_docs")
+                              + F.lit(0.5))
+                / (F.col("df_docs") + F.lit(0.5)))
+    denom = (F.col("tf") + F.lit(k1)
+             * (F.lit(1.0) - F.lit(b)
+                + F.lit(b) * F.col("dl") / avgdl))
+    contrib = F.round(idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom, 6) \
+        .cast("decimal(38,6)")
+    per_pair = (scored
+                .groupBy("query_id", id_col)
+                .agg((F.round(F.sum(contrib).cast("double"), 4)
+                      + F.lit(0.0)).alias("score")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc())
+    return (per_pair
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", id_col, "score"))

@@ -5671,6 +5671,126 @@ def sample_quality_gate(spark, sf_dir):
                                  keep_pct=40)
 
 
+@query("text_bm25_topk", oracle="""
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+    q(query_id, term) AS (VALUES
+        ('qa', 'merge'), ('qa', 'window'), ('qa', 'scan'),
+        ('qb', 'stream'), ('qb', 'filter'), ('qb', 'customer'),
+        ('qc', 'batch'), ('qc', 'slow'), ('qc', 'key')),
+    tok AS (
+        SELECT doc_id, token FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS token
+            FROM docs
+        ) WHERE token <> ''
+    ), tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), dl AS (
+        SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1
+    ), stats AS (
+        SELECT (SELECT COUNT(*) FROM tok) AS total_tokens,
+               (SELECT COUNT(*) FROM docs) AS n_docs
+    ), matched AS (
+        SELECT q.query_id, tf.doc_id, tf.token, tf.tf
+        FROM tf JOIN q ON q.term = tf.token
+    ), dfreq AS (
+        SELECT token, COUNT(*) AS df_docs
+        FROM (SELECT DISTINCT token, doc_id FROM matched) GROUP BY 1
+    ), contrib AS (
+        SELECT m.query_id, m.doc_id,
+               CAST(ROUND(
+                   ln(1.0 + (n_docs - df_docs + 0.5) / (df_docs + 0.5))
+                   * (m.tf * 2.2)
+                   / (m.tf + 1.2 * (1.0 - 0.75
+                       + 0.75 * dl.dl / (CAST(total_tokens AS DOUBLE)
+                                         / CAST(n_docs AS DOUBLE)))),
+                   6) AS DECIMAL(38,6)) AS c
+        FROM matched m
+        JOIN dfreq USING (token)
+        JOIN dl ON dl.doc_id = m.doc_id
+        CROSS JOIN stats
+    ), pair AS (
+        SELECT query_id, doc_id,
+               ROUND(CAST(SUM(c) AS DOUBLE), 4) + 0.0 AS score
+        FROM contrib GROUP BY 1, 2
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, doc_id ASC) AS rank
+        FROM pair
+    )
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
+    FROM ranked WHERE rank <= 5
+""")
+def text_bm25_topk(spark, sf_dir):
+    """BM25 top-5 retrieval for three keyword queries (operators/text.py
+    bm25_topk, Okapi/Lucene idf form): the lexical-retrieval step of a
+    data-curation loop. df is counted only for the 9 broadcast query
+    terms (never the vocabulary); per-term contributions sum in
+    DECIMAL(38,6) so the score is term-order-independent and the oracle
+    replays rank AND score exactly."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    q = spark.createDataFrame(
+        [("qa", "merge"), ("qa", "window"), ("qa", "scan"),
+         ("qb", "stream"), ("qb", "filter"), ("qb", "customer"),
+         ("qc", "batch"), ("qc", "slow"), ("qc", "key")],
+        "query_id string, term string")
+    return T.bm25_topk(docs, q, k=5)
+
+
+@query("sample_temperature_mixture", oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(greatest(0, coalesce(
+                   len(string_split_regex(trim(text), '\\s+')), 0))
+                   AS BIGINT) AS n_tokens
+        FROM documents
+    ), tot AS (
+        SELECT source, SUM(n_tokens) AS total FROM t GROUP BY source
+    ), w AS (
+        SELECT source, total,
+               CAST(ROUND(sqrt(CAST(total AS DOUBLE)), 9)
+                    AS DECIMAL(38,9)) AS w
+        FROM tot
+    ), ws AS (SELECT SUM(w) AS wsum FROM w),
+    thr AS (
+        SELECT source,
+               CASE WHEN total > 0 AND wsum > 0 THEN
+                   least(10000, CAST(floor(
+                       CAST(w AS DOUBLE) * 5000.0 * 10000.0
+                       / CAST(wsum AS DOUBLE) / total) AS BIGINT))
+               ELSE 0 END AS thr
+        FROM w CROSS JOIN ws
+    )
+    SELECT t.doc_id, t.source, t.n_tokens
+    FROM t JOIN thr ON thr.source = t.source
+    WHERE {_HASH_BUCKET_SQL.format(key='t.doc_id')} < thr.thr
+""")
+def sample_temperature_mixture(spark, sf_dir):
+    """Temperature-weighted mixing (sampling.temperature_mixture,
+    UniMax-style): source weights derived as tokens^0.5 instead of a
+    hand weight table — alpha expressed as a correctly-rounded sqrt
+    chain (never pow(), which is not engine-reproducible), weights
+    summed in DECIMAL(38,9), one left-associated double threshold
+    expression. The oracle replays the derived thresholds and the
+    hash-bucket doc selection exactly."""
+    from .operators.sampling import temperature_mixture
+    return temperature_mixture(_t(spark, sf_dir, "documents"),
+                               budget_tokens=5000, alpha=0.5)
+
+
+@query("sim_topk_pq", oracle=None, tags=("rows-only",),
+       sibling="sim_topk_quantized")
+def sim_topk_pq(spark, sf_dir):
+    """Product-quantization ADC top-k (similarity.pq_topk, Jegou et al.
+    2011): 64-dim vectors become 8 codeword ids (~32x fewer corpus
+    bytes than float32), queries score candidates via LUT gathers.
+    Approximate by construction -> rows-only; exact sibling
+    sim_topk_quantized covers the same ids-not-scores output contract,
+    and measured recall vs brute force is in RECALL.md."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=10)
+
+
 # Reorder AFTER every @query above has registered: the driver checks the
 # first _WINDOW_SIZE entries, so this call must stay at module end —
 # entries registered after it would never rotate into the window.

@@ -2001,3 +2001,115 @@ def test_quality_quantile_gate_per_source_cut(spark):
     # the kept docs are the highest-uniqueness ones (largest i per source)
     assert sorted(by_src["a"]) == [5, 6, 7, 8, 9]
     assert sorted(by_src["b"]) == [11, 12]
+
+
+def test_bm25_topk_ranks_term_dense_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "cat cat cat dog"),              # high tf for 'cat', short
+         (2, "cat dog bird fish mouse wolf"), # one 'cat', longer
+         (3, "dog dog dog dog"),              # no 'cat'
+         (4, "cat " * 2 + "filler " * 30)],   # tf=2 but long doc
+        "doc_id long, text string")
+    q = spark.createDataFrame([("q1", "cat")], "query_id string, term string")
+    out = {r["doc_id"]: (r["rank"], r["score"])
+           for r in T.bm25_topk(df, q, k=10).collect()}
+    # doc 3 never matches; doc 1 (dense + short) must beat doc 2 and
+    # the length-normalized doc 4
+    assert 3 not in out
+    assert out[1][0] == 1
+    assert out[1][1] > out[2][1] and out[1][1] > out[4][1]
+    # every score positive (Lucene idf form never goes negative)
+    assert all(s > 0 for _, s in out.values())
+
+
+def test_bm25_topk_multi_term_sums_and_k_cap(spark):
+    df = spark.createDataFrame(
+        [(i, "alpha beta " + "x " * i) for i in range(1, 8)],
+        "doc_id long, text string")
+    q = spark.createDataFrame(
+        [("q", "alpha"), ("q", "beta")], "query_id string, term string")
+    out = T.bm25_topk(df, q, k=3).collect()
+    assert len(out) == 3 and {r["rank"] for r in out} == {1, 2, 3}
+    # shortest doc wins under length normalization
+    assert out[0]["doc_id"] == 1 or \
+        min(r["doc_id"] for r in out) == 1
+
+
+def test_temperature_mixture_flattens_mix(spark):
+    from sanef_election_dashboard_etl_spark.operators import sampling as SMP
+    # skewed corpus: s0 has 16x the tokens of s1
+    rows_ = [(i, "s0", "t " * 15 + "t") for i in range(1600)] + \
+            [(10_000 + i, "s1", "t " * 15 + "t") for i in range(100)]
+    df = spark.createDataFrame(rows_, "doc_id long, source string, text string")
+    nat = SMP.temperature_mixture(df, budget_tokens=8000, alpha=1.0)
+    flat = SMP.temperature_mixture(df, budget_tokens=8000, alpha=0.25)
+    def mix(out):
+        t = {"s0": 0, "s1": 0}
+        for r in out.collect():
+            t[r["source"]] += r["n_tokens"]
+        return t
+    m_nat, m_flat = mix(nat), mix(flat)
+    # alpha=1 reproduces natural proportions (~16:1)
+    assert m_nat["s0"] / max(m_nat["s1"], 1) > 8
+    # alpha=0.25 compresses the ratio hard (16^0.25 = 2)
+    assert m_flat["s0"] / max(m_flat["s1"], 1) < 4
+    # repartition-stable
+    again = SMP.temperature_mixture(df.repartition(7), budget_tokens=8000,
+                                    alpha=0.25)
+    assert sorted(map(tuple, again.collect())) == \
+        sorted(map(tuple, flat.collect()))
+
+
+def test_temperature_mixture_guards(spark):
+    from sanef_election_dashboard_etl_spark.operators import sampling as SMP
+    df = spark.createDataFrame(
+        [(1, "s0", "a b c"), (2, "s1", None)],
+        "doc_id long, source string, text string")
+    with pytest.raises(ValueError):
+        SMP.temperature_mixture(df, budget_tokens=10, alpha=0.3)
+    # an all-null source must not divide by zero under ANSI mode
+    out = SMP.temperature_mixture(df, budget_tokens=100, alpha=0.5).collect()
+    assert all(r["source"] == "s0" for r in out)
+
+
+def test_pq_topk_recovers_cluster_structure(spark):
+    import numpy as np
+    rng = np.random.RandomState(7)
+    # 3 well-separated direction clusters in 8 dims, 40 vectors each
+    centers = np.eye(8)[:3] * 5.0
+    rows_, truth = [], {}
+    vid = 0
+    for c in range(3):
+        for _ in range(40):
+            v = centers[c] + rng.normal(0, 0.15, 8)
+            rows_.append((vid, [float(x) for x in v]))
+            truth[vid] = c
+            vid += 1
+    df = spark.createDataFrame(rows_, "vec_id long, embedding array<float>")
+    out = S.pq_topk(df, df.filter(F.col("vec_id").isin(0, 40, 80)),
+                    k=10, m=4, k_codes=8, train_n=120)
+    got = out.collect()
+    assert len(got) == 30
+    # every retrieved neighbor comes from the query's own cluster
+    for r in got:
+        assert truth[r["neighbor_id"]] == truth[r["query_id"]]
+
+
+def test_pq_encode_codes_shape_and_determinism(spark, vecs):
+    # pad the 3-dim fixture to 4 dims so m=2 divides evenly
+    padded = vecs.select(
+        "vec_id",
+        F.concat(F.col("embedding"),
+                 F.array(F.lit(0.0).cast("float"))).alias("embedding"))
+    books = S.pq_train_codebooks(padded, m=2, k_codes=4, train_n=5)
+    assert len(books) == 2 and all(len(b) == 4 for b in books)
+    codes = S.pq_encode(padded, books).collect()
+    assert all(len(r["codes"]) == 2 for r in codes)
+    assert all(0 <= c < 4 for r in codes for c in r["codes"])
+    # codebooks and codes are partition-layout independent
+    books2 = S.pq_train_codebooks(padded.repartition(3), m=2, k_codes=4,
+                                  train_n=5)
+    assert books == books2
+    codes2 = S.pq_encode(padded.repartition(3), books2).collect()
+    assert sorted((r["vec_id"], tuple(r["codes"])) for r in codes) == \
+        sorted((r["vec_id"], tuple(r["codes"])) for r in codes2)

@@ -907,7 +907,8 @@ def pq_encode(emb: DataFrame, codebooks: list,
 
 
 def pq_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
-            m: int = 8, k_codes: int = 16, train_n: int = 2048,
+            m: int = 32, k_codes: int = 16, train_n: int = 2048,
+            rerank: int = 10,
             id_col: str = "vec_id",
             vec_col: str = "embedding") -> DataFrame:
     """PQ approximate cosine top-k via asymmetric distance computation
@@ -929,7 +930,20 @@ def pq_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     correctness with the exact tiers as siblings; measured recall vs
     brute-force cosine is recorded in RECALL.md. Deterministic: seeded
     deterministic codebooks, fixed iteration, neighbor-id tie-breaks.
-    Output (query_id, rank, neighbor_id)."""
+    Output (query_id, rank, neighbor_id).
+
+    Tier routing (RECALL.md): pure ADC ranking (rerank=0) needs cluster
+    structure — on background-geometry corpora (this eval set) code
+    distortion swamps the tiny neighbor/background cosine gap (measured
+    0.13-0.64 recall), the same wall LSH hits. `rerank > 0` is the
+    production configuration (the faiss refine stage): take the top
+    `rerank * k` ADC candidates per query, exact-score ONLY those
+    against the float vectors (the candidate id list broadcasts into
+    the corpus scan — the corpus still never shuffles), re-rank, return
+    top-k. The defaults (m=32, k_codes=16, rerank=10: 16-byte codes,
+    16x fewer scan bytes than float32) measure recall 1.00 on the eval
+    corpus while exact-reading ~rerank*k*n_queries vectors — 5% of the
+    sf0.1 corpus, vs the Hamming tier's 0.9+ recall at 31% scored."""
     import pandas as pd
 
     books = pq_train_codebooks(emb, m=m, k_codes=k_codes,
@@ -967,6 +981,38 @@ def pq_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     from pyspark.sql import Window
     w = Window.partitionBy("query_id").orderBy(F.desc("score"),
                                                F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+    shortlist_k = k * rerank if rerank > 0 else k
+    shortlist = (scored
+                 .withColumn("rank", F.row_number().over(w).cast("long"))
+                 .filter(F.col("rank") <= shortlist_k)
+                 .select("query_id", "rank", "neighbor_id"))
+    if rerank <= 0:
+        return shortlist
+
+    # refine stage: exact-score ONLY the shortlist — the candidate id
+    # pairs broadcast into the float-vector scan (corpus never shuffles)
+    qn_by_id = {int(i): Q[j] for j, i in enumerate(q_ids)}
+
+    def exact(batches):
+        for pdf in batches:
+            X = np.array(list(pdf[vec_col].map(list)), dtype=np.float64)
+            X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
+                            1e-12)
+            qm = np.array([qn_by_id[int(q)] for q in pdf["query_id"]])
+            yield pd.DataFrame({
+                "query_id": pdf["query_id"],
+                "neighbor_id": pdf["neighbor_id"],
+                "cos": (X * qm).sum(axis=1),
+            })
+
+    cand_vecs = emb.select(F.col(id_col).alias("neighbor_id"), vec_col) \
+        .join(F.broadcast(shortlist.select("query_id", "neighbor_id")),
+              "neighbor_id")
+    rescored = cand_vecs.mapInPandas(
+        exact, schema="query_id long, neighbor_id long, cos double")
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                                F.asc("neighbor_id"))
+    return (rescored.withColumn("rank", F.row_number().over(w2)
+                                .cast("long"))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id"))

@@ -144,3 +144,21 @@ def write_with_metrics(df, path: str, metrics: dict,
     observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
     observed.write.format(fmt).mode("overwrite").save(path)
     return obs.get
+
+
+def write_jsonl(df, path: str, n_files: int | None = None,
+                compression: str | None = None) -> None:
+    """Export as JSONL (one JSON object per line) — the training-data
+    interchange format consumers (tokenizer pipelines, data loaders)
+    read directly. A plain distributed `.json()` write: every partition
+    streams its own file, no driver funnel (the CSV single-file concat
+    is a dashboard-upload contract; training export wants many files).
+    `n_files` round-robin-repartitions for even file sizes (one narrow
+    exchange — use it when upstream partitioning is skewed);
+    `compression='gzip'` trades splittability for bytes, so prefer it
+    only for archival, not for re-ingest."""
+    w = df.repartition(n_files) if n_files else df
+    writer = w.write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)

@@ -299,3 +299,42 @@ def test_permissive_csv_carries_corrupt_records(spark, tmp_path):
     rows = {r["id"]: (r["qty"], r["_corrupt_record"]) for r in df.collect()}
     assert rows[1] == (10, None) and rows[3] == (30, None)
     assert rows[2][0] is None and "notanumber" in rows[2][1]
+
+
+def test_jsonl_roundtrip_and_permissive(spark, tmp_path):
+    """write_jsonl -> read_jsonl round-trips values exactly; a malformed
+    line lands in _corrupt_record under permissive=True and kills the
+    job under the FAILFAST default."""
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    from sanef_election_dashboard_etl_spark.sinks import write_jsonl
+    from sanef_election_dashboard_etl_spark.sources.files import read_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "hello é世 world"), (2, 'quotes " and \\ slashes')],
+        "doc_id long, text string")
+    path = str(tmp_path / "out")
+    write_jsonl(df, path, n_files=2)
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType())])
+    back = read_jsonl(spark, path, schema)
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, df.collect()))
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    (feed / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "ok"}\nnot json at all\n'
+        '{"doc_id": 2, "text": "fine"}\n')
+    perm = read_jsonl(spark, str(feed), schema, permissive=True)
+    rows_ = {r["doc_id"]: r for r in perm.collect()}
+    assert rows_[1]["_corrupt_record"] is None
+    assert rows_[2]["_corrupt_record"] is None
+    bad = [r for r in perm.collect() if r["_corrupt_record"] is not None]
+    assert len(bad) == 1 and "not json" in bad[0]["_corrupt_record"]
+
+    import pytest as _pytest
+    strict = read_jsonl(spark, str(feed), schema)
+    with _pytest.raises(Exception):
+        strict.collect()

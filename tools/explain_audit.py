@@ -122,6 +122,17 @@ MUST_HAVE = {
     # real media decode: one narrow Arrow pass; the binary payload
     # column must never reach an exchange
     "multimodal_decode": ["MapInPandas"],
+    # BM25: the query term list and the (query-terms-sized) df table
+    # must both broadcast; per-query top-k via WindowGroupLimit
+    "text_bm25_topk": ["BroadcastHashJoin", "WindowGroupLimit"],
+    # temperature mixing: the derived per-source rate table broadcasts
+    # into a narrow keep filter
+    "sample_temperature_mixture": ["BroadcastHashJoin"],
+    # PQ ADC + rerank: encode/score/rescore are Arrow passes; the
+    # shortlist must BROADCAST into the float-vector rerank scan (the
+    # corpus never shuffles); top-k per query via WindowGroupLimit
+    "sim_topk_pq": ["MapInPandas", "WindowGroupLimit",
+                    "BroadcastHashJoin"],
 }
 
 # query -> substrings that must NOT appear
@@ -175,6 +186,14 @@ MUST_NOT = {
                              "ArrowEvalPython"],
     # the corpus-side assignment must never sort-merge on lang
     "text_ccnet_buckets_sampled": ["SortMergeJoin", "CartesianProduct"],
+    # BM25: the retrieval joins are broadcast or doc-keyed equi — never
+    # a cross product; the corpus text never reaches a sort-merge
+    "text_bm25_topk": ["CartesianProduct"],
+    # the corpus keep-filter must stay narrow: no corpus-side shuffle
+    "sample_temperature_mixture": ["SortMergeJoin", "CartesianProduct"],
+    # codes never shuffle before scoring; the only exchange is the
+    # per-query top-k window over (query, neighbor, score) candidates
+    "sim_topk_pq": ["SortMergeJoin", "CartesianProduct"],
 }
 
 AUDIT = [
@@ -199,6 +218,7 @@ AUDIT = [
     "text_quality_classifier", "sample_epoch_repeat",
     "pack_chunk_documents", "text_ccnet_buckets_sampled",
     "dedup_simhash_guarded", "multimodal_decode",
+    "text_bm25_topk", "sample_temperature_mixture", "sim_topk_pq",
 ]
 
 

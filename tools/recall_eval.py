@@ -88,13 +88,25 @@ def eval_corpus(spark, sf_dir: str) -> tuple[list[tuple[str, float, float]], int
     rows.append(("int8 quantized brute force (4-8x fewer scan bytes)",
                  recall(got, exact), 1.0))
 
-    # PQ ADC: also scores the whole corpus (fraction 1.0) but reads only
-    # 8 codeword ids per vector (~32x fewer corpus bytes than float32);
+    # PQ ADC (rerank=0): scans only the codes column (fraction-of-corpus
+    # EXACT-scored is 0 — the 1.0 here flags that every code is ADC-read);
     # recall measures pure code-quantization distortion
-    for m, kc in ((8, 16), (8, 64), (16, 16)):
-        got = topk_sets(S.pq_topk(emb, queries, k=k, m=m, k_codes=kc))
-        rows.append((f"PQ ADC m={m}, k_codes={kc} (~{64*4//m}x fewer "
-                     "corpus bytes)", recall(got, exact), 1.0))
+    for m, kc in ((8, 16), (16, 16), (32, 16)):
+        got = topk_sets(S.pq_topk(emb, queries, k=k, m=m, k_codes=kc,
+                                  rerank=0))
+        rows.append((f"PQ ADC m={m}, k_codes={kc}, no rerank "
+                     f"(~{64*4//(m//2)}x fewer corpus bytes)",
+                     recall(got, exact), 1.0))
+    # PQ + exact rerank (the production default / faiss refine stage):
+    # ADC shortlist of rerank*k per query, exact-score only those —
+    # the fraction column is the exact-scored share
+    for m, kc, r in ((32, 16, 10), (16, 64, 10)):
+        got = topk_sets(S.pq_topk(emb, queries, k=k, m=m, k_codes=kc,
+                                  rerank=r))
+        tag = " (pq_topk default)" if (m, kc, r) == (32, 16, 10) else ""
+        rows.append((f"PQ m={m}, k_codes={kc} + exact rerank x{r}{tag}",
+                     recall(got, exact),
+                     min(1.0, r * k / n_corpus)))
     return rows, n_corpus
 
 
@@ -153,6 +165,16 @@ def main() -> None:
         "recall bar (auto p=5 @ 10x: 0.83) — choose it only on corpora",
         "with measured cluster separation. `ivf_topk` n_probe=8/16 is",
         "the clustered alternative.",
+        "",
+        "PQ (`pq_topk`) is the MEMORY tier: pure ADC ranking hits the",
+        "same background-geometry wall as LSH (code distortion vs a",
+        "~0.26 neighbor gap), but the default configuration adds the",
+        "faiss-style exact rerank of the ADC shortlist — measured 1.00",
+        "recall while exact-reading ~rerank*k*n_queries vectors (5% of",
+        "the sf0.1 corpus) and scanning 16-byte codes for the rest.",
+        "At 100 TB the rerank read is a broadcast-candidate filter scan,",
+        "so the float corpus is touched at shortlist size, never corpus",
+        "size; compose with ivf_topk probes for the full IVF-PQ stack.",
     ]
     with open("/root/repo/RECALL.md", "w") as fh:
         fh.write("\n".join(lines) + "\n")

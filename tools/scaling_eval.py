@@ -88,6 +88,12 @@ QUERIES = [
     ("pack_chunk_documents", "documents x10"),
     # int8 brute force: corpus-linear scoring at 1/4-1/8 the bytes
     ("sim_topk_quantized", "embeddings corpus x10"),
+    # round-5 additions: BM25 (inverted-index aggs, query side fixed),
+    # temperature mixing (one tiny agg + narrow filter, expect ~flat),
+    # PQ+rerank (codes-linear ADC, shortlist-sized exact rescore)
+    ("text_bm25_topk", "documents x10"),
+    ("sample_temperature_mixture", "documents x10"),
+    ("sim_topk_pq", "embeddings corpus x10"),
 ]
 
 # Operator-level rows (full tables — the registry's simhash entries pin

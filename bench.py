@@ -84,6 +84,9 @@ HEADLINE = (
     "dedup_substring_stats",
     "pipe_training_data_prep",
     "pipe_incremental_ingest",
+    "text_bm25_topk",
+    "sample_temperature_mixture",
+    "sim_topk_pq",
 )
 
 

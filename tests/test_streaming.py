@@ -646,3 +646,35 @@ def test_tvd_drift_monitor_stream_equals_batch(spark, tmp_path):
     assert per_epoch[-1] == want        # bit-identical, incl. the double
     # the monitor's coverage grows monotonically across epochs
     assert [e[2] for e in per_epoch] == sorted(e[2] for e in per_epoch)
+
+
+def test_streaming_jsonl_landing_dir_ingest(spark, tmp_path):
+    """The JSONL auto-ingest loop: a landing directory of .jsonl drops is
+    a streaming file source (schema-explicit, like sources.files.
+    read_jsonl's batch contract) — files that arrive between micro-
+    batches are picked up exactly once. The 100 TB shape: crawlers drop
+    shards into the landing dir; maxFilesPerTrigger bounds each batch."""
+    land = tmp_path / "landing"
+    land.mkdir()
+    (land / "s0.jsonl").write_text(
+        '{"doc_id": 1, "text": "a b"}\n{"doc_id": 2, "text": "c"}\n')
+
+    stream = (spark.readStream
+              .schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1)
+              .json(str(land)))
+    q = (stream.writeStream.format("memory").queryName("t_jsonl")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_jsonl"))
+         .start())
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT count(*) n FROM t_jsonl").first()["n"] == 2
+        # a late-arriving shard is ingested exactly once, no reprocessing
+        (land / "s1.jsonl").write_text('{"doc_id": 3, "text": "d e f"}\n')
+        q.processAllAvailable()
+        got = sorted(r["doc_id"] for r in
+                     spark.sql("SELECT doc_id FROM t_jsonl").collect())
+        assert got == [1, 2, 3]
+    finally:
+        q.stop()

@@ -108,12 +108,21 @@ def main(argv: list[str] | None = None) -> int:
                      f"{cur.get('queries_spread', {}).get(name, 0):.3f} | "
                      f"{delta:+.3f} | {verdict} |")
     table = "\n".join(lines)
+    # secondary ambient evidence: the empty-job floor ratio. A flagged
+    # query whose slowdown tracks the floor ratio rather than the
+    # per-query median (multi-stage persist-heavy ops degrade more under
+    # load) is an ambient artifact, not a plan regression — corroborate
+    # with `git diff` on the operator before treating it as real.
+    f_prev, f_cur = prev.get("floor_noop_job"), cur.get("floor_noop_job")
+    floor_note = (f"; floor ratio {round(f_cur / f_prev, 2)}x "
+                  f"({f_prev}s -> {f_cur}s)"
+                  if f_prev and f_cur else "")
     summary = (f"base: {prev_name} (sf={prev.get('sf')}), current: "
                f"BENCH_DETAIL.json (sf={cur.get('sf')}, reps={cur.get('reps')}); "
                f"ambient band {band_factor}x divided out (median of "
-               f"per-query ratios); flag band = max(spread_cur, "
-               f"spread_prev, {int(MIN_S*1000)} ms) on the residual. "
-               f"{len(flagged)} regression(s)"
+               f"per-query ratios){floor_note}; flag band = "
+               f"max(spread_cur, spread_prev, {int(MIN_S*1000)} ms) on "
+               f"the residual. {len(flagged)} regression(s)"
                + (": " + ", ".join(flagged) if flagged else "."))
     print(summary)
     print(table)

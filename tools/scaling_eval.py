@@ -88,10 +88,9 @@ QUERIES = [
     ("pack_chunk_documents", "documents x10"),
     # int8 brute force: corpus-linear scoring at 1/4-1/8 the bytes
     ("sim_topk_quantized", "embeddings corpus x10"),
-    # round-5 additions: BM25 (inverted-index aggs, query side fixed),
-    # temperature mixing (one tiny agg + narrow filter, expect ~flat),
-    # PQ+rerank (codes-linear ADC, shortlist-sized exact rescore)
-    ("text_bm25_topk", "documents x10"),
+    # round-5 additions: temperature mixing (one tiny agg + narrow
+    # filter, expect ~flat), PQ+rerank (codes-linear ADC,
+    # shortlist-sized exact rescore); BM25 runs full-table in OPERATORS
     ("sample_temperature_mixture", "documents x10"),
     ("sim_topk_pq", "embeddings corpus x10"),
 ]
@@ -101,6 +100,15 @@ QUERIES = [
 # The expression/arrow pair answers VERDICT r2 #3 directly: the Arrow
 # signature stage must beat the tokens x 64 bit-explode as docs grow.
 OPERATORS = [
+    # r5: BM25 over the full table (registry pins doc_id < 300)
+    ("bm25_full_corpus", "documents x10 (full table)",
+     lambda spark, sf: T.bm25_topk(
+         table(spark, sf, "documents"),
+         spark.createDataFrame(
+             [("qa", "merge"), ("qa", "window"), ("qa", "scan"),
+              ("qb", "stream"), ("qb", "filter"), ("qb", "customer"),
+              ("qc", "batch"), ("qc", "slow"), ("qc", "key")],
+             "query_id string, term string"), k=10)),
     ("simhash_pairs_expr", "documents x10 (full table)",
      lambda spark, sf: D.simhash_pairs(table(spark, sf, "documents"),
                                        max_hamming=3)),
@@ -331,6 +339,10 @@ X100_HEAVY = [
     # chunking is a narrow explode — the control-shaped heavy row (its
     # output is ~2x corpus rows, so exec measures explode throughput)
     ("pack_chunk_documents", "documents x100 (500k docs)"),
+    # r5: PQ + rerank — ADC must stay codes-linear and the rerank scan
+    # shortlist-sized (the exact read is rerank*k*n_queries rows at any
+    # corpus size; build phase = sample fit + encode pass)
+    ("sim_topk_pq", "embeddings corpus x100 (200k vecs)"),
 ]
 
 def _semantic_dedup_scaled(spark, sf):
@@ -385,6 +397,17 @@ X100_HEAVY_OPERATORS = [
     ("fuzzy_edit_guarded", "documents x100 (500k docs, max_df=50)",
      lambda spark, sf: D.fuzzy_edit_pairs(table(spark, sf, "documents"),
                                           max_df=50)),
+    # r5: BM25 over the FULL document table (the registry entry pins
+    # doc_id < 300 for oracle cost) — the inverted-index aggs must stay
+    # corpus-linear while the df/LUT side stays query-terms-sized
+    ("bm25_full_corpus", "documents x100 (500k docs, 9-term queries)",
+     lambda spark, sf: T.bm25_topk(
+         table(spark, sf, "documents"),
+         spark.createDataFrame(
+             [("qa", "merge"), ("qa", "window"), ("qa", "scan"),
+              ("qb", "stream"), ("qb", "filter"), ("qb", "customer"),
+              ("qc", "batch"), ("qc", "slow"), ("qc", "key")],
+             "query_id string, term string"), k=10)),
 ]
 
 

@@ -850,6 +850,9 @@ def pq_train_codebooks(emb: DataFrame, m: int = 8, k_codes: int = 16,
                        portable_hash(F.col(id_col).cast("string"))
                        .alias("h"))
             .orderBy("h", id_col).limit(train_n).collect())
+    if not rows:
+        raise ValueError("pq_train_codebooks: empty corpus — PQ needs "
+                         "at least one vector to fit codebooks on")
     X = np.array([list(r["v"]) for r in rows], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     dim = X.shape[1]

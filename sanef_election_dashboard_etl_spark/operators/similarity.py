@@ -991,10 +991,21 @@ def pq_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
                  .select("query_id", "rank", "neighbor_id"))
     if rerank <= 0:
         return shortlist
-
-    # refine stage: exact-score ONLY the shortlist — the candidate id
-    # pairs broadcast into the float-vector scan (corpus never shuffles)
+    # refine stage: exact-score ONLY the shortlist (shared helper) —
+    # the candidate pairs broadcast into the float-vector scan
     qn_by_id = {int(i): Q[j] for j, i in enumerate(q_ids)}
+    return _exact_rerank(emb, shortlist, qn_by_id, k, id_col, vec_col)
+
+
+def _exact_rerank(emb: DataFrame, shortlist: DataFrame, qn_by_id: dict,
+                  k: int, id_col: str, vec_col: str) -> DataFrame:
+    """Shared faiss-style refine stage: exact-score ONLY the (query,
+    neighbor) shortlist — the candidate pairs broadcast into the
+    float-vector scan, so the corpus is touched at shortlist size and
+    never shuffles. Used by pq_topk and ivf_pq_topk."""
+    import pandas as pd
+
+    from pyspark.sql import Window
 
     def exact(batches):
         for pdf in batches:
@@ -1013,9 +1024,130 @@ def pq_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
               "neighbor_id")
     rescored = cand_vecs.mapInPandas(
         exact, schema="query_id long, neighbor_id long, cos double")
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"),
-                                                F.asc("neighbor_id"))
-    return (rescored.withColumn("rank", F.row_number().over(w2)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("neighbor_id"))
+    return (rescored.withColumn("rank", F.row_number().over(w)
                                 .cast("long"))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id"))
+
+
+def ivf_pq_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+                n_centroids: int = 16, n_probe: int = 8,
+                m: int = 32, k_codes: int = 16, train_n: int = 2048,
+                rerank: int = 10, seed: int = 42, max_iter: int = 8,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """The full IVF-PQ stack (the faiss IVFx,PQy index as a Spark
+    plan): IVF bounds WHICH vectors each query scores (n_probe of
+    n_centroids inverted lists), PQ bounds the BYTES per scored vector
+    (16-byte codes), and the exact rerank restores recall on the
+    shortlist. The three knobs multiply: at 100 TB a query touches
+    (n_probe/n_centroids) of the corpus, reads it at 16x compression,
+    and exact-reads only rerank*k float vectors.
+
+    One narrow Arrow pass attaches codes to the centroid-assigned
+    corpus (no join between assignment and encoding); the probe join
+    broadcasts (query, centroid) pairs; ADC scores candidates with
+    per-row LUT gathers; the shortlist rerank is _exact_rerank. The
+    corpus never shuffles at any stage.
+
+    Deterministic: seeded KMeans, deterministic codebooks
+    (pq_train_codebooks), id tie-breaks. Approximate by construction ->
+    rows-only with the exact tiers as siblings; recall in RECALL.md.
+    Output (query_id, rank, neighbor_id)."""
+    import pandas as pd
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    corpus = emb.select(F.col(id_col).alias("neighbor_id"),
+                        _as_double(F.col(vec_col)).alias("cv"))
+    feat = corpus.withColumn("features", array_to_vector("cv"))
+    km = KMeans(k=n_centroids, seed=seed, maxIter=max_iter,
+                featuresCol="features", predictionCol="centroid")
+    model = km.fit(feat.select("features"))
+    assigned = model.transform(feat).select("neighbor_id", "cv",
+                                            "centroid")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+
+    books = pq_train_codebooks(emb, m=m, k_codes=k_codes,
+                               train_n=train_n, id_col=id_col,
+                               vec_col=vec_col)
+    B = np.array(books, dtype=np.float64)
+    sub = B.shape[2]
+
+    def enc(batches):
+        for pdf in batches:
+            X = np.array(list(pdf["cv"].map(list)), dtype=np.float64)
+            X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
+                            1e-12)
+            codes = np.empty((len(X), m), dtype=np.int64)
+            for i in range(m):
+                S = X[:, i * sub:(i + 1) * sub]
+                d2 = ((S[:, None, :] - B[i][None, :, :]) ** 2).sum(axis=2)
+                codes[:, i] = d2.argmin(axis=1)
+            yield pd.DataFrame({"neighbor_id": pdf["neighbor_id"],
+                                "centroid": pdf["centroid"],
+                                "codes": list(codes)})
+
+    coded = assigned.mapInPandas(
+        enc, schema="neighbor_id long, centroid int, codes array<int>")
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows])
+    Q = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
+    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    LUT = np.einsum("qis,iks->qik", Q.reshape(len(Q), m, sub), B)
+    q_idx = {int(i): j for j, i in enumerate(q_ids)}
+
+    # probe table: each query's n_probe nearest centroids (expression
+    # over SQL-parsed centroid literals, as in ivf_topk)
+    def centroid_dists(vec: Column) -> Column:
+        return F.array(*[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(vec, F.expr(
+                        "array(" + ", ".join(f"{float(x)!r}D" for x in c)
+                        + ")"),
+                               lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, x: acc + x).alias("d"),
+                F.lit(i).alias("centroid"))
+            for i, c in enumerate(centroids)
+        ])
+
+    q_df = queries.select(F.col(id_col).alias("query_id"),
+                          _as_double(F.col(vec_col)).alias("qv"))
+    probes = q_df.select(
+        "query_id",
+        F.explode(F.slice(F.array_sort(centroid_dists(F.col("qv"))),
+                          1, n_probe)["centroid"]).alias("centroid"))
+
+    cands = (coded.join(F.broadcast(probes), "centroid")
+             .filter(F.col("neighbor_id") != F.col("query_id")))
+
+    def adc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array(list(pdf["codes"].map(list)), dtype=np.int64)
+            qi = np.array([q_idx[int(q)] for q in pdf["query_id"]])
+            S = LUT[qi[:, None], np.arange(m)[None, :], C].sum(axis=1)
+            yield pd.DataFrame({"query_id": pdf["query_id"],
+                                "neighbor_id": pdf["neighbor_id"],
+                                "score": S})
+
+    scored = cands.select("query_id", "neighbor_id", "codes").mapInPandas(
+        adc, schema="query_id long, neighbor_id long, score double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("neighbor_id"))
+    shortlist_k = k * rerank if rerank > 0 else k
+    shortlist = (scored
+                 .withColumn("rank", F.row_number().over(w).cast("long"))
+                 .filter(F.col("rank") <= shortlist_k)
+                 .select("query_id", "rank", "neighbor_id"))
+    if rerank <= 0:
+        return shortlist
+    qn_by_id = {int(i): Q[j] for j, i in enumerate(q_ids)}
+    return _exact_rerank(emb, shortlist, qn_by_id, k, id_col, vec_col)

@@ -5820,6 +5820,20 @@ def source_jsonl_roundtrip(spark, sf_dir):
     return read_jsonl(spark, path, schema).select("doc_id", "lang", "text")
 
 
+@query("sim_topk_ivf_pq", oracle=None, tags=("rows-only",),
+       sibling="sim_topk_quantized")
+def sim_topk_ivf_pq(spark, sf_dir):
+    """The full IVF-PQ stack (similarity.ivf_pq_topk, the faiss
+    IVFx,PQy index as one Spark plan): IVF probes bound WHICH vectors
+    are scored (n_probe/n_centroids of the corpus), 16-byte PQ codes
+    bound the BYTES per scored vector, exact rerank restores recall on
+    the shortlist. Approximate by construction -> rows-only; exact
+    sibling sim_topk_quantized; recall in RECALL.md."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ivf_pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=10,
+                         n_centroids=8, n_probe=4)
+
+
 # Reorder AFTER every @query above has registered: the driver checks the
 # first _WINDOW_SIZE entries, so this call must stay at module end —
 # entries registered after it would never rotate into the window.

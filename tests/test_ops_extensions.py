@@ -2113,3 +2113,32 @@ def test_pq_encode_codes_shape_and_determinism(spark, vecs):
     codes2 = S.pq_encode(padded.repartition(3), books2).collect()
     assert sorted((r["vec_id"], tuple(r["codes"])) for r in codes) == \
         sorted((r["vec_id"], tuple(r["codes"])) for r in codes2)
+
+
+def test_ivf_pq_topk_recovers_cluster_structure(spark):
+    import numpy as np
+    rng = np.random.RandomState(11)
+    centers = np.eye(8)[:3] * 5.0
+    rows_, truth = [], {}
+    vid = 0
+    for c in range(3):
+        for _ in range(40):
+            v = centers[c] + rng.normal(0, 0.15, 8)
+            rows_.append((vid, [float(x) for x in v]))
+            truth[vid] = c
+            vid += 1
+    df = spark.createDataFrame(rows_, "vec_id long, embedding array<float>")
+    out = S.ivf_pq_topk(df, df.filter(F.col("vec_id").isin(0, 40, 80)),
+                        k=10, n_centroids=3, n_probe=2, m=4, k_codes=8,
+                        train_n=120)
+    got = out.collect()
+    assert len(got) == 30
+    for r in got:
+        assert truth[r["neighbor_id"]] == truth[r["query_id"]]
+    # probing ALL centroids with rerank covering the cluster == exhaustive
+    full = S.ivf_pq_topk(df, df.filter(F.col("vec_id") == 0), k=5,
+                         n_centroids=3, n_probe=3, m=4, k_codes=8,
+                         train_n=120, rerank=8)
+    exact = S.cosine_topk(df, df.filter(F.col("vec_id") == 0), k=5)
+    assert rows(full, "rank", "neighbor_id") == \
+        rows(exact, "rank", "neighbor_id")

@@ -133,6 +133,11 @@ MUST_HAVE = {
     # corpus never shuffles); top-k per query via WindowGroupLimit
     "sim_topk_pq": ["MapInPandas", "WindowGroupLimit",
                     "BroadcastHashJoin"],
+    # full IVF-PQ: the probe (query, centroid) table and the rerank
+    # shortlist both broadcast; codes attach in the same Arrow pass as
+    # assignment (no assignment-to-codes join)
+    "sim_topk_ivf_pq": ["MapInPandas", "WindowGroupLimit",
+                        "BroadcastHashJoin"],
 }
 
 # query -> substrings that must NOT appear
@@ -194,6 +199,7 @@ MUST_NOT = {
     # codes never shuffle before scoring; the only exchange is the
     # per-query top-k window over (query, neighbor, score) candidates
     "sim_topk_pq": ["SortMergeJoin", "CartesianProduct"],
+    "sim_topk_ivf_pq": ["SortMergeJoin", "CartesianProduct"],
 }
 
 AUDIT = [
@@ -219,6 +225,7 @@ AUDIT = [
     "pack_chunk_documents", "text_ccnet_buckets_sampled",
     "dedup_simhash_guarded", "multimodal_decode",
     "text_bm25_topk", "sample_temperature_mixture", "sim_topk_pq",
+    "sim_topk_ivf_pq", "source_jsonl_roundtrip",
 ]
 
 

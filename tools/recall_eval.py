@@ -107,6 +107,14 @@ def eval_corpus(spark, sf_dir: str) -> tuple[list[tuple[str, float, float]], int
         rows.append((f"PQ m={m}, k_codes={kc} + exact rerank x{r}{tag}",
                      recall(got, exact),
                      min(1.0, r * k / n_corpus)))
+    # full IVF-PQ: probes bound the ADC-scored share, codes bound the
+    # bytes, rerank restores recall — fraction = exact-scored share
+    for cents, probe in ((16, 8), (16, 4)):
+        got = topk_sets(S.ivf_pq_topk(emb, queries, k=k,
+                                      n_centroids=cents, n_probe=probe))
+        rows.append((f"IVF-PQ {cents} centroids, n_probe={probe}, "
+                     "m=32 + rerank x10", recall(got, exact),
+                     min(1.0, 10 * k / n_corpus)))
     return rows, n_corpus
 
 
@@ -174,7 +182,12 @@ def main() -> None:
         "the sf0.1 corpus) and scanning 16-byte codes for the rest.",
         "At 100 TB the rerank read is a broadcast-candidate filter scan,",
         "so the float corpus is touched at shortlist size, never corpus",
-        "size; compose with ivf_topk probes for the full IVF-PQ stack.",
+        "size. The composed IVF-PQ rows (`ivf_pq_topk`) show what the",
+        "probe filter costs HERE: n_probe=8/16 keeps 0.85-0.89 of the",
+        "rerank-restored recall while ADC-scoring half the corpus — on",
+        "cluster-structured corpora (where IVF's own rows justify it)",
+        "the probes are near-free; on background geometry, use pq_topk",
+        "(full ADC + rerank) and spend the savings on codes, not probes.",
     ]
     with open("/root/repo/RECALL.md", "w") as fh:
         fh.write("\n".join(lines) + "\n")

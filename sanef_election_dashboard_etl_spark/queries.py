@@ -4216,7 +4216,11 @@ def layout_partition_pruned_scan(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type",
         F.date_format("ts", "yyyy-MM-dd").alias("event_date"))
-    path = f"/tmp/spark_graft_layout/{_os.path.basename(sf_dir)}/events_by_date"
+    # pid-unique path: two concurrent gate processes (check_oracle +
+    # driver_sim) racing overwrite-vs-read on a shared directory was a
+    # real FAILED_READ_FILE flake; the write is re-run per call anyway
+    path = (f"/tmp/spark_graft_layout/{_os.getpid()}/"
+            f"{_os.path.basename(sf_dir)}/events_by_date")
     partitioned_write(ev, path, ["event_date"])
     back = spark.read.parquet(path) \
         .filter(F.col("event_date") == "2024-01-15")
@@ -5812,7 +5816,9 @@ def source_jsonl_roundtrip(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents") \
         .filter(F.col("doc_id") < 100).select("doc_id", "lang", "text")
-    path = f"/tmp/spark_graft_jsonl/{_os.path.basename(sf_dir)}/docs"
+    # pid-unique: same concurrent-gate race note as the layout entry
+    path = (f"/tmp/spark_graft_jsonl/{_os.getpid()}/"
+            f"{_os.path.basename(sf_dir)}/docs")
     write_jsonl(docs, path, n_files=4)
     schema = StructType([StructField("doc_id", LongType()),
                          StructField("lang", StringType()),
@@ -5832,6 +5838,27 @@ def sim_topk_ivf_pq(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return S.ivf_pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=10,
                          n_centroids=8, n_probe=4)
+
+
+@query("source_orc_roundtrip", oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey < 1000
+""")
+def source_orc_roundtrip(spark, sf_dir):
+    """ORC export -> re-ingest round-trip: the second columnar format
+    warehouses exchange beside parquet (predicate pushdown, column
+    pruning, and splittable stripes all apply; Spark's ORC reader is
+    vectorized). Value hash proves type-exact round-trips for int,
+    string, and double columns; the filter after re-read lands in the
+    ORC scan's PushedFilters like parquet's."""
+    import os as _os
+
+    o = _t(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    path = (f"/tmp/spark_graft_orc/{_os.getpid()}/"
+            f"{_os.path.basename(sf_dir)}/orders")
+    o.write.mode("overwrite").orc(path)
+    return spark.read.orc(path).filter(F.col("o_orderkey") < 1000)
 
 
 # Reorder AFTER every @query above has registered: the driver checks the

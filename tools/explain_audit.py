@@ -138,6 +138,9 @@ MUST_HAVE = {
     # assignment (no assignment-to-codes join)
     "sim_topk_ivf_pq": ["MapInPandas", "WindowGroupLimit",
                         "BroadcastHashJoin"],
+    # the ORC re-read must push the key predicate into the ORC scan,
+    # exactly as the parquet scans do
+    "source_orc_roundtrip": ["PushedFilters: [", "LessThan(o_orderkey"],
 }
 
 # query -> substrings that must NOT appear
@@ -225,7 +228,7 @@ AUDIT = [
     "pack_chunk_documents", "text_ccnet_buckets_sampled",
     "dedup_simhash_guarded", "multimodal_decode",
     "text_bm25_topk", "sample_temperature_mixture", "sim_topk_pq",
-    "sim_topk_ivf_pq", "source_jsonl_roundtrip",
+    "sim_topk_ivf_pq", "source_jsonl_roundtrip", "source_orc_roundtrip",
 ]
 
 

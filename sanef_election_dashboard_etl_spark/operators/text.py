@@ -831,3 +831,136 @@ def bm25_topk(df: DataFrame, queries: DataFrame, k: int = 10,
             .withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", id_col, "score"))
+
+
+# --------------------------------------------------------------------------
+# BPE tokenization (train on a sample, apply distributed)
+# --------------------------------------------------------------------------
+
+def _bpe_word_counts(texts) -> dict:
+    """Whitespace-word frequency table with the </w> end marker."""
+    counts: dict = {}
+    for t in texts:
+        if not t:
+            continue
+        for w in t.split():
+            counts[w] = counts.get(w, 0) + 1
+    return counts
+
+
+def bpe_train(df: DataFrame, n_merges: int = 200, train_n: int = 4096,
+              id_col: str = "doc_id", text_col: str = "text") -> list:
+    """Train a byte-pair-encoding merge table (Sennrich et al. 2016) on
+    a bounded, hash-ordered sample of the corpus — the standard recipe:
+    production tokenizers train on a corpus SAMPLE (GPT-2's BPE saw a
+    fraction of WebText), then the learned merges are applied to
+    everything. The sample is the `train_n` smallest portable-hash doc
+    ids (one TakeOrdered job; deterministic across runs, partitionings,
+    and corpus-tail growth — same discipline as pq_train_codebooks).
+
+    Driver-side Lloyd-free loop: count symbol pairs over the word
+    frequency table, merge the most frequent pair (ties broken
+    lexicographically, so the merge sequence is fully deterministic),
+    repeat n_merges times or until no pair repeats. Words carry a </w>
+    end marker so merges never cross word boundaries.
+
+    Returns the ordered merge list [[left, right], ...] — order IS the
+    model (apply must replay merges in training order)."""
+    from .dedup import portable_hash
+
+    rows = (df.select(F.col(text_col).alias("t"),
+                      portable_hash(F.col(id_col).cast("string"))
+                      .alias("h"))
+            .orderBy("h", id_col).limit(train_n).collect())
+    words = _bpe_word_counts(r["t"] for r in rows)
+    # each word as a tuple of symbols, char-split + end marker
+    vocab = {tuple(w) + ("</w>",): c for w, c in words.items()}
+    merges: list = []
+    for _ in range(n_merges):
+        pairs: dict = {}
+        for sym, c in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        best = max(pairs.items(), key=lambda kv: (kv[1], kv[0][0],
+                                                  kv[0][1]))
+        # stop when no pair repeats — further merges memorize the sample
+        if best[1] < 2:
+            break
+        (a, b), _n = best
+        merges.append([a, b])
+        merged = a + b
+        nv = {}
+        for sym, c in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + c
+        vocab = nv
+    return merges
+
+
+def _bpe_segment(word: str, ranks: dict) -> list:
+    """Greedy lowest-rank-first merge replay for one word."""
+    sym = list(word) + ["</w>"]
+    while len(sym) > 1:
+        best_i, best_r = -1, None
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_r is None or r < best_r):
+                best_i, best_r = i, r
+        if best_r is None:
+            break
+        sym[best_i:best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return sym
+
+
+def bpe_encode(df: DataFrame, merges: list, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Apply a trained BPE merge table to the whole corpus — the
+    scale-relevant half: tokenizing 100 TB is one narrow Arrow pass
+    (mapInPandas, no shuffle, no join; the merge table rides into the
+    closure, vocabulary-sized). Per-doc segmentations are cached by
+    word within a batch, so cost tracks DISTINCT words per batch, not
+    tokens. Output (id, n_bpe_tokens, bpe_tokens array<string>) —
+    token COUNT for packing/budget math plus the pieces themselves.
+
+    Deterministic: the merge replay is rank-greedy (lowest training
+    rank first), the standard BPE apply — same input, same merges,
+    same pieces on any partitioning or engine."""
+    import pandas as pd
+
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+
+    def enc(batches):
+        cache: dict = {}
+        for pdf in batches:
+            toks, counts = [], []
+            for t in pdf[text_col]:
+                if not t:
+                    toks.append([])
+                    counts.append(0)
+                    continue
+                pieces: list = []
+                for w in t.split():
+                    got = cache.get(w)
+                    if got is None:
+                        got = _bpe_segment(w, ranks)
+                        cache[w] = got
+                    pieces.extend(got)
+                toks.append(pieces)
+                counts.append(len(pieces))
+            yield pd.DataFrame({"__id": pdf[id_col],
+                                "n_bpe_tokens": counts,
+                                "bpe_tokens": toks})
+
+    out = df.select(id_col, text_col).mapInPandas(
+        enc, schema="__id long, n_bpe_tokens long, bpe_tokens array<string>")
+    return out.select(F.col("__id").alias(id_col), "n_bpe_tokens",
+                      "bpe_tokens")

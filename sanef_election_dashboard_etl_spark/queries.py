@@ -5861,6 +5861,21 @@ def source_orc_roundtrip(spark, sf_dir):
     return spark.read.orc(path).filter(F.col("o_orderkey") < 1000)
 
 
+@query("text_bpe_tokenize", oracle=None, tags=("rows-only",),
+       sibling="text_token_stats")
+def text_bpe_tokenize(spark, sf_dir):
+    """Trained-BPE tokenization (text.bpe_train + bpe_encode, Sennrich
+    et al. 2016): merges learned on a hash-ordered corpus sample
+    (deterministic), applied corpus-wide in ONE narrow Arrow pass with
+    per-batch word caching. No SQL replay of the merge loop exists ->
+    rows-only; sibling text_token_stats oracle-checks the token-count
+    surface (incl. the regex BPE-ish count); merge determinism,
+    hand-verified merges, and char-conservation are test-asserted."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    merges = T.bpe_train(docs, n_merges=100, train_n=256)
+    return T.bpe_encode(docs, merges)
+
+
 # Reorder AFTER every @query above has registered: the driver checks the
 # first _WINDOW_SIZE entries, so this call must stay at module end —
 # entries registered after it would never rotate into the window.

@@ -2142,3 +2142,40 @@ def test_ivf_pq_topk_recovers_cluster_structure(spark):
     exact = S.cosine_topk(df, df.filter(F.col("vec_id") == 0), k=5)
     assert rows(full, "rank", "neighbor_id") == \
         rows(exact, "rank", "neighbor_id")
+
+
+def test_bpe_train_learns_expected_merges(spark):
+    # classic BPE toy: 'low' x5, 'lowest' x2 -> 'lo' then 'low' merge
+    df = spark.createDataFrame(
+        [(1, "low low low low low"), (2, "lowest lowest")],
+        "doc_id long, text string")
+    merges = T.bpe_train(df, n_merges=3, train_n=10)
+    # (o,w) and (l,o) both count 7; the lexicographic tie-break is
+    # deterministic and picks (o,w); then (l,ow)=7, then (low,</w>)=5
+    assert merges[0] == ["o", "w"]
+    assert merges[1] == ["l", "ow"]
+    assert merges[2] == ["low", "</w>"]
+
+
+def test_bpe_encode_applies_merges_and_conserves_chars(spark):
+    df = spark.createDataFrame(
+        [(1, "low low low low low"), (2, "lowest lowest"),
+         (3, "newer wider")],
+        "doc_id long, text string")
+    merges = T.bpe_train(df, n_merges=4, train_n=10)
+    out = {r["doc_id"]: r for r in T.bpe_encode(df, merges).collect()}
+    # doc1: each 'low' collapses to the single merged token 'low</w>'
+    assert out[1]["bpe_tokens"] == ["low</w>"] * 5
+    assert out[1]["n_bpe_tokens"] == 5
+    # unseen-ish words still segment; stripping </w> conserves chars
+    for r in out.values():
+        joined = "".join(t.replace("</w>", "") for t in r["bpe_tokens"])
+        assert joined == "".join(
+            {1: "low low low low low", 2: "lowest lowest",
+             3: "newer wider"}[r["doc_id"]].split())
+    # repartition-stable
+    again = {r["doc_id"]: r["bpe_tokens"]
+             for r in T.bpe_encode(df.repartition(5), merges).collect()}
+    assert again == {k: v["bpe_tokens"] for k, v in out.items()}
+    # train determinism under repartition
+    assert merges == T.bpe_train(df.repartition(3), n_merges=4, train_n=10)

@@ -141,6 +141,8 @@ MUST_HAVE = {
     # the ORC re-read must push the key predicate into the ORC scan,
     # exactly as the parquet scans do
     "source_orc_roundtrip": ["PushedFilters: [", "LessThan(o_orderkey"],
+    # BPE apply is one narrow Arrow pass
+    "text_bpe_tokenize": ["MapInPandas"],
 }
 
 # query -> substrings that must NOT appear
@@ -194,6 +196,8 @@ MUST_NOT = {
                              "ArrowEvalPython"],
     # the corpus-side assignment must never sort-merge on lang
     "text_ccnet_buckets_sampled": ["SortMergeJoin", "CartesianProduct"],
+    # tokenization must stay shuffle- and join-free
+    "text_bpe_tokenize": ["Exchange", "Join"],
     # BM25: the retrieval joins are broadcast or doc-keyed equi — never
     # a cross product; the corpus text never reaches a sort-merge
     "text_bm25_topk": ["CartesianProduct"],
@@ -229,6 +233,7 @@ AUDIT = [
     "dedup_simhash_guarded", "multimodal_decode",
     "text_bm25_topk", "sample_temperature_mixture", "sim_topk_pq",
     "sim_topk_ivf_pq", "source_jsonl_roundtrip", "source_orc_roundtrip",
+    "text_bpe_tokenize",
 ]
 
 

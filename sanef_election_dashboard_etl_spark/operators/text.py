@@ -794,6 +794,12 @@ def bm25_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     exact — then the total is cast to double and rounded at 4; ranking
     ties break on doc_id. avgdl is one bigint/bigint double division.
     Output (query_id, rank, doc_id, score) with rank <= k per query.
+
+    Query contract: `queries` is (query_id, term) rows, terms
+    lowercase whitespace tokens. A term repeated within a query counts
+    its contribution once per occurrence — the standard BM25 query-
+    term-frequency weighting (dedupe upstream if you want set
+    semantics).
     """
     from pyspark.sql import Window
 

@@ -100,6 +100,15 @@ QUERIES = [
 # The expression/arrow pair answers VERDICT r2 #3 directly: the Arrow
 # signature stage must beat the tokens x 64 bit-explode as docs grow.
 OPERATORS = [
+    # r5: BPE apply over the full table (registry pins doc_id < 300);
+    # merges trained ONCE outside the timed region would hide the
+    # (bounded, sample-sized) train cost, so the lambda times both —
+    # the apply dominates as the corpus grows, which is the claim
+    ("bpe_tokenize_full", "documents x10 (full table)",
+     lambda spark, sf: T.bpe_encode(
+         table(spark, sf, "documents"),
+         T.bpe_train(table(spark, sf, "documents"), n_merges=100,
+                     train_n=512))),
     # r5: BM25 over the full table (registry pins doc_id < 300)
     ("bm25_full_corpus", "documents x10 (full table)",
      lambda spark, sf: T.bm25_topk(

@@ -292,3 +292,59 @@ def test_duplicated_spans_match_bruteforce(spark, corpus):
     got = {(r["doc_id"], r["span_start"], r["span_tokens"])
            for r in D.duplicated_spans(df, k=3).collect()}
     assert got == _brute_dup_spans(docs, 3)
+
+
+mix_docs = st.lists(
+    st.tuples(st.integers(0, 2),               # source index
+              st.integers(1, 30)),             # token count
+    min_size=1, max_size=40)
+
+
+@given(data=mix_docs, b1=st.integers(0, 200), b2=st.integers(0, 200))
+@SLOW
+def test_temperature_mixture_budget_monotone(spark, data, b1, b2):
+    """Invariant: the temperature mixture at a smaller token budget is a
+    SUBSET of the mixture at a larger one (per-source thresholds are
+    monotone in the budget and the hash filter is fixed) — the property
+    that makes budget extensions incremental re-admissions instead of
+    corpus rebuilds. Also: repartitioning never changes the doc set."""
+    from sanef_election_dashboard_etl_spark.operators import \
+        sampling as SMP
+    lo, hi = sorted((b1, b2))
+    rows = [(i, f"s{s}", "t " * (n - 1) + "t")
+            for i, (s, n) in enumerate(data)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    small = {r["doc_id"]
+             for r in SMP.temperature_mixture(df, budget_tokens=lo,
+                                              alpha=0.5).collect()}
+    big = {r["doc_id"]
+           for r in SMP.temperature_mixture(df, budget_tokens=hi,
+                                            alpha=0.5).collect()}
+    assert small <= big
+    again = {r["doc_id"]
+             for r in SMP.temperature_mixture(df.repartition(5),
+                                              budget_tokens=hi,
+                                              alpha=0.5).collect()}
+    assert again == big
+
+
+corpus_texts = st.lists(
+    st.text(alphabet="ab ", min_size=1, max_size=20),
+    min_size=1, max_size=12)
+
+
+@given(texts=corpus_texts)
+@SLOW
+def test_bm25_scores_positive_and_unmatched_absent(spark, texts):
+    """BM25 invariants under the Lucene idf form: every emitted score is
+    strictly positive (idf never goes negative, tf >= 1), docs sharing
+    no query term never appear, and a doc containing a query term DOES
+    appear when k covers the candidate count."""
+    from sanef_election_dashboard_etl_spark.operators import text as T
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    q = spark.createDataFrame([("q", "a")], "query_id string, term string")
+    got = T.bm25_topk(df, q, k=len(texts)).collect()
+    matched = {i for i, t in rows if "a" in t.split()}
+    assert {r["doc_id"] for r in got} == matched
+    assert all(r["score"] > 0 for r in got)

@@ -1407,3 +1407,52 @@ def source_overlap_matrix(df: DataFrame, group_col: str = "source",
     return out.select(
         "src_a", "src_b", n_sh.alias("n_shared"), "n_a", "n_b",
         ratio(n_sh, denom).alias("jaccard"))
+
+
+def contamination_score(train: DataFrame, eval_set: DataFrame, n: int = 3,
+                        threshold: float = 0.1, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Per-document eval-contamination FRACTION — the scoring companion
+    to `decontaminate` (which emits the removal-pair evidence list):
+    for every training doc, the share of its distinct n-gram shingles
+    that appear anywhere in the eval/benchmark set, plus a keep/drop
+    verdict at `threshold`. This is the PaLM/Llama-style contamination
+    metric ("document is dirty if >= X% of its n-grams hit the eval
+    set"), which tolerates incidental single-shingle collisions that a
+    raw min_overlap count would flag on long documents.
+
+    EVERY training doc appears in the output (clean docs score 0.0) —
+    left join from the per-doc shingle totals, so the result doubles as
+    a corpus-level contamination profile, not just a removal list.
+
+    Determinism: the fraction is ONE bigint/bigint double division
+    (IEEE-correctly-rounded, engine-exact); `+ 0.0` is unnecessary as
+    both counts are >= 0. Verdict compares the exact double against the
+    threshold literal.
+
+    Scale shape (same as decontaminate): the eval shingle table is
+    benchmark-sized and BROADCASTS — the training corpus never
+    shuffles for the match; the per-doc totals are one groupBy on the
+    training doc id. Output (doc_id, n_shingles, n_contaminated,
+    contamination, keep)."""
+    tg = (shingles(train, n=n, id_col=id_col, text_col=text_col)
+          .select(F.col(id_col).alias("doc_id"), "shingle"))
+    eg = (shingles(eval_set, n=n, id_col=id_col, text_col=text_col)
+          .select("shingle").distinct())
+    totals = tg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"))
+    hits = (tg.join(F.broadcast(eg), "shingle")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_contaminated")))
+    frac = (F.col("n_contaminated").cast("double")
+            / F.col("n_shingles").cast("double"))
+    return (totals.join(hits, "doc_id", "left")
+            .withColumn("n_contaminated",
+                        F.coalesce(F.col("n_contaminated"), F.lit(0))
+                        .cast("long"))
+            .withColumn("contamination", frac)
+            .withColumn("keep",
+                        (F.col("contamination") < F.lit(float(threshold)))
+                        .cast("long"))
+            .select("doc_id", "n_shingles", "n_contaminated",
+                    "contamination", "keep"))

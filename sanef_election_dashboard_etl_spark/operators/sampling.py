@@ -378,3 +378,51 @@ def temperature_mixture(df: DataFrame, budget_tokens: int,
             .filter(hash_bucket(F.col(id_col).cast("string"))
                     < F.col("__thr"))
             .select(id_col, source_col, "n_tokens"))
+
+
+def token_budget_cap(df: DataFrame, budget_tokens: int,
+                     group_col: str = "source", id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-group TOKEN budget (vs cap_per_group's doc-count quota):
+    within each group, walk documents in portable-hash order and keep
+    them while the running token total stays <= `budget_tokens` — the
+    knob a mixture recipe actually specifies ("20B tokens of web, 5B of
+    code"), where doc-count caps misallocate because doc lengths differ
+    across sources. The hash walk order makes the kept PREFIX
+    deterministic across runs, partitionings, and engines, and
+    decorrelated from crawl order (same discipline as
+    cap_per_group(shuffle_order=True)).
+
+    A doc is kept iff the cumulative token count INCLUDING it is within
+    budget (strict: the output never exceeds the budget; a doc longer
+    than the remaining headroom is skipped along with everything after
+    it rather than overshooting). Cumulative sum is a running window of
+    bigint token counts — integer-exact, no float anywhere.
+
+    Scale: ONE shuffle on the group key, then a running-sum window per
+    group. Groups are sources (few, large): each source's window is a
+    per-partition scan after the sort — same cost shape as the exact
+    ccnet_buckets tier, and like it, the per-group sort bound is the
+    documented cost of exact prefix semantics. For astronomically large
+    single sources, sample token-count cutpoints first (the
+    ccnet_buckets_sampled recipe) and hash-filter to the estimated
+    rate; this exact tier is the verification configuration.
+
+    Output (`id_col`, `group_col`, n_tokens, cum_tokens) of kept docs.
+    """
+    from pyspark.sql import Window
+
+    n_tokens = F.greatest(
+        F.lit(0),
+        F.coalesce(F.size(F.split(F.trim(F.col(text_col)), r"\s+")),
+                   F.lit(0))).cast("long")
+    with_t = df.select(F.col(id_col), F.col(group_col),
+                       n_tokens.alias("n_tokens"))
+    w = (Window.partitionBy(group_col)
+         .orderBy(portable_hash(F.col(id_col).cast("string")),
+                  F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (with_t
+            .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+            .filter(F.col("cum_tokens") <= F.lit(int(budget_tokens)))
+            .select(id_col, group_col, "n_tokens", "cum_tokens"))

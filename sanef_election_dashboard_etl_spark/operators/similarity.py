@@ -1151,3 +1151,52 @@ def ivf_pq_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
         return shortlist
     qn_by_id = {int(i): Q[j] for j, i in enumerate(q_ids)}
     return _exact_rerank(emb, shortlist, qn_by_id, k, id_col, vec_col)
+
+
+def rrf_fuse(rankings: list, k: int = 10, k_rrf: int = 60,
+             id_col: str = "doc_id") -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) over N ranked lists —
+    the standard way a curation/RAG stack combines lexical (BM25,
+    text.bm25_topk) and dense (cosine_topk) retrieval without score
+    calibration: rrf(d) = sum over lists containing d of
+    1 / (k_rrf + rank_list(d)). Rank positions, not raw scores, so the
+    two retrievers' incomparable score scales never meet. No reference
+    analog — LLM-pipeline extension family.
+
+    Each input DataFrame must be (query_id, rank, `id_col`) — exactly
+    the output shape of bm25_topk / cosine_topk / the ANN tiers, so any
+    retriever in this package plugs in unchanged.
+
+    Determinism (numeric.py rules): each contribution 1/(k_rrf+rank) is
+    ONE IEEE division, rounded at 9 and summed in DECIMAL(38,9) — the
+    fusion score is list-order- and partition-independent exact, then
+    cast to double (+0.0 folds negative zero) for output. Final ranking
+    ties break on id.
+
+    Scale: fusion touches only the top-k lists — |queries| x k x
+    n_lists rows regardless of corpus size. The unions are metadata-
+    sized; the single groupBy shuffles a few hundred rows even when the
+    upstream retrievers scanned 100 TB. All heavy lifting stays in the
+    retrievers themselves.
+
+    Output (query_id, rank, `id_col`, rrf_score, n_lists), rank <= k
+    per query."""
+    from functools import reduce
+    from pyspark.sql import Window
+
+    contrib = F.round(F.lit(1.0)
+                      / (F.lit(k_rrf) + F.col("rank")).cast("double"), 9) \
+        .cast("decimal(38,9)")
+    tagged = [r.select("query_id", "rank", id_col) for r in rankings]
+    unioned = reduce(lambda a, b: a.unionByName(b), tagged)
+    fused = (unioned
+             .groupBy("query_id", id_col)
+             .agg((F.sum(contrib).cast("double") + F.lit(0.0))
+                  .alias("rrf_score"),
+                  F.count(F.lit(1)).alias("n_lists")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc())
+    return (fused
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", id_col, "rrf_score", "n_lists"))

@@ -5876,6 +5876,193 @@ def text_bpe_tokenize(spark, sf_dir):
     return T.bpe_encode(docs, merges)
 
 
+@query("sim_hybrid_rrf", oracle="""
+    WITH q(query_id, term) AS (VALUES
+        ('qa', 'merge'), ('qa', 'window'), ('qa', 'scan'),
+        ('qb', 'stream'), ('qb', 'filter'), ('qb', 'customer'),
+        ('qc', 'batch'), ('qc', 'slow'), ('qc', 'key')),
+    tok AS (
+        SELECT doc_id, token FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS token
+            FROM documents
+        ) WHERE token <> ''
+    ), tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), dl AS (
+        SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1
+    ), stats AS (
+        SELECT (SELECT COUNT(*) FROM tok) AS total_tokens,
+               (SELECT COUNT(*) FROM documents) AS n_docs
+    ), matched AS (
+        SELECT q.query_id, tf.doc_id, tf.token, tf.tf
+        FROM tf JOIN q ON q.term = tf.token
+    ), dfreq AS (
+        SELECT token, COUNT(*) AS df_docs
+        FROM (SELECT DISTINCT token, doc_id FROM matched) GROUP BY 1
+    ), contrib AS (
+        SELECT m.query_id, m.doc_id,
+               CAST(ROUND(
+                   ln(1.0 + (n_docs - df_docs + 0.5) / (df_docs + 0.5))
+                   * (m.tf * 2.2)
+                   / (m.tf + 1.2 * (1.0 - 0.75
+                       + 0.75 * dl.dl / (CAST(total_tokens AS DOUBLE)
+                                         / CAST(n_docs AS DOUBLE)))),
+                   6) AS DECIMAL(38,6)) AS c
+        FROM matched m
+        JOIN dfreq USING (token)
+        JOIN dl ON dl.doc_id = m.doc_id
+        CROSS JOIN stats
+    ), pair AS (
+        SELECT query_id, doc_id,
+               ROUND(CAST(SUM(c) AS DOUBLE), 4) + 0.0 AS score
+        FROM contrib GROUP BY 1, 2
+    ), lex AS (
+        SELECT query_id, doc_id, rank FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, doc_id ASC) AS rank
+            FROM pair
+        ) WHERE rank <= 20
+    ), qv AS (
+        SELECT vec_id AS qvid,
+               CASE vec_id WHEN 0 THEN 'qa' WHEN 1 THEN 'qb'
+                    ELSE 'qc' END AS query_id,
+               embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id < 3
+    ), cv AS (
+        SELECT vec_id AS doc_id, embedding::DOUBLE[] AS ce FROM embeddings
+    ), dense AS (
+        SELECT query_id, doc_id, rank FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, doc_id ASC) AS rank
+            FROM (
+                SELECT q.query_id, c.doc_id,
+                       list_cosine_similarity(q.qe, c.ce) AS cos
+                FROM qv q, cv c WHERE c.doc_id != q.qvid
+            )
+        ) WHERE rank <= 20
+    ), unioned AS (
+        SELECT query_id, doc_id, rank FROM lex
+        UNION ALL
+        SELECT query_id, doc_id, rank FROM dense
+    ), fused AS (
+        SELECT query_id, doc_id,
+               CAST(SUM(CAST(ROUND(1.0 / (60 + rank), 9)
+                             AS DECIMAL(38,9))) AS DOUBLE) + 0.0
+                   AS rrf_score,
+               COUNT(*) AS n_lists
+        FROM unioned GROUP BY 1, 2
+    )
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf_score,
+           n_lists
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY rrf_score DESC, doc_id ASC) AS rank
+        FROM fused
+    ) WHERE rank <= 10
+""")
+def sim_hybrid_rrf(spark, sf_dir):
+    """Hybrid lexical+dense retrieval fused by reciprocal rank
+    (operators/similarity.py rrf_fuse): BM25 top-20 and exact-cosine
+    top-20 per query, rrf = sum 1/(60+rank), final top-10. The fusion
+    stage touches only |queries| x 20 x 2 rows — corpus-size-independent
+    — while both retrievers keep their no-corpus-shuffle plans. The
+    oracle replays BOTH retriever rankings and the decimal-exact fusion
+    score end to end."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qterms = spark.createDataFrame(
+        [("qa", "merge"), ("qa", "window"), ("qa", "scan"),
+         ("qb", "stream"), ("qb", "filter"), ("qb", "customer"),
+         ("qc", "batch"), ("qc", "slow"), ("qc", "key")],
+        "query_id string, term string")
+    lex = (T.bm25_topk(docs, qterms, k=20)
+           .select("query_id", "rank", "doc_id"))
+    dense = (S.cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=20)
+             .select(F.when(F.col("query_id") == 0, "qa")
+                      .when(F.col("query_id") == 1, "qb")
+                      .otherwise("qc").alias("query_id"),
+                     "rank",
+                     F.col("neighbor_id").alias("doc_id")))
+    return S.rrf_fuse([lex, dense], k=10, k_rrf=60)
+
+
+@query("sample_token_budget_cap", oracle="""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(greatest(0, coalesce(
+                   len(string_split_regex(trim(text), '\\s+')), 0))
+                   AS BIGINT) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 15))::BIGINT, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM t
+    )
+    SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= 500
+""")
+def sample_token_budget_cap(spark, sf_dir):
+    """Per-source TOKEN budget (operators/sampling.py token_budget_cap):
+    keep each source's portable-hash-ordered document prefix while the
+    running token total stays <= 500 — the mixture knob recipes specify
+    in tokens, which doc-count quotas (sample_cap_per_source)
+    misallocate when doc lengths differ. Integer-exact running sum; the
+    oracle replays the hash walk and the strict-prefix filter."""
+    from .operators.sampling import token_budget_cap
+    docs = _t(spark, sf_dir, "documents")
+    return token_budget_cap(docs, budget_tokens=500)
+
+
+@query("dedup_contamination_score", oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents WHERE doc_id < 300
+    ), grams AS (
+        SELECT doc_id, shingle FROM (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                       AS shingle
+            FROM tok
+        ) WHERE shingle <> ''
+    ), train AS (
+        SELECT doc_id, shingle FROM grams WHERE doc_id >= 100
+    ), ev AS (
+        SELECT DISTINCT shingle FROM grams WHERE doc_id < 100
+    ), totals AS (
+        SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY doc_id
+    ), hits AS (
+        SELECT doc_id, COUNT(*) AS n_contaminated
+        FROM train JOIN ev USING (shingle) GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(t.n_shingles AS BIGINT) AS n_shingles,
+           CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           CAST(coalesce(h.n_contaminated, 0) AS DOUBLE)
+               / CAST(t.n_shingles AS DOUBLE) AS contamination,
+           CAST(CAST(coalesce(h.n_contaminated, 0) AS DOUBLE)
+                / CAST(t.n_shingles AS DOUBLE) < 0.1 AS BIGINT) AS keep
+    FROM totals t LEFT JOIN hits h ON h.doc_id = t.doc_id
+""")
+def dedup_contamination_score(spark, sf_dir):
+    """Per-doc eval-contamination fraction (operators/dedup.py
+    contamination_score, the PaLM/Llama-style dirty-document metric):
+    share of each training doc's distinct 3-gram shingles that hit the
+    eval set (ids < 100), keep verdict at < 10%. Every training doc is
+    scored (clean docs 0.0) via a left join from the shingle totals;
+    the eval shingle table broadcasts."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 300))
+    eval_set = docs.filter(F.col("doc_id") < 100)
+    return D.contamination_score(train, eval_set, n=3, threshold=0.1)
+
+
 # Reorder AFTER every @query above has registered: the driver checks the
 # first _WINDOW_SIZE entries, so this call must stay at module end —
 # entries registered after it would never rotate into the window.

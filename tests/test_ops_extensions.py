@@ -2179,3 +2179,75 @@ def test_bpe_encode_applies_merges_and_conserves_chars(spark):
     assert again == {k: v["bpe_tokens"] for k, v in out.items()}
     # train determinism under repartition
     assert merges == T.bpe_train(df.repartition(3), n_merges=4, train_n=10)
+
+
+def test_rrf_fuse_hand_computed(spark):
+    # list A ranks docs 1,2,3; list B ranks 2,3,4 -> doc 2 wins
+    # (1/62 + 1/61), doc 3 next (1/63 + 1/62), then 1 (1/61), then 4 (1/63)
+    a = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)],
+        "query_id string, rank long, doc_id long")
+    b = spark.createDataFrame(
+        [("q", 1, 2), ("q", 2, 3), ("q", 3, 4)],
+        "query_id string, rank long, doc_id long")
+    out = S.rrf_fuse([a, b], k=10, k_rrf=60).collect()
+    order = [(r["rank"], r["doc_id"], r["n_lists"]) for r in
+             sorted(out, key=lambda r: r["rank"])]
+    assert order == [(1, 2, 2), (2, 3, 2), (3, 1, 1), (4, 4, 1)]
+    two = {r["doc_id"]: r["rrf_score"] for r in out}
+    assert two[2] == pytest.approx(1 / 62 + 1 / 61, abs=2e-9)
+    assert two[1] == pytest.approx(1 / 61, abs=2e-9)
+
+
+def test_rrf_fuse_tie_breaks_on_id_and_caps_k(spark):
+    # identical rank sets -> equal scores, id ascending; k caps output
+    a = spark.createDataFrame(
+        [("q", 1, 10), ("q", 2, 20), ("q", 3, 30)],
+        "query_id string, rank long, doc_id long")
+    b = spark.createDataFrame(
+        [("q", 1, 20), ("q", 2, 10), ("q", 3, 5)],
+        "query_id string, rank long, doc_id long")
+    out = sorted(S.rrf_fuse([a, b], k=2).collect(), key=lambda r: r["rank"])
+    # 10 and 20 both score 1/61+1/62 -> tie broken on doc_id
+    assert [(r["rank"], r["doc_id"]) for r in out] == [(1, 10), (2, 20)]
+
+
+def test_token_budget_cap_strict_prefix(spark):
+    from sanef_election_dashboard_etl_spark.operators.sampling import (
+        token_budget_cap)
+    df = spark.createDataFrame(
+        [(i, "s", "w " * 10) for i in range(10)]
+        + [(100, "t", "a b c"), (101, "t", "d e"),
+           (102, "t", "f g h i j k l m n o p q r s t u v w x y z")],
+        "doc_id long, source string, text string")
+    out = token_budget_cap(df, budget_tokens=25)
+    got = {r["source"]: sorted([(r2["doc_id"], r2["cum_tokens"])
+                                for r2 in out.collect()
+                                if r2["source"] == r["source"]])
+           for r in out.select("source").distinct().collect()}
+    # source s: 10-token docs -> exactly 2 fit in 25
+    assert [c for _, c in got["s"]] == [10, 20]
+    # never exceeds the budget, cum is monotone within the hash order
+    for r in out.collect():
+        assert r["cum_tokens"] <= 25
+    # deterministic under repartition
+    assert rows(out, "doc_id", "cum_tokens") == \
+        rows(token_budget_cap(df.repartition(7), 25),
+             "doc_id", "cum_tokens")
+
+
+def test_contamination_score_fractions_and_left_join(spark):
+    train = spark.createDataFrame(
+        [(1, "a b c d e"),        # shingles: abc bcd cde -> 2/3 dirty
+         (2, "x y z w v u")],     # no overlap -> 0.0, still present
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(90, "a b c d q q q")],  # eval shingles include abc, bcd
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           D.contamination_score(train, ev, n=3, threshold=0.5).collect()}
+    assert out[1]["n_shingles"] == 3 and out[1]["n_contaminated"] == 2
+    assert out[1]["contamination"] == pytest.approx(2 / 3)
+    assert out[1]["keep"] == 0
+    assert out[2]["n_shingles"] == 4 and out[2]["n_contaminated"] == 0
+    assert out[2]["contamination"] == 0.0 and out[2]["keep"] == 1

@@ -133,6 +133,14 @@ MUST_HAVE = {
     # corpus never shuffles); top-k per query via WindowGroupLimit
     "sim_topk_pq": ["MapInPandas", "WindowGroupLimit",
                     "BroadcastHashJoin"],
+    # RRF fusion: final per-query top-k is a WindowGroupLimit; the
+    # lexical half keeps BM25's broadcast joins
+    "sim_hybrid_rrf": ["WindowGroupLimit", "BroadcastHashJoin"],
+    # token budget: one group exchange + a running-sum window, nothing else
+    "sample_token_budget_cap": ["Window"],
+    # contamination: the eval shingle set must broadcast into the
+    # training-corpus match (corpus never shuffles pre-aggregate)
+    "dedup_contamination_score": ["BroadcastHashJoin"],
     # full IVF-PQ: the probe (query, centroid) table and the rerank
     # shortlist both broadcast; codes attach in the same Arrow pass as
     # assignment (no assignment-to-codes join)
@@ -207,6 +215,10 @@ MUST_NOT = {
     # per-query top-k window over (query, neighbor, score) candidates
     "sim_topk_pq": ["SortMergeJoin", "CartesianProduct"],
     "sim_topk_ivf_pq": ["SortMergeJoin", "CartesianProduct"],
+    # fusion + both retrievers: never an unconditioned cross product
+    # (the dense side's != join is a broadcast nested loop by design)
+    "sim_hybrid_rrf": ["CartesianProduct"],
+    "dedup_contamination_score": ["CartesianProduct"],
 }
 
 AUDIT = [
@@ -233,7 +245,8 @@ AUDIT = [
     "dedup_simhash_guarded", "multimodal_decode",
     "text_bm25_topk", "sample_temperature_mixture", "sim_topk_pq",
     "sim_topk_ivf_pq", "source_jsonl_roundtrip", "source_orc_roundtrip",
-    "text_bpe_tokenize",
+    "text_bpe_tokenize", "sim_hybrid_rrf", "sample_token_budget_cap",
+    "dedup_contamination_score",
 ]
 
 

@@ -1456,3 +1456,62 @@ def contamination_score(train: DataFrame, eval_set: DataFrame, n: int = 3,
                         .cast("long"))
             .select("doc_id", "n_shingles", "n_contaminated",
                     "contamination", "keep"))
+
+
+def pagerank(pairs: DataFrame, n_iter: int = 3, damping: float = 0.85,
+             id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """PageRank over an undirected pair graph (near-dup pairs, link
+    graphs): the centrality signal curation stacks use to pick the
+    CANONICAL document of a duplicate cluster (the most-connected
+    member, vs dedup_canonical_pick's quality-score rule) and to
+    propagate quality through web link graphs (Common-Crawl-style
+    harmonic/PageRank corpus weighting). Nodes are the pair endpoints;
+    each undirected pair becomes two directed edges, so every node has
+    out-degree >= 1 and there are no dangling-mass corrections.
+
+    r_0(v) = 1/N; r_{t+1}(v) = (1-d)/N + d * sum over in-neighbors u of
+    r_t(u)/deg(u), every value rounded at 12 — per-edge contributions
+    round-then-sum in DECIMAL(38,12) (numeric.py discipline), so each
+    iteration is order-independent exact and an unrolled SQL replay
+    matches bit for bit. The teleport term (1-d)/N is computed through
+    exact decimal complement (1 - 0.85 in binary doubles is NOT 0.15 —
+    float(Decimal(1) - Decimal('0.85')) is), so both engines divide the
+    same literal.
+
+    Scale: each iteration is one edge-keyed join + one groupBy on the
+    destination — the Pregel shape. The loop builds ONE lazy plan here
+    (fine for the 3-5 iterations centrality needs); at 100 TB
+    checkpoint r_t per iteration like connected_components does, and
+    pre-partition edges by source so the join side reuses one exchange.
+    Output (node_id, pagerank) for every node in the pair graph;
+    isolated docs (no pairs) are absent by construction."""
+    from decimal import Decimal
+
+    base = float(Decimal(1) - Decimal(str(damping)))
+    edges = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+             .unionByName(
+                 pairs.select(F.col(id_b).alias("u"),
+                              F.col(id_a).alias("v"))))
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    nn = deg.agg(F.count(F.lit(1)).alias("nn"))
+    r = (deg.select("u").crossJoin(F.broadcast(nn))
+         .select("u", (F.lit(1.0) / F.col("nn").cast("double"))
+                 .alias("r")))
+    for _ in range(n_iter):
+        contrib = (edges
+                   .join(r, "u")
+                   .join(deg, "u")
+                   .select("v",
+                           F.round(F.col("r") / F.col("d").cast("double"),
+                                   12).cast("decimal(38,12)").alias("c")))
+        sums = contrib.groupBy("v").agg(F.sum("c").alias("s"))
+        r = (deg.select(F.col("u")).join(
+                sums, F.col("u") == F.col("v"), "left")
+             .crossJoin(F.broadcast(nn))
+             .select("u", F.round(
+                 F.lit(base) / F.col("nn").cast("double")
+                 + F.lit(float(damping))
+                 * F.coalesce(F.col("s").cast("double"), F.lit(0.0)),
+                 12).alias("r")))
+    return r.select(F.col("u").alias("node_id"),
+                    F.col("r").alias("pagerank"))

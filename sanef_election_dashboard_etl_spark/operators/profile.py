@@ -168,3 +168,49 @@ def _ks_finish(cum: DataFrame) -> DataFrame:
                      / (F.col("ta").cast("double")
                         * F.col("tb").cast("double"))).alias("ks"),
                     F.col("ta").alias("n_old"), F.col("tb").alias("n_new")))
+
+
+def key_skew(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
+    """Join/agg-key skew diagnosis: the top-`top_n` heaviest keys with
+    their row share and their multiple of the median key weight — the
+    numbers that decide BEFORE a 100 TB join whether to salt
+    (j11_salted_skew_join), broadcast, or let AQE's skew-join split
+    handle it. A key at 1000x median with 5% row share is a straggler
+    guarantee; this makes that a measured fact instead of a post-mortem.
+
+    One groupBy on the key builds the per-key histogram; the summary
+    (total rows, distinct keys, exact median key weight) is ONE 1-row
+    aggregate broadcast back; top-N is a WindowGroupLimit over the
+    key-cardinality-sized (not corpus-sized) count table. The exact
+    median sorts key counts — swap percentile for percentile_approx at
+    extreme key cardinality (the winsorize contract: exact tier =
+    verification configuration).
+
+    The top-N itself is orderBy().limit() — TakeOrderedAndProject keeps
+    per-partition heaps and never globally sorts the count table (a
+    global row_number window would funnel every key through ONE
+    partition); the rank column is a window over the N survivors only.
+
+    share and skew_vs_median are single IEEE divisions of exact inputs
+    (engine-exact). Output (rank, key[string], cnt, share,
+    skew_vs_median, n_keys)."""
+    from pyspark.sql import Window
+
+    counts = (df.groupBy(F.col(key_col).cast("string").alias("key"))
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    stats = counts.agg(
+        F.sum("cnt").alias("__total"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.percentile("cnt", F.lit(0.5)).alias("__median"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("key").asc()) \
+        .limit(top_n)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
+    return (top
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .crossJoin(F.broadcast(stats))
+            .select("rank", "key", "cnt",
+                    (F.col("cnt").cast("double")
+                     / F.col("__total").cast("double")).alias("share"),
+                    (F.col("cnt").cast("double")
+                     / F.col("__median")).alias("skew_vs_median"),
+                    F.col("n_keys").cast("long").alias("n_keys")))

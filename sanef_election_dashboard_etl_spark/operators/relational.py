@@ -318,3 +318,34 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key: str,
     return joined.select(
         F.coalesce(F.col(f"o.{key}"), F.col(f"n.{key}")).alias(key),
         status.alias("status"))
+
+
+def merge_aggregates(base: DataFrame, delta: DataFrame,
+                     keys: Sequence[str], sum_cols: Sequence[str],
+                     count_col: str = "n") -> DataFrame:
+    """Incremental aggregate maintenance: fold a pre-aggregated `base`
+    rollup and a SAME-SHAPED `delta` rollup into the updated rollup —
+    the pattern that keeps a 100 TB fact table's summary current by
+    touching only the day's arrivals. Works because counts and sums are
+    commutative monoids: merge(agg(A), agg(B)) == agg(A union B), so
+    the base corpus is NEVER re-read; derived ratios (avg = sum/count)
+    are recomputed after the merge, not merged (averages are not
+    mergeable, their numerators and denominators are).
+
+    Both inputs carry `keys + sum_cols + count_col` (build the delta
+    side with the same groupBy that built the base — aggregating raw
+    delta rows first keeps the union input delta-sized). The merge is
+    one groupBy over base_groups + delta_groups rows: at 100 TB the
+    base rollup is group-cardinality-sized, not corpus-sized, so this
+    is a metadata-scale job. Integer sums stay bigint-exact; for double
+    measures pre-round into DECIMAL upstream (numeric.py discipline) so
+    the merge stays order-independent.
+
+    New-in-delta keys appear, base-only keys persist (union, not join —
+    no null-handling asymmetry). Output: keys + sum_cols + count_col,
+    one row per key."""
+    cols = [*keys, *sum_cols, count_col]
+    u = base.select(*cols).unionByName(delta.select(*cols))
+    return u.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in sum_cols],
+        F.sum(count_col).alias(count_col))

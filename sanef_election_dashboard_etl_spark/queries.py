@@ -6063,6 +6063,137 @@ def dedup_contamination_score(spark, sf_dir):
     return D.contamination_score(train, eval_set, n=3, threshold=0.1)
 
 
+@query("agg_incremental_merge", oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                      AS DOUBLE), 2) AS sum_base_price,
+           ROUND(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+""")
+def agg_incremental_merge(spark, sf_dir):
+    """Incremental rollup maintenance (operators/relational.py
+    merge_aggregates): the pre-1997-07 lineitem rollup plus the
+    later-arrivals rollup, merged WITHOUT re-reading the base rows —
+    counts and decimal sums are commutative monoids, so
+    merge(agg(base), agg(delta)) == agg(base union delta), which is
+    exactly what the oracle recomputes from scratch. Derived columns
+    (rounded double price, avg) are projected AFTER the merge — averages
+    are not mergeable, their numerators and denominators are. The merge
+    job is group-cardinality-sized regardless of corpus size."""
+    cut = "1997-07-01"
+    li = _t(spark, sf_dir, "lineitem")
+
+    def rollup(rows):
+        return rows.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+             .alias("sum_price"),
+            F.count(F.lit(1)).alias("n"))
+
+    base = rollup(li.filter(F.col("l_shipdate") <= F.lit(cut)))
+    delta = rollup(li.filter(~(F.col("l_shipdate") <= F.lit(cut))))
+    merged = R.merge_aggregates(base, delta,
+                                keys=["l_returnflag", "l_linestatus"],
+                                sum_cols=["sum_qty", "sum_price"],
+                                count_col="n")
+    return merged.select(
+        "l_returnflag", "l_linestatus",
+        F.col("sum_qty").cast("long").alias("sum_qty"),
+        F.round(F.col("sum_price").cast("double"), 2)
+         .alias("sum_base_price"),
+        F.round(F.col("sum_qty").cast("double")
+                / F.col("n").cast("double"), 4).alias("avg_qty"),
+        F.col("n").cast("long").alias("n"))
+
+
+@query("profile_key_skew", oracle="""
+    WITH c AS (
+        SELECT CAST(o_custkey AS VARCHAR) AS key, COUNT(*) AS cnt
+        FROM orders GROUP BY 1
+    ), s AS (
+        SELECT SUM(cnt) AS total, COUNT(*) AS n_keys,
+               quantile_cont(cnt, 0.5) AS med
+        FROM c
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, key, cnt,
+           CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+           CAST(cnt AS DOUBLE) / med AS skew_vs_median,
+           CAST(n_keys AS BIGINT) AS n_keys
+    FROM (
+        SELECT key, cnt,
+               row_number() OVER (ORDER BY cnt DESC, key ASC) AS rank
+        FROM c
+    ) CROSS JOIN s
+    WHERE rank <= 10
+""")
+def profile_key_skew(spark, sf_dir):
+    """Join-key skew diagnosis (operators/profile.py key_skew): the 10
+    heaviest orders.o_custkey values with row share and multiple of the
+    median key weight — the pre-join measurement that decides salting
+    (j11) vs broadcast vs AQE skew split. Key-cardinality-sized after
+    one groupBy; the 1-row summary broadcasts."""
+    from .operators.profile import key_skew
+    return key_skew(_t(spark, sf_dir, "orders"), "o_custkey", top_n=10)
+
+
+@query("dedup_pagerank_centrality", oracle="""
+    WITH emb3 AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        WHERE vec_id < 300
+    ), p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM emb3 a, emb3 b
+        WHERE a.vec_id < b.vec_id
+          AND list_cosine_similarity(a.e, b.e) >= 0.35
+    ), e AS (
+        SELECT id_a AS u, id_b AS v FROM p
+        UNION ALL
+        SELECT id_b, id_a FROM p
+    ), deg AS (
+        SELECT u, COUNT(*) AS d FROM e GROUP BY u
+    ), n AS (SELECT COUNT(*) AS nn FROM deg),
+    r0 AS (SELECT u, 1.0 / nn AS r FROM deg CROSS JOIN n),
+    s1 AS (
+        SELECT e.v, SUM(CAST(ROUND(r0.r / d.d, 12) AS DECIMAL(38,12))) AS s
+        FROM e JOIN r0 ON r0.u = e.u JOIN deg d ON d.u = e.u GROUP BY e.v
+    ), r1 AS (
+        SELECT deg.u, ROUND(0.15 / nn
+            + 0.85 * coalesce(CAST(s AS DOUBLE), 0.0), 12) AS r
+        FROM deg LEFT JOIN s1 ON s1.v = deg.u CROSS JOIN n
+    ), s2 AS (
+        SELECT e.v, SUM(CAST(ROUND(r1.r / d.d, 12) AS DECIMAL(38,12))) AS s
+        FROM e JOIN r1 ON r1.u = e.u JOIN deg d ON d.u = e.u GROUP BY e.v
+    ), r2 AS (
+        SELECT deg.u, ROUND(0.15 / nn
+            + 0.85 * coalesce(CAST(s AS DOUBLE), 0.0), 12) AS r
+        FROM deg LEFT JOIN s2 ON s2.v = deg.u CROSS JOIN n
+    ), s3 AS (
+        SELECT e.v, SUM(CAST(ROUND(r2.r / d.d, 12) AS DECIMAL(38,12))) AS s
+        FROM e JOIN r2 ON r2.u = e.u JOIN deg d ON d.u = e.u GROUP BY e.v
+    ), r3 AS (
+        SELECT deg.u, ROUND(0.15 / nn
+            + 0.85 * coalesce(CAST(s AS DOUBLE), 0.0), 12) AS r
+        FROM deg LEFT JOIN s3 ON s3.v = deg.u CROSS JOIN n
+    )
+    SELECT u AS node_id, r AS pagerank FROM r3
+""")
+def dedup_pagerank_centrality(spark, sf_dir):
+    """PageRank centrality over the embedding near-dup graph
+    (operators/dedup.py pagerank, 3 iterations, d=0.85): the
+    most-connected-member signal for canonical-doc selection and
+    link-graph quality weighting. Iterative Pregel-shaped driver loop —
+    per-edge contributions round-then-sum in DECIMAL(38,12) so every
+    iteration is order-independent exact, and the oracle replays the
+    whole recurrence as three unrolled SQL levels, bit for bit."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    pairs = S.cosine_pairs(emb, min_cosine=0.35)
+    return D.pagerank(pairs, n_iter=3, damping=0.85)
+
+
 # Reorder AFTER every @query above has registered: the driver checks the
 # first _WINDOW_SIZE entries, so this call must stay at module end —
 # entries registered after it would never rotate into the window.

@@ -2251,3 +2251,61 @@ def test_contamination_score_fractions_and_left_join(spark):
     assert out[1]["keep"] == 0
     assert out[2]["n_shingles"] == 4 and out[2]["n_contaminated"] == 0
     assert out[2]["contamination"] == 0.0 and out[2]["keep"] == 1
+
+
+def test_merge_aggregates_equals_full_recompute(spark):
+    from sanef_election_dashboard_etl_spark.operators.relational import (
+        merge_aggregates)
+    full = spark.createDataFrame(
+        [("a", i % 3, 10 + i) for i in range(20)]
+        + [("b", 7, 100)],
+        "k string, extra long, val long")
+
+    def rollup(df):
+        return df.groupBy("k").agg(F.sum("val").alias("sv"),
+                                   F.count(F.lit(1)).alias("n"))
+
+    base = rollup(full.filter(F.col("val") < 20))
+    delta = rollup(full.filter(~(F.col("val") < 20)))
+    merged = merge_aggregates(base, delta, keys=["k"], sum_cols=["sv"],
+                              count_col="n")
+    assert rows(merged) == rows(rollup(full))
+    # base-only and delta-only keys both survive (union semantics)
+    lop = merge_aggregates(rollup(full.filter(F.col("k") == "a")),
+                           rollup(full.filter(F.col("k") == "b")),
+                           keys=["k"], sum_cols=["sv"], count_col="n")
+    assert rows(lop) == rows(rollup(full))
+
+
+def test_key_skew_shares_and_median_multiple(spark):
+    from sanef_election_dashboard_etl_spark.operators.profile import key_skew
+    # key 'h' 6 rows, 'm' 2 rows, 'l1'/'l2' 1 row -> median cnt 1.5
+    df = spark.createDataFrame(
+        [("h",)] * 6 + [("m",)] * 2 + [("l1",)] + [("l2",)],
+        "k string")
+    out = {r["key"]: r for r in key_skew(df, "k", top_n=10).collect()}
+    assert out["h"]["rank"] == 1 and out["h"]["cnt"] == 6
+    assert out["h"]["share"] == pytest.approx(0.6)
+    assert out["h"]["skew_vs_median"] == pytest.approx(6 / 1.5)
+    assert out["h"]["n_keys"] == 4
+    assert out["m"]["rank"] == 2
+    # ties broken by key string ascending
+    assert out["l1"]["rank"] == 3 and out["l2"]["rank"] == 4
+
+
+def test_pagerank_triangle_with_pendant(spark):
+    # triangle 1-2-3 plus pendant 4 attached to 3: 3 is most central,
+    # 4 least; mass stays ~1 (teleport+damping conserve within rounding)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "id_a long, id_b long")
+    out = {r["node_id"]: r["pagerank"]
+           for r in D.pagerank(pairs, n_iter=5).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[3] == max(out.values())
+    assert out[4] == min(out.values())
+    assert sum(out.values()) == pytest.approx(1.0, abs=1e-9)
+    assert out[1] == pytest.approx(out[2], abs=1e-12)  # symmetric pair
+    # deterministic under repartition
+    again = {r["node_id"]: r["pagerank"]
+             for r in D.pagerank(pairs.repartition(5), n_iter=5).collect()}
+    assert again == out

@@ -141,6 +141,9 @@ MUST_HAVE = {
     # contamination: the eval shingle set must broadcast into the
     # training-corpus match (corpus never shuffles pre-aggregate)
     "dedup_contamination_score": ["BroadcastHashJoin"],
+    # skew profiler: top-N must be a distributed heap top-k, never a
+    # global-sort window over the whole count table
+    "profile_key_skew": ["TakeOrderedAndProject"],
     # full IVF-PQ: the probe (query, centroid) table and the rerank
     # shortlist both broadcast; codes attach in the same Arrow pass as
     # assignment (no assignment-to-codes join)
@@ -219,6 +222,9 @@ MUST_NOT = {
     # (the dense side's != join is a broadcast nested loop by design)
     "sim_hybrid_rrf": ["CartesianProduct"],
     "dedup_contamination_score": ["CartesianProduct"],
+    "profile_key_skew": ["CartesianProduct"],
+    "agg_incremental_merge": ["CartesianProduct", "SortMergeJoin"],
+    "dedup_pagerank_centrality": ["CartesianProduct"],
 }
 
 AUDIT = [
@@ -246,7 +252,8 @@ AUDIT = [
     "text_bm25_topk", "sample_temperature_mixture", "sim_topk_pq",
     "sim_topk_ivf_pq", "source_jsonl_roundtrip", "source_orc_roundtrip",
     "text_bpe_tokenize", "sim_hybrid_rrf", "sample_token_budget_cap",
-    "dedup_contamination_score",
+    "dedup_contamination_score", "profile_key_skew",
+    "agg_incremental_merge", "dedup_pagerank_centrality",
 ]
 
 

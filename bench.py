@@ -87,6 +87,8 @@ HEADLINE = (
     "text_bm25_topk",
     "sample_temperature_mixture",
     "sim_topk_pq",
+    "sim_hybrid_rrf",
+    "dedup_pagerank_centrality",
 )
 
 

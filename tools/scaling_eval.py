@@ -24,6 +24,7 @@ import pyspark.sql.functions as F
 
 from sanef_election_dashboard_etl_spark.catalog import table
 from sanef_election_dashboard_etl_spark.operators import dedup as D
+from sanef_election_dashboard_etl_spark.operators import similarity as SIM
 from sanef_election_dashboard_etl_spark.operators import text as T
 from sanef_election_dashboard_etl_spark.queries import REGISTRY
 from sanef_election_dashboard_etl_spark.session import get_spark
@@ -379,6 +380,47 @@ def _bloom_incremental_scaled(spark, sf):
                                      m_bits=1 << 22)
 
 
+def _pagerank_scaled(spark, sf):
+    """PageRank iteration cost at corpus scale: a deterministic 2-edges-
+    per-node graph derived from doc ids (successor chain + a stride-37
+    long-range edge), 3 Pregel iterations. Measures the edge-join +
+    dest-groupBy pipeline the operator repeats per iteration; the
+    .count() for the modulus is a visible build-phase job."""
+    docs = table(spark, sf, "documents").select("doc_id")
+    n = docs.count()
+    ring = docs.select(F.col("doc_id").alias("id_a"),
+                       F.pmod(F.col("doc_id") + 1, F.lit(n)).alias("id_b"))
+    far = docs.select(F.col("doc_id").alias("id_a"),
+                      F.pmod(F.col("doc_id") * 37 + 11,
+                             F.lit(n)).alias("id_b"))
+    edges = ring.unionByName(far).filter(F.col("id_a") != F.col("id_b"))
+    return D.pagerank(edges, n_iter=3)
+
+
+_RRF_QTERMS = [("qa", "merge"), ("qa", "window"), ("qa", "scan"),
+               ("qb", "stream"), ("qb", "filter"), ("qb", "customer"),
+               ("qc", "batch"), ("qc", "slow"), ("qc", "key")]
+
+
+def _hybrid_rrf_scaled(spark, sf):
+    """The full hybrid retrieval path at corpus scale: BM25 over every
+    document + exact cosine over every embedding, fused by RRF. The
+    fusion stage itself is |queries| x k x 2 rows at ANY corpus size —
+    the row should track the two retrievers' own linear scans."""
+    docs = table(spark, sf, "documents")
+    emb = table(spark, sf, "embeddings")
+    qt = spark.createDataFrame(_RRF_QTERMS, "query_id string, term string")
+    lex = (T.bm25_topk(docs, qt, k=20)
+           .select("query_id", "rank", "doc_id"))
+    dense = (SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=20)
+             .select(F.when(F.col("query_id") == 0, "qa")
+                      .when(F.col("query_id") == 1, "qb")
+                      .otherwise("qc").alias("query_id"),
+                     "rank", F.col("neighbor_id").alias("doc_id")))
+    return SIM.rrf_fuse([lex, dense], k=10)
+
+
+
 X100_HEAVY_OPERATORS = [
     ("simhash_pairs_arrow", "documents x100 (500k docs, full table)",
      lambda spark, sf: D.simhash_pairs_arrow(table(spark, sf, "documents"),
@@ -409,6 +451,25 @@ X100_HEAVY_OPERATORS = [
     # r5: BM25 over the FULL document table (the registry entry pins
     # doc_id < 300 for oracle cost) — the inverted-index aggs must stay
     # corpus-linear while the df/LUT side stays query-terms-sized
+    # r5 session-2: per-source TOKEN budget — the cost claim is "one
+    # group exchange + per-source running-sum window"; the row measures
+    # the per-source sort at 100x rows (few sources, so each source's
+    # partition carries ~N/5 rows: the documented exact-tier bound)
+    ("token_budget_cap", "documents x100 (500k docs, 5 sources)",
+     lambda spark, sf: __import__(
+         "sanef_election_dashboard_etl_spark.operators.sampling",
+         fromlist=["token_budget_cap"]).token_budget_cap(
+             table(spark, sf, "documents"), budget_tokens=100_000)),
+    # r5 session-2: PageRank (3 iterations) over a 2-edge-per-node graph
+    # derived from doc ids — per-iteration edge join + dest groupBy must
+    # stay edge-linear
+    ("pagerank_3iter", "documents x100 (500k nodes / 1M edges)",
+     _pagerank_scaled),
+    # r5 session-2: the whole hybrid retrieval path (BM25 + dense +
+    # RRF); fusion is corpus-size-independent so this tracks the two
+    # retriever scans
+    ("hybrid_rrf_full", "docs+embeddings x100 (500k docs / 200k vecs)",
+     _hybrid_rrf_scaled),
     ("bm25_full_corpus", "documents x100 (500k docs, 9-term queries)",
      lambda spark, sf: T.bm25_topk(
          table(spark, sf, "documents"),

@@ -1469,25 +1469,49 @@ def pagerank(pairs: DataFrame, n_iter: int = 3, damping: float = 0.85,
     each undirected pair becomes two directed edges, so every node has
     out-degree >= 1 and there are no dangling-mass corrections.
 
-    r_0(v) = 1/N; r_{t+1}(v) = (1-d)/N + d * sum over in-neighbors u of
-    r_t(u)/deg(u), every value rounded at 12 — per-edge contributions
-    round-then-sum in DECIMAL(38,12) (numeric.py discipline), so each
-    iteration is order-independent exact and an unrolled SQL replay
-    matches bit for bit. The teleport term (1-d)/N is computed through
-    exact decimal complement (1 - 0.85 in binary doubles is NOT 0.15 —
-    float(Decimal(1) - Decimal('0.85')) is), so both engines divide the
-    same literal.
+    FIXED-POINT arithmetic (sf1-surfaced): a first cut kept ranks as
+    doubles rounded at 12 per iteration, and at 6M-row scale the graph's
+    symmetric structure produced sums sitting a hair from a digit-12
+    boundary — Spark rounds the double's exact binary expansion, DuckDB
+    rounds via value*10^12 float scaling, and the two disagreed in the
+    last digit (the numeric.py ROUNDING RULE failure class, caught by
+    the /tmp/sf1 gate like q7/q9's half-cent ties in r4). So the whole
+    recurrence is integers — picoranks, units of 1e-12:
+
+        R_0(v)    = 10^12 DIV N
+        c(u)      = R_t(u) DIV deg(u)            per out-edge
+        R_{t+1}(v)= (tn*10^12) DIV (td*N) + (dn * sum c) DIV dd
+
+    with damping expressed as the exact rational dn/dd (0.85 = 17/20;
+    `damping` must be exactly representable as Fraction(str(damping)),
+    e.g. two decimal digits). Integer division truncates identically in
+    every engine (operands are non-negative), bigint sums are
+    order-independent exact, nothing overflows (17 * 10^12 << 2^63) —
+    so the result is partition- and engine-exact BY CONSTRUCTION, and
+    the unrolled SQL oracle replays it bit for bit. Floor drops leak
+    <= (2N + E) * 1e-12 mass per iteration (immaterial for ranking;
+    documented, not corrected). The final score is ONE double division
+    R / 10^12 — correctly rounded, engine-identical.
 
     Scale: each iteration is one edge-keyed join + one groupBy on the
     destination — the Pregel shape. The loop builds ONE lazy plan here
     (fine for the 3-5 iterations centrality needs); at 100 TB
-    checkpoint r_t per iteration like connected_components does, and
+    checkpoint R_t per iteration like connected_components does, and
     pre-partition edges by source so the join side reuses one exchange.
-    Output (node_id, pagerank) for every node in the pair graph;
-    isolated docs (no pairs) are absent by construction."""
-    from decimal import Decimal
+    Output (node_id, pagerank_fp [picoranks], pagerank [double]) for
+    every node in the pair graph; isolated docs (no pairs) are absent
+    by construction."""
+    from fractions import Fraction
 
-    base = float(Decimal(1) - Decimal(str(damping)))
+    frac = Fraction(str(damping))
+    if frac.denominator > 1000:
+        raise ValueError(
+            f"damping must be a short exact decimal (got {damping}); "
+            f"fixed-point PageRank needs an exact rational")
+    dn, dd = frac.numerator, frac.denominator
+    tfrac = Fraction(1) - frac
+    tn, td = tfrac.numerator, tfrac.denominator
+    scale = 10 ** 12
     edges = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
              .unionByName(
                  pairs.select(F.col(id_b).alias("u"),
@@ -1495,23 +1519,22 @@ def pagerank(pairs: DataFrame, n_iter: int = 3, damping: float = 0.85,
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     nn = deg.agg(F.count(F.lit(1)).alias("nn"))
     r = (deg.select("u").crossJoin(F.broadcast(nn))
-         .select("u", (F.lit(1.0) / F.col("nn").cast("double"))
+         .select("u", F.expr(f"CAST({scale} AS BIGINT) DIV nn")
                  .alias("r")))
     for _ in range(n_iter):
         contrib = (edges
                    .join(r, "u")
                    .join(deg, "u")
-                   .select("v",
-                           F.round(F.col("r") / F.col("d").cast("double"),
-                                   12).cast("decimal(38,12)").alias("c")))
+                   .select("v", F.expr("r DIV d").alias("c")))
         sums = contrib.groupBy("v").agg(F.sum("c").alias("s"))
         r = (deg.select(F.col("u")).join(
                 sums, F.col("u") == F.col("v"), "left")
              .crossJoin(F.broadcast(nn))
-             .select("u", F.round(
-                 F.lit(base) / F.col("nn").cast("double")
-                 + F.lit(float(damping))
-                 * F.coalesce(F.col("s").cast("double"), F.lit(0.0)),
-                 12).alias("r")))
+             .select("u", F.expr(
+                 f"CAST({tn} AS BIGINT) * {scale} DIV ({td} * nn) "
+                 f"+ CAST({dn} AS BIGINT) * coalesce(s, 0) DIV {dd}")
+                 .alias("r")))
     return r.select(F.col("u").alias("node_id"),
-                    F.col("r").alias("pagerank"))
+                    F.col("r").alias("pagerank_fp"),
+                    (F.col("r").cast("double") / F.lit(float(scale)))
+                    .alias("pagerank"))

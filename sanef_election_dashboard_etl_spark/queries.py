@@ -6156,39 +6156,46 @@ def profile_key_skew(spark, sf_dir):
     ), deg AS (
         SELECT u, COUNT(*) AS d FROM e GROUP BY u
     ), n AS (SELECT COUNT(*) AS nn FROM deg),
-    r0 AS (SELECT u, 1.0 / nn AS r FROM deg CROSS JOIN n),
-    s1 AS (
-        SELECT e.v, SUM(CAST(ROUND(r0.r / d.d, 12) AS DECIMAL(38,12))) AS s
+    r0 AS (
+        SELECT u, CAST(1000000000000 // nn AS BIGINT) AS r
+        FROM deg CROSS JOIN n
+    ), s1 AS (
+        SELECT e.v, CAST(SUM(r0.r // d.d) AS BIGINT) AS s
         FROM e JOIN r0 ON r0.u = e.u JOIN deg d ON d.u = e.u GROUP BY e.v
     ), r1 AS (
-        SELECT deg.u, ROUND(0.15 / nn
-            + 0.85 * coalesce(CAST(s AS DOUBLE), 0.0), 12) AS r
+        SELECT deg.u, CAST((3 * 1000000000000 // (20 * nn))
+            + (17 * coalesce(s, 0) // 20) AS BIGINT) AS r
         FROM deg LEFT JOIN s1 ON s1.v = deg.u CROSS JOIN n
     ), s2 AS (
-        SELECT e.v, SUM(CAST(ROUND(r1.r / d.d, 12) AS DECIMAL(38,12))) AS s
+        SELECT e.v, CAST(SUM(r1.r // d.d) AS BIGINT) AS s
         FROM e JOIN r1 ON r1.u = e.u JOIN deg d ON d.u = e.u GROUP BY e.v
     ), r2 AS (
-        SELECT deg.u, ROUND(0.15 / nn
-            + 0.85 * coalesce(CAST(s AS DOUBLE), 0.0), 12) AS r
+        SELECT deg.u, CAST((3 * 1000000000000 // (20 * nn))
+            + (17 * coalesce(s, 0) // 20) AS BIGINT) AS r
         FROM deg LEFT JOIN s2 ON s2.v = deg.u CROSS JOIN n
     ), s3 AS (
-        SELECT e.v, SUM(CAST(ROUND(r2.r / d.d, 12) AS DECIMAL(38,12))) AS s
+        SELECT e.v, CAST(SUM(r2.r // d.d) AS BIGINT) AS s
         FROM e JOIN r2 ON r2.u = e.u JOIN deg d ON d.u = e.u GROUP BY e.v
     ), r3 AS (
-        SELECT deg.u, ROUND(0.15 / nn
-            + 0.85 * coalesce(CAST(s AS DOUBLE), 0.0), 12) AS r
+        SELECT deg.u, CAST((3 * 1000000000000 // (20 * nn))
+            + (17 * coalesce(s, 0) // 20) AS BIGINT) AS r
         FROM deg LEFT JOIN s3 ON s3.v = deg.u CROSS JOIN n
     )
-    SELECT u AS node_id, r AS pagerank FROM r3
+    SELECT u AS node_id, r AS pagerank_fp,
+           CAST(r AS DOUBLE) / 1000000000000.0 AS pagerank
+    FROM r3
 """)
 def dedup_pagerank_centrality(spark, sf_dir):
     """PageRank centrality over the embedding near-dup graph
     (operators/dedup.py pagerank, 3 iterations, d=0.85): the
     most-connected-member signal for canonical-doc selection and
-    link-graph quality weighting. Iterative Pregel-shaped driver loop —
-    per-edge contributions round-then-sum in DECIMAL(38,12) so every
-    iteration is order-independent exact, and the oracle replays the
-    whole recurrence as three unrolled SQL levels, bit for bit."""
+    link-graph quality weighting. Iterative Pregel-shaped driver loop in
+    FIXED-POINT picorank integers (10^12 units, damping as the exact
+    rational 17/20) — integer division + bigint sums make every
+    iteration partition- and engine-exact by construction (a double
+    round-at-12 first cut failed the sf1 gate on a digit-12 near-tie:
+    DuckDB rounds doubles via float scaling), and the oracle replays
+    the whole recurrence as three unrolled SQL levels, bit for bit."""
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
     pairs = S.cosine_pairs(emb, min_cosine=0.35)
     return D.pagerank(pairs, n_iter=3, damping=0.85)

@@ -2300,12 +2300,18 @@ def test_pagerank_triangle_with_pendant(spark):
         [(1, 2), (2, 3), (1, 3), (3, 4)], "id_a long, id_b long")
     out = {r["node_id"]: r["pagerank"]
            for r in D.pagerank(pairs, n_iter=5).collect()}
+    fp = {r["node_id"]: r["pagerank_fp"]
+          for r in D.pagerank(pairs, n_iter=5).collect()}
     assert set(out) == {1, 2, 3, 4}
     assert out[3] == max(out.values())
     assert out[4] == min(out.values())
+    # fixed-point floor drops <= (2N + E) * 1e-12 mass per iteration
     assert sum(out.values()) == pytest.approx(1.0, abs=1e-9)
-    assert out[1] == pytest.approx(out[2], abs=1e-12)  # symmetric pair
-    # deterministic under repartition
-    again = {r["node_id"]: r["pagerank"]
+    assert fp[1] == fp[2]  # symmetric pair: integer-EXACT equality
+    # deterministic under repartition (integer arithmetic, no rounding)
+    again = {r["node_id"]: r["pagerank_fp"]
              for r in D.pagerank(pairs.repartition(5), n_iter=5).collect()}
-    assert again == out
+    assert again == fp
+    # damping must be an exact short rational
+    with pytest.raises(ValueError):
+        D.pagerank(pairs, n_iter=1, damping=0.8567890123)

@@ -214,3 +214,42 @@ def key_skew(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
                     (F.col("cnt").cast("double")
                      / F.col("__median")).alias("skew_vs_median"),
                     F.col("n_keys").cast("long").alias("n_keys")))
+
+
+def dataset_fingerprint(df: DataFrame,
+                        cols: Sequence[str] | None = None) -> DataFrame:
+    """Order-independent content fingerprint of a dataset — ONE row
+    (n_rows, xor_fp, sum_fp) that any engine can recompute to verify a
+    100 TB copy/export/ingest without a row-by-row compare: each row
+    canonicalizes to md5(concat_ws(0x1f, string casts, null->'')) (the
+    snapshot_diff digest discipline), hashes to the portable 60-bit
+    integer, and folds two ways:
+
+    - xor_fp: bit_xor of the hashes — overflow-free, order- and
+      partition-independent, but SET semantics (a row appearing twice
+      cancels itself).
+    - sum_fp: exact DECIMAL(38,0) sum of the hashes — MULTISET
+      semantics (duplicate rows shift the sum), order-independent
+      exact, headroom to ~10^20 rows before 38 digits saturate.
+
+    Disagreement between the pair localizes the failure class: sum
+    moved + xor moved = rows changed; sum moved + xor same = duplicate
+    multiplicity changed. Combined with n_rows this is the manifest a
+    write audit stores (sinks.write_dataset_with_manifest) and the
+    cheap equality side of snapshot_diff (fingerprints first, per-key
+    diff only when they disagree).
+
+    Scale: one narrow projection + one 3-value aggregate — map-side
+    partial folds, a single 1-row result; the corpus never shuffles.
+    Mergeable across shards: xor of xors, sum of sums, sum of counts
+    (the HLL shard-merge pattern, exactly)."""
+    cols = list(cols or df.columns)
+    from .dedup import portable_hash
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]
+    h = portable_hash(F.concat_ws("\x1f", *parts))
+    return df.select(h.alias("__h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.bit_xor("__h"), F.lit(0).cast("long"))
+         .alias("xor_fp"),
+        F.coalesce(F.sum(F.col("__h").cast("decimal(38,0)")),
+                   F.lit(0).cast("decimal(38,0)")).alias("sum_fp"))

@@ -6201,6 +6201,34 @@ def dedup_pagerank_centrality(spark, sf_dir):
     return D.pagerank(pairs, n_iter=3, damping=0.85)
 
 
+@query("profile_dataset_fingerprint", oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           coalesce(bit_xor(h), 0) AS xor_fp,
+           CAST(coalesce(SUM(h), 0) AS DECIMAL(38,0)) AS sum_fp
+    FROM (
+        SELECT ('0x' || substr(md5(concat_ws(chr(31),
+                   coalesce(CAST(doc_id AS VARCHAR), ''),
+                   coalesce(CAST(text AS VARCHAR), ''),
+                   coalesce(CAST(lang AS VARCHAR), ''),
+                   coalesce(CAST(source AS VARCHAR), ''),
+                   coalesce(CAST(n_chars AS VARCHAR), ''))),
+               1, 15))::BIGINT AS h
+        FROM documents)
+""")
+def profile_dataset_fingerprint(spark, sf_dir):
+    """Order-independent dataset content fingerprint (operators/
+    profile.py dataset_fingerprint): one narrow scan folding to a
+    single (n_rows, xor_fp, sum_fp) row — the write-audit /
+    copy-verification primitive (_MANIFEST.json in
+    sinks.write_dataset_with_manifest) and the cheap equality check in
+    front of snapshot_diff. xor = set semantics, decimal sum = multiset
+    semantics; both mergeable across shards."""
+    from .operators.profile import dataset_fingerprint
+    docs = _t(spark, sf_dir, "documents")
+    return dataset_fingerprint(
+        docs, cols=["doc_id", "text", "lang", "source", "n_chars"])
+
+
 # Reorder AFTER every @query above has registered: the driver checks the
 # first _WINDOW_SIZE entries, so this call must stay at module end —
 # entries registered after it would never rotate into the window.

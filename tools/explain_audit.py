@@ -144,6 +144,9 @@ MUST_HAVE = {
     # skew profiler: top-N must be a distributed heap top-k, never a
     # global-sort window over the whole count table
     "profile_key_skew": ["TakeOrderedAndProject"],
+    # fingerprint: one scan folding to one row — partial aggregates,
+    # no exchange of anything but the 1-row partials
+    "profile_dataset_fingerprint": ["HashAggregate"],
     # full IVF-PQ: the probe (query, centroid) table and the rerank
     # shortlist both broadcast; codes attach in the same Arrow pass as
     # assignment (no assignment-to-codes join)
@@ -254,6 +257,7 @@ AUDIT = [
     "text_bpe_tokenize", "sim_hybrid_rrf", "sample_token_budget_cap",
     "dedup_contamination_score", "profile_key_skew",
     "agg_incremental_merge", "dedup_pagerank_centrality",
+    "profile_dataset_fingerprint",
 ]
 
 

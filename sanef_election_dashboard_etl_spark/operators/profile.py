@@ -253,3 +253,59 @@ def dataset_fingerprint(df: DataFrame,
          .alias("xor_fp"),
         F.coalesce(F.sum(F.col("__h").cast("decimal(38,0)")),
                    F.lit(0).cast("decimal(38,0)")).alias("sum_fp"))
+
+
+def trend_ols(df: DataFrame, x_col, y_col, group_col: str,
+              y_scale: int = 2) -> DataFrame:
+    """Per-group least-squares trend line — the drift family's THIRD
+    axis: TVD says the categorical mix moved, KS says a numeric
+    distribution moved, the OLS slope says a metric is moving IN TIME
+    and how fast (quality score decaying over a crawl, value-per-event
+    drifting between snapshots). slope/intercept of y over x within
+    each group, closed form.
+
+    Exactness (the TVD/KS discipline — exact integer/decimal parts,
+    float only in a fixed final expression): x re-bases against the
+    GLOBAL min (one 1-row broadcast; slopes are shift-invariant, and it
+    kills the epoch-magnitude cancellation that would otherwise eat the
+    double subtraction), y casts to DECIMAL(18, y_scale) — `y_scale`
+    must cover the input's TRUE decimal scale (numeric.py rule; the
+    cast is then a no-op, not a rounding). All five per-group sums
+    (n, Sx, Sy, Sxx, Sxy) are bigint/decimal exact, order- and
+    partition-independent; widths stay under 38 digits by construction
+    (x' spans the data's time RANGE, not the epoch). The slope is then
+    ONE fixed-shape double expression over exact inputs —
+    (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx) — every cast/mult/sub/div
+    IEEE-correctly-rounded, so both engines produce the identical
+    double. intercept = (Sy - slope*Sx)/n, in x'-space (i.e. the fitted
+    y AT the global min x; add slope*(x0) externally for epoch-space).
+
+    Single-value groups (den = 0) yield NULL slope/intercept via an
+    explicit guard (ANSI division). Scale: one 1-row agg + one grouped
+    agg — two scans, map-side-combined, nothing but group rows
+    shuffles. Output (group, n, slope, intercept)."""
+    x = F.col(x_col) if isinstance(x_col, str) else x_col
+    y = F.col(y_col) if isinstance(y_col, str) else y_col
+    base = df.agg(F.min(x).alias("__x0"))
+    t = (df.crossJoin(F.broadcast(base))
+         .select(F.col(group_col),
+                 (x - F.col("__x0")).cast("long").alias("__xr"),
+                 y.cast(f"decimal(18,{y_scale})").alias("__yd")))
+    xd = F.col("__xr").cast("decimal(19,0)")
+    g = t.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__xr").cast("decimal(38,0)")).alias("__sx"),
+        F.sum("__yd").alias("__sy"),
+        F.sum(xd * xd).alias("__sxx"),
+        F.sum(xd * F.col("__yd")).alias("__sxy"))
+    nd = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    den = nd * sxx - sx * sx
+    slope = F.when(den != 0, (nd * sxy - sx * sy) / den)
+    intercept = F.when(den != 0,
+                       (sy - ((nd * sxy - sx * sy) / den) * sx) / nd)
+    return g.select(group_col, F.col("n").cast("long").alias("n"),
+                    slope.alias("slope"), intercept.alias("intercept"))

@@ -6229,6 +6229,57 @@ def profile_dataset_fingerprint(spark, sf_dir):
         docs, cols=["doc_id", "text", "lang", "source", "n_chars"])
 
 
+@query("profile_trend_ols", oracle="""
+    WITH x0 AS (
+        SELECT MIN(FLOOR(extract(epoch FROM ts))::BIGINT) AS x0 FROM events
+    ), t AS (
+        SELECT event_type,
+               FLOOR(extract(epoch FROM ts))::BIGINT - x0 AS xr,
+               CAST(value AS DECIMAL(18,2)) AS yd
+        FROM events CROSS JOIN x0
+    ), g AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               SUM(CAST(xr AS DECIMAL(38,0))) AS sx,
+               SUM(yd) AS sy,
+               SUM(CAST(xr AS DECIMAL(19,0)) * CAST(xr AS DECIMAL(19,0)))
+                   AS sxx,
+               SUM(CAST(xr AS DECIMAL(19,0)) * yd) AS sxy
+        FROM t GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+                THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           END AS slope,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+                THEN (CAST(sy AS DOUBLE)
+                      - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                        * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE)
+           END AS intercept
+    FROM g
+""")
+def profile_trend_ols(spark, sf_dir):
+    """Per-event-type least-squares trend of value over time
+    (operators/profile.py trend_ols) — the drift family's time axis:
+    TVD = mix moved, KS = distribution moved, OLS slope = metric moving
+    in time and how fast. Five exact bigint/decimal sums per group, one
+    fixed-shape double expression at the end; the oracle replays slope
+    AND intercept exactly (identical IEEE operation order)."""
+    from .operators.profile import trend_ols
+    e = _t(spark, sf_dir, "events")
+    return trend_ols(e, F.col("ts").cast("long"), "value",
+                     group_col="event_type", y_scale=2)
+
+
 # Reorder AFTER every @query above has registered: the driver checks the
 # first _WINDOW_SIZE entries, so this call must stay at module end —
 # entries registered after it would never rotate into the window.

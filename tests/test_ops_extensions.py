@@ -2315,3 +2315,26 @@ def test_pagerank_triangle_with_pendant(spark):
     # damping must be an exact short rational
     with pytest.raises(ValueError):
         D.pagerank(pairs, n_iter=1, damping=0.8567890123)
+
+
+def test_trend_ols_recovers_exact_line_and_guards_singletons(spark):
+    from sanef_election_dashboard_etl_spark.operators.profile import (
+        trend_ols)
+    # group 'g': y = 2x + 3 exactly; group 'one': single point -> NULL
+    rows = [("g", 1000 + x, 2.0 * (1000 + x) + 3.0) for x in range(10)]
+    rows.append(("one", 1000, 42.0))
+    df = spark.createDataFrame(rows, "grp string, x long, y double")
+    out = {r["grp"]: r for r in
+           trend_ols(df, "x", "y", group_col="grp", y_scale=2).collect()}
+    # x re-bases to the global min, slope is shift-invariant
+    assert out["g"]["slope"] == pytest.approx(2.0, abs=1e-12)
+    # intercept is in rebased-x space: fitted y at x = global min (1000)
+    assert out["g"]["intercept"] == pytest.approx(2.0 * 1000 + 3.0,
+                                                  abs=1e-9)
+    assert out["one"]["slope"] is None and out["one"]["intercept"] is None
+    assert out["one"]["n"] == 1
+    # partition-independent exact (decimal sums + fixed double shape)
+    again = {r["grp"]: (r["slope"], r["intercept"]) for r in
+             trend_ols(df.repartition(7), "x", "y",
+                       group_col="grp").collect()}
+    assert again["g"] == (out["g"]["slope"], out["g"]["intercept"])

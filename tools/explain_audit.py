@@ -147,6 +147,9 @@ MUST_HAVE = {
     # fingerprint: one scan folding to one row — partial aggregates,
     # no exchange of anything but the 1-row partials
     "profile_dataset_fingerprint": ["HashAggregate"],
+    # OLS trend: the 1-row x-rebase must broadcast, the grouped sums
+    # are one map-side-combined agg
+    "profile_trend_ols": ["BroadcastNestedLoopJoin", "HashAggregate"],
     # full IVF-PQ: the probe (query, centroid) table and the rerank
     # shortlist both broadcast; codes attach in the same Arrow pass as
     # assignment (no assignment-to-codes join)
@@ -257,7 +260,7 @@ AUDIT = [
     "text_bpe_tokenize", "sim_hybrid_rrf", "sample_token_budget_cap",
     "dedup_contamination_score", "profile_key_skew",
     "agg_incremental_merge", "dedup_pagerank_centrality",
-    "profile_dataset_fingerprint",
+    "profile_dataset_fingerprint", "profile_trend_ols",
 ]
 
 

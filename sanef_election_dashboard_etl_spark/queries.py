@@ -6280,6 +6280,36 @@ def profile_trend_ols(spark, sf_dir):
                      group_col="event_type", y_scale=2)
 
 
+@query("sim_hybrid_rrf_ann", oracle=None, tags=("rows-only",),
+       sibling="sim_hybrid_rrf")
+def sim_hybrid_rrf_ann(spark, sf_dir):
+    """The PRODUCTION hybrid-retrieval tier: same RRF fusion as
+    sim_hybrid_rrf but the dense leg is ann_topk (120-bit Hamming
+    prefilter, the default ANN tier) instead of exact brute-force
+    cosine — the configuration a 100 TB corpus actually runs, where the
+    exact leg's full scan is the cost ceiling. rrf_fuse is
+    retriever-agnostic by contract (any (query_id, rank, id) list), so
+    this entry is pure composition. Rows-only: the ANN leg's hyperplane
+    signatures are engine-side; sibling sim_hybrid_rrf oracle-checks
+    the identical fusion semantics end to end on the exact legs."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qterms = spark.createDataFrame(
+        [("qa", "merge"), ("qa", "window"), ("qa", "scan"),
+         ("qb", "stream"), ("qb", "filter"), ("qb", "customer"),
+         ("qc", "batch"), ("qc", "slow"), ("qc", "key")],
+        "query_id string, term string")
+    lex = (T.bm25_topk(docs, qterms, k=20)
+           .select("query_id", "rank", "doc_id"))
+    dense = (S.ann_topk(emb, emb.filter(F.col("vec_id") < 3), k=20)
+             .select(F.when(F.col("query_id") == 0, "qa")
+                      .when(F.col("query_id") == 1, "qb")
+                      .otherwise("qc").alias("query_id"),
+                     "rank",
+                     F.col("neighbor_id").alias("doc_id")))
+    return S.rrf_fuse([lex, dense], k=10, k_rrf=60)
+
+
 # Reorder AFTER every @query above has registered: the driver checks the
 # first _WINDOW_SIZE entries, so this call must stay at module end —
 # entries registered after it would never rotate into the window.

@@ -678,3 +678,50 @@ def test_streaming_jsonl_landing_dir_ingest(spark, tmp_path):
         assert got == [1, 2, 3]
     finally:
         q.stop()
+
+
+def test_streaming_fingerprint_merge_equals_batch(spark, tmp_path):
+    """The manifest fingerprints are shard-MERGEABLE (xor of xors, sum
+    of sums, sum of counts) — so a streaming ingest can maintain a
+    running dataset fingerprint per micro-batch and land at exactly the
+    batch answer, without ever re-scanning earlier batches. This is the
+    write-audit story at ingest time: the _MANIFEST a 100 TB landing
+    zone keeps current costs one fold per arriving batch."""
+    from sanef_election_dashboard_etl_spark.operators.profile import (
+        dataset_fingerprint)
+
+    rows = [(i, f"document body {i}", "en") for i in range(90)]
+    full = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    src = tmp_path / "fp_src"
+    src.mkdir()
+    # three files -> three micro-batches under maxFilesPerTrigger=1
+    for j in range(3):
+        (spark.createDataFrame(rows[j * 30:(j + 1) * 30],
+                               "doc_id long, text string, lang string")
+         .coalesce(1).write.mode("append").parquet(str(src)))
+
+    state = {"n_rows": 0, "xor_fp": 0, "sum_fp": 0, "batches": 0}
+
+    def fold_batch(df, epoch_id):
+        r = dataset_fingerprint(
+            df, cols=["doc_id", "text", "lang"]).collect()[0]
+        state["n_rows"] += r["n_rows"]
+        state["xor_fp"] ^= r["xor_fp"]
+        state["sum_fp"] += int(r["sum_fp"])
+        state["batches"] += 1
+
+    stream = (spark.readStream
+              .schema("doc_id long, text string, lang string")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = (stream.writeStream.foreachBatch(fold_batch)
+         .option("checkpointLocation", str(tmp_path / "fp_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    batch = dataset_fingerprint(
+        full, cols=["doc_id", "text", "lang"]).collect()[0]
+    assert state["batches"] >= 2  # genuinely incremental, not one shot
+    assert state["n_rows"] == batch["n_rows"] == 90
+    assert state["xor_fp"] == batch["xor_fp"]
+    assert state["sum_fp"] == int(batch["sum_fp"])

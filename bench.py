@@ -89,6 +89,7 @@ HEADLINE = (
     "sim_topk_pq",
     "sim_hybrid_rrf",
     "dedup_pagerank_centrality",
+    "pipe_mixture_recipe",
 )
 
 

@@ -382,7 +382,8 @@ def temperature_mixture(df: DataFrame, budget_tokens: int,
 
 def token_budget_cap(df: DataFrame, budget_tokens: int,
                      group_col: str = "source", id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
+                     text_col: str = "text",
+                     tokens_col: str | None = None) -> DataFrame:
     """Per-group TOKEN budget (vs cap_per_group's doc-count quota):
     within each group, walk documents in portable-hash order and keep
     them while the running token total stays <= `budget_tokens` — the
@@ -409,13 +410,18 @@ def token_budget_cap(df: DataFrame, budget_tokens: int,
     rate; this exact tier is the verification configuration.
 
     Output (`id_col`, `group_col`, n_tokens, cum_tokens) of kept docs.
+    Pass `tokens_col` to reuse an already-computed token count (e.g.
+    when composing after temperature_mixture, whose output carries
+    n_tokens — skips re-tokenizing the text).
     """
     from pyspark.sql import Window
 
-    n_tokens = F.greatest(
-        F.lit(0),
-        F.coalesce(F.size(F.split(F.trim(F.col(text_col)), r"\s+")),
-                   F.lit(0))).cast("long")
+    n_tokens = (F.col(tokens_col).cast("long") if tokens_col else
+                F.greatest(
+                    F.lit(0),
+                    F.coalesce(F.size(F.split(F.trim(F.col(text_col)),
+                                              r"\s+")),
+                               F.lit(0))).cast("long"))
     with_t = df.select(F.col(id_col), F.col(group_col),
                        n_tokens.alias("n_tokens"))
     w = (Window.partitionBy(group_col)

@@ -6310,6 +6310,80 @@ def sim_hybrid_rrf_ann(spark, sf_dir):
     return S.rrf_fuse([lex, dense], k=10, k_rrf=60)
 
 
+@query("pipe_mixture_recipe", oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(greatest(0, coalesce(
+                   len(string_split_regex(trim(text), '\\s+')), 0))
+                   AS BIGINT) AS n_tokens
+        FROM documents
+    ), gated AS (
+        SELECT * FROM t WHERE n_tokens BETWEEN 10 AND 500
+    ), tot AS (
+        SELECT source, SUM(n_tokens) AS total FROM gated GROUP BY source
+    ), w AS (
+        SELECT source, total,
+               CAST(ROUND(sqrt(CAST(total AS DOUBLE)), 9)
+                    AS DECIMAL(38,9)) AS w
+        FROM tot
+    ), ws AS (SELECT SUM(w) AS wsum FROM w),
+    thr AS (
+        SELECT source,
+               CASE WHEN total > 0 AND wsum > 0 THEN
+                   least(10000, CAST(floor(
+                       CAST(w AS DOUBLE) * 5000.0 * 10000.0
+                       / CAST(wsum AS DOUBLE) / total) AS BIGINT))
+               ELSE 0 END AS thr
+        FROM w CROSS JOIN ws
+    ), mixed AS (
+        SELECT g.doc_id, g.source, g.n_tokens
+        FROM gated g JOIN thr ON thr.source = g.source
+        WHERE {_HASH_BUCKET_SQL.format(key='g.doc_id')} < thr.thr
+    ), capped AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 15))::BIGINT, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM mixed
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CASE WHEN {_HASH_BUCKET_SQL.format(key='doc_id')} < 8000
+                     THEN 'train'
+                WHEN {_HASH_BUCKET_SQL.format(key='doc_id')} < 9000
+                     THEN 'val'
+                ELSE 'test' END AS split
+    FROM capped WHERE cum_tokens <= 400
+""")
+def pipe_mixture_recipe(spark, sf_dir):
+    """The full MIXTURE-RECIPE pipeline — the companion flagship to
+    pipe_training_data_prep (that one cleans, this one mixes): token
+    gate (10-500) -> temperature-weighted source mixing (tokens^0.5,
+    UniMax-style, thresholds DERIVED from the gated corpus) ->
+    per-source token budget (hash-order prefix, 400 tokens, strict) ->
+    deterministic 80/10/10 split assignment. One lazy plan: two
+    broadcast-back scalar aggs (mixture weights, nothing else), one
+    group exchange for the budget window, a narrow split projection —
+    the corpus text never shuffles anywhere. The oracle replays all
+    four stages in ONE SQL statement, including the derived thresholds,
+    the running sums, and the split buckets."""
+    from .operators.sampling import (assign_splits, temperature_mixture,
+                                     token_budget_cap)
+    docs = _t(spark, sf_dir, "documents")
+    ntok = F.greatest(
+        F.lit(0),
+        F.coalesce(F.size(F.split(F.trim(F.col("text")), r"\s+")),
+                   F.lit(0))).cast("long")
+    gated = docs.filter(ntok.between(10, 500))
+    mixed = temperature_mixture(gated, budget_tokens=5000, alpha=0.5)
+    capped = token_budget_cap(mixed, budget_tokens=400,
+                              tokens_col="n_tokens")
+    return assign_splits(capped, "doc_id",
+                         {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
 # Reorder AFTER every @query above has registered: the driver checks the
 # first _WINDOW_SIZE entries, so this call must stay at module end —
 # entries registered after it would never rotate into the window.

@@ -150,6 +150,10 @@ MUST_HAVE = {
     # OLS trend: the 1-row x-rebase must broadcast, the grouped sums
     # are one map-side-combined agg
     "profile_trend_ols": ["BroadcastNestedLoopJoin", "HashAggregate"],
+    # mixture recipe: derived rate table broadcasts into the keep
+    # filter; the only exchange moving docs is the budget window's
+    # group sort
+    "pipe_mixture_recipe": ["BroadcastHashJoin", "Window"],
     # full IVF-PQ: the probe (query, centroid) table and the rerank
     # shortlist both broadcast; codes attach in the same Arrow pass as
     # assignment (no assignment-to-codes join)
@@ -228,6 +232,8 @@ MUST_NOT = {
     # (the dense side's != join is a broadcast nested loop by design)
     "sim_hybrid_rrf": ["CartesianProduct"],
     "dedup_contamination_score": ["CartesianProduct"],
+    # the corpus must never sort-merge anywhere in the mixing chain
+    "pipe_mixture_recipe": ["SortMergeJoin", "CartesianProduct"],
     "profile_key_skew": ["CartesianProduct"],
     "agg_incremental_merge": ["CartesianProduct", "SortMergeJoin"],
     "dedup_pagerank_centrality": ["CartesianProduct"],
@@ -261,6 +267,7 @@ AUDIT = [
     "dedup_contamination_score", "profile_key_skew",
     "agg_incremental_merge", "dedup_pagerank_centrality",
     "profile_dataset_fingerprint", "profile_trend_ols",
+    "pipe_mixture_recipe",
 ]
 
 

@@ -6384,6 +6384,71 @@ def pipe_mixture_recipe(spark, sf_dir):
                          {"train": 0.8, "val": 0.1, "test": 0.1})
 
 
+@query("pipe_loader_order", oracle="""
+    WITH g AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_tokens,
+               CAST(doc_id % 8 AS BIGINT) AS pack_group
+        FROM documents
+    ), c AS (
+        SELECT doc_id, pack_group, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY pack_group
+                    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens
+                    AS BIGINT) AS cum_before
+        FROM g
+    ), packed AS (
+        SELECT doc_id, pack_group, n_tokens, cum_before,
+               CAST(FLOOR(cum_before / 4000.0) AS BIGINT) AS bin_id
+        FROM c
+    ), bins AS (
+        SELECT pack_group, bin_id,
+               CAST(pack_group AS VARCHAR) || ':' || CAST(bin_id AS VARCHAR)
+                   AS bin_key
+        FROM packed GROUP BY pack_group, bin_id
+    ), shuffled AS (
+        SELECT pack_group, bin_id,
+               ROW_NUMBER() OVER (ORDER BY md5(bin_key || ':1'), bin_key)
+                   AS bin_pos
+        FROM bins
+    ), joined AS (
+        SELECT p.doc_id, p.pack_group, p.bin_id, p.cum_before,
+               s.bin_pos
+        FROM packed p JOIN shuffled s
+          ON s.pack_group = p.pack_group AND s.bin_id = p.bin_id
+    )
+    SELECT doc_id, pack_group, bin_id, CAST(bin_pos AS BIGINT) AS bin_pos,
+           ROW_NUMBER() OVER (ORDER BY bin_pos, cum_before, doc_id)
+               AS loader_pos
+    FROM joined
+""")
+def pipe_loader_order(spark, sf_dir):
+    """The LAST-MILE loader-order pipeline — packing family composed end
+    to end: pack docs into ~4000-char budget bins within 8 hash groups
+    (pack_sequences), permute the BINS with the seeded epoch shuffle
+    (bin granularity — the loader reads packed bins, not raw docs), and
+    assign contiguous global loader positions (global_row_number: one
+    range exchange + metadata counts, never a single-partition window).
+    Same seed -> bit-identical read order on any cluster size; the
+    oracle replays pack, permutation, and numbering serially. The bins
+    table is bin-cardinality-sized, so its shuffle join back to docs is
+    broadcast-sized at any corpus scale."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    packed = PK.pack_sequences(docs, "n_chars", budget=4000, n_groups=8)
+    bins = (packed.select("pack_group", "bin_id").distinct()
+            .withColumn("bin_key",
+                        F.concat(F.col("pack_group").cast("string"),
+                                 F.lit(":"),
+                                 F.col("bin_id").cast("string"))))
+    shuffled = (L.epoch_shuffle(bins, "bin_key", seed=1,
+                                id_alias="bin_pos")
+                .select("pack_group", "bin_id", "bin_pos"))
+    joined = packed.join(F.broadcast(shuffled), ["pack_group", "bin_id"])
+    return (L.global_row_number(joined,
+                                ["bin_pos", "cum_before", "doc_id"],
+                                id_alias="loader_pos")
+            .select("doc_id", "pack_group", "bin_id", "bin_pos",
+                    "loader_pos"))
+
+
 # Reorder AFTER every @query above has registered: the driver checks the
 # first _WINDOW_SIZE entries, so this call must stay at module end —
 # entries registered after it would never rotate into the window.

@@ -154,6 +154,9 @@ MUST_HAVE = {
     # filter; the only exchange moving docs is the budget window's
     # group sort
     "pipe_mixture_recipe": ["BroadcastHashJoin", "Window"],
+    # loader order: global_row_number's eager localCheckpoint truncates
+    # the visible plan (the bin broadcast join runs before it), so only
+    # the negative assertions below are checkable on the executed plan
     # full IVF-PQ: the probe (query, centroid) table and the rerank
     # shortlist both broadcast; codes attach in the same Arrow pass as
     # assignment (no assignment-to-codes join)
@@ -234,6 +237,7 @@ MUST_NOT = {
     "dedup_contamination_score": ["CartesianProduct"],
     # the corpus must never sort-merge anywhere in the mixing chain
     "pipe_mixture_recipe": ["SortMergeJoin", "CartesianProduct"],
+    "pipe_loader_order": ["SortMergeJoin", "CartesianProduct"],
     "profile_key_skew": ["CartesianProduct"],
     "agg_incremental_merge": ["CartesianProduct", "SortMergeJoin"],
     "dedup_pagerank_centrality": ["CartesianProduct"],
@@ -267,7 +271,7 @@ AUDIT = [
     "dedup_contamination_score", "profile_key_skew",
     "agg_incremental_merge", "dedup_pagerank_centrality",
     "profile_dataset_fingerprint", "profile_trend_ols",
-    "pipe_mixture_recipe",
+    "pipe_mixture_recipe", "pipe_loader_order",
 ]
 
 

@@ -6449,6 +6449,91 @@ def pipe_loader_order(spark, sf_dir):
                     "loader_pos"))
 
 
+@query("dedup_canonical_by_centrality", oracle="""
+    WITH RECURSIVE emb3 AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        WHERE vec_id < 300
+    ), p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM emb3 a, emb3 b
+        WHERE a.vec_id < b.vec_id
+          AND list_cosine_similarity(a.e, b.e) >= 0.35
+    ), e AS (
+        SELECT id_a AS u, id_b AS v FROM p
+        UNION ALL
+        SELECT id_b, id_a FROM p
+    ), walk(v, r) AS (
+        SELECT u, u FROM e
+        UNION
+        SELECT w.v, e2.v FROM walk w JOIN e e2 ON e2.u = w.r
+    ), comp AS (
+        SELECT v AS node_id, MIN(r) AS component FROM walk GROUP BY v
+    ), deg AS (
+        SELECT u, COUNT(*) AS d FROM e GROUP BY u
+    ), n AS (SELECT COUNT(*) AS nn FROM deg),
+    r0 AS (
+        SELECT u, CAST(1000000000000 // nn AS BIGINT) AS r
+        FROM deg CROSS JOIN n
+    ), s1 AS (
+        SELECT e.v, CAST(SUM(r0.r // d.d) AS BIGINT) AS s
+        FROM e JOIN r0 ON r0.u = e.u JOIN deg d ON d.u = e.u GROUP BY e.v
+    ), r1 AS (
+        SELECT deg.u, CAST((3 * 1000000000000 // (20 * nn))
+            + (17 * coalesce(s, 0) // 20) AS BIGINT) AS r
+        FROM deg LEFT JOIN s1 ON s1.v = deg.u CROSS JOIN n
+    ), s2 AS (
+        SELECT e.v, CAST(SUM(r1.r // d.d) AS BIGINT) AS s
+        FROM e JOIN r1 ON r1.u = e.u JOIN deg d ON d.u = e.u GROUP BY e.v
+    ), r2 AS (
+        SELECT deg.u, CAST((3 * 1000000000000 // (20 * nn))
+            + (17 * coalesce(s, 0) // 20) AS BIGINT) AS r
+        FROM deg LEFT JOIN s2 ON s2.v = deg.u CROSS JOIN n
+    ), s3 AS (
+        SELECT e.v, CAST(SUM(r2.r // d.d) AS BIGINT) AS s
+        FROM e JOIN r2 ON r2.u = e.u JOIN deg d ON d.u = e.u GROUP BY e.v
+    ), r3 AS (
+        SELECT deg.u AS node_id, CAST((3 * 1000000000000 // (20 * nn))
+            + (17 * coalesce(s, 0) // 20) AS BIGINT) AS pagerank_fp
+        FROM deg LEFT JOIN s3 ON s3.v = deg.u CROSS JOIN n
+    ), scored AS (
+        SELECT c.component, c.node_id, r3.pagerank_fp,
+               COUNT(*) OVER (PARTITION BY c.component) AS n_members,
+               ROW_NUMBER() OVER (PARTITION BY c.component
+                   ORDER BY r3.pagerank_fp DESC, c.node_id ASC) AS rk
+        FROM comp c JOIN r3 ON r3.node_id = c.node_id
+    )
+    SELECT component, node_id AS canonical_id, pagerank_fp,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM scored WHERE rk = 1
+""")
+def dedup_canonical_by_centrality(spark, sf_dir):
+    """Centrality-based canonical selection: connected components over
+    the embedding near-dup graph, each cluster's keeper = its
+    max-PageRank member (the most-connected doc — the structural
+    alternative to dedup_canonical_pick's quality-score rule; ties on
+    the exact integer picorank break by id). Pure composition:
+    cosine_pairs -> connected_components + pagerank -> one join + one
+    per-component argmax window. The oracle replays the component walk
+    recursively AND the 3-iteration fixed-point recurrence in one
+    statement."""
+    from pyspark.sql import Window
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    pairs = S.cosine_pairs(emb, min_cosine=0.35)
+    comp = D.connected_components(pairs).withColumnRenamed("doc_id",
+                                                           "node_id")
+    pr = D.pagerank(pairs, n_iter=3, damping=0.85)
+    j = comp.join(pr, "node_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("pagerank_fp").desc(), F.col("node_id").asc())
+    wc = Window.partitionBy("component")
+    return (j.withColumn("n_members", F.count(F.lit(1)).over(wc))
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select("component", F.col("node_id").alias("canonical_id"),
+                    "pagerank_fp",
+                    F.col("n_members").cast("long").alias("n_members")))
+
+
 # Reorder AFTER every @query above has registered: the driver checks the
 # first _WINDOW_SIZE entries, so this call must stay at module end —
 # entries registered after it would never rotate into the window.

@@ -6534,6 +6534,64 @@ def dedup_canonical_by_centrality(spark, sf_dir):
                     F.col("n_members").cast("long").alias("n_members")))
 
 
+@query("events_retention_cohorts", oracle="""
+    WITH ue AS (
+        SELECT user_id,
+               CAST(FLOOR(FLOOR(extract(epoch FROM ts)) / 604800.0)
+                    AS BIGINT) AS week
+        FROM events
+    ), first AS (
+        SELECT user_id, MIN(week) AS cohort_week FROM ue GROUP BY user_id
+    ), act AS (
+        SELECT DISTINCT user_id, week FROM ue
+    ), cells AS (
+        SELECT f.cohort_week, a.week - f.cohort_week AS week_offset,
+               COUNT(*) AS n_users
+        FROM act a JOIN first f ON f.user_id = a.user_id
+        GROUP BY 1, 2
+    ), base AS (
+        SELECT cohort_week, n_users AS cohort_size FROM cells
+        WHERE week_offset = 0
+    )
+    SELECT c.cohort_week, c.week_offset, c.n_users,
+           CAST(c.cohort_size AS BIGINT) AS cohort_size,
+           CAST(c.n_users AS DOUBLE) / CAST(c.cohort_size AS DOUBLE)
+               AS retention
+    FROM (SELECT c.*, b.cohort_size FROM cells c
+          JOIN base b ON b.cohort_week = c.cohort_week) c
+""")
+def events_retention_cohorts(spark, sf_dir):
+    """Weekly retention cohorts — the classic warehouse triangle: users
+    grouped by first-activity week, each cell = distinct users from
+    that cohort active `week_offset` weeks later, with the retention
+    fraction against the cohort's own week-0 size. Integer epoch-week
+    arithmetic + one exact bigint/bigint division (engine-identical).
+    Plan: one user-keyed agg for first weeks, one distinct, one
+    user-keyed join (both sides pre-aggregated to user-week grain, so
+    the join moves ~active-user-weeks, never raw events), then a
+    cells-sized groupBy and a broadcast of the week-0 column."""
+    e = _t(spark, sf_dir, "events")
+    week = F.floor(F.col("ts").cast("long") / F.lit(604800.0)) \
+        .cast("long").alias("week")
+    ue = e.select("user_id", week)
+    first = ue.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    act = ue.distinct()
+    cells = (act.join(first, "user_id")
+             .groupBy("cohort_week",
+                      (F.col("week") - F.col("cohort_week"))
+                      .alias("week_offset"))
+             .agg(F.count(F.lit(1)).alias("n_users")))
+    base = (cells.filter(F.col("week_offset") == 0)
+            .select("cohort_week",
+                    F.col("n_users").alias("cohort_size")))
+    return (cells.join(F.broadcast(base), "cohort_week")
+            .select("cohort_week", "week_offset", "n_users",
+                    F.col("cohort_size").cast("long").alias("cohort_size"),
+                    (F.col("n_users").cast("double")
+                     / F.col("cohort_size").cast("double"))
+                    .alias("retention")))
+
+
 # Reorder AFTER every @query above has registered: the driver checks the
 # first _WINDOW_SIZE entries, so this call must stay at module end —
 # entries registered after it would never rotate into the window.

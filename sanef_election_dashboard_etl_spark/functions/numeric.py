@@ -31,6 +31,17 @@ the DECIMAL domain, cast to double after —
     oracle: CAST(ROUND(SUM(CAST(x AS DECIMAL(18,4))), 2) AS DOUBLE)
 Both engines round decimal ties half-away-from-zero (probe-verified
 positive and negative), so the cents value is identical by construction.
+
+CAST RULE (sf1-surfaced, r5): a DECIMAL -> DOUBLE cast is bit-identical
+cross-engine ONLY while the decimal's SCALED INTEGER fits in 2^53.
+Spark casts via BigDecimal.doubleValue() (one correctly-rounded step);
+DuckDB computes (double)int128 / 10^scale — TWO roundings that diverge
+once the int128 itself needs rounding to double. profile_embedding_drift
+hit this with a (38,12) sum whose scaled integer was ~2.4e16: d2 values
+agreed decimal-exactly, the CASTS disagreed in the last ulp. Therefore:
+before any decimal->double cast, ROUND in the decimal domain to a scale
+where |value| * 10^scale < 2^53 (~9e15). All scale<=6 money/score sums
+here are safely inside the bound; audit any decimal with scale >= 9.
 """
 
 from __future__ import annotations

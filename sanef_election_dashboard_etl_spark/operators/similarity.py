@@ -1200,3 +1200,72 @@ def rrf_fuse(rankings: list, k: int = 10, k_rrf: int = 60,
             .withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", id_col, "rrf_score", "n_lists"))
+
+
+def embedding_centroid_drift(old: DataFrame, new: DataFrame,
+                             cluster_col: str = "label",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Embedding-space drift between two snapshots: per cluster, the L2
+    distance between the snapshots' centroids — the drift family's
+    EMBEDDING axis (TVD = categorical mix, KS = numeric distribution,
+    OLS = metric-in-time, this = representation space). The alarm that
+    fires when an embedding model silently changes or a source's
+    content shifts under a stable categorical mix.
+
+    Exactness (sf1-surfaced, second iteration): a first cut took
+    per-coordinate MEANS via davg and differenced them — but davg's
+    round-at-6 of a quotient hits digit-7 near-ties under sf1's
+    denominators (the same engine-ROUND split as fixed-point PageRank;
+    sim_embedding_centroids escapes it only by luck of its divisor).
+    So NO division happens per coordinate: with exact decimal sums S
+    and counts n, the centroid difference is
+        d_i = S_old_i * n_new - S_new_i * n_old   (decimal-exact)
+    and  l2 = sqrt(sum d_i^2) / (n_old * n_new)    (two IEEE ops at
+    the very end, fixed order, engine-identical). d_i is cast to
+    DECIMAL(18,6) before squaring so the square stays in (37,12) —
+    (19,6) would square to precision 39, which Spark caps at 38 by
+    SHAVING THE SCALE to 11 while DuckDB keeps all 38 digits (found
+    by this very gate) — exact while |coord|*n_old*n_new < 10^12 per cluster (far beyond
+    these fixtures; for planet-scale cluster populations pre-divide
+    counts by a common factor, the TVD overflow note).
+
+    Shape: two posexplode + groupBy(cluster, dim) aggregates (uniform
+    keys, map-side combined), a (cluster x dim)-sized join, a
+    cluster-sized final groupBy. The corpus vectors never shuffle
+    whole. Output (cluster, n_old, n_new, l2_drift)."""
+    def per_coord(df: DataFrame, tag: str) -> DataFrame:
+        d = df.select(F.col(cluster_col).alias("cluster"),
+                      F.posexplode(_as_double(F.col(vec_col)))
+                       .alias("i", "x"))
+        return (d.groupBy("cluster", "i")
+                .agg(F.count(F.lit(1)).alias(f"n_{tag}"),
+                     F.sum(F.round(F.col("x"), 6).cast("decimal(18,6)"))
+                     .alias(f"s_{tag}")))
+
+    o = per_coord(old, "old")
+    n = per_coord(new, "new")
+    j = o.join(n, ["cluster", "i"])
+    d = ((F.col("s_old") * F.col("n_new")
+          - F.col("s_new") * F.col("n_old"))
+         .cast("decimal(18,6)"))
+    per = j.groupBy("cluster").agg(
+        F.max("n_old").cast("long").alias("n_old"),
+        F.max("n_new").cast("long").alias("n_new"),
+        F.sum(d * d).alias("__d2"))
+    # ROUND the (38,12) sum at 3 IN THE DECIMAL DOMAIN before the
+    # double cast: a scale-12 decimal's scaled integer exceeds 2^53, and
+    # DuckDB casts decimal->double as (double)int128 / 10^12 — TWO
+    # roundings vs Spark's correctly-rounded BigDecimal cast (third
+    # sf1-class find of this gate). Scale 3 keeps the scaled integer
+    # under 2^53 while d2 < ~9e12 (n^4-ish growth; pre-divide counts
+    # beyond that). The 1e-3 absolute d2 perturbation is ~1e-13
+    # relative on the reported drift at sf1 magnitudes. NOTE the
+    # oracle casts d to DECIMAL(19,6) (int128 backing — DuckDB's (18,6)
+    # multiply overflows its int64 physical type at sf1 magnitudes)
+    # while Spark keeps (18,6) (a (19,6) square would exceed precision
+    # 38 and shave scale); both are value-exact, which is what matters.
+    return per.select(
+        "cluster", "n_old", "n_new",
+        (F.sqrt(F.round(F.col("__d2"), 3).cast("double"))
+         / (F.col("n_old") * F.col("n_new")).cast("double"))
+        .alias("l2_drift"))

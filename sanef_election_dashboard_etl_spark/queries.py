@@ -6592,6 +6592,45 @@ def events_retention_cohorts(spark, sf_dir):
                     .alias("retention")))
 
 
+@query("profile_embedding_drift", oracle="""
+    WITH v AS (
+        SELECT vec_id, label AS cluster, embedding::DOUBLE[] AS e
+        FROM embeddings
+    ), ex AS (
+        SELECT vec_id, cluster, t.i, e[t.i] AS x
+        FROM v, unnest(generate_series(1, len(e))) AS t(i)
+    ), o AS (
+        SELECT cluster, i, COUNT(*) AS n_old,
+               SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) AS s_old
+        FROM ex WHERE vec_id % 2 = 0 GROUP BY cluster, i
+    ), nn AS (
+        SELECT cluster, i, COUNT(*) AS n_new,
+               SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) AS s_new
+        FROM ex WHERE vec_id % 2 = 1 GROUP BY cluster, i
+    ), j AS (
+        SELECT o.cluster, o.n_old, nn.n_new,
+               CAST(s_old * n_new - s_new * n_old AS DECIMAL(19,6)) AS d
+        FROM o JOIN nn ON nn.cluster = o.cluster AND nn.i = o.i
+    )
+    SELECT cluster, CAST(MAX(n_old) AS BIGINT) AS n_old,
+           CAST(MAX(n_new) AS BIGINT) AS n_new,
+           sqrt(CAST(ROUND(SUM(d * d), 3) AS DOUBLE))
+               / CAST(MAX(n_old) * MAX(n_new) AS DOUBLE) AS l2_drift
+    FROM j GROUP BY cluster
+""")
+def profile_embedding_drift(spark, sf_dir):
+    """Embedding-space drift (similarity.embedding_centroid_drift): L2
+    distance between per-label centroids of two deterministic snapshot
+    halves (even/odd vec_id — the stand-in for crawl N vs crawl N+1).
+    Per-coordinate means via the davg discipline; diffs/squares/sums
+    all exact decimal arithmetic; one final sqrt. The drift family's
+    embedding axis beside TVD / KS / OLS."""
+    emb = _t(spark, sf_dir, "embeddings")
+    old = emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0)
+    new = emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1)
+    return S.embedding_centroid_drift(old, new, cluster_col="label")
+
+
 # Reorder AFTER every @query above has registered: the driver checks the
 # first _WINDOW_SIZE entries, so this call must stay at module end —
 # entries registered after it would never rotate into the window.

@@ -6631,6 +6631,65 @@ def profile_embedding_drift(spark, sf_dir):
     return S.embedding_centroid_drift(old, new, cluster_col="label")
 
 
+@query("dedup_chunk_duplication", oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           t -> t <> '') AS toks
+        FROM documents
+    ), sized AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               CASE WHEN len(toks) <= 0 THEN 0
+                    ELSE (len(toks) + 15) // 16 END AS n_chunks
+        FROM tok
+    ), chunks AS (
+        SELECT doc_id,
+               array_to_string(list_slice(
+                   toks, chunk_id * 16 + 1, chunk_id * 16 + 16), ' ')
+                   AS chunk_text
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+              FROM sized WHERE n_chunks > 0)
+    ), freq AS (
+        SELECT chunk_text, COUNT(DISTINCT doc_id) AS nd
+        FROM chunks GROUP BY chunk_text
+    )
+    SELECT c.doc_id, COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks,
+           CAST(SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS dup_fraction
+    FROM chunks c JOIN freq f ON f.chunk_text = c.chunk_text
+    GROUP BY c.doc_id
+""")
+def dedup_chunk_duplication(spark, sf_dir):
+    """Chunk-grain corpus duplication profile — the C4/Dolma
+    paragraph-dedup analog on a fixture with no newlines: cut every doc
+    into contiguous 16-token windows (chunk_documents, overlap 0),
+    count each window's distinct-document frequency corpus-wide, and
+    report per doc how much of it is boilerplate shared with OTHER
+    documents (n_dup_chunks, dup_fraction). The removal step is then
+    strip-or-drop by threshold (dedup_substring_strip is the span-exact
+    sibling). Scale note: the verification form joins on the chunk TEXT
+    so the oracle replays byte-for-byte; a production run digests the
+    window first (xxhash64/md5 — the dedup_exact discipline) so the
+    frequency shuffle moves 16-byte keys, never text."""
+    docs = _t(spark, sf_dir, "documents")
+    chunks = PK.chunk_documents(docs, max_tokens=16, overlap=0) \
+        .select("doc_id", "chunk_text")
+    freq = (chunks.groupBy("chunk_text")
+            .agg(F.count_distinct(F.col("doc_id")).alias("nd")))
+    dup = (F.col("nd") >= 2).cast("long")
+    return (chunks.join(freq, "chunk_text")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.sum(dup).alias("n_dup_chunks"))
+            .select("doc_id", "n_chunks", "n_dup_chunks",
+                    (F.col("n_dup_chunks").cast("double")
+                     / F.col("n_chunks").cast("double"))
+                    .alias("dup_fraction")))
+
+
 # Reorder AFTER every @query above has registered: the driver checks the
 # first _WINDOW_SIZE entries, so this call must stay at module end —
 # entries registered after it would never rotate into the window.

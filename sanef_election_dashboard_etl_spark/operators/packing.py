@@ -149,3 +149,42 @@ def write_shards(df: DataFrame, path: str, n_shards: int,
 
     return partitioned_write(assign_shards(df, n_shards, id_col, salt),
                              path, ["shard"])
+
+
+def pack_efficiency(df: DataFrame, token_col: str, budget: int,
+                    n_groups: int = 8, id_col: str = "doc_id") -> DataFrame:
+    """Packing-efficiency report over `pack_sequences` output: per
+    pack_group, how full the loader bins actually are — the padding-
+    waste metric that decides whether the token budget / group count
+    are sized right before an expensive training run.
+
+    A doc lands in the bin where its cumulative prefix STARTS, so a
+    bin's fill hovers around `budget` (the last doc may overhang —
+    overflow bins are counted, not an error). Columns per group:
+    n_bins, n_docs, total_tokens, capacity = n_bins*budget, max/min
+    fill, n_overflow_bins, and utilization = total_tokens/capacity
+    (exact bigints, ONE final double division — engine-portable,
+    numeric.py rules).
+
+    Scale: the pack window's per-group sort is the documented
+    pack_sequences bound; on top of it this is two hash aggregates
+    (docs -> bins -> groups), the second over a metadata-sized bin
+    table. Nothing here touches text.
+    """
+    packed = pack_sequences(df, token_col, budget, n_groups, id_col)
+    bins = packed.groupBy("pack_group", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("fill"))
+    return (bins.groupBy("pack_group")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_bins"),
+                 F.sum("n_docs").cast("long").alias("n_docs"),
+                 F.sum("fill").cast("long").alias("total_tokens"),
+                 F.max("fill").cast("long").alias("max_fill"),
+                 F.min("fill").cast("long").alias("min_fill"),
+                 F.sum(F.when(F.col("fill") > budget, 1).otherwise(0))
+                  .cast("long").alias("n_overflow_bins"))
+            .withColumn("capacity",
+                        (F.col("n_bins") * F.lit(int(budget))).cast("long"))
+            .withColumn("utilization",
+                        F.col("total_tokens").cast("double") /
+                        F.col("capacity").cast("double")))

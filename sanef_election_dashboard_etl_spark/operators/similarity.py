@@ -1269,3 +1269,172 @@ def embedding_centroid_drift(old: DataFrame, new: DataFrame,
         (F.sqrt(F.round(F.col("__d2"), 3).cast("double"))
          / (F.col("n_old") * F.col("n_new")).cast("double"))
         .alias("l2_drift"))
+
+
+def hard_negatives(emb: DataFrame, anchors: DataFrame, k: int = 5,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label",
+                   min_cos: float | None = None,
+                   max_cos: float | None = None) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the k most cosine-similar corpus vectors with a DIFFERENT label.
+
+    The negatives that matter for a contrastive loss are the ones the
+    model currently confuses — nearest neighbors across the label
+    boundary. Optional `[min_cos, max_cos)` band selects SEMI-hard
+    negatives (close, but not so close they are likely mislabeled —
+    the FaceNet band).
+
+    Scale: anchors are small by contract (a training mini-batch or a
+    probe set) and broadcast; the corpus never shuffles, scoring stays
+    in codegen (`aggregate(zip_with(...))`), and the per-anchor ranking
+    is a WindowGroupLimit top-k. Full-corpus mining at 100 TB routes
+    candidates through `hamming_topk`/`ivf_topk` with an oversampled k
+    first, then applies the label filter — this operator is the exact
+    tier over those candidates. Output (anchor_id, rank, negative_id):
+    ids only, ties broken by id (float scores never enter a hash).
+    """
+    c = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("negative_id"), F.col(label_col).alias("__nl"),
+        F.col("__v").alias("cv"), F.col("__norm").alias("cn"))
+    a = with_norm(anchors, vec_col).select(
+        F.col(id_col).alias("anchor_id"), F.col(label_col).alias("__al"),
+        F.col("__v").alias("qv"), F.col("__norm").alias("qn"))
+    scored = (c.join(F.broadcast(a), F.col("__nl") != F.col("__al"))
+              .withColumn("cos", dot(F.col("qv"), F.col("cv")) /
+                          (F.col("qn") * F.col("cn"))))
+    if min_cos is not None:
+        scored = scored.filter(F.col("cos") >= F.lit(float(min_cos)))
+    if max_cos is not None:
+        scored = scored.filter(F.col("cos") < F.lit(float(max_cos)))
+    from pyspark.sql import Window
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos"), F.asc("negative_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("anchor_id", "rank", "negative_id"))
+
+
+def knn_graph(emb: DataFrame, k: int = 5, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Symmetric k-NN graph: each vector's directed top-k cosine edges,
+    folded to undirected (id_a < id_b) with a `mutual` flag (true when
+    BOTH endpoints rank each other in their top-k — the reciprocal
+    edges graph-clustering algorithms weight higher).
+
+    The output feeds `dedup.connected_components*` / PageRank directly:
+    kNN-graph + components is the standard semantic-clustering recipe
+    when centroid counts are unknown (vs `semantic_dedup`'s fixed
+    hyperplane cells).
+
+    Scale: the exact tier is deliberately quadratic (like
+    `cosine_pairs`) — callers bound the input, and the 100 TB path
+    generates the directed edges per-vector via the banded tiers
+    (`hamming_topk` radius prefilter or `ivf_topk` probe join) and
+    reuses only the fold step here: the symmetrize is ONE groupBy on
+    the unordered edge key, linear in edges (n*k rows). Ids only.
+    """
+    n = with_norm(emb, vec_col)
+    a = n.select(F.col(id_col).alias("src"),
+                 F.col("__v").alias("va"), F.col("__norm").alias("na"))
+    b = n.select(F.col(id_col).alias("dst"),
+                 F.col("__v").alias("vb"), F.col("__norm").alias("nb"))
+    scored = (a.join(b, F.col("src") != F.col("dst"))
+              .withColumn("cos", dot(F.col("va"), F.col("vb")) /
+                          (F.col("na") * F.col("nb"))))
+    from pyspark.sql import Window
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
+    edges = (scored.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") <= k).select("src", "dst"))
+    und = edges.select(F.least("src", "dst").alias("id_a"),
+                       F.greatest("src", "dst").alias("id_b"))
+    return (und.groupBy("id_a", "id_b")
+            .agg((F.count(F.lit(1)) == F.lit(2)).alias("mutual")))
+
+
+def mmr_rerank(emb: DataFrame, queries: DataFrame, k: int = 4,
+               pool: int = 16, lam: float = 0.7,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998):
+    per query, greedily select k results from the exact top-`pool`
+    candidates maximizing `lam*relevance - (1-lam)*max_sim_to_selected`
+    — the standard diversification pass that stops a retrieval page
+    being k copies of the same near-duplicate document.
+
+    Spark-first shape: the greedy recurrence has a FIXED depth k, so it
+    unrolls into ONE lazy plan — k chained (join + window-argmax)
+    stages over the candidate table, all inside codegen; no Python in
+    the loop, no driver iteration over per-query state. The candidate
+    and pairwise-sim tables are persisted: they are |queries| x pool
+    (metadata-sized by contract — queries are a search page, pool is a
+    shortlist), and each unrolled stage re-reads them instead of
+    re-scanning the corpus.
+
+    Scale: stage 1 is exactly the cosine_topk plan (corpus never
+    shuffles, broadcast queries, WindowGroupLimit); everything after
+    operates on |queries| x pool rows regardless of corpus size. At
+    100 TB swap stage 1 for `hamming_topk`/`ivf_topk` with an
+    oversampled pool. Determinism: scores are IEEE double chains over
+    the same cosine inputs in both engines, ties break by id, and the
+    output is (query_id, rank, neighbor_id) — ids only.
+    """
+    if k < 1 or pool < k:
+        raise ValueError("need 1 <= k <= pool")
+    mu = 1.0 - lam
+    c = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__v").alias("cv"), F.col("__norm").alias("cn"))
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__v").alias("qv"), F.col("__norm").alias("qn"))
+    scored = (c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("rel", dot(F.col("qv"), F.col("cv")) /
+                          (F.col("qn") * F.col("cn"))))
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.asc("neighbor_id"))
+    cand = (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= pool)
+            .select("query_id", "neighbor_id", "rel", "cv", "cn")
+            .persist())
+    a = cand.select(F.col("query_id"), F.col("neighbor_id").alias("ida"),
+                    F.col("cv").alias("va"), F.col("cn").alias("na"))
+    b = cand.select(F.col("query_id"), F.col("neighbor_id").alias("idb"),
+                    F.col("cv").alias("vb"), F.col("cn").alias("nb"))
+    sims = (a.join(b, "query_id")
+            .filter(F.col("ida") != F.col("idb"))
+            .withColumn("s", dot(F.col("va"), F.col("vb")) /
+                        (F.col("na") * F.col("nb")))
+            .select("query_id", "ida", "idb", "s")
+            .persist())
+
+    def argmax(df: DataFrame, score: str) -> DataFrame:
+        ws = Window.partitionBy("query_id").orderBy(
+            F.desc(score), F.asc("neighbor_id"))
+        return (df.withColumn("__r", F.row_number().over(ws))
+                .filter(F.col("__r") == 1)
+                .select("query_id", "neighbor_id"))
+
+    sel = argmax(cand, "rel")
+    out = [sel.withColumn("rank", F.lit(1).cast("long"))]
+    prev = sel
+    for i in range(2, k + 1):
+        mx = (sims.join(prev.select("query_id",
+                                    F.col("neighbor_id").alias("idb")),
+                        ["query_id", "idb"])
+              .groupBy("query_id", "ida").agg(F.max("s").alias("mx")))
+        remaining = (cand.join(prev, ["query_id", "neighbor_id"],
+                               "left_anti")
+                     .join(mx.select("query_id",
+                                     F.col("ida").alias("neighbor_id"),
+                                     "mx"),
+                           ["query_id", "neighbor_id"])
+                     .withColumn("mmr", F.lit(lam) * F.col("rel") -
+                                 F.lit(mu) * F.col("mx")))
+        sel_i = argmax(remaining, "mmr")
+        out.append(sel_i.withColumn("rank", F.lit(i).cast("long")))
+        prev = prev.unionByName(sel_i)
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res.select("query_id", "rank", "neighbor_id")

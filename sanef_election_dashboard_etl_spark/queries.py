@@ -4811,6 +4811,190 @@ def r6_unpivot_native(spark, sf_dir):
                         "measure", "amount")
 
 
+@query("sim_hard_negatives", oracle="""
+    WITH a AS (
+        SELECT vec_id AS anchor_id, label AS al, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 10
+    ), c AS (
+        SELECT vec_id AS negative_id, label AS nl,
+               embedding::DOUBLE[] AS cv
+        FROM embeddings
+    ), scored AS (
+        SELECT anchor_id, negative_id,
+               list_cosine_similarity(qv, cv) AS cos
+        FROM a, c WHERE nl != al
+    )
+    SELECT anchor_id, rank, negative_id FROM (
+        SELECT anchor_id, negative_id,
+               row_number() OVER (PARTITION BY anchor_id
+                                  ORDER BY cos DESC, negative_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+""")
+def sim_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: per anchor, the 5
+    nearest corpus vectors across the label boundary (the negatives a
+    contrastive loss learns most from). Anchors broadcast, corpus never
+    shuffles, label filter is the join predicate, per-anchor ranking is
+    a WindowGroupLimit. Ids only — same determinism contract as
+    sim_topk_cosine (module rules)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.hard_negatives(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query("sim_knn_graph", oracle="""
+    WITH e AS (
+        SELECT vec_id AS src, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id < 1500
+    ), scored AS (
+        SELECT a.src AS src, b.src AS dst,
+               list_cosine_similarity(a.v, b.v) AS cos
+        FROM e a, e b WHERE a.src != b.src
+    ), edges AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY cos DESC, dst) AS rn
+            FROM scored
+        ) WHERE rn <= 5
+    )
+    SELECT id_a, id_b, count(*) = 2 AS mutual
+    FROM (SELECT least(src, dst) AS id_a, greatest(src, dst) AS id_b
+          FROM edges)
+    GROUP BY id_a, id_b
+""")
+def sim_knn_graph(spark, sf_dir):
+    """Symmetric k-NN graph (k=5) over a bounded corpus slice: directed
+    cosine top-k per vector folded to undirected edges with a `mutual`
+    (reciprocal-edge) flag. The edge list feeds connected-components /
+    PageRank for centroid-free semantic clustering. The exact tier is
+    quadratic by design (cosine_pairs family) — the vec_id < 1500 bound
+    keeps the registry entry's candidate set fixed across SFs; the
+    100 TB path generates directed edges via the hamming/IVF tiers and
+    reuses only the linear symmetrize groupBy (docstring)."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1500)
+    return S.knn_graph(emb, k=5)
+
+
+@query("pack_efficiency", oracle="""
+    WITH g AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_tokens,
+               CAST(doc_id % 8 AS BIGINT) AS pack_group
+        FROM documents
+    ), c AS (
+        SELECT doc_id, pack_group, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY pack_group
+                    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens
+                    AS BIGINT) AS cum_before
+        FROM g
+    ), packed AS (
+        SELECT pack_group, n_tokens,
+               CAST(FLOOR(cum_before / 4000.0) AS BIGINT) AS bin_id
+        FROM c
+    ), bins AS (
+        SELECT pack_group, bin_id, COUNT(*) AS n_docs,
+               SUM(n_tokens) AS fill
+        FROM packed GROUP BY pack_group, bin_id
+    )
+    SELECT pack_group,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(fill) AS BIGINT) AS total_tokens,
+           CAST(MAX(fill) AS BIGINT) AS max_fill,
+           CAST(MIN(fill) AS BIGINT) AS min_fill,
+           CAST(SUM(CASE WHEN fill > 4000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_overflow_bins,
+           CAST(COUNT(*) * 4000 AS BIGINT) AS capacity,
+           CAST(SUM(fill) AS BIGINT)::DOUBLE /
+               (CAST(COUNT(*) * 4000 AS BIGINT))::DOUBLE AS utilization
+    FROM bins GROUP BY pack_group
+""")
+def pack_efficiency(spark, sf_dir):
+    """Packing-efficiency report (padding-waste observability for the
+    loader-order tier): per pack_group bin-fill stats + utilization over
+    the same 4000-token pack_sequences configuration. Exact bigint
+    sums, one final double division (numeric.py rules)."""
+    docs = _t(spark, sf_dir, "documents")
+    return PK.pack_efficiency(docs, "n_chars", 4000, n_groups=8)
+
+
+def _mmr_oracle_sql(k: int = 4, pool: int = 12, lam: float = 0.7,
+                    n_queries: int = 8) -> str:
+    """Unroll the fixed-depth MMR greedy recurrence into one SQL
+    statement (the same unrolling mmr_rerank performs on the DataFrame
+    side — SQL CTEs sel1..selk mirror the plan's chained stages).
+    Constants ride in via repr(float) for exact double round-trip."""
+    head = f"""
+    WITH qset AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < {n_queries}
+    ), corp AS (
+        SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+        FROM embeddings
+    ), cand AS (
+        SELECT query_id, neighbor_id, rel, cv FROM (
+            SELECT query_id, neighbor_id, rel, cv,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY rel DESC, neighbor_id) AS rn
+            FROM (SELECT q.query_id, c.neighbor_id,
+                         list_cosine_similarity(q.qv, c.cv) AS rel, c.cv
+                  FROM qset q, corp c WHERE c.neighbor_id != q.query_id)
+        ) WHERE rn <= {pool}
+    ), sims AS (
+        SELECT a.query_id, a.neighbor_id AS ida, b.neighbor_id AS idb,
+               list_cosine_similarity(a.cv, b.cv) AS s
+        FROM cand a JOIN cand b ON a.query_id = b.query_id
+                               AND a.neighbor_id != b.neighbor_id
+    ), sel1 AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY rel DESC, neighbor_id) AS r
+            FROM cand) WHERE r = 1
+    )"""
+    parts = [head]
+    for i in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT * FROM sel{j}" for j in range(1, i))
+        parts.append(f""", prev{i} AS ({prev}
+    ), sel{i} AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT c.query_id, c.neighbor_id,
+                   row_number() OVER (PARTITION BY c.query_id
+                       ORDER BY {lam!r} * c.rel - (1.0 - {lam!r}) * m.mx
+                                    DESC,
+                                c.neighbor_id) AS r
+            FROM cand c
+            JOIN (SELECT s.query_id, s.ida AS neighbor_id, max(s.s) AS mx
+                  FROM sims s JOIN prev{i} p
+                    ON s.query_id = p.query_id AND s.idb = p.neighbor_id
+                  GROUP BY s.query_id, s.ida) m
+              ON c.query_id = m.query_id AND c.neighbor_id = m.neighbor_id
+            WHERE NOT EXISTS (SELECT 1 FROM prev{i} p
+                              WHERE p.query_id = c.query_id
+                                AND p.neighbor_id = c.neighbor_id)
+        ) WHERE r = 1
+    )""")
+    parts.append("\n    " + "\n    UNION ALL ".join(
+        f"SELECT query_id, CAST({i} AS BIGINT) AS rank, neighbor_id "
+        f"FROM sel{i}" for i in range(1, k + 1)))
+    return "".join(parts)
+
+
+@query("sim_mmr_rerank", oracle=_mmr_oracle_sql())
+def sim_mmr_rerank(spark, sf_dir):
+    """MMR diversified re-rank: exact top-12 cosine shortlist per query,
+    then the fixed-depth greedy `0.7*rel - 0.3*max_sim_to_selected`
+    selection of 4, unrolled into one lazy plan (no Python in the
+    loop). The oracle unrolls the SAME recurrence into chained SQL CTEs
+    — generated from the same constants via repr(float). Ids only;
+    every score chain is IEEE double arithmetic over the same cosine
+    inputs in both engines, ties break by id."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.mmr_rerank(emb, emb.filter(F.col("vec_id") < 8),
+                        k=4, pool=12, lam=0.7)
+
+
 # ==========================================================================
 # Driver-window ordering
 # ==========================================================================

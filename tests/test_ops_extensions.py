@@ -2338,3 +2338,87 @@ def test_trend_ols_recovers_exact_line_and_guards_singletons(spark):
              trend_ols(df.repartition(7), "x", "y",
                        group_col="grp").collect()}
     assert again["g"] == (out["g"]["slope"], out["g"]["intercept"])
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining + kNN graph (contrastive-training / clustering tier)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def labeled_vecs(spark):
+    return spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0], 0),
+         (1, [0.9, 0.1, 0.0], 1),    # nearest cross-label to 0
+         (2, [0.0, 1.0, 0.0], 1),
+         (3, [0.0, 0.0, 1.0], 2),
+         (4, [1.0, 0.01, 0.0], 0)],  # nearest overall to 0 — same label
+        "vec_id long, embedding array<float>, label int")
+
+
+def test_hard_negatives_exclude_same_label(spark, labeled_vecs):
+    out = S.hard_negatives(
+        labeled_vecs, labeled_vecs.filter(F.col("vec_id") == 0), k=3)
+    got = rows(out, "rank", "negative_id")
+    # vec 4 (nearest, same label) never appears; cos ties (2,3 both
+    # orthogonal) break by id.
+    assert got == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_hard_negatives_semi_hard_band(spark, labeled_vecs):
+    out = S.hard_negatives(
+        labeled_vecs, labeled_vecs.filter(F.col("vec_id") == 0), k=3,
+        max_cos=0.99)
+    got = rows(out, "rank", "negative_id")
+    # the too-close negative (vec 1, cos ~0.994) is banded out
+    assert got == [(1, 2), (2, 3)]
+
+
+def test_knn_graph_mutual_flag(spark):
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.99, 0.01, 0.0]),
+         (2, [0.0, 1.0, 0.0]), (3, [0.0, 0.99, 0.01]),
+         (4, [0.7, 0.3, 0.0])],
+        "vec_id long, embedding array<float>")
+    got = rows(S.knn_graph(vecs, k=1), "id_a", "id_b", "mutual")
+    # two reciprocal cluster pairs; 4's best edge points INTO cluster 1
+    # but 1's best edge is 0, so (1, 4) is one-directional.
+    assert sorted(got) == [(0, 1, True), (1, 4, False), (2, 3, True)]
+
+
+def test_mmr_rerank_diversifies_near_duplicates(spark):
+    # candidates 1 and 2 are near-duplicates of each other; 3 is less
+    # relevant but diverse (rel > its sim to the first pick); 4 is
+    # orthogonal noise. Plain top-2 returns the duplicate pair; MMR
+    # swaps the duplicate for the diverse doc at rank 2.
+    emb = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]),
+         (1, [0.999, 0.01, 0.0]),
+         (2, [0.998, 0.012, 0.0]),
+         (3, [0.5, -0.5, 0.0]),
+         (4, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 100)
+    plain = rows(S.cosine_topk(emb, q, k=2), "rank", "neighbor_id")
+    assert plain == [(1, 1), (2, 2)]
+    mmr = rows(S.mmr_rerank(emb, q, k=2, pool=4, lam=0.5),
+               "rank", "neighbor_id")
+    assert mmr == [(1, 1), (2, 3)]
+
+
+def test_mmr_rerank_k1_equals_topk(spark, labeled_vecs):
+    q = labeled_vecs.filter(F.col("vec_id") == 0)
+    assert (rows(S.mmr_rerank(labeled_vecs, q, k=1, pool=3), "neighbor_id")
+            == rows(S.cosine_topk(labeled_vecs, q, k=1), "neighbor_id"))
+
+
+def test_pack_efficiency_fill_and_overflow(spark):
+    from sanef_election_dashboard_etl_spark.operators.packing import (
+        pack_efficiency)
+    docs = spark.createDataFrame(
+        [(1, 6), (2, 6), (3, 6), (4, 2)], "doc_id long, n long")
+    # one group, budget 10: cum_before 0,6,12,18 -> bins 0,0,1,1;
+    # bin 0 fills to 12 (overflow), bin 1 to 8.
+    got = pack_efficiency(docs, "n", budget=10, n_groups=1).collect()[0]
+    assert (got.n_bins, got.n_docs, got.total_tokens) == (2, 4, 20)
+    assert (got.max_fill, got.min_fill, got.n_overflow_bins) == (12, 8, 1)
+    assert got.capacity == 20 and got.utilization == 1.0

@@ -33,6 +33,15 @@ MUST_HAVE = {
     "q1_pricing_summary": ["HashAggregate", "PushedFilters: [IsNotNull(l_shipdate)"],
     "pipe_hung_councils": ["BroadcastHashJoin", "HashAggregate"],
     "sim_topk_cosine": ["BroadcastNestedLoopJoin"],  # deliberate: tiny query side
+    # hard-negative mining: anchor batch broadcasts (label-mismatch is
+    # the non-equi join predicate); per-anchor top-k pushes the limit
+    "sim_hard_negatives": ["BroadcastNestedLoopJoin", "WindowGroupLimit"],
+    # kNN graph: bounded exact tier — directed top-k via WindowGroupLimit,
+    # then ONE hash agg on the unordered edge key for the symmetrize
+    "sim_knn_graph": ["WindowGroupLimit", "HashAggregate"],
+    # MMR: stage 1 is the cosine_topk shape (broadcast query side);
+    # the unrolled greedy stages read the persisted candidate table
+    "sim_mmr_rerank": ["BroadcastNestedLoopJoin", "InMemoryTableScan"],
     # hamming prefilter: tiny signed query side broadcasts into a
     # nested-loop popcount filter; the corpus is scanned in place
     "sim_topk_hamming": ["BroadcastNestedLoopJoin"],
@@ -272,6 +281,7 @@ AUDIT = [
     "agg_incremental_merge", "dedup_pagerank_centrality",
     "profile_dataset_fingerprint", "profile_trend_ols",
     "pipe_mixture_recipe", "pipe_loader_order",
+    "sim_hard_negatives", "sim_knn_graph", "sim_mmr_rerank",
 ]
 
 

@@ -4918,6 +4918,61 @@ def pack_efficiency(spark, sf_dir):
     return PK.pack_efficiency(docs, "n_chars", 4000, n_groups=8)
 
 
+@query("sim_knn_graph_clusters", oracle="""
+    WITH RECURSIVE e AS (
+        SELECT vec_id AS src, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id < 1500
+    ), scored AS (
+        SELECT a.src AS src, b.src AS dst,
+               list_cosine_similarity(a.v, b.v) AS cos
+        FROM e a, e b WHERE a.src != b.src
+    ), edges0 AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY cos DESC, dst) AS rn
+            FROM scored
+        ) WHERE rn <= 5
+    ), mut AS (
+        SELECT id_a, id_b
+        FROM (SELECT least(src, dst) AS id_a, greatest(src, dst) AS id_b
+              FROM edges0)
+        GROUP BY id_a, id_b HAVING count(*) = 2
+    ), ed AS (
+        SELECT id_a AS u, id_b AS v FROM mut
+        UNION
+        SELECT id_b, id_a FROM mut
+    ), walk(v, r) AS (
+        SELECT u, u FROM ed
+        UNION
+        SELECT w.v, e2.v FROM walk w JOIN ed e2 ON e2.u = w.r
+    ), comp AS (
+        SELECT v, MIN(r) AS component FROM walk GROUP BY v
+    )
+    SELECT a.vec_id,
+           CAST(COALESCE(c.component, a.vec_id) AS BIGINT) AS cluster
+    FROM (SELECT vec_id FROM embeddings WHERE vec_id < 1500) a
+    LEFT JOIN comp c ON c.v = a.vec_id
+""")
+def sim_knn_graph_clusters(spark, sf_dir):
+    """Centroid-free semantic clustering, end to end: mutual kNN edges
+    (reciprocal top-5 cosine neighbors) -> O(log n) connected
+    components -> EVERY vector assigned a cluster (singletons keep
+    their own id — no silently-missing rows, the source_overlap_matrix
+    lesson). The oracle replays the graph build and closes the
+    components with a recursive CTE. This is the unknown-cluster-count
+    sibling of semantic_dedup's fixed hyperplane cells."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1500)
+    pairs = (S.knn_graph(emb, k=5)
+             .filter(F.col("mutual")).select("id_a", "id_b"))
+    comp = D.connected_components_logn(pairs)
+    return (emb.select("vec_id")
+            .join(comp, F.col("vec_id") == F.col("doc_id"), "left")
+            .select(F.col("vec_id"),
+                    F.coalesce(F.col("component"), F.col("vec_id"))
+                     .cast("long").alias("cluster")))
+
+
 def _mmr_oracle_sql(k: int = 4, pool: int = 12, lam: float = 0.7,
                     n_queries: int = 8) -> str:
     """Unroll the fixed-depth MMR greedy recurrence into one SQL

@@ -432,3 +432,52 @@ def token_budget_cap(df: DataFrame, budget_tokens: int,
             .withColumn("cum_tokens", F.sum("n_tokens").over(w))
             .filter(F.col("cum_tokens") <= F.lit(int(budget_tokens)))
             .select(id_col, group_col, "n_tokens", "cum_tokens"))
+
+
+def dedup_weighted_sample(df: DataFrame, cluster_col: str,
+                          key_col: str = "doc_id",
+                          target_copies: float = 1.0) -> DataFrame:
+    """Duplicate-downweighted sampling (the SlimPajama/soft-dedup
+    recipe): each row survives with probability ~target_copies/
+    cluster_size, so a duplicate cluster contributes ~target_copies
+    documents in expectation instead of all its copies — downweighting
+    repeated content without the hard keep-exactly-one rule (which
+    over-prunes when duplication itself carries signal).
+
+    The keep rule is INTEGER-exact and engine-portable:
+    `hash_bucket(key) * cluster_size < _M * target_copies` — no float
+    division, deterministic per key, partition-independent (the same
+    doc survives on any cluster layout or rerun).
+
+    Shape: one window count over the cluster key (a single exchange —
+    clusters are hash-uniform digests, skew-free) + a narrow filter.
+    The text never moves twice: at 100 TB run it on (key, cluster)
+    fingerprint pairs and semi-join the survivors back, like
+    exact_dedup does.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(cluster_col)
+    thresh = int(round(_M * target_copies))
+    return (df.withColumn("__cs", F.count(F.lit(1)).over(w).cast("long"))
+            .filter(hash_bucket(F.col(key_col).cast("string")) *
+                    F.col("__cs") < F.lit(thresh))
+            .drop("__cs"))
+
+
+def split_by_cluster(df: DataFrame, cluster_col: str,
+                     splits: Mapping[str, float] | None = None,
+                     out_col: str = "split") -> DataFrame:
+    """Leakage-safe train/val/test assignment: split on the DUPLICATE-
+    CLUSTER id, not the document id, so near-duplicates can never land
+    on opposite sides of the boundary (doc-grain splitting leaks eval
+    content into training whenever a near-dup pair straddles the cut —
+    the contamination mode assign_splits alone cannot prevent).
+
+    Thin composition: `assign_splits` keyed on `cluster_col` — the
+    cluster id comes from upstream components
+    (`dedup.connected_components*` over near-dup pairs) or a content
+    fingerprint. Same narrow no-shuffle projection, same contiguous
+    hash-range determinism.
+    """
+    return assign_splits(df, cluster_col, splits, out_col)

@@ -4918,6 +4918,83 @@ def pack_efficiency(spark, sf_dir):
     return PK.pack_efficiency(docs, "n_chars", 4000, n_groups=8)
 
 
+@query("sample_dedup_weighted", oracle=f"""
+    WITH u AS (
+        SELECT doc_id, text, source FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text, source FROM documents
+        WHERE doc_id < 80
+        UNION ALL
+        SELECT doc_id + 200000, text, source FROM documents
+        WHERE doc_id < 30
+    ), s AS (
+        SELECT doc_id, source,
+               COUNT(*) OVER (PARTITION BY
+                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+               ) AS cs
+        FROM u
+    )
+    SELECT doc_id, source FROM s
+    WHERE ({_HASH_BUCKET_SQL.format(key='doc_id')}) * cs < 10000
+""")
+def sample_dedup_weighted(spark, sf_dir):
+    """Duplicate-downweighted sampling (soft dedup): planted clone union
+    (80 twins + 30 triplets) gives fingerprint clusters of size 1/2/3;
+    each doc survives with probability ~1/cluster_size via the
+    integer-exact portable-hash rule bucket*size < 10000 — uniques are
+    always kept, clusters contribute ~one expected copy. Window count +
+    narrow filter; the keep decision replays verbatim in SQL."""
+    from .operators.sampling import dedup_weighted_sample
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    u = (docs
+         .unionByName(docs.filter(F.col("doc_id") < 80).select(
+             (F.col("doc_id") + 100000).alias("doc_id"), "text", "source"))
+         .unionByName(docs.filter(F.col("doc_id") < 30).select(
+             (F.col("doc_id") + 200000).alias("doc_id"), "text", "source")))
+    clustered = u.withColumn("fp", T.fingerprint(F.col("text")))
+    return (dedup_weighted_sample(clustered, "fp")
+            .select("doc_id", "source"))
+
+
+_SPLIT_CLUSTER_BUCKET = _HASH_BUCKET_SQL.format(key='cluster')
+
+@query("sample_split_by_cluster", oracle=(
+    _COMPONENTS_ORACLE.rsplit("SELECT CAST(v AS BIGINT)", 1)[0] + f""", comp AS (
+        SELECT CAST(v AS BIGINT) AS doc_id,
+               CAST(MIN(r) AS BIGINT) AS component
+        FROM walk GROUP BY v
+    ), clustered AS (
+        SELECT d.doc_id,
+               CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS cluster
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+        LEFT JOIN comp c ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, cluster,
+           CASE WHEN {_SPLIT_CLUSTER_BUCKET} < 8000 THEN 'train'
+                WHEN {_SPLIT_CLUSTER_BUCKET} < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM clustered
+"""))
+def sample_split_by_cluster(spark, sf_dir):
+    """Leakage-safe splits: near-dup components (token-Jaccard >= 0.5 ->
+    O(log n) connected components, singletons = own id) define the
+    split grain, so a near-dup pair can never straddle the train/eval
+    boundary — the contamination mode doc-grain assign_splits cannot
+    prevent. The oracle replays the component closure recursively and
+    the contiguous hash-range assignment on the cluster id."""
+    from .operators.sampling import split_by_cluster
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = D.ngram_jaccard_pairs(docs, n=1, min_jaccard=0.5)
+    comp = D.connected_components_logn(pairs)
+    clustered = (docs.select("doc_id")
+                 .join(comp, "doc_id", "left")
+                 .select("doc_id",
+                         F.coalesce(F.col("component"), F.col("doc_id"))
+                          .cast("long").alias("cluster")))
+    return split_by_cluster(clustered, "cluster",
+                            {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
 @query("sim_knn_graph_clusters", oracle="""
     WITH RECURSIVE e AS (
         SELECT vec_id AS src, embedding::DOUBLE[] AS v

@@ -2422,3 +2422,43 @@ def test_pack_efficiency_fill_and_overflow(spark):
     assert (got.n_bins, got.n_docs, got.total_tokens) == (2, 4, 20)
     assert (got.max_fill, got.min_fill, got.n_overflow_bins) == (12, 8, 1)
     assert got.capacity == 20 and got.utilization == 1.0
+
+
+def test_dedup_weighted_sample_keeps_uniques_downweights_clusters(spark):
+    import hashlib
+
+    from sanef_election_dashboard_etl_spark.operators.sampling import (
+        dedup_weighted_sample)
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 10000
+
+    # ids 0-9 unique clusters; ids 100-103 share one cluster of size 4
+    rows_in = [(i, f"u{i}") for i in range(10)] + \
+              [(100 + j, "dup") for j in range(4)]
+    df = spark.createDataFrame(rows_in, "doc_id long, cluster string")
+    kept = sorted(r.doc_id for r in
+                  dedup_weighted_sample(df, "cluster").collect())
+    # uniques ALWAYS survive (bucket * 1 < 10000 is vacuous);
+    # the size-4 cluster keeps exactly the ids with bucket < 2500.
+    expected = list(range(10)) + [100 + j for j in range(4)
+                                  if bucket(100 + j) * 4 < 10000]
+    assert kept == sorted(expected)
+    assert 0 < len([i for i in kept if i >= 100]) < 4
+
+
+def test_split_by_cluster_never_splits_a_cluster(spark):
+    from sanef_election_dashboard_etl_spark.operators.sampling import (
+        assign_splits, split_by_cluster)
+    df = spark.createDataFrame(
+        [(i, i // 3) for i in range(300)], "doc_id long, cluster long")
+    out = split_by_cluster(df, "cluster")
+    per = (out.groupBy("cluster")
+           .agg(F.countDistinct("split").alias("n")).collect())
+    assert all(r.n == 1 for r in per)
+    # the doc-grain assignment DOES straddle at least one cluster —
+    # the leak this operator exists to prevent
+    doc_grain = (assign_splits(df, "doc_id")
+                 .groupBy("cluster")
+                 .agg(F.countDistinct("split").alias("n")).collect())
+    assert any(r.n > 1 for r in doc_grain)

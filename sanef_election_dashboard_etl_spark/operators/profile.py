@@ -309,3 +309,54 @@ def trend_ols(df: DataFrame, x_col, y_col, group_col: str,
                        (sy - ((nd * sxy - sx * sy) / den) * sx) / nd)
     return g.select(group_col, F.col("n").cast("long").alias("n"),
                     slope.alias("slope"), intercept.alias("intercept"))
+
+
+def data_card(df: DataFrame, source_col: str = "source",
+              lang_col: str = "lang", id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Per-source corpus data card: the one-table report a dataset
+    release ships next to the shards (docs, unique-content count, dup
+    rate, token volume, language mix) — and the go/no-go glance before
+    an expensive training run.
+
+    Columns per source: n_docs, n_unique_docs (distinct normalized
+    fingerprints), dup_rate = (n_docs-n_unique)/n_docs, n_tokens,
+    avg_doc_tokens, n_langs, top_lang (mode, ties broken by lang).
+    Ratios are exact bigint counts with ONE final double division
+    (numeric.py rules).
+
+    Shape: one narrow projection (fingerprint + token count are
+    expressions) feeding two grouped aggregates — a per-source agg
+    (count-distinct on the 32-byte digest) and a (source, lang) count
+    whose argmax is a WindowGroupLimit over source-count rows. Sources
+    and languages are few by nature: every shuffle here is
+    metadata-sized relative to the scan; the text never moves.
+    """
+    from .text import fingerprint, tokens
+
+    base = df.select(
+        F.col(source_col).alias("source"), F.col(lang_col).alias("lang"),
+        fingerprint(F.col(text_col)).alias("__fp"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("__nt"))
+    per_source = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("__fp").cast("long").alias("n_unique_docs"),
+        F.sum("__nt").cast("long").alias("n_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"))
+    from pyspark.sql import Window
+    lc = base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("__n"))
+    w = Window.partitionBy("source").orderBy(
+        F.desc("__n"), F.asc("lang"))
+    top = (lc.withColumn("__r", F.row_number().over(w))
+           .filter(F.col("__r") == 1)
+           .select("source", F.col("lang").alias("top_lang")))
+    return (per_source.join(top, "source")
+            .select("source", "n_docs", "n_unique_docs",
+                    ((F.col("n_docs") - F.col("n_unique_docs"))
+                     .cast("double") / F.col("n_docs").cast("double"))
+                    .alias("dup_rate"),
+                    "n_tokens",
+                    (F.col("n_tokens").cast("double") /
+                     F.col("n_docs").cast("double")).alias("avg_doc_tokens"),
+                    "n_langs", "top_lang"))

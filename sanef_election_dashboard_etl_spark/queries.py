@@ -4918,6 +4918,67 @@ def pack_efficiency(spark, sf_dir):
     return PK.pack_efficiency(docs, "n_chars", 4000, n_groups=8)
 
 
+@query("profile_data_card", oracle="""
+    WITH u AS (
+        SELECT doc_id, text, lang, source FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text, lang, 'recrawl' AS source
+        FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 200000, text, lang, source
+        FROM documents WHERE doc_id % 11 = 0
+    ), base AS (
+        SELECT source, lang,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                   AS fp,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS nt
+        FROM u
+    ), per_source AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique_docs,
+               CAST(SUM(nt) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM base GROUP BY source
+    ), top AS (
+        SELECT source, lang AS top_lang FROM (
+            SELECT source, lang,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY COUNT(*) DESC, lang) AS r
+            FROM base GROUP BY source, lang
+        ) WHERE r = 1
+    )
+    SELECT p.source, n_docs, n_unique_docs,
+           CAST(n_docs - n_unique_docs AS DOUBLE) /
+               CAST(n_docs AS DOUBLE) AS dup_rate,
+           n_tokens,
+           CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)
+               AS avg_doc_tokens,
+           n_langs, top_lang
+    FROM per_source p JOIN top t ON p.source = t.source
+""")
+def profile_data_card(spark, sf_dir):
+    """Per-source corpus data card (docs, unique content, dup rate,
+    token volume, language mix) — the dataset-release report and
+    pre-training go/no-go glance. The clone union plants a 'recrawl'
+    source (pure duplicates of every 7th doc) and in-source twins
+    (every 11th doc), so dup_rate exercises both the cross-source-pure
+    and mixed branches. Exact bigint counts, two final double
+    divisions."""
+    from .operators.profile import data_card
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source")
+    u = (docs
+         .unionByName(docs.filter(F.col("doc_id") % 7 == 0).select(
+             (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang",
+             F.lit("recrawl").alias("source")))
+         .unionByName(docs.filter(F.col("doc_id") % 11 == 0).select(
+             (F.col("doc_id") + 200000).alias("doc_id"), "text", "lang",
+             "source")))
+    return data_card(u)
+
+
 @query("sample_dedup_weighted", oracle=f"""
     WITH u AS (
         SELECT doc_id, text, source FROM documents

@@ -2462,3 +2462,22 @@ def test_split_by_cluster_never_splits_a_cluster(spark):
                  .groupBy("cluster")
                  .agg(F.countDistinct("split").alias("n")).collect())
     assert any(r.n > 1 for r in doc_grain)
+
+
+def test_data_card_counts_and_lang_mode_tie(spark):
+    from sanef_election_dashboard_etl_spark.operators.profile import (
+        data_card)
+    df = spark.createDataFrame(
+        [(1, "aa bb", "en", "web"), (2, "aa bb", "en", "web"),
+         (3, "cc dd ee", "fr", "web"), (4, "ff", "fr", "books"),
+         (5, "gg hh", "de", "books")],
+        "doc_id long, text string, lang string, source string")
+    got = {r.source: r for r in data_card(df).collect()}
+    web = got["web"]
+    # docs 1/2 share a fingerprint: 3 docs, 2 unique, dup_rate 1/3
+    assert (web.n_docs, web.n_unique_docs, web.n_langs) == (3, 2, 2)
+    assert abs(web.dup_rate - 1.0 / 3.0) < 1e-15
+    assert web.n_tokens == 7 and web.top_lang == "en"
+    books = got["books"]
+    # de/fr tie at one doc each -> lexicographic tie-break picks "de"
+    assert (books.n_docs, books.n_unique_docs, books.top_lang) == (2, 2, "de")

@@ -470,6 +470,35 @@ X100_HEAVY_OPERATORS = [
     # retriever scans
     ("hybrid_rrf_full", "docs+embeddings x100 (500k docs / 200k vecs)",
      _hybrid_rrf_scaled),
+    # r5 session-3: hard-negative mining — anchors fixed (10), corpus
+    # x100: the scan must stay corpus-linear like the other broadcast-
+    # query exact tiers (label filter is a join predicate, not a pass)
+    ("hard_negatives", "embeddings corpus x100 (200k vecs, 10 anchors)",
+     lambda spark, sf: SIM.hard_negatives(
+         table(spark, sf, "embeddings"),
+         table(spark, sf, "embeddings").filter(F.col("vec_id") < 10), k=5)),
+    # r5 session-3: MMR — stage 1 is the corpus-linear shortlist scan;
+    # every unrolled greedy stage reads the persisted |q| x pool tables,
+    # so the ratio should track the scan alone
+    ("mmr_rerank", "embeddings corpus x100 (200k vecs, 8 queries)",
+     lambda spark, sf: SIM.mmr_rerank(
+         table(spark, sf, "embeddings"),
+         table(spark, sf, "embeddings").filter(F.col("vec_id") < 8),
+         k=4, pool=12)),
+    # r5 session-3: data card — one narrow projection + two metadata-
+    # sized aggs; the control-shaped observability row
+    ("data_card", "documents x100 (500k docs)",
+     lambda spark, sf: __import__(
+         "sanef_election_dashboard_etl_spark.operators.profile",
+         fromlist=["data_card"]).data_card(table(spark, sf, "documents"))),
+    # r5 session-3: soft dedup — one window count on the digest + a
+    # narrow integer filter; must track the fingerprint scan
+    ("dedup_weighted_sample", "documents x100 (500k docs)",
+     lambda spark, sf: __import__(
+         "sanef_election_dashboard_etl_spark.operators.sampling",
+         fromlist=["dedup_weighted_sample"]).dedup_weighted_sample(
+             table(spark, sf, "documents").withColumn(
+                 "fp", T.fingerprint(F.col("text"))), "fp")),
     ("bm25_full_corpus", "documents x100 (500k docs, 9-term queries)",
      lambda spark, sf: T.bm25_topk(
          table(spark, sf, "documents"),

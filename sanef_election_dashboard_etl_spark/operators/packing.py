@@ -188,3 +188,59 @@ def pack_efficiency(df: DataFrame, token_col: str, budget: int,
             .withColumn("utilization",
                         F.col("total_tokens").cast("double") /
                         F.col("capacity").cast("double")))
+
+
+def pack_ffd(df: DataFrame, token_col: str, budget: int,
+             n_groups: int = 8, id_col: str = "doc_id") -> DataFrame:
+    """First-Fit-Decreasing packing tier: within each hash group, sort
+    docs by token count descending (id ascending on ties) and place
+    each into the first bin with room, opening a new bin when none fits
+    — the classic 11/9·OPT bound vs `pack_sequences`' streaming
+    cumulative binning (which never looks back and so leaves stranded
+    capacity behind every long doc). Bins never exceed `budget` except
+    a single oversized doc, which gets a bin of its own; measure the
+    fill improvement with the bin-stats pattern in `pack_efficiency`.
+
+    FFD is inherently sequential, so the Spark shape is the grouped-map
+    tier: ONE exchange on pack_group, then an Arrow `applyInPandas`
+    pass per group (the same hash-group streaming contract as
+    pack_sequences — per-group row counts stay bounded because
+    `n_groups` scales with the corpus, and FFD packing quality does not
+    depend on how docs are grouped). Deterministic: the (tokens desc,
+    id asc) order and first-fit rule fix the assignment regardless of
+    partitioning — partition-invariance is test-asserted.
+
+    Output (id, pack_group, n_tokens, bin_id), all longs — the
+    pack_sequences schema minus cum_before (FFD has no prefix order).
+    """
+    import pandas as pd
+
+    g = df.select(
+        F.col(id_col),
+        F.col(token_col).cast("long").alias("n_tokens"),
+        F.pmod(F.col(id_col), F.lit(n_groups)).cast("long")
+         .alias("pack_group"))
+
+    def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["n_tokens", id_col],
+                              ascending=[False, True])
+        room: list[int] = []     # remaining capacity per bin
+        bin_ids = []
+        for nt in pdf["n_tokens"]:
+            placed = None
+            for b, r in enumerate(room):
+                if nt <= r:
+                    placed = b
+                    room[b] = r - nt
+                    break
+            if placed is None:
+                placed = len(room)
+                # an oversized doc occupies its own (over-full) bin
+                room.append(max(0, budget - int(nt)))
+            bin_ids.append(placed)
+        pdf = pdf.assign(bin_id=pd.array(bin_ids, dtype="int64"))
+        return pdf[[id_col, "pack_group", "n_tokens", "bin_id"]]
+
+    return g.groupBy("pack_group").applyInPandas(
+        ffd, schema=f"{id_col} long, pack_group long, n_tokens long, "
+                    "bin_id long")

@@ -4918,6 +4918,56 @@ def pack_efficiency(spark, sf_dir):
     return PK.pack_efficiency(docs, "n_chars", 4000, n_groups=8)
 
 
+@query("text_fertility_by_lang", oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split_regex(trim(text), '\\s+')))
+                AS BIGINT) AS n_words,
+           CAST(SUM(len(regexp_extract_all(
+                    text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
+               AS n_subwords,
+           CAST(SUM(len(regexp_extract_all(
+                    text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS DOUBLE) /
+               CAST(SUM(len(string_split_regex(trim(text), '\\s+')))
+                    AS DOUBLE) AS fertility
+    FROM documents GROUP BY lang
+""")
+def text_fertility_by_lang(spark, sf_dir):
+    """Tokenizer fertility report: subword-per-word ratio by language —
+    the per-language cost gauge that decides whether a tokenizer (or a
+    language's share of the mix) needs rework before training; high
+    fertility = more compute per word of signal. Uses the same
+    BPE-shaped regex token count token_stats oracle-checks; exact
+    bigint sums per language, ONE final double division."""
+    from .operators.text import tokens
+    docs = _t(spark, sf_dir, "documents")
+    n_words = F.size(tokens(F.col("text"))).cast("long")
+    n_sub = F.size(F.regexp_extract_all(
+        F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)).cast("long")
+    return (docs.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum(n_words).cast("long").alias("n_words"),
+                 F.sum(n_sub).cast("long").alias("n_subwords"))
+            .withColumn("fertility",
+                        F.col("n_subwords").cast("double") /
+                        F.col("n_words").cast("double")))
+
+
+@query("pack_ffd", oracle=None, tags=("rows-only",),
+       sibling="pack_sequences")
+def pack_ffd(spark, sf_dir):
+    """First-Fit-Decreasing packing (Arrow grouped-map tier): tighter
+    bins than the streaming pack_sequences scheme at the cost of a
+    per-group sort — rows-only by nature (FFD's sequential first-fit
+    loop has no SQL replay; the sibling's cumulative-binning twin is
+    fully oracle-checked). Fill invariants (no bin over budget except
+    singleton oversized docs, all docs packed, capacity-respecting
+    optimum where the streaming packer overflows) and
+    partition-invariance are test-asserted."""
+    docs = _t(spark, sf_dir, "documents")
+    return PK.pack_ffd(docs, "n_chars", 4000, n_groups=8)
+
+
 @query("profile_data_card", oracle="""
     WITH u AS (
         SELECT doc_id, text, lang, source FROM documents

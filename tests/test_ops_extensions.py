@@ -2481,3 +2481,42 @@ def test_data_card_counts_and_lang_mode_tie(spark):
     books = got["books"]
     # de/fr tie at one doc each -> lexicographic tie-break picks "de"
     assert (books.n_docs, books.n_unique_docs, books.top_lang) == (2, 2, "de")
+
+
+def test_pack_ffd_invariants_and_beats_streaming_fill(spark):
+    from sanef_election_dashboard_etl_spark.operators.packing import (
+        pack_ffd, pack_sequences)
+    # one long doc then short ones: the streaming packer strands
+    # capacity behind the long doc; FFD back-fills it.
+    rows_in = [(1, 9), (2, 2), (3, 2), (4, 2), (5, 2), (6, 2), (7, 12)]
+    df = spark.createDataFrame(rows_in, "doc_id long, n long")
+    out = pack_ffd(df, "n", budget=10, n_groups=1).collect()
+    assert sorted(r.doc_id for r in out) == [1, 2, 3, 4, 5, 6, 7]
+    fills = {}
+    for r in out:
+        fills[r.bin_id] = fills.get(r.bin_id, 0) + r.n_tokens
+    # oversized doc 7 (12 > 10) sits alone; every other bin <= budget
+    solo = [r.bin_id for r in out if r.doc_id == 7]
+    assert [r.bin_id for r in out if r.n_tokens == 12] == solo
+    assert all(f <= 10 for b, f in fills.items() if b != solo[0])
+    # FFD lands on the capacity-respecting optimum: [12] [9] [2x5=10]
+    assert len(fills) == 3 and sorted(fills.values()) == [9, 10, 12]
+    # the streaming packer needs fewer bins only by OVERFLOWING them
+    # (a doc is binned where its prefix starts): fills 11 and 20 here
+    streamed = pack_sequences(df, "n", budget=10, n_groups=1).collect()
+    sfills = {}
+    for r in streamed:
+        sfills[r.bin_id] = sfills.get(r.bin_id, 0) + r.n_tokens
+    assert sorted(sfills.values()) == [11, 20]
+
+
+def test_pack_ffd_partition_invariant(spark):
+    from sanef_election_dashboard_etl_spark.operators.packing import (
+        pack_ffd)
+    df = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 37 + 11, F.lit(900)) + 1).alias("n"))
+    a = sorted(map(tuple, pack_ffd(df, "n", 1000).collect()))
+    b = sorted(map(tuple,
+                   pack_ffd(df.repartition(13), "n", 1000).collect()))
+    assert a == b

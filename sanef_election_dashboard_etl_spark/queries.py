@@ -5029,6 +5029,55 @@ def profile_data_card(spark, sf_dir):
     return data_card(u)
 
 
+@query("profile_data_card_incremental", oracle="""
+    WITH base AS (
+        SELECT source, lang,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                   AS fp,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS nt
+        FROM documents
+    ), per_source AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique_docs,
+               CAST(SUM(nt) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM base GROUP BY source
+    ), top AS (
+        SELECT source, lang AS top_lang FROM (
+            SELECT source, lang,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY COUNT(*) DESC, lang) AS r
+            FROM base GROUP BY source, lang
+        ) WHERE r = 1
+    )
+    SELECT p.source, n_docs, n_unique_docs,
+           CAST(n_docs - n_unique_docs AS DOUBLE) /
+               CAST(n_docs AS DOUBLE) AS dup_rate,
+           n_tokens,
+           CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)
+               AS avg_doc_tokens,
+           n_langs, top_lang
+    FROM per_source p JOIN top t ON p.source = t.source
+""")
+def profile_data_card_incremental(spark, sf_dir):
+    """Incrementally-maintained data card: the corpus split into a
+    standing base (2/3) and a delta ingest (1/3), each reduced to its
+    mergeable (counts, fingerprint-set) state; the states merge and
+    finish WITHOUT re-reading the base text. The oracle recomputes the
+    whole card from scratch over the full table — merge == batch is
+    the claim under test (the agg_incremental_merge argument extended
+    to count-distinct via digest-set state)."""
+    from .operators.profile import (data_card_from_state, data_card_merge,
+                                    data_card_state)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source")
+    ca, fa = data_card_state(docs.filter(F.col("doc_id") % 3 < 2))
+    cb, fb = data_card_state(docs.filter(F.col("doc_id") % 3 == 2))
+    return data_card_from_state(*data_card_merge(ca, fa, cb, fb))
+
+
 @query("sample_dedup_weighted", oracle=f"""
     WITH u AS (
         SELECT doc_id, text, source FROM documents

@@ -2520,3 +2520,20 @@ def test_pack_ffd_partition_invariant(spark):
     b = sorted(map(tuple,
                    pack_ffd(df.repartition(13), "n", 1000).collect()))
     assert a == b
+
+
+def test_data_card_state_merge_equals_batch(spark):
+    from sanef_election_dashboard_etl_spark.operators.profile import (
+        data_card, data_card_from_state, data_card_merge, data_card_state)
+    df = spark.createDataFrame(
+        [(1, "aa bb", "en", "web"), (2, "aa bb", "en", "web"),
+         (3, "cc dd ee", "fr", "web"), (4, "ff", "fr", "books"),
+         (5, "gg hh", "de", "books"), (6, "aa bb", "en", "books")],
+        "doc_id long, text string, lang string, source string")
+    a, b = df.filter(F.col("doc_id") <= 3), df.filter(F.col("doc_id") > 3)
+    merged = data_card_from_state(
+        *data_card_merge(*data_card_state(a), *data_card_state(b)))
+    batch = data_card(df)
+    key = lambda r: r.source
+    assert sorted(map(tuple, merged.collect()), key=lambda t: t[0]) == \
+        sorted(map(tuple, batch.collect()), key=lambda t: t[0])

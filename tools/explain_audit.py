@@ -42,6 +42,8 @@ MUST_HAVE = {
     # MMR: stage 1 is the cosine_topk shape (broadcast query side);
     # the unrolled greedy stages read the persisted candidate table
     "sim_mmr_rerank": ["BroadcastNestedLoopJoin", "InMemoryTableScan"],
+    # FFD packing: ONE group exchange into the Arrow grouped-map pass
+    "pack_ffd": ["FlatMapGroupsInPandas"],
     # hamming prefilter: tiny signed query side broadcasts into a
     # nested-loop popcount filter; the corpus is scanned in place
     "sim_topk_hamming": ["BroadcastNestedLoopJoin"],
@@ -282,6 +284,7 @@ AUDIT = [
     "profile_dataset_fingerprint", "profile_trend_ols",
     "pipe_mixture_recipe", "pipe_loader_order",
     "sim_hard_negatives", "sim_knn_graph", "sim_mmr_rerank",
+    "pack_ffd",
 ]
 
 

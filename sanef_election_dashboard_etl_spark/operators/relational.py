@@ -349,3 +349,51 @@ def merge_aggregates(base: DataFrame, delta: DataFrame,
     return u.groupBy(*keys).agg(
         *[F.sum(c).alias(c) for c in sum_cols],
         F.sum(count_col).alias(count_col))
+
+
+def scd2_merge(old: DataFrame, new: DataFrame, key: str,
+               cols: Sequence[str], v_old: int = 1,
+               v_new: int = 2) -> DataFrame:
+    """Type-2 slowly-changing-dimension history between two snapshot
+    versions: every key's content gets a validity interval
+    [valid_from, valid_to) in ingest-version units — the lakehouse
+    primitive for "what did this dimension row say when epoch N
+    trained?". unchanged -> one open row; changed -> the old row closes
+    at v_new and a new open row appears; removed -> closed old row;
+    added -> open new row.
+
+    Same digest-before-join shape as `snapshot_diff` (the full-outer
+    exchange moves (key, 32-byte md5) pairs, never payloads) with both
+    digests carried through, then two narrow selects union the
+    old-side and new-side interval rows — no second shuffle. Versions
+    are caller-supplied longs (ingest sequence numbers), not wall
+    clocks: reruns are bit-identical. Output (key, digest, valid_from,
+    valid_to) with NULL valid_to = currently live.
+    """
+    def digest(df: DataFrame) -> DataFrame:
+        parts = [F.coalesce(F.col(c).cast("string"), F.lit(""))
+                 for c in cols]
+        return df.select(F.col(key),
+                         F.md5(F.concat_ws("\x1f", *parts)).alias("__d"))
+
+    o = digest(old).alias("o")
+    n = digest(new).alias("n")
+    j = (o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
+         .select(F.coalesce(F.col(f"o.{key}"), F.col(f"n.{key}"))
+                  .alias(key),
+                 F.col("o.__d").alias("__od"), F.col("n.__d").alias("__nd")))
+    old_rows = (j.filter(F.col("__od").isNotNull())
+                .select(F.col(key), F.col("__od").alias("digest"),
+                        F.lit(v_old).cast("long").alias("valid_from"),
+                        F.when(F.col("__nd").isNull() |
+                               (F.col("__nd") != F.col("__od")),
+                               F.lit(v_new).cast("long"))
+                         .otherwise(F.lit(None).cast("long"))
+                         .alias("valid_to")))
+    new_rows = (j.filter(F.col("__nd").isNotNull() &
+                         (F.col("__od").isNull() |
+                          (F.col("__od") != F.col("__nd"))))
+                .select(F.col(key), F.col("__nd").alias("digest"),
+                        F.lit(v_new).cast("long").alias("valid_from"),
+                        F.lit(None).cast("long").alias("valid_to")))
+    return old_rows.unionByName(new_rows)

@@ -5029,6 +5029,90 @@ def profile_data_card(spark, sf_dir):
     return data_card(u)
 
 
+@query("snapshot_scd2", oracle="""
+    WITH newsnap AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END
+                   AS text
+        FROM documents WHERE doc_id % 37 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text
+        FROM documents WHERE doc_id < 100
+    ),
+    o AS (SELECT doc_id,
+                 md5(concat_ws(chr(31), coalesce(CAST(text AS VARCHAR), '')))
+                     AS d
+          FROM documents),
+    n AS (SELECT doc_id,
+                 md5(concat_ws(chr(31), coalesce(CAST(text AS VARCHAR), '')))
+                     AS d
+          FROM newsnap),
+    j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                 o.d AS od, n.d AS nd
+          FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+    SELECT doc_id, od AS digest, CAST(1 AS BIGINT) AS valid_from,
+           CASE WHEN nd IS NULL OR nd <> od THEN CAST(2 AS BIGINT)
+                ELSE CAST(NULL AS BIGINT) END AS valid_to
+    FROM j WHERE od IS NOT NULL
+    UNION ALL
+    SELECT doc_id, nd, CAST(2 AS BIGINT), CAST(NULL AS BIGINT)
+    FROM j WHERE nd IS NOT NULL AND (od IS NULL OR od <> nd)
+""")
+def snapshot_scd2(spark, sf_dir):
+    """Type-2 SCD history over the snapshot_diff fixture (same simulated
+    re-ingest: 1-in-11 edited, 1-in-37 dropped, 100 new): every key's
+    content gets a [valid_from, valid_to) ingest-version interval —
+    changed keys close their old row AND open a new one, NULL valid_to
+    marks live rows. Digests join, payloads never move; versions are
+    supplied longs so reruns are bit-identical."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    newsnap = (docs.filter(F.col("doc_id") % 37 != 0)
+               .withColumn("text",
+                           F.when(F.col("doc_id") % 11 == 0,
+                                  F.concat(F.col("text"), F.lit(" v2")))
+                            .otherwise(F.col("text")))
+               .unionByName(docs.filter(F.col("doc_id") < 100).select(
+                   (F.col("doc_id") + 1000000).alias("doc_id"), "text")))
+    return R.scd2_merge(docs, newsnap, "doc_id", ["text"])
+
+
+@query("pipe_curriculum_order", oracle="""
+    WITH staged AS (
+        SELECT doc_id,
+               CAST(CASE WHEN n_chars < 200 THEN 0
+                         WHEN n_chars < 600 THEN 1
+                         ELSE 2 END AS BIGINT) AS stage
+        FROM documents
+    )
+    SELECT doc_id, stage,
+           ROW_NUMBER() OVER (
+               ORDER BY stage,
+                        md5(CAST(doc_id AS VARCHAR) || ':7'),
+                        doc_id) AS curriculum_pos
+    FROM staged
+""")
+def pipe_curriculum_order(spark, sf_dir):
+    """Curriculum loader order: short-to-long difficulty stages (fixed
+    length thresholds — data-independent, so the schedule is stable
+    across ingests), seeded md5 permutation WITHIN each stage, and one
+    contiguous global position via global_row_number (one range
+    exchange + metadata counts — never a single-partition window).
+    Same seed = bit-identical schedule on any cluster size; the
+    engine-portable hash makes the whole permutation oracle-checkable
+    (the epoch_shuffle contract, staged)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    staged = docs.select(
+        "doc_id",
+        F.when(F.col("n_chars") < 200, 0)
+         .when(F.col("n_chars") < 600, 1)
+         .otherwise(2).cast("long").alias("stage"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":7")))
+         .alias("__k"))
+    return (L.global_row_number(staged, ["stage", "__k", "doc_id"],
+                                id_alias="curriculum_pos")
+            .select("doc_id", "stage", "curriculum_pos"))
+
+
 @query("profile_data_card_incremental", oracle="""
     WITH base AS (
         SELECT source, lang,

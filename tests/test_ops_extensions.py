@@ -2537,3 +2537,21 @@ def test_data_card_state_merge_equals_batch(spark):
     key = lambda r: r.source
     assert sorted(map(tuple, merged.collect()), key=lambda t: t[0]) == \
         sorted(map(tuple, batch.collect()), key=lambda t: t[0])
+
+
+def test_scd2_merge_all_branches(spark):
+    from sanef_election_dashboard_etl_spark.operators.relational import (
+        scd2_merge)
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "before"), (3, "gone")], "k long, v string")
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "after"), (4, "fresh")], "k long, v string")
+    out = {(r.k, r.valid_from, r.valid_to)
+           for r in scd2_merge(old, new, "k", ["v"]).collect()}
+    assert out == {
+        (1, 1, None),   # unchanged: one open row
+        (2, 1, 2),      # changed: old row closed ...
+        (2, 2, None),   # ... new row open
+        (3, 1, 2),      # removed: closed
+        (4, 2, None),   # added: open
+    }

@@ -725,3 +725,55 @@ def test_streaming_fingerprint_merge_equals_batch(spark, tmp_path):
     assert state["n_rows"] == batch["n_rows"] == 90
     assert state["xor_fp"] == batch["xor_fp"]
     assert state["sum_fp"] == int(batch["sum_fp"])
+
+
+def test_streaming_data_card_state_merge_equals_batch(spark, tmp_path):
+    """The incrementally-maintained data card in the streaming regime:
+    each arriving micro-batch reduces to its mergeable (counts, fps)
+    state via foreachBatch; states fold with data_card_merge and the
+    finished card equals the batch card over everything ingested —
+    the profile_data_card_incremental claim replayed across real
+    micro-batch boundaries."""
+    from sanef_election_dashboard_etl_spark.operators.profile import (
+        data_card, data_card_from_state, data_card_merge, data_card_state)
+
+    rows_all = [(1, "aa bb", "en", "web"), (2, "aa bb", "en", "web"),
+                (3, "cc dd ee", "fr", "web"), (4, "ff", "fr", "books")]
+    extra = [(5, "gg hh", "de", "books"), (6, "aa bb", "en", "books")]
+    schema = "doc_id long, text string, lang string, source string"
+
+    src = tmp_path / "card_src"
+    src.mkdir()
+    spark.createDataFrame(rows_all, schema).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+
+    state = {}
+
+    def write_batch(df, epoch_id):
+        c, f = data_card_state(df)
+        # materialize the batch's state so the fold is per-batch, not a
+        # lazy re-read of the stream source
+        c, f = (spark.createDataFrame(c.collect(), c.schema),
+                spark.createDataFrame(f.collect(), f.schema))
+        if not state:
+            state["c"], state["f"] = c, f
+        else:
+            state["c"], state["f"] = data_card_merge(
+                state["c"], state["f"], c, f)
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (stream.writeStream.foreachBatch(write_batch)
+         .option("checkpointLocation", str(tmp_path / "card_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    spark.createDataFrame(extra, schema).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    q2 = (stream.writeStream.foreachBatch(write_batch)
+          .option("checkpointLocation", str(tmp_path / "card_ckpt"))
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+
+    merged = data_card_from_state(state["c"], state["f"])
+    batch = data_card(spark.createDataFrame(rows_all + extra, schema))
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, batch.collect()))

@@ -1538,3 +1538,65 @@ def pagerank(pairs: DataFrame, n_iter: int = 3, damping: float = 0.85,
                     F.col("r").alias("pagerank_fp"),
                     (F.col("r").cast("double") / F.lit(float(scale)))
                     .alias("pagerank"))
+
+
+def triangle_counts(pairs: DataFrame, id_a: str = "id_a",
+                    id_b: str = "id_b") -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected pair graph — the transitivity measure that separates
+    tight duplicate cliques (near-1 coefficients: every pair agrees)
+    from chain-shaped false-positive paths (near-0: A~B~C but A!~C,
+    the banding-artifact shape worth re-verifying).
+
+    The scalable formulation is the DEGREE-ORDERED orientation (Cohen,
+    "Graph Twiddling in a MapReduce World", 2009): orient every edge
+    from its lower-(degree, id) endpoint to the higher one, join
+    oriented edges on the source to enumerate wedges, and close each
+    wedge against the canonical edge set. Every triangle is counted
+    exactly ONCE (at its minimum-(degree, id) vertex), and per-source
+    fan-out is bounded by out-degree, which orientation caps at
+    ~sqrt(m) even on skewed graphs — the whole reason this shape
+    survives power-law degree distributions at 100 TB where a naive
+    neighbor self-join is hub-quadratic. Three hash joins on ids, one
+    explode, one groupBy; coefficient = 2T/(deg*(deg-1)) with a
+    singleton guard, integer-exact until the one final division.
+
+    Output: (id, degree, n_triangles, clustering_coef) — every vertex
+    of the input graph represented, zero-triangle vertices included.
+    """
+    e = (pairs.select(F.least(id_a, id_b).alias("u"),
+                      F.greatest(id_a, id_b).alias("v"))
+         .filter(F.col("u") != F.col("v")).distinct())
+    both = e.select(F.col("u").alias("id")).unionByName(
+        e.select(F.col("v").alias("id")))
+    deg = both.groupBy("id").agg(F.count(F.lit(1)).cast("long")
+                                 .alias("degree"))
+    du = deg.select(F.col("id").alias("u"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("degree").alias("dv"))
+    ed = e.join(du, "u").join(dv, "v")
+    lower_first = (F.col("du") < F.col("dv")) | \
+        ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    oriented = ed.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"))
+    o1 = oriented.select("s", F.col("t").alias("t1"))
+    o2 = oriented.select("s", F.col("t").alias("t2"))
+    wedges = (o1.join(o2, "s").filter(F.col("t1") < F.col("t2")))
+    tri = wedges.join(
+        e.select(F.col("u").alias("t1"), F.col("v").alias("t2")),
+        ["t1", "t2"])
+    per_node = (tri.select(F.col("s").alias("id"))
+                .unionByName(tri.select(F.col("t1").alias("id")))
+                .unionByName(tri.select(F.col("t2").alias("id")))
+                .groupBy("id").agg(F.count(F.lit(1)).cast("long")
+                                   .alias("n_triangles")))
+    return (deg.join(per_node, "id", "left")
+            .select("id", "degree",
+                    F.coalesce(F.col("n_triangles"), F.lit(0))
+                     .cast("long").alias("n_triangles"),
+                    F.when(F.col("degree") >= 2,
+                           (2.0 * F.coalesce(F.col("n_triangles"),
+                                             F.lit(0)).cast("double")) /
+                           (F.col("degree") *
+                            (F.col("degree") - 1)).cast("double"))
+                     .otherwise(F.lit(0.0)).alias("clustering_coef")))

@@ -5029,6 +5029,59 @@ def profile_data_card(spark, sf_dir):
     return data_card(u)
 
 
+@query("dedup_triangle_transitivity", oracle=(
+    _COMPONENTS_ORACLE.split("), edges AS")[0] + """),
+    e AS (
+        SELECT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+        FROM pairs WHERE id_a != id_b GROUP BY 1, 2
+    ), deg AS (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM (SELECT u AS id FROM e UNION ALL SELECT v FROM e)
+        GROUP BY id
+    ), ed AS (
+        SELECT e.u, e.v, a.degree AS du, b.degree AS dv
+        FROM e JOIN deg a ON a.id = e.u JOIN deg b ON b.id = e.v
+    ), o AS (
+        SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END
+                   AS s,
+               CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END
+                   AS t
+        FROM ed
+    ), w AS (
+        SELECT o1.s, o1.t AS t1, o2.t AS t2
+        FROM o o1 JOIN o o2 ON o1.s = o2.s AND o1.t < o2.t
+    ), tri AS (
+        SELECT w.s, w.t1, w.t2
+        FROM w JOIN e ON e.u = w.t1 AND e.v = w.t2
+    ), pn AS (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+            SELECT s AS id FROM tri
+            UNION ALL SELECT t1 FROM tri
+            UNION ALL SELECT t2 FROM tri)
+        GROUP BY id
+    )
+    SELECT d.id, d.degree,
+           CAST(COALESCE(pn.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d.degree >= 2
+                THEN (2.0 * CAST(COALESCE(pn.n_triangles, 0) AS DOUBLE))
+                     / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+                ELSE 0.0 END AS clustering_coef
+    FROM deg d LEFT JOIN pn ON pn.id = d.id
+"""))
+def dedup_triangle_transitivity(spark, sf_dir):
+    """Triangle counts + local clustering coefficient over the near-dup
+    Jaccard graph (the components fixture): near-1 coefficients mark
+    tight duplicate cliques, near-0 marks chain-shaped banding
+    artifacts worth re-verifying. Degree-ordered orientation (Cohen
+    2009) counts each triangle once at its min-(degree,id) vertex and
+    caps per-source fan-out at ~sqrt(m) on skewed graphs — the shape
+    that survives power-law degrees at 100 TB. Integer-exact until one
+    guarded final division."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = D.ngram_jaccard_pairs(docs, n=1, min_jaccard=0.5)
+    return D.triangle_counts(pairs)
+
+
 @query("snapshot_scd2", oracle="""
     WITH newsnap AS (
         SELECT doc_id,

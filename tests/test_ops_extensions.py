@@ -2555,3 +2555,22 @@ def test_scd2_merge_all_branches(spark):
         (3, 1, 2),      # removed: closed
         (4, 2, None),   # added: open
     }
+
+
+def test_triangle_counts_hand_graph(spark):
+    # K3 on {1,2,3} plus pendant 4 off node 3
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "id_a long, id_b long")
+    got = {r.id: (r.degree, r.n_triangles, r.clustering_coef)
+           for r in D.triangle_counts(pairs).collect()}
+    assert got[1] == (2, 1, 1.0)
+    assert got[2] == (2, 1, 1.0)
+    assert got[3] == (3, 1, 1.0 / 3.0)
+    assert got[4] == (1, 0, 0.0)
+    # duplicate/reversed edges fold to the same canonical graph
+    noisy = spark.createDataFrame(
+        [(2, 1), (1, 2), (3, 2), (1, 3), (3, 1), (4, 3)],
+        "id_a long, id_b long")
+    got2 = {r.id: (r.degree, r.n_triangles, r.clustering_coef)
+            for r in D.triangle_counts(noisy).collect()}
+    assert got2 == got

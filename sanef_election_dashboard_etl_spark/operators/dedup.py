@@ -1600,3 +1600,77 @@ def triangle_counts(pairs: DataFrame, id_a: str = "id_a",
                            (F.col("degree") *
                             (F.col("degree") - 1)).cast("double"))
                      .otherwise(F.lit(0.0)).alias("clustering_coef")))
+
+
+def jaccard_prefix_pairs(grams: DataFrame, id_col: str = "doc_id",
+                         min_jaccard: float = 0.5) -> DataFrame:
+    """Exact Jaccard pairs via PREFIX FILTERING (Chaudhuri et al. ICDE
+    2006; PPJoin, Xiao et al. WWW 2008) — same output as
+    `jaccard_pairs` (test-asserted), far fewer candidates: the exact
+    set-similarity join that scales WITHOUT MinHash's probabilistic
+    recall trade.
+
+    Order every doc's shingles by global rarity (document frequency
+    asc, shingle asc — a total order both engines reproduce); index
+    only each doc's first p = s - ceil(t*s) + 1 shingles. Pigeonhole:
+    two sets with Jaccard >= t overlap in > s - p elements, so their
+    rarity-prefixes must share a shingle — joining prefix-to-prefix
+    loses nothing, and prefixes concentrate in RARE shingles, so the
+    join's per-key fan-out collapses exactly where the naive inverted
+    index explodes (hot shingles land in nobody's prefix). A size
+    filter (t*max_size <= min_size) prunes further before exact
+    verification on collect_set arrays.
+
+    All pigeonhole arithmetic is INTEGER-exact: t enters as its exact
+    double rational num/den (`float.as_integer_ratio`), ceil(t*s) =
+    (num*s + den - 1) div den — no float rounding can over-prune a
+    boundary pair (a t*max float round-up could silently drop a pair
+    with Jaccard == t). Shuffles: df count + per-doc rank window +
+    prefix self-join (bounded) + array verify on candidates only.
+    """
+    num, den = float(min_jaccard).as_integer_ratio()
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    dfr = grams.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    from pyspark.sql import Window
+    w = Window.partitionBy(id_col).orderBy("__df", "shingle")
+    ranked = (grams.join(dfr, "shingle")
+              .withColumn("__r", F.row_number().over(w)))
+    pre = (ranked.join(sizes, id_col)
+           .filter(F.col("__r") <=
+                   F.col("sz") -
+                   F.expr(f"({num}L * sz + {den - 1}L) div {den}L") + 1)
+           .select(F.col(id_col), F.col("shingle")))
+    a = pre.select(F.col(id_col).alias("id_a"), "shingle")
+    b = pre.select(F.col(id_col).alias("id_b"), "shingle")
+    sz_a = sizes.select(F.col(id_col).alias("id_a"),
+                        F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"),
+                        F.col("sz").alias("sz_b"))
+    cand = (a.join(b, "shingle").filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct()
+            .join(F.broadcast(sz_a), "id_a")
+            .join(F.broadcast(sz_b), "id_b")
+            .filter(F.least("sz_a", "sz_b") * den >=
+                    F.greatest("sz_a", "sz_b") * num)
+            .select("id_a", "id_b"))
+    docs_in = (cand.select(F.col("id_a").alias(id_col))
+               .unionByName(cand.select(F.col("id_b").alias(id_col)))
+               .distinct())
+    sets = (grams.join(docs_in, id_col, "left_semi")
+            .groupBy(id_col)
+            .agg(F.collect_set("shingle").alias("__s"),
+                 F.count(F.lit(1)).alias("sz")))
+    va = sets.select(F.col(id_col).alias("id_a"),
+                     F.col("__s").alias("__sa"), F.col("sz").alias("sz_a"))
+    vb = sets.select(F.col(id_col).alias("id_b"),
+                     F.col("__s").alias("__sb"), F.col("sz").alias("sz_b"))
+    ver = (cand.join(va, "id_a").join(vb, "id_b")
+           .withColumn("inter",
+                       F.size(F.array_intersect("__sa", "__sb"))
+                        .cast("long"))
+           .withColumn("jaccard", F.round(
+               F.col("inter").cast("double") /
+               (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+               .cast("double"), 4)))
+    return (ver.filter(F.col("jaccard") >= min_jaccard)
+            .select("id_a", "id_b", "jaccard"))

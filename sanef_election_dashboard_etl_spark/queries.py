@@ -5029,6 +5029,61 @@ def profile_data_card(spark, sf_dir):
     return data_card(u)
 
 
+@query("dedup_jaccard_prefix", oracle="""
+    WITH g AS (
+        SELECT doc_id, shingle FROM (
+            SELECT DISTINCT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS shingle
+            FROM documents WHERE doc_id < 200
+        ) WHERE shingle <> ''
+    ), sz AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM g GROUP BY doc_id
+    ), dfr AS (
+        SELECT shingle, COUNT(*) AS df FROM g GROUP BY shingle
+    ), pre AS (
+        SELECT doc_id, shingle FROM (
+            SELECT g.doc_id, g.shingle, s.sz,
+                   row_number() OVER (PARTITION BY g.doc_id
+                                      ORDER BY d.df, g.shingle) AS r
+            FROM g JOIN dfr d ON d.shingle = g.shingle
+                   JOIN sz s ON s.doc_id = g.doc_id
+        ) WHERE r <= sz - ((1 * sz + 1) // 2) + 1
+    ), cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM pre a JOIN pre b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), candf AS (
+        SELECT c.id_a, c.id_b, sa.sz AS sz_a, sb.sz AS sz_b
+        FROM cand c JOIN sz sa ON sa.doc_id = c.id_a
+                    JOIN sz sb ON sb.doc_id = c.id_b
+        WHERE least(sa.sz, sb.sz) * 2 >= greatest(sa.sz, sb.sz) * 1
+    ), inter AS (
+        SELECT c.id_a, c.id_b, c.sz_a, c.sz_b, COUNT(*) AS i
+        FROM candf c
+        JOIN g ga ON ga.doc_id = c.id_a
+        JOIN g gb ON gb.doc_id = c.id_b AND gb.shingle = ga.shingle
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(i AS DOUBLE) / CAST(sz_a + sz_b - i AS DOUBLE), 4)
+               AS jaccard
+    FROM inter
+    WHERE ROUND(CAST(i AS DOUBLE) / CAST(sz_a + sz_b - i AS DOUBLE), 4)
+          >= 0.5
+""")
+def dedup_jaccard_prefix(spark, sf_dir):
+    """Exact Jaccard join via prefix filtering (PPJoin family): rarity-
+    ordered prefixes pigeonhole every qualifying pair into a shared
+    rare shingle, so the candidate join avoids exactly the hot keys
+    that blow up the naive inverted index — the deterministic-exact
+    alternative to MinHash banding. Pigeonhole arithmetic is integer-
+    exact (t as its double rational 1/2, ceil via div); output equals
+    jaccard_pairs (test-asserted)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return D.jaccard_prefix_pairs(D.token_set(docs), min_jaccard=0.5)
+
+
 @query("dedup_triangle_transitivity", oracle=(
     _COMPONENTS_ORACLE.split("), edges AS")[0] + """),
     e AS (

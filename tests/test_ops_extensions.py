@@ -2574,3 +2574,30 @@ def test_triangle_counts_hand_graph(spark):
     got2 = {r.id: (r.degree, r.n_triangles, r.clustering_coef)
             for r in D.triangle_counts(noisy).collect()}
     assert got2 == got
+
+
+def test_jaccard_prefix_equals_naive(spark):
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd"), (2, "aa bb cc ee"),     # J = 3/5 — pair
+         (3, "the xx yy zz"), (4, "the pp qq rr"),   # share only a hot token
+         (5, "mm nn"), (6, "mm nn"),                 # exact twin — J = 1
+         (7, "solo only words here")],
+        "doc_id long, text string")
+    grams = D.token_set(docs)
+    naive = sorted(map(tuple, D.jaccard_pairs(
+        grams, min_jaccard=0.5).collect()))
+    pref = sorted(map(tuple, D.jaccard_prefix_pairs(
+        grams, min_jaccard=0.5).collect()))
+    assert pref == naive
+    assert (1, 2, 0.6) in pref and (5, 6, 1.0) in pref
+    assert not any({a, b} == {3, 4} for a, b, _ in pref)
+
+
+def test_jaccard_prefix_boundary_pair_not_pruned(spark):
+    # |x| = 2, |y| = 4, x subset of y: J = 2/4 = 0.5 exactly — the
+    # boundary the integer size filter must NOT float-prune
+    docs = spark.createDataFrame(
+        [(1, "aa bb"), (2, "aa bb cc dd")], "doc_id long, text string")
+    got = rows(D.jaccard_prefix_pairs(D.token_set(docs),
+                                      min_jaccard=0.5))
+    assert got == [(1, 2, 0.5)]

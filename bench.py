@@ -90,6 +90,8 @@ HEADLINE = (
     "sim_hybrid_rrf",
     "dedup_pagerank_centrality",
     "pipe_mixture_recipe",
+    "profile_data_card",
+    "dedup_jaccard_prefix",
 )
 
 

@@ -481,3 +481,51 @@ def split_by_cluster(df: DataFrame, cluster_col: str,
     hash-range determinism.
     """
     return assign_splits(df, cluster_col, splits, out_col)
+
+
+def quantile_normalize(df: DataFrame, value_col: str,
+                       group_col: str = "source",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Cross-group quantile normalization: map each group's value
+    distribution onto the GLOBAL distribution by rank — the calibration
+    step before one absolute threshold can gate scores produced on
+    different scales per source (a classifier that runs "hot" on one
+    domain otherwise monopolizes any global cut; after normalization,
+    equal within-source rank means equal calibrated value, so the
+    threshold selects the same per-source fraction everywhere).
+
+    The rank->global-index map is INTEGER-exact:
+    gidx = 1 + ((rank_g - 1) * (N - 1)) div (n_g - 1) — group
+    endpoints land on the global min/max, singleton groups on the
+    global median (N + 1) div 2; no float quantile arithmetic, so the
+    whole map replays bit-for-bit in SQL.
+
+    Shape: one window per group (rank + count), ONE range exchange for
+    the global order (`layout.global_row_number`, never a
+    single-partition window), a 1-row total broadcast, and an
+    equi-join on the integer index. Values stream; only (id, value)
+    pairs shuffle.
+    """
+    from pyspark.sql import Window
+
+    from .layout import global_row_number
+
+    base = df.select(F.col(id_col), F.col(group_col), F.col(value_col))
+    lookup = (global_row_number(base, [value_col, id_col],
+                                id_alias="__tgt")
+              .select("__tgt", F.col(value_col).alias("calibrated")))
+    tot = base.agg(F.count(F.lit(1)).cast("long").alias("__tot"))
+    wg = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc())
+    wc = Window.partitionBy(group_col)
+    ranked = (base
+              .withColumn("__r", F.row_number().over(wg).cast("long"))
+              .withColumn("__n", F.count(F.lit(1)).over(wc).cast("long"))
+              .crossJoin(F.broadcast(tot)))
+    tgt = F.when(F.col("__n") > 1,
+                 F.expr("1L + ((__r - 1L) * (__tot - 1L)) div (__n - 1L)")) \
+           .otherwise(F.expr("(__tot + 1L) div 2L"))
+    return (ranked.withColumn("__tgt", tgt)
+            .join(lookup, "__tgt")
+            .select(F.col(id_col), F.col(group_col),
+                    F.col(value_col).alias("raw"), F.col("calibrated")))

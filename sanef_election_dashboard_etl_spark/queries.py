@@ -5029,6 +5029,58 @@ def profile_data_card(spark, sf_dir):
     return data_card(u)
 
 
+@query("sample_quantile_normalize", oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+'))
+            AS token
+        FROM documents
+    ), per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               COUNT(DISTINCT token) AS n_unique
+        FROM tok GROUP BY doc_id
+    ), scored AS (
+        SELECT p.doc_id, d.source,
+               ROUND(CAST(p.n_unique AS DOUBLE)
+                     / CAST(p.n_tokens AS DOUBLE), 4) AS uniq_ratio
+        FROM per_doc p JOIN documents d USING (doc_id)
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM scored
+    ), r AS (
+        SELECT doc_id, source, uniq_ratio,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                        ORDER BY uniq_ratio, doc_id) AS BIGINT) AS rg,
+               CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS ng
+        FROM scored
+    ), g AS (
+        SELECT uniq_ratio AS calibrated,
+               CAST(ROW_NUMBER() OVER (ORDER BY uniq_ratio, doc_id)
+                    AS BIGINT) AS gidx
+        FROM scored
+    )
+    SELECT r.doc_id, r.source, r.uniq_ratio AS raw, g.calibrated
+    FROM r CROSS JOIN tot
+    JOIN g ON g.gidx = CASE WHEN r.ng > 1
+                            THEN 1 + ((r.rg - 1) * (tot.n - 1))
+                                     // (r.ng - 1)
+                            ELSE (tot.n + 1) // 2 END
+""")
+def sample_quantile_normalize(spark, sf_dir):
+    """Cross-source quantile normalization of the quality metric: each
+    source's rounded unique-token-ratio distribution is mapped onto the
+    global distribution by integer-exact rank arithmetic, so one
+    absolute threshold selects the same per-source fraction everywhere
+    (the calibration quality_quantile_gate builds in implicitly, made
+    explicit and reusable for ANY score column). Whole map replayed in
+    SQL; within-source-rank => calibrated-value equality unit-tested."""
+    from .operators.sampling import quantile_normalize
+    from .operators.text import quality_score
+    docs = _t(spark, sf_dir, "documents")
+    scored = (quality_score(docs)
+              .join(docs.select("doc_id", "source"), "doc_id")
+              .select("doc_id", "source", "uniq_ratio"))
+    return quantile_normalize(scored, "uniq_ratio")
+
+
 @query("dedup_jaccard_prefix", oracle="""
     WITH g AS (
         SELECT doc_id, shingle FROM (

@@ -2601,3 +2601,28 @@ def test_jaccard_prefix_boundary_pair_not_pruned(spark):
     got = rows(D.jaccard_prefix_pairs(D.token_set(docs),
                                       min_jaccard=0.5))
     assert got == [(1, 2, 0.5)]
+
+
+def test_quantile_normalize_aligns_shifted_scales(spark):
+    from sanef_election_dashboard_etl_spark.operators.sampling import (
+        quantile_normalize)
+    # source B runs 100 "hotter" than A; after normalization, equal
+    # within-source rank gets the identical calibrated value.
+    df = spark.createDataFrame(
+        [(1, "A", 1.0), (2, "A", 2.0), (3, "A", 3.0),
+         (4, "B", 101.0), (5, "B", 102.0), (6, "B", 103.0)],
+        "doc_id long, source string, score double")
+    out = quantile_normalize(df, "score")
+    byrank = {}
+    for r in sorted(out.collect(), key=lambda r: (r.source, r.raw)):
+        byrank.setdefault(r.source, []).append(r.calibrated)
+    assert byrank["A"] == byrank["B"]
+    # endpoints hit the global min/max: N=6 -> gidx 1, 3.5->3, 6
+    assert byrank["A"] == [1.0, 3.0, 103.0]
+    # singleton group maps to the global median index (N+1) div 2
+    solo = spark.createDataFrame(
+        [(1, "A", 5.0), (2, "A", 6.0), (3, "A", 7.0), (9, "S", 999.0)],
+        "doc_id long, source string, score double")
+    got = {r.doc_id: r.calibrated
+           for r in quantile_normalize(solo, "score").collect()}
+    assert got[9] == 6.0   # global sorted [5,6,7,999], (4+1) div 2 = idx 2

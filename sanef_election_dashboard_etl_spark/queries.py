@@ -5029,6 +5029,155 @@ def profile_data_card(spark, sf_dir):
     return data_card(u)
 
 
+_AUDIT_CHAIN_A = " ".join(f"zzq{i:02d}" for i in range(1, 21))
+_AUDIT_CHAIN_B = " ".join(f"zzq{i:02d}" for i in range(2, 21)) + " zzu01"
+_AUDIT_CHAIN_C = " ".join(f"zzq{i:02d}" for i in range(3, 21)) + \
+    " zzu01 zzu02"
+
+@query("pipe_dedup_audit", oracle=(f"""
+    WITH RECURSIVE u AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 200
+        UNION ALL
+        SELECT * FROM (VALUES
+            (900101, 'zzp1 zzp2 zzp3'), (900102, 'zzp1 zzp2 zzp3'),
+            (900201, 'zzk1 zzk2 zzk3 zzk4'),
+            (900202, 'zzk1 zzk2 zzk3 zzk4'),
+            (900203, 'zzk1 zzk2 zzk3 zzk4'),
+            (900301, '{_AUDIT_CHAIN_A}'),
+            (900302, '{_AUDIT_CHAIN_B}'),
+            (900303, '{_AUDIT_CHAIN_C}')) AS t(doc_id, text)
+    ), grams AS (
+        SELECT doc_id, shingle FROM (
+            SELECT DISTINCT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+'))
+                       AS shingle
+            FROM u
+        ) WHERE shingle <> ''
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        FROM grams a JOIN grams b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE ROUND(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE),
+                    4) >= 0.9
+    ),""" + """
+    edges2 AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ), walk(v, r) AS (
+        SELECT u, u FROM edges2
+        UNION
+        SELECT w.v, e2.v FROM walk w JOIN edges2 e2 ON e2.u = w.r
+    ), comp AS (
+        SELECT v, CAST(MIN(r) AS BIGINT) AS component FROM walk GROUP BY v
+    ), e AS (
+        SELECT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+        FROM pairs WHERE id_a != id_b GROUP BY 1, 2
+    ), deg AS (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM (SELECT u AS id FROM e UNION ALL SELECT v FROM e)
+        GROUP BY id
+    ), ed AS (
+        SELECT e.u, e.v, a.degree AS du, b.degree AS dv
+        FROM e JOIN deg a ON a.id = e.u JOIN deg b ON b.id = e.v
+    ), o AS (
+        SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END
+                   AS s,
+               CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END
+                   AS t
+        FROM ed
+    ), wdg AS (
+        SELECT o1.s, o1.t AS t1, o2.t AS t2
+        FROM o o1 JOIN o o2 ON o1.s = o2.s AND o1.t < o2.t
+    ), tri AS (
+        SELECT wdg.s, wdg.t1, wdg.t2
+        FROM wdg JOIN e ON e.u = wdg.t1 AND e.v = wdg.t2
+    ), pn AS (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS nt FROM (
+            SELECT s AS id FROM tri
+            UNION ALL SELECT t1 FROM tri
+            UNION ALL SELECT t2 FROM tri)
+        GROUP BY id
+    ), node AS (
+        SELECT d.id, d.degree, COALESCE(pn.nt, 0) AS nt, c.component
+        FROM deg d JOIN comp c ON c.v = d.id
+        LEFT JOIN pn ON pn.id = d.id
+    )
+    SELECT component,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(degree) // 2 AS BIGINT) AS n_edges,
+           CAST(SUM(nt) // 3 AS BIGINT) AS n_triangles,
+           CAST(SUM(degree * (degree - 1) // 2) AS BIGINT) AS n_wedges,
+           CASE WHEN SUM(degree * (degree - 1) // 2) > 0
+                THEN CAST(SUM(nt) AS DOUBLE) /
+                     CAST(SUM(degree * (degree - 1) // 2) AS DOUBLE)
+                ELSE 0.0 END AS transitivity,
+           CASE WHEN SUM(degree * (degree - 1) // 2) = 0 THEN 'pair'
+                WHEN 2 * SUM(nt) >= SUM(degree * (degree - 1) // 2)
+                THEN 'clique-like'
+                ELSE 'chain-like' END AS verdict
+    FROM node GROUP BY component
+"""))
+def pipe_dedup_audit(spark, sf_dir):
+    """Dup-cluster quality audit: near-dup pairs -> components x
+    per-node triangle counts -> ONE cluster-grain verdict table
+    (size, edges, triangles, wedges, transitivity = 3T/wedges,
+    clique-like / chain-like / pair). Clique-like clusters are safe to
+    collapse to a canonical doc; chain-like ones are banding-artifact
+    suspects whose endpoints deserve exact re-verification before any
+    doc is dropped — the audit step between pair generation and
+    destructive dedup. All counts integer-exact (wedge counts from
+    degrees, 3T = summed per-node triangles); the verdict threshold is
+    an integer compare (2*sum(nt) >= wedges <=> transitivity >= 1/2),
+    ONE final double division for the reported ratio. Planted
+    structures (an isolated twin pair, a 3-doc similarity chain whose
+    endpoints fall below threshold, a 3-doc clique) guarantee every
+    verdict branch fires at every SF."""
+    chain_a = " ".join(f"zzq{i:02d}" for i in range(1, 21))
+    chain_b = " ".join(f"zzq{i:02d}" for i in range(2, 21)) + " zzu01"
+    chain_c = " ".join(f"zzq{i:02d}" for i in range(3, 21)) + \
+        " zzu01 zzu02"
+    planted = spark.createDataFrame(
+        [(900101, "zzp1 zzp2 zzp3"), (900102, "zzp1 zzp2 zzp3"),
+         (900201, "zzk1 zzk2 zzk3 zzk4"), (900202, "zzk1 zzk2 zzk3 zzk4"),
+         (900203, "zzk1 zzk2 zzk3 zzk4"),
+         (900301, chain_a), (900302, chain_b), (900303, chain_c)],
+        "doc_id long, text string")
+    docs = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+            .select("doc_id", "text").unionByName(planted))
+    pairs = D.ngram_jaccard_pairs(docs, n=1, min_jaccard=0.9)
+    comp = D.connected_components_logn(pairs)
+    tc = D.triangle_counts(pairs)
+    node = (tc.join(comp, tc["id"] == comp["doc_id"])
+            .select("component", "degree", "n_triangles"))
+    wedge = F.expr("degree * (degree - 1) div 2")
+    per = (node.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr("sum(degree) div 2").cast("long").alias("n_edges"),
+        F.expr("sum(n_triangles) div 3").cast("long")
+         .alias("n_triangles"),
+        F.sum(wedge).cast("long").alias("n_wedges"),
+        F.sum("n_triangles").cast("long").alias("__snt")))
+    return per.select(
+        "component", "n_docs", "n_edges", "n_triangles", "n_wedges",
+        F.when(F.col("n_wedges") > 0,
+               F.col("__snt").cast("double") /
+               F.col("n_wedges").cast("double"))
+         .otherwise(F.lit(0.0)).alias("transitivity"),
+        F.when(F.col("n_wedges") == 0, F.lit("pair"))
+         .when(2 * F.col("__snt") >= F.col("n_wedges"),
+               F.lit("clique-like"))
+         .otherwise(F.lit("chain-like")).alias("verdict"))
+
+
 @query("sample_quantile_normalize", oracle="""
     WITH tok AS (
         SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+'))

@@ -426,3 +426,50 @@ def data_card_from_state(counts: DataFrame, fps: DataFrame) -> DataFrame:
                     (F.col("n_tokens").cast("double") /
                      F.col("n_docs").cast("double")).alias("avg_doc_tokens"),
                     "n_langs", "top_lang"))
+
+
+def numeric_drift_binned(old: DataFrame, new: DataFrame, value_col: str,
+                         n_bins: int = 32) -> DataFrame:
+    """The 100 TB tier of `numeric_drift_ks`: equi-width bins over the
+    exact combined [min, max] range, then `categorical_drift_tvd` over
+    the bin ids — the binned-first swap the KS docstring promises for
+    continuous columns whose DISTINCT-value table is too large for the
+    exact cumulative walk (KS state is O(domain); this tier's is
+    O(n_bins) regardless of cardinality).
+
+    Determinism: the bin index floor((x - lo) * n_bins / (hi - lo)) is
+    the SAME IEEE expression shape in both engines (subtract, multiply,
+    divide, floor — all correctly rounded, identical operand order =
+    identical bits), clamped to [0, n_bins-1] so hi itself lands in the
+    last bin; a degenerate hi == lo range puts everything in bin 0.
+    Bounds come from ONE exact min/max aggregate over the union
+    (broadcast back as a 1-row cross join); NULL values form their own
+    drift cell via the TVD gate's null-safe key.
+
+    Shape: one tiny bounds agg + two grouped bin counts + the TVD
+    finish — nothing here scales with distinct-value cardinality.
+    Output: one row (tvd, n_old, n_new), same contract as the exact
+    gates.
+    """
+    both = (old.select(F.col(value_col).alias("__x"))
+            .unionByName(new.select(F.col(value_col).alias("__x"))))
+    bounds = both.agg(F.min("__x").alias("__lo"),
+                      F.max("__x").alias("__hi"))
+
+    def binned(df: DataFrame) -> DataFrame:
+        d = df.select(F.col(value_col).alias("__x")) \
+              .crossJoin(F.broadcast(bounds))
+        idx = F.floor((F.col("__x").cast("double") -
+                       F.col("__lo").cast("double")) *
+                      F.lit(float(n_bins)) /
+                      (F.col("__hi").cast("double") -
+                       F.col("__lo").cast("double")))
+        safe = F.when(F.col("__x").isNull(), F.lit(None).cast("long")) \
+                .when(F.col("__hi") == F.col("__lo"),
+                      F.lit(0).cast("long")) \
+                .otherwise(F.least(F.lit(n_bins - 1).cast("long"),
+                                   F.greatest(F.lit(0).cast("long"),
+                                              idx.cast("long"))))
+        return d.select(safe.alias("__bin"))
+
+    return categorical_drift_tvd(binned(old), binned(new), "__bin")

@@ -5029,6 +5029,60 @@ def profile_data_card(spark, sf_dir):
     return data_card(u)
 
 
+@query("profile_drift_binned", oracle="""
+    WITH oldv AS (
+        SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+    ), newv AS (
+        SELECT CAST(CASE WHEN doc_id % 7 = 0
+                         THEN GREATEST(n_chars - 40, 0)
+                         ELSE n_chars END AS DOUBLE) AS x
+        FROM documents WHERE doc_id % 37 <> 0
+    ), bounds AS (
+        SELECT MIN(x) AS lo, MAX(x) AS hi
+        FROM (SELECT x FROM oldv UNION ALL SELECT x FROM newv)
+    ), ob AS (
+        SELECT CASE WHEN x IS NULL THEN NULL
+                    WHEN hi = lo THEN 0
+                    ELSE LEAST(31, GREATEST(0, CAST(FLOOR(
+                        (x - lo) * 32.0 / (hi - lo)) AS BIGINT)))
+               END AS bin
+        FROM oldv CROSS JOIN bounds
+    ), nb AS (
+        SELECT CASE WHEN x IS NULL THEN NULL
+                    WHEN hi = lo THEN 0
+                    ELSE LEAST(31, GREATEST(0, CAST(FLOOR(
+                        (x - lo) * 32.0 / (hi - lo)) AS BIGINT)))
+               END AS bin
+        FROM newv CROSS JOIN bounds
+    ), o AS (SELECT bin, COUNT(*) AS ca FROM ob GROUP BY bin),
+    n AS (SELECT bin, COUNT(*) AS cb FROM nb GROUP BY bin),
+    cells AS (
+        SELECT coalesce(o.ca, 0) AS ca, coalesce(n.cb, 0) AS cb
+        FROM o FULL OUTER JOIN n ON o.bin IS NOT DISTINCT FROM n.bin
+    ), tot AS (SELECT SUM(ca) AS ta, SUM(cb) AS tb FROM cells)
+    SELECT CAST(SUM(ABS(ca * tb - cb * ta)) AS DOUBLE)
+               / (2.0 * CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)) AS tvd,
+           CAST(ta AS BIGINT) AS n_old, CAST(tb AS BIGINT) AS n_new
+    FROM cells, tot GROUP BY ta, tb
+""")
+def profile_drift_binned(spark, sf_dir):
+    """Binned numeric drift — the O(n_bins) scale tier the exact KS
+    gate's docstring promises: the same truncating-recrawl fixture as
+    profile_drift_ks, 32 equi-width bins over the exact combined range,
+    TVD over bin ids. The bin expression is the same IEEE op chain in
+    both engines; counts and the TVD numerator are exact integers with
+    one final division."""
+    from .operators.profile import numeric_drift_binned
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.select(F.col("n_chars").cast("double").alias("v"))
+    new = (docs.filter(F.col("doc_id") % 37 != 0)
+           .select(F.when(F.col("doc_id") % 7 == 0,
+                          F.greatest(F.col("n_chars") - 40, F.lit(0)))
+                    .otherwise(F.col("n_chars"))
+                    .cast("double").alias("v")))
+    return numeric_drift_binned(old, new, "v", n_bins=32)
+
+
 _AUDIT_CHAIN_A = " ".join(f"zzq{i:02d}" for i in range(1, 21))
 _AUDIT_CHAIN_B = " ".join(f"zzq{i:02d}" for i in range(2, 21)) + " zzu01"
 _AUDIT_CHAIN_C = " ".join(f"zzq{i:02d}" for i in range(3, 21)) + \

@@ -2626,3 +2626,22 @@ def test_quantile_normalize_aligns_shifted_scales(spark):
     got = {r.doc_id: r.calibrated
            for r in quantile_normalize(solo, "score").collect()}
     assert got[9] == 6.0   # global sorted [5,6,7,999], (4+1) div 2 = idx 2
+
+
+def test_numeric_drift_binned_known_values(spark):
+    from sanef_election_dashboard_etl_spark.operators.profile import (
+        numeric_drift_binned)
+    o = spark.createDataFrame([(float(x),) for x in [0, 1, 2, 3]],
+                              "v double")
+    # identical distributions -> 0
+    z = numeric_drift_binned(o, o, "v", n_bins=4).first()
+    assert z.tvd == 0.0 and z.n_old == 4 and z.n_new == 4
+    # range [0,3], 4 bins of width .75: old {0,1,2,3}->bins{0,1,2,3};
+    # new all 3.0 -> bin 3. TVD = 0.5*(1/4+1/4+1/4+|1/4-1|) = 0.75
+    n = spark.createDataFrame([(3.0,), (3.0,), (3.0,), (3.0,)],
+                              "v double")
+    d = numeric_drift_binned(o, n, "v", n_bins=4).first()
+    assert d.tvd == 0.75
+    # degenerate hi == lo: everything bin 0, no drift
+    c = spark.createDataFrame([(5.0,), (5.0,)], "v double")
+    assert numeric_drift_binned(c, c, "v").first().tvd == 0.0

@@ -970,3 +970,52 @@ def bpe_encode(df: DataFrame, merges: list, id_col: str = "doc_id",
         enc, schema="__id long, n_bpe_tokens long, bpe_tokens array<string>")
     return out.select(F.col("__id").alias(id_col), "n_bpe_tokens",
                       "bpe_tokens")
+
+
+def hash_embedding_cells(df: DataFrame, dim: int = 64,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Feature-hashing text vectors, sparse stage (the hashing trick,
+    Weinberger et al. ICML 2009): every token lands in dimension
+    portable_hash(token) mod dim with sign portable_hash(token||'#s')
+    mod 2 — a model-free document embedding that bridges text corpora
+    into the vector operators (knn_graph, cosine/hamming ANN, semantic
+    dedup) when no learned embeddings exist. Signed counts keep the
+    expectation of dot products unbiased under collisions.
+
+    Integer-exact and engine-replayable end to end (the md5-derived
+    portable hash, exact signed-count sums). One exchange: tokens
+    group to (doc, dim) cells; only NON-ZERO cells emerge —
+    vocabulary-independent O(docs x dim) output bound.
+    Output (id, dim_idx, value), value long.
+    """
+    tok = exploded_tokens(df, id_col, text_col)
+    from .dedup import portable_hash
+    idx = F.pmod(portable_hash(F.col("token")), F.lit(dim)).cast("long")
+    sign = F.when(
+        F.pmod(portable_hash(F.concat(F.col("token"), F.lit("#s"))),
+               F.lit(2)) == 0, F.lit(1)).otherwise(F.lit(-1))
+    return (tok.select(F.col(id_col), idx.alias("dim_idx"),
+                       sign.alias("__s"))
+            .groupBy(id_col, "dim_idx")
+            .agg(F.sum("__s").cast("long").alias("value"))
+            .filter(F.col("value") != 0))
+
+
+def hash_embedding(df: DataFrame, dim: int = 64, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Dense form of `hash_embedding_cells`: (id, embedding) with a
+    fixed-size array<double> column shaped exactly like the embeddings
+    table — drop-in input for cosine_topk/knn_graph/semantic_dedup.
+    Built JVM-side: map_from_entries over the sparse cells, then one
+    transform over sequence(0, dim-1) with coalesce-to-0 — no UDF, no
+    per-dimension join."""
+    cells = hash_embedding_cells(df, dim, id_col, text_col)
+    m = (cells.groupBy(id_col)
+         .agg(F.map_from_entries(
+             F.collect_list(F.struct("dim_idx", "value"))).alias("__m")))
+    vec = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.lit(dim - 1).cast("long")),
+        lambda i: F.coalesce(F.col("__m")[i], F.lit(0).cast("long"))
+                   .cast("double"))
+    return m.select(F.col(id_col), vec.alias("embedding"))

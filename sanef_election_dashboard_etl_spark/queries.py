@@ -5029,6 +5029,38 @@ def profile_data_card(spark, sf_dir):
     return data_card(u)
 
 
+@query("text_hash_embedding", oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+'))
+            AS token
+        FROM documents WHERE doc_id < 300
+    ), t2 AS (
+        SELECT doc_id, token FROM tok WHERE token <> ''
+    ), cells AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(token AS VARCHAR)), 1, 15))::BIGINT
+                   % 64 AS dim_idx,
+               SUM(CASE WHEN ('0x' || substr(md5(token || '#s'), 1, 15))
+                             ::BIGINT % 2 = 0
+                        THEN 1 ELSE -1 END) AS value
+        FROM t2 GROUP BY 1, 2
+    )
+    SELECT doc_id, dim_idx, CAST(value AS BIGINT) AS value
+    FROM cells WHERE value <> 0
+""")
+def text_hash_embedding(spark, sf_dir):
+    """Feature-hashing document vectors (hashing trick), sparse cells:
+    model-free 64-dim signed-count embeddings that bridge text corpora
+    into the vector tier (knn_graph / cosine / semantic dedup) when no
+    learned embeddings exist. Portable hash end to end — buckets, signs
+    and exact signed sums all replay in SQL; the dense array form is
+    test-asserted against these cells and against a cosine sanity
+    check."""
+    from .operators.text import hash_embedding_cells
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return hash_embedding_cells(docs, dim=64)
+
+
 @query("profile_drift_binned", oracle="""
     WITH oldv AS (
         SELECT CAST(n_chars AS DOUBLE) AS x FROM documents

@@ -2645,3 +2645,27 @@ def test_numeric_drift_binned_known_values(spark):
     # degenerate hi == lo: everything bin 0, no drift
     c = spark.createDataFrame([(5.0,), (5.0,)], "v double")
     assert numeric_drift_binned(c, c, "v").first().tvd == 0.0
+
+
+def test_hash_embedding_dense_matches_cells_and_feeds_cosine(spark):
+    from sanef_election_dashboard_etl_spark.operators.text import (
+        hash_embedding, hash_embedding_cells)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"),
+         (3, "delta epsilon zeta eta theta")],
+        "doc_id long, text string")
+    dense = {r.doc_id: r.embedding
+             for r in hash_embedding(docs, dim=16).collect()}
+    cells = {(r.doc_id, r.dim_idx): r.value
+             for r in hash_embedding_cells(docs, dim=16).collect()}
+    for d, vec in dense.items():
+        assert len(vec) == 16
+        for i, v in enumerate(vec):
+            assert v == float(cells.get((d, i), 0))
+    # identical docs -> identical vectors -> cosine 1 via the ANN tier
+    assert dense[1] == dense[2] and dense[1] != dense[3]
+    emb = hash_embedding(docs, dim=16) \
+        .withColumnRenamed("doc_id", "vec_id")
+    got = rows(S.cosine_topk(
+        emb, emb.filter(F.col("vec_id") == 1), k=1), "neighbor_id")
+    assert got == [(2,)]

@@ -44,6 +44,10 @@ MUST_HAVE = {
     "sim_mmr_rerank": ["BroadcastNestedLoopJoin", "InMemoryTableScan"],
     # FFD packing: ONE group exchange into the Arrow grouped-map pass
     "pack_ffd": ["FlatMapGroupsInPandas"],
+    # quantile normalization: the 1-row total broadcasts; the global
+    # order is ONE range exchange (global_row_number), never a
+    # single-partition window
+    "sample_quantile_normalize": ["BroadcastNestedLoopJoin"],
     # hamming prefilter: tiny signed query side broadcasts into a
     # nested-loop popcount filter; the corpus is scanned in place
     "sim_topk_hamming": ["BroadcastNestedLoopJoin"],
@@ -252,6 +256,10 @@ MUST_NOT = {
     "profile_key_skew": ["CartesianProduct"],
     "agg_incremental_merge": ["CartesianProduct", "SortMergeJoin"],
     "dedup_pagerank_centrality": ["CartesianProduct"],
+    # audit + normalization chains must never cross-product or
+    # sort-merge the doc side
+    "pipe_dedup_audit": ["CartesianProduct"],
+    "sample_quantile_normalize": ["CartesianProduct"],
 }
 
 AUDIT = [
@@ -284,7 +292,7 @@ AUDIT = [
     "profile_dataset_fingerprint", "profile_trend_ols",
     "pipe_mixture_recipe", "pipe_loader_order",
     "sim_hard_negatives", "sim_knn_graph", "sim_mmr_rerank",
-    "pack_ffd",
+    "pack_ffd", "sample_quantile_normalize", "pipe_dedup_audit",
 ]
 
 

@@ -348,3 +348,56 @@ def test_bm25_scores_positive_and_unmatched_absent(spark, texts):
     matched = {i for i, t in rows if "a" in t.split()}
     assert {r["doc_id"] for r in got} == matched
     assert all(r["score"] > 0 for r in got)
+
+
+word = st.text(alphabet="abcde", min_size=1, max_size=3)
+docs_strategy = st.lists(
+    st.lists(word, min_size=1, max_size=8).map(" ".join),
+    min_size=2, max_size=10)
+
+
+@given(texts=docs_strategy)
+@SLOW
+def test_jaccard_prefix_pairs_equals_naive_on_random_corpora(spark, texts):
+    """Prefix filtering is an exact optimization: on arbitrary random
+    corpora its output is identical to the naive inverted-index join
+    (pairs AND rounded scores), at threshold 0.5."""
+    from sanef_election_dashboard_etl_spark.operators import dedup as D
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    grams = D.token_set(df)
+    naive = sorted(map(tuple,
+                       D.jaccard_pairs(grams, min_jaccard=0.5).collect()))
+    pref = sorted(map(tuple, D.jaccard_prefix_pairs(
+        grams, min_jaccard=0.5).collect()))
+    assert pref == naive
+
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)),
+    min_size=1, max_size=25)
+
+
+@given(edges=edges_strategy)
+@SLOW
+def test_triangle_counts_match_bruteforce(spark, edges):
+    """Degree-ordered triangle counting equals the brute-force
+    enumeration on arbitrary small graphs, and the per-node total is
+    always divisible by 3 in aggregate (each triangle has 3 corners)."""
+    from itertools import combinations
+
+    from sanef_election_dashboard_etl_spark.operators import dedup as D
+    canon = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not canon:
+        return
+    df = spark.createDataFrame(sorted(canon), "id_a long, id_b long")
+    got = {r.id: r.n_triangles for r in D.triangle_counts(df).collect()}
+    nodes = sorted({v for e in canon for v in e})
+    expect = {v: 0 for v in nodes}
+    for a, b, c in combinations(nodes, 3):
+        if ({(a, b), (a, c), (b, c)} <= canon):
+            expect[a] += 1
+            expect[b] += 1
+            expect[c] += 1
+    assert got == expect
+    assert sum(got.values()) % 3 == 0

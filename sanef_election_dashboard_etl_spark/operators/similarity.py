@@ -1438,3 +1438,77 @@ def mmr_rerank(emb: DataFrame, queries: DataFrame, k: int = 4,
     for o in out[1:]:
         res = res.unionByName(o)
     return res.select("query_id", "rank", "neighbor_id")
+
+
+def kmeans_spherical(emb: DataFrame, k: int = 4, n_iter: int = 2,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Native spherical k-means (Lloyd's), deterministic and fully
+    cross-engine replayable — the verified sibling of the Spark ML
+    KMeans tiers (ivf_topk, semantic_dedup_kmeans), whose learned
+    models are rows-only by nature. Every piece is a primitive this
+    engine has already proven bit-stable: seeds are the k lowest-id
+    vectors (no RNG), assignment is an argmax-cosine WindowGroupLimit
+    over broadcast centroids (the cosine_topk ranking discipline, ties
+    by centroid ordinal), and the centroid update is the davg
+    decimal-exact coordinate mean (the embedding_centroids
+    discipline — order- and partition-independent). A FIXED n_iter
+    unrolls into one lazy plan (the mmr_rerank discipline): no driver
+    iteration, no RNG, no floats outside IEEE chains both engines
+    share.
+
+    Zero-norm guard: a vector or centroid with zero norm scores -2.0
+    (below any real cosine) instead of tripping ANSI divide-by-zero —
+    the quantized_topk lesson; with round-6 means over random floats
+    the branch is unreachable, it exists for safety.
+
+    Scale: per iteration, ONE broadcast nested-loop scoring pass over
+    the corpus (k rows broadcast) + one posexplode groupBy for the
+    means (dims x k cells). Centroid tables are persisted between
+    stages (k x dim doubles — metadata-sized). Output (id, cluster),
+    cluster = seed ordinal.
+    """
+    from ..functions.numeric import davg
+    from pyspark.sql import Window
+
+    v = emb.select(F.col(id_col).alias("__vid"),
+                   _as_double(F.col(vec_col)).alias("__v")).persist()
+    seeds = (v.orderBy("__vid").limit(k)
+             .withColumn("cluster",
+                         (F.row_number().over(Window.orderBy("__vid")) - 1)
+                         .cast("long"))
+             .select("cluster", F.col("__v").alias("__c")))
+
+    def assign(cent: DataFrame) -> DataFrame:
+        cn = norm(F.col("__c"))
+        vn = norm(F.col("__v"))
+        cos = F.when((cn > 0) & (vn > 0),
+                     dot(F.col("__v"), F.col("__c")) / (vn * cn)) \
+               .otherwise(F.lit(-2.0))
+        w = Window.partitionBy("__vid").orderBy(
+            F.desc("__cos"), F.asc("cluster"))
+        return (v.crossJoin(F.broadcast(cent))
+                .withColumn("__cos", cos)
+                .withColumn("__r", F.row_number().over(w))
+                .filter(F.col("__r") == 1)
+                .select("__vid", "__v", "cluster"))
+
+    def update(assigned: DataFrame) -> DataFrame:
+        d = assigned.select("cluster",
+                            F.posexplode("__v").alias("__i", "__x"))
+        per = (d.groupBy("cluster", "__i")
+               .agg(davg(F.round(F.col("__x"), 6), scale=6, out_scale=6)
+                    .alias("__cx")))
+        return (per.groupBy("cluster")
+                .agg(F.transform(
+                    F.sort_array(F.collect_list(
+                        F.struct("__i", "__cx"))),
+                    lambda s: s["__cx"]).alias("__c"))
+                .persist())
+
+    cent = seeds.persist()
+    for _ in range(n_iter):
+        cent = update(assign(cent))
+    return (assign(cent)
+            .select(F.col("__vid").alias(id_col),
+                    F.col("cluster").cast("long").alias("cluster")))

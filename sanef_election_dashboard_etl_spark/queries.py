@@ -5029,6 +5029,65 @@ def profile_data_card(spark, sf_dir):
     return data_card(u)
 
 
+def _kmeans_oracle_sql(k: int = 4, n_iter: int = 2,
+                       bound: int = 400) -> str:
+    """Unroll spherical Lloyd's into chained SQL CTEs (the mmr pattern):
+    aN = argmax-cosine assignment, cN = davg decimal-exact coordinate
+    means rebuilt with list(... ORDER BY i)."""
+    def assign(name: str, cent: str) -> str:
+        return f""", {name} AS (
+        SELECT vid, v, cluster FROM (
+            SELECT v.vid, v.v, s.cluster,
+                   ROW_NUMBER() OVER (PARTITION BY v.vid
+                       ORDER BY list_cosine_similarity(v.v, s.c) DESC,
+                                s.cluster) AS r
+            FROM v CROSS JOIN {cent} s) WHERE r = 1
+    )"""
+
+    def update(name: str, assigned: str) -> str:
+        return f""", {name} AS (
+        SELECT cluster, list(cx ORDER BY i) AS c FROM (
+            SELECT cluster, i,
+                   ROUND(CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6)))
+                              AS DOUBLE) / COUNT(*), 6) AS cx
+            FROM (SELECT cluster, t.i, v[t.i] AS x
+                  FROM {assigned},
+                       unnest(generate_series(1, len(v))) AS t(i))
+            GROUP BY cluster, i) GROUP BY cluster
+    )"""
+
+    parts = [f"""
+    WITH v AS (
+        SELECT vec_id AS vid, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id < {bound}
+    ), seeds AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vid) - 1 AS BIGINT)
+                   AS cluster,
+               v AS c
+        FROM (SELECT vid, v FROM v ORDER BY vid LIMIT {k})
+    )"""]
+    cent = "seeds"
+    for i in range(1, n_iter + 1):
+        parts.append(assign(f"a{i}", cent))
+        parts.append(update(f"c{i}", f"a{i}"))
+        cent = f"c{i}"
+    parts.append(assign("afinal", cent))
+    parts.append("\n    SELECT vid AS vec_id, cluster FROM afinal")
+    return "".join(parts)
+
+
+@query("sim_kmeans_spherical", oracle=_kmeans_oracle_sql())
+def sim_kmeans_spherical(spark, sf_dir):
+    """Native spherical k-means (Lloyd's, k=4, 2 update rounds):
+    deterministic seeds (lowest ids), argmax-cosine assignment,
+    decimal-exact davg centroid means, fixed iterations unrolled into
+    one lazy plan — an ITERATIVE clustering algorithm whose every
+    assignment is bit-replayed by the oracle's chained CTEs. The
+    verified sibling of the rows-only Spark ML KMeans tiers."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    return S.kmeans_spherical(emb, k=4, n_iter=2)
+
+
 @query("text_hash_embedding", oracle="""
     WITH tok AS (
         SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+'))

@@ -2669,3 +2669,22 @@ def test_hash_embedding_dense_matches_cells_and_feeds_cosine(spark):
     got = rows(S.cosine_topk(
         emb, emb.filter(F.col("vec_id") == 1), k=1), "neighbor_id")
     assert got == [(2,)]
+
+
+def test_kmeans_spherical_recovers_blobs(spark):
+    # two well-separated directional blobs; seeds (ids 0 and 1) start
+    # one in each blob, so two Lloyd rounds must keep them apart
+    rows_in = [(0, [1.0, 0.02, 0.0]), (2, [0.99, -0.01, 0.03]),
+               (4, [1.0, 0.0, 0.01]),
+               (1, [0.0, 1.0, 0.02]), (3, [0.02, 0.98, 0.0]),
+               (5, [0.0, 1.0, -0.01])]
+    emb = spark.createDataFrame(rows_in, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r.cluster
+           for r in S.kmeans_spherical(emb, k=2, n_iter=2).collect()}
+    assert got[0] == got[2] == got[4]
+    assert got[1] == got[3] == got[5]
+    assert got[0] != got[1]
+    # partition invariance: same assignment on a reshuffled input
+    got2 = {r.vec_id: r.cluster for r in S.kmeans_spherical(
+        emb.repartition(7), k=2, n_iter=2).collect()}
+    assert got2 == got

@@ -499,6 +499,12 @@ X100_HEAVY_OPERATORS = [
          fromlist=["dedup_weighted_sample"]).dedup_weighted_sample(
              table(spark, sf, "documents").withColumn(
                  "fp", T.fingerprint(F.col("text"))), "fp")),
+    # r5 session-3: native Lloyd's — per round ONE broadcast scoring
+    # pass (k rows) + one posexplode mean agg; must stay corpus-linear
+    # across the fixed 2-round unroll
+    ("kmeans_spherical", "embeddings corpus x100 (200k vecs, k=4)",
+     lambda spark, sf: SIM.kmeans_spherical(
+         table(spark, sf, "embeddings"), k=4, n_iter=2)),
     ("bm25_full_corpus", "documents x100 (500k docs, 9-term queries)",
      lambda spark, sf: T.bm25_topk(
          table(spark, sf, "documents"),

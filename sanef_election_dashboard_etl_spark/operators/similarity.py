@@ -1440,9 +1440,9 @@ def mmr_rerank(emb: DataFrame, queries: DataFrame, k: int = 4,
     return res.select("query_id", "rank", "neighbor_id")
 
 
-def kmeans_spherical(emb: DataFrame, k: int = 4, n_iter: int = 2,
-                     id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+def kmeans_fit(emb: DataFrame, k: int = 4, n_iter: int = 2,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> tuple[DataFrame, DataFrame]:
     """Native spherical k-means (Lloyd's), deterministic and fully
     cross-engine replayable — the verified sibling of the Spark ML
     KMeans tiers (ivf_topk, semantic_dedup_kmeans), whose learned
@@ -1465,8 +1465,10 @@ def kmeans_spherical(emb: DataFrame, k: int = 4, n_iter: int = 2,
     Scale: per iteration, ONE broadcast nested-loop scoring pass over
     the corpus (k rows broadcast) + one posexplode groupBy for the
     means (dims x k cells). Centroid tables are persisted between
-    stages (k x dim doubles — metadata-sized). Output (id, cluster),
-    cluster = seed ordinal.
+    stages (k x dim doubles — metadata-sized). Returns
+    (assignments (id, cluster), centroids (cluster, centroid)) —
+    cluster = seed ordinal; `kmeans_spherical` is the assignment-only
+    view, `ivf_topk_verified` consumes both.
     """
     from ..functions.numeric import davg
     from pyspark.sql import Window
@@ -1509,6 +1511,68 @@ def kmeans_spherical(emb: DataFrame, k: int = 4, n_iter: int = 2,
     cent = seeds.persist()
     for _ in range(n_iter):
         cent = update(assign(cent))
-    return (assign(cent)
-            .select(F.col("__vid").alias(id_col),
-                    F.col("cluster").cast("long").alias("cluster")))
+    final = assign(cent).select(
+        F.col("__vid").alias(id_col),
+        F.col("cluster").cast("long").alias("cluster"))
+    centroids = cent.select("cluster", F.col("__c").alias("centroid"))
+    return final, centroids
+
+
+def kmeans_spherical(emb: DataFrame, k: int = 4, n_iter: int = 2,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Assignment-only view of `kmeans_fit` (see its docstring — the
+    deterministic, fully SQL-replayable Lloyd's): (id, cluster)."""
+    return kmeans_fit(emb, k, n_iter, id_col, vec_col)[0]
+
+
+def ivf_topk_verified(emb: DataFrame, queries: DataFrame, k: int = 10,
+                      n_clusters: int = 4, n_probe: int = 2,
+                      n_iter: int = 2, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN with a VERIFIED index: coarse clusters come from the
+    native `kmeans_fit` (deterministic seeds, unrolled Lloyd's) instead
+    of Spark ML, so the ENTIRE retrieval path — index construction,
+    probe selection, candidate scan, exact re-rank — replays
+    bit-for-bit in SQL. The rows-only `ivf_topk` stays the
+    production-training tier; this is the correctness-auditable twin
+    the oracle gate can hold end to end.
+
+    Per query: rank centroids by cosine, keep `n_probe`; candidates =
+    vectors assigned to probed clusters (the inverted lists); exact
+    cosine top-k among candidates, ids only, ties by id. Scale shape:
+    centroids broadcast twice (probe + final assignment reuse), the
+    corpus shuffles ONCE on cluster id to form lists; per-query work is
+    probed-list-sized, the IVF contract.
+    """
+    from pyspark.sql import Window
+
+    assign, cent = kmeans_fit(emb, n_clusters, n_iter, id_col, vec_col)
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__v").alias("qv"), F.col("__norm").alias("qn"))
+    cn = norm(F.col("centroid"))
+    ccos = F.when((cn > 0) & (F.col("qn") > 0),
+                  dot(F.col("qv"), F.col("centroid")) /
+                  (F.col("qn") * cn)).otherwise(F.lit(-2.0))
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("__ccos"), F.asc("cluster"))
+    probe = (q.crossJoin(F.broadcast(cent))
+             .withColumn("__ccos", ccos)
+             .withColumn("__r", F.row_number().over(wp))
+             .filter(F.col("__r") <= n_probe)
+             .select("query_id", "cluster", "qv", "qn"))
+    lists = (with_norm(emb, vec_col)
+             .select(F.col(id_col).alias("neighbor_id"),
+                     F.col("__v").alias("cv"), F.col("__norm").alias("cn"))
+             .join(assign.select(F.col(id_col).alias("neighbor_id"),
+                                 "cluster"), "neighbor_id"))
+    scored = (probe.join(lists, "cluster")
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("cos", dot(F.col("qv"), F.col("cv")) /
+                          (F.col("qn") * F.col("cn"))))
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(wk).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id"))

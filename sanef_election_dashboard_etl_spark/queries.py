@@ -5076,6 +5076,51 @@ def _kmeans_oracle_sql(k: int = 4, n_iter: int = 2,
     return "".join(parts)
 
 
+def _ivf_verified_oracle_sql(k: int = 10, n_clusters: int = 4,
+                             n_probe: int = 2, n_iter: int = 2,
+                             bound: int = 400,
+                             n_queries: int = 8) -> str:
+    """Extend the kmeans unroll with probe selection, inverted-list
+    candidate scan and the exact re-rank — the whole IVF path in one
+    statement."""
+    prefix = _kmeans_oracle_sql(n_clusters, n_iter, bound)
+    prefix = prefix.rsplit("\n    SELECT vid AS vec_id", 1)[0]
+    return prefix + f""", qset AS (
+        SELECT vid AS query_id, v AS qv FROM v WHERE vid < {n_queries}
+    ), probe AS (
+        SELECT query_id, cluster, qv FROM (
+            SELECT q.query_id, s.cluster, q.qv,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.qv, s.c) DESC,
+                                s.cluster) AS r
+            FROM qset q CROSS JOIN c{n_iter} s) WHERE r <= {n_probe}
+    ), scored AS (
+        SELECT p.query_id, a.vid AS neighbor_id,
+               list_cosine_similarity(p.qv, a.v) AS cos
+        FROM probe p JOIN afinal a ON a.cluster = p.cluster
+        WHERE a.vid != p.query_id
+    )
+    SELECT query_id, rank, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {k}"""
+
+
+@query("sim_topk_ivf_verified", oracle=_ivf_verified_oracle_sql())
+def sim_topk_ivf_verified(spark, sf_dir):
+    """IVF ANN with a VERIFIED index: the native unrolled Lloyd's
+    builds the coarse clusters, probes rank by cosine, candidates come
+    from the probed inverted lists, exact re-rank on top — the whole
+    retrieval path (index construction included) replayed in ONE SQL
+    statement. The rows-only Spark ML `sim_topk_ivf` stays the
+    production tier; this is its correctness-auditable twin."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    return S.ivf_topk_verified(emb, emb.filter(F.col("vec_id") < 8),
+                               k=10, n_clusters=4, n_probe=2, n_iter=2)
+
+
 @query("sim_kmeans_spherical", oracle=_kmeans_oracle_sql())
 def sim_kmeans_spherical(spark, sf_dir):
     """Native spherical k-means (Lloyd's, k=4, 2 update rounds):

@@ -1576,3 +1576,25 @@ def ivf_topk_verified(emb: DataFrame, queries: DataFrame, k: int = 10,
     return (scored.withColumn("rank", F.row_number().over(wk).cast("long"))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id"))
+
+
+def semantic_dedup_lloyd(emb: DataFrame, min_cosine: float = 0.99,
+                         n_clusters: int = 4, n_iter: int = 2,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup with a VERIFIED clustering stage: coarse clusters from
+    the native `kmeans_fit` (deterministic, SQL-replayable Lloyd's)
+    feeding the shared within-cluster keep-lowest-id rule — the
+    correctness-auditable twin of `semantic_dedup_kmeans` (whose Spark
+    ML model is rows-only by nature). Identical vectors always share a
+    cluster (the assignment is a deterministic function of the vector),
+    so exact clones are always caught regardless of where Lloyd's
+    converged. Same scale shape: cluster-keyed self-join bounds the
+    quadratic; set n_clusters ~ N / target_cluster_size.
+    Output (id, cluster, kept)."""
+    assign, _ = kmeans_fit(emb, n_clusters, n_iter, id_col, vec_col)
+    base = with_norm(emb, vec_col).select(
+        F.col(id_col), F.col("__v").alias("v"),
+        F.col("__norm").alias("nm"))
+    d = base.join(assign, id_col)
+    return _keep_first_in_cluster(d, min_cosine, id_col)

@@ -5030,10 +5030,12 @@ def profile_data_card(spark, sf_dir):
 
 
 def _kmeans_oracle_sql(k: int = 4, n_iter: int = 2,
-                       bound: int = 400) -> str:
+                       bound: int = 400,
+                       v_sql: str | None = None) -> str:
     """Unroll spherical Lloyd's into chained SQL CTEs (the mmr pattern):
     aN = argmax-cosine assignment, cN = davg decimal-exact coordinate
-    means rebuilt with list(... ORDER BY i)."""
+    means rebuilt with list(... ORDER BY i). `v_sql` overrides the
+    corpus CTE body (must yield (vid, v DOUBLE[]))."""
     def assign(name: str, cent: str) -> str:
         return f""", {name} AS (
         SELECT vid, v, cluster FROM (
@@ -5056,10 +5058,11 @@ def _kmeans_oracle_sql(k: int = 4, n_iter: int = 2,
             GROUP BY cluster, i) GROUP BY cluster
     )"""
 
+    v_body = v_sql or (f"SELECT vec_id AS vid, embedding::DOUBLE[] AS v "
+                       f"FROM embeddings WHERE vec_id < {bound}")
     parts = [f"""
     WITH v AS (
-        SELECT vec_id AS vid, embedding::DOUBLE[] AS v
-        FROM embeddings WHERE vec_id < {bound}
+        {v_body}
     ), seeds AS (
         SELECT CAST(ROW_NUMBER() OVER (ORDER BY vid) - 1 AS BIGINT)
                    AS cluster,
@@ -5119,6 +5122,41 @@ def sim_topk_ivf_verified(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
     return S.ivf_topk_verified(emb, emb.filter(F.col("vec_id") < 8),
                                k=10, n_clusters=4, n_probe=2, n_iter=2)
+
+
+_DEDUP_LLOYD_V_SQL = """SELECT vec_id AS vid, e AS v FROM (
+            SELECT vec_id, embedding::DOUBLE[] AS e
+            FROM embeddings WHERE vec_id < 400
+            UNION ALL
+            SELECT vec_id + 100000, embedding::DOUBLE[]
+            FROM embeddings WHERE vec_id < 400)"""
+
+
+@query("sim_semantic_dedup_lloyd", oracle=(
+    _kmeans_oracle_sql(v_sql=_DEDUP_LLOYD_V_SQL)
+    .rsplit("\n    SELECT vid AS vec_id", 1)[0] + """, dropped AS (
+        SELECT a.vid AS id FROM afinal a JOIN afinal b
+          ON a.cluster = b.cluster AND b.vid < a.vid
+        WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.99
+        GROUP BY a.vid
+    )
+    SELECT a.vid AS vec_id, a.cluster, (d.id IS NULL) AS kept
+    FROM afinal a LEFT JOIN dropped d ON d.id = a.vid
+"""))
+def sim_semantic_dedup_lloyd(spark, sf_dir):
+    """SemDeDup with the verified native Lloyd's as the clustering
+    stage, over embeddings + id-shifted exact clones: clustering,
+    both Lloyd rounds, the final assignment AND the keep-lowest-id
+    survivor rule all replay in one SQL statement — the auditable twin
+    of the rows-only Spark ML semantic_dedup_kmeans tier. Every clone
+    pair shares a cluster by construction, so kept=false exactly for
+    the 400 shifted copies."""
+    emb = (_t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+           .select("vec_id", "embedding"))
+    u = emb.unionByName(emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"))
+    return S.semantic_dedup_lloyd(u, min_cosine=0.99,
+                                  n_clusters=4, n_iter=2)
 
 
 @query("sim_kmeans_spherical", oracle=_kmeans_oracle_sql())

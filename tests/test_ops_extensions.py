@@ -2688,3 +2688,18 @@ def test_kmeans_spherical_recovers_blobs(spark):
     got2 = {r.vec_id: r.cluster for r in S.kmeans_spherical(
         emb.repartition(7), k=2, n_iter=2).collect()}
     assert got2 == got
+
+
+def test_semantic_dedup_lloyd_drops_every_clone(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]),
+         (2, [0.0, 0.0, 1.0]), (3, [0.7, 0.7, 0.0])],
+        "vec_id long, embedding array<float>")
+    u = emb.unionByName(emb.select(
+        (F.col("vec_id") + 100).alias("vec_id"), "embedding"))
+    got = {r.vec_id: r.kept
+           for r in S.semantic_dedup_lloyd(u, n_clusters=2).collect()}
+    # every original survives, every clone is dropped (identical
+    # vectors always share a cluster under the deterministic assign)
+    assert all(got[i] for i in (0, 1, 2, 3))
+    assert not any(got[i + 100] for i in (0, 1, 2, 3))

@@ -115,3 +115,47 @@ def interval_join(points: DataFrame, intervals: DataFrame,
     return (pb.join(ib, "__bin")
               .filter((t >= epoch(start_col)) & (t < epoch(end_col)))
               .drop("__bin"))
+
+
+def last_touch_attribution(events: DataFrame,
+                           touch_type: str = "click",
+                           conversion_type: str = "purchase",
+                           id_col: str = "event_id",
+                           user_col: str = "user_id",
+                           ts_col: str = "ts",
+                           pack_base: int = 10_000_000) -> DataFrame:
+    """Last-touch attribution: each conversion credits the user's most
+    recent touch at-or-before it (NULL = organic), with the
+    touch-to-conversion lag in seconds.
+
+    ONE user-keyed running window, no join: the candidate touch rides
+    as an integer-PACKED (epoch_seconds, event_id) key
+    (t * pack_base + id), so a plain MAX over the running frame is an
+    ignore-nulls last-value in pure bigint arithmetic — deterministic
+    tie-break (same-second touch with a smaller id sorts before the
+    conversion and is credited), engine-exact, one mod/div decode.
+    Requires ids < pack_base (caller contract; 1e7 covers the fixtures
+    through sf1 — raise it for larger id spaces, headroom to ~9e11
+    at epoch-seconds scale). At 100 TB this is a single partial-window
+    pass per user: state is one bigint.
+    Output (conversion id, user, t, attributed touch id, lag_secs).
+    """
+    from pyspark.sql import Window
+
+    e = (events.filter(F.col("event_type").isin(touch_type,
+                                                conversion_type))
+         .select(F.col(id_col), F.col(user_col), F.col("event_type"),
+                 F.col(ts_col).cast("long").alias("__t")))
+    w = (Window.partitionBy(user_col).orderBy("__t", id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    k = F.max(F.when(F.col("event_type") == touch_type,
+                     F.col("__t") * pack_base + F.col(id_col))).over(w)
+    return (e.withColumn("__k", k)
+            .filter(F.col("event_type") == conversion_type)
+            .select(F.col(id_col).alias("conversion_event_id"),
+                    F.col(user_col),
+                    F.col("__t").alias("t_conversion"),
+                    (F.col("__k") % pack_base).cast("long")
+                     .alias("attributed_event_id"),
+                    (F.col("__t") - F.expr(f"__k div {pack_base}L"))
+                     .cast("long").alias("lag_secs")))

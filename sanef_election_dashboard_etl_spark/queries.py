@@ -3870,6 +3870,34 @@ def events_funnel(spark, sf_dir):
                      .alias("secs_to_convert")))
 
 
+@query("events_attribution", oracle="""
+    WITH ev AS (
+        SELECT event_id, user_id, event_type,
+               CAST(FLOOR(extract(epoch FROM ts)) AS BIGINT) AS t
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ), w AS (
+        SELECT event_id, user_id, event_type, t,
+               MAX(CASE WHEN event_type = 'click'
+                        THEN t * 10000000 + event_id END)
+                   OVER (PARTITION BY user_id ORDER BY t, event_id
+                         ROWS UNBOUNDED PRECEDING) AS k
+        FROM ev
+    )
+    SELECT event_id AS conversion_event_id, user_id, t AS t_conversion,
+           CAST(k % 10000000 AS BIGINT) AS attributed_event_id,
+           CAST(t - k // 10000000 AS BIGINT) AS lag_secs
+    FROM w WHERE event_type = 'purchase'
+""")
+def events_attribution(spark, sf_dir):
+    """Last-touch attribution (temporal.last_touch_attribution): every
+    purchase credits the user's most recent click at-or-before it
+    (NULL = organic) with the click-to-purchase lag — the
+    marketing-analytics sibling of the funnel. One user-keyed running
+    window over an integer-PACKED (t, id) key; no join. Pack/decode
+    and the tie-break replayed verbatim in SQL."""
+    return TP.last_touch_attribution(_t(spark, sf_dir, "events"))
+
+
 _COMPONENTS_ORACLE = """
     WITH RECURSIVE grams AS (
         SELECT doc_id, shingle FROM (

@@ -2703,3 +2703,28 @@ def test_semantic_dedup_lloyd_drops_every_clone(spark):
     # vectors always share a cluster under the deterministic assign)
     assert all(got[i] for i in (0, 1, 2, 3))
     assert not any(got[i + 100] for i in (0, 1, 2, 3))
+
+
+def test_events_attribution_last_touch_and_organic(spark):
+    from datetime import datetime
+
+    from sanef_election_dashboard_etl_spark.operators.temporal import (
+        last_touch_attribution)
+    rows_in = [
+        (1, datetime(2024, 1, 1, 10, 0, 0), 7, "click"),
+        (2, datetime(2024, 1, 1, 11, 0, 0), 7, "click"),
+        (3, datetime(2024, 1, 1, 12, 0, 0), 7, "purchase"),  # -> click 2
+        (4, datetime(2024, 1, 1, 13, 0, 0), 7, "click"),     # after: ignored
+        (5, datetime(2024, 1, 2, 9, 0, 0), 8, "purchase"),   # organic
+        # same-second click with SMALLER id sorts before the purchase
+        (6, datetime(2024, 1, 3, 9, 0, 0), 9, "click"),
+        (7, datetime(2024, 1, 3, 9, 0, 0), 9, "purchase"),   # -> click 6
+    ]
+    df = spark.createDataFrame(
+        rows_in, "event_id long, ts timestamp, user_id long, "
+                 "event_type string")
+    out = {r.conversion_event_id: (r.attributed_event_id, r.lag_secs)
+           for r in last_touch_attribution(df).collect()}
+    assert out[3] == (2, 3600)
+    assert out[5] == (None, None)
+    assert out[7] == (6, 0)

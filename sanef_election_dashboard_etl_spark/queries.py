@@ -3870,6 +3870,46 @@ def events_funnel(spark, sf_dir):
                      .alias("secs_to_convert")))
 
 
+@query("events_peak_concurrency", oracle="""
+    WITH iv AS (
+        SELECT CAST(FLOOR(extract(epoch FROM ts)) AS BIGINT) AS s,
+               CAST(FLOOR(extract(epoch FROM ts)) AS BIGINT) +
+                   GREATEST(CAST(FLOOR(value * 60) AS BIGINT), 0) AS e
+        FROM events WHERE event_type = 'view'
+    ), pts AS (
+        SELECT s AS t, 1 AS phase, CAST(COUNT(*) AS BIGINT) AS delta
+        FROM iv GROUP BY s
+        UNION ALL
+        SELECT e, 0, CAST(-COUNT(*) AS BIGINT) FROM iv GROUP BY e
+    ), pts2 AS (
+        SELECT t, phase, CAST(SUM(delta) AS BIGINT) AS delta
+        FROM pts GROUP BY t, phase
+    ), run AS (
+        SELECT t, SUM(delta) OVER (ORDER BY t, phase
+                                   ROWS UNBOUNDED PRECEDING) AS c
+        FROM pts2
+    )
+    SELECT CAST(MAX(c) AS BIGINT) AS peak,
+           CAST(MIN(CASE WHEN c = (SELECT MAX(c) FROM run) THEN t END)
+                AS BIGINT) AS t_at_peak
+    FROM run
+""")
+def events_peak_concurrency(spark, sf_dir):
+    """Sweep-line peak concurrency over view 'sessions' (each view open
+    for value*60 seconds): max simultaneously-open intervals + the
+    earliest instant it happens — the capacity-planning load question,
+    answered over the distinct-boundary table instead of expanded
+    rows. Ends sort before starts at equal instants (touching
+    intervals never double-count); integer-exact sweep."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    iv = e.select(
+        F.col("ts").cast("long").alias("t_start"),
+        (F.col("ts").cast("long") +
+         F.greatest(F.floor(F.col("value") * 60).cast("long"),
+                    F.lit(0))).alias("t_end"))
+    return TP.peak_concurrency(iv)
+
+
 @query("events_attribution", oracle="""
     WITH ev AS (
         SELECT event_id, user_id, event_type,

@@ -2728,3 +2728,21 @@ def test_events_attribution_last_touch_and_organic(spark):
     assert out[3] == (2, 3600)
     assert out[5] == (None, None)
     assert out[7] == (6, 0)
+
+
+def test_peak_concurrency_sweep_semantics(spark):
+    from sanef_election_dashboard_etl_spark.operators.temporal import (
+        peak_concurrency)
+    # overlap at t=5..10 -> peak 2, earliest at 5
+    iv = spark.createDataFrame(
+        [(0, 10), (5, 15), (20, 30)], "t_start long, t_end long")
+    got = peak_concurrency(iv).first()
+    assert (got.peak, got.t_at_peak) == (2, 5)
+    # touching intervals never double-count (end sorts before start)
+    touch = spark.createDataFrame(
+        [(0, 10), (10, 20)], "t_start long, t_end long")
+    assert peak_concurrency(touch).first().peak == 1
+    # zero-length intervals count zero
+    zero = spark.createDataFrame(
+        [(5, 5), (5, 5)], "t_start long, t_end long")
+    assert peak_concurrency(zero).first().peak == 0

@@ -200,3 +200,50 @@ def peak_concurrency(intervals: DataFrame, start_col: str = "t_start",
             .groupBy("peak")
             .agg(F.min("t").cast("long").alias("t_at_peak"))
             .select("peak", "t_at_peak"))
+
+
+def interval_coverage(intervals: DataFrame, start_col: str = "t_start",
+                      end_col: str = "t_end") -> DataFrame:
+    """Union length of intervals (total covered seconds) + contiguous
+    segment count — the uptime/busy-time sibling of `peak_concurrency`
+    (how LONG was at least one session open, and in how many stretches),
+    computed on the same aggregated boundary sweep without expanding a
+    single interval.
+
+    Ordering here puts starts BEFORE ends at equal instants (phase
+    start=0 < end=1 — the opposite of peak_concurrency's tie), so
+    touching intervals [a,t) [t,b) merge into ONE covered segment.
+    Zero/negative-length intervals are dropped up front (they cover
+    nothing and would otherwise mint empty segments). Per boundary row:
+    if the running count is positive, the span to the next boundary is
+    covered; a segment begins where the count crosses 0 -> positive.
+    Integer-exact; same distinct-boundary scale note as the peak sweep.
+    Output: ONE row (covered_secs, n_segments).
+    """
+    from pyspark.sql import Window
+
+    iv = intervals.filter(F.col(end_col) > F.col(start_col))
+    s = iv.select(F.col(start_col).cast("long").alias("t"),
+                  F.lit(0).alias("phase"),
+                  F.lit(1).cast("long").alias("d"))
+    e = iv.select(F.col(end_col).cast("long").alias("t"),
+                  F.lit(1).alias("phase"),
+                  F.lit(-1).cast("long").alias("d"))
+    pts = (s.unionByName(e)
+           .groupBy("t", "phase")
+           .agg(F.sum("d").cast("long").alias("delta")))
+    w = Window.orderBy("t", "phase")
+    run = (pts
+           .withColumn("c", F.sum("delta").over(
+               w.rowsBetween(Window.unboundedPreceding,
+                             Window.currentRow)))
+           .withColumn("__next_t", F.lead("t").over(w)))
+    covered = F.sum(F.when(F.col("c") > 0,
+                           F.col("__next_t") - F.col("t"))
+                     .otherwise(F.lit(0))).cast("long")
+    opens = F.sum(F.when((F.col("c") > 0) &
+                         (F.col("c") - F.col("delta") == 0) &
+                         (F.col("delta") > 0), 1)
+                   .otherwise(0)).cast("long")
+    return run.agg(covered.alias("covered_secs"),
+                   opens.alias("n_segments"))

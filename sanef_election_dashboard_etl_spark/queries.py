@@ -3910,6 +3910,50 @@ def events_peak_concurrency(spark, sf_dir):
     return TP.peak_concurrency(iv)
 
 
+@query("events_interval_coverage", oracle="""
+    WITH iv AS (
+        SELECT s, e FROM (
+            SELECT CAST(FLOOR(extract(epoch FROM ts)) AS BIGINT) AS s,
+                   CAST(FLOOR(extract(epoch FROM ts)) AS BIGINT) +
+                       GREATEST(CAST(FLOOR(value * 60) AS BIGINT), 0)
+                       AS e
+            FROM events WHERE event_type = 'view'
+        ) WHERE e > s
+    ), pts AS (
+        SELECT s AS t, 0 AS phase, CAST(COUNT(*) AS BIGINT) AS delta
+        FROM iv GROUP BY s
+        UNION ALL
+        SELECT e, 1, CAST(-COUNT(*) AS BIGINT) FROM iv GROUP BY e
+    ), pts2 AS (
+        SELECT t, phase, CAST(SUM(delta) AS BIGINT) AS delta
+        FROM pts GROUP BY t, phase
+    ), run AS (
+        SELECT t, delta,
+               SUM(delta) OVER (ORDER BY t, phase
+                                ROWS UNBOUNDED PRECEDING) AS c,
+               LEAD(t) OVER (ORDER BY t, phase) AS next_t
+        FROM pts2
+    )
+    SELECT CAST(SUM(CASE WHEN c > 0 THEN next_t - t ELSE 0 END)
+                AS BIGINT) AS covered_secs,
+           CAST(SUM(CASE WHEN c > 0 AND c - delta = 0 AND delta > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_segments
+    FROM run
+""")
+def events_interval_coverage(spark, sf_dir):
+    """Union length of the view 'sessions' (covered seconds + contiguous
+    segment count) — the uptime/busy-time sweep: starts sort before
+    ends so touching intervals merge, zero-length intervals dropped;
+    integer-exact over the distinct-boundary table."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    iv = e.select(
+        F.col("ts").cast("long").alias("t_start"),
+        (F.col("ts").cast("long") +
+         F.greatest(F.floor(F.col("value") * 60).cast("long"),
+                    F.lit(0))).alias("t_end"))
+    return TP.interval_coverage(iv)
+
+
 @query("events_attribution", oracle="""
     WITH ev AS (
         SELECT event_id, user_id, event_type,

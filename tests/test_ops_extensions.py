@@ -2746,3 +2746,22 @@ def test_peak_concurrency_sweep_semantics(spark):
     zero = spark.createDataFrame(
         [(5, 5), (5, 5)], "t_start long, t_end long")
     assert peak_concurrency(zero).first().peak == 0
+
+
+def test_interval_coverage_union_and_segments(spark):
+    from sanef_election_dashboard_etl_spark.operators.temporal import (
+        interval_coverage)
+    iv = spark.createDataFrame(
+        [(0, 10), (5, 15), (20, 30)], "t_start long, t_end long")
+    got = interval_coverage(iv).first()
+    assert (got.covered_secs, got.n_segments) == (25, 2)
+    # touching intervals merge into one segment (starts before ends)
+    touch = spark.createDataFrame(
+        [(0, 10), (10, 20), (40, 41)], "t_start long, t_end long")
+    got2 = interval_coverage(touch).first()
+    assert (got2.covered_secs, got2.n_segments) == (21, 2)
+    # zero-length intervals dropped entirely
+    zero = spark.createDataFrame(
+        [(5, 5), (7, 9)], "t_start long, t_end long")
+    got3 = interval_coverage(zero).first()
+    assert (got3.covered_secs, got3.n_segments) == (2, 1)

@@ -3870,6 +3870,62 @@ def events_funnel(spark, sf_dir):
                      .alias("secs_to_convert")))
 
 
+@query("events_path_trigrams", oracle="""
+    WITH ev AS (
+        SELECT user_id,
+               CAST(FLOOR(extract(epoch FROM ts)) AS BIGINT) // 86400
+                   AS d,
+               CAST(FLOOR(extract(epoch FROM ts)) AS BIGINT) AS t,
+               event_id, event_type
+        FROM events
+    ), paths AS (
+        SELECT user_id, d,
+               list(event_type ORDER BY t, event_id) AS p
+        FROM ev GROUP BY user_id, d
+    ), tri AS (
+        SELECT p[i] || '>' || p[i + 1] || '>' || p[i + 2] AS trigram
+        FROM paths, unnest(generate_series(1, len(p) - 2)) AS u(i)
+    )
+    SELECT trigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tri GROUP BY trigram
+    ORDER BY n DESC, trigram LIMIT 20
+""")
+def events_path_trigrams(spark, sf_dir):
+    """Path analysis (sequence-mining lite): the 20 most common
+    event-type trigrams over per-user-day journeys — which 3-step
+    flows dominate the product. Paths are rebuilt deterministically
+    (sort_array over (t, event_id, type) structs — the a10 ordered-
+    concat discipline; epoch-day bucketing, never raw date casts),
+    trigrams come from one transform+explode (no UDF, no shuffle until
+    the count), and the top-20 is a TakeOrderedAndProject with a name
+    tie-break. Sessions-not-days at scale: swap the day bucket for the
+    sessionize output's session id — same plan shape."""
+    from pyspark.sql import Window
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.col("ts").cast("long").alias("t"))
+    paths = (e.withColumn("d", F.expr("t div 86400"))
+             .groupBy("user_id", "d")
+             .agg(F.transform(
+                 F.sort_array(F.collect_list(
+                     F.struct("t", "event_id", "event_type"))),
+                 lambda s: s["event_type"]).alias("p")))
+    # sequence(1, n) DESCENDS when n < 1 — guard short paths to empty
+    idx = F.when(F.size("p") >= 3,
+                 F.sequence(F.lit(1), F.size("p") - 2)) \
+           .otherwise(F.array().cast("array<int>"))
+    tri = (paths
+           .select(F.explode(F.transform(
+               idx,
+               lambda i: F.concat_ws(
+                   ">", F.element_at(F.col("p"), i),
+                   F.element_at(F.col("p"), i + 1),
+                   F.element_at(F.col("p"), i + 2)))).alias("trigram")))
+    return (tri.groupBy("trigram")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .orderBy(F.desc("n"), F.asc("trigram")).limit(20))
+
+
 @query("events_peak_concurrency", oracle="""
     WITH iv AS (
         SELECT CAST(FLOOR(extract(epoch FROM ts)) AS BIGINT) AS s,

@@ -3926,6 +3926,66 @@ def events_path_trigrams(spark, sf_dir):
             .orderBy(F.desc("n"), F.asc("trigram")).limit(20))
 
 
+@query("events_type_transitions", oracle="""
+    WITH ev AS (
+        SELECT user_id,
+               CAST(FLOOR(extract(epoch FROM ts)) AS BIGINT) // 86400
+                   AS d,
+               CAST(FLOOR(extract(epoch FROM ts)) AS BIGINT) AS t,
+               event_id, event_type
+        FROM events
+    ), paths AS (
+        SELECT user_id, d,
+               list(event_type ORDER BY t, event_id) AS p
+        FROM ev GROUP BY user_id, d
+    ), pairs AS (
+        SELECT p[i] AS from_type, p[i + 1] AS to_type
+        FROM paths, unnest(generate_series(1, len(p) - 1)) AS u(i)
+    ), counts AS (
+        SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pairs GROUP BY from_type, to_type
+    ), tot AS (
+        SELECT from_type, CAST(SUM(n) AS BIGINT) AS tn
+        FROM counts GROUP BY from_type
+    )
+    SELECT c.from_type, c.to_type, c.n,
+           CAST(c.n AS DOUBLE) / CAST(t.tn AS DOUBLE) AS p
+    FROM counts c JOIN tot t ON c.from_type = t.from_type
+""")
+def events_type_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over event types (the
+    trigram entry's probabilistic complement): P(next | current) from
+    per-user-day journeys — the journey model behind next-action
+    prediction and anomaly flags (transitions with near-zero mass).
+    Same deterministic path rebuild; exact bigint counts with ONE
+    final division per cell (numeric.py rules)."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.col("ts").cast("long").alias("t"))
+    paths = (e.withColumn("d", F.expr("t div 86400"))
+             .groupBy("user_id", "d")
+             .agg(F.transform(
+                 F.sort_array(F.collect_list(
+                     F.struct("t", "event_id", "event_type"))),
+                 lambda s: s["event_type"]).alias("p")))
+    idx = F.when(F.size("p") >= 2,
+                 F.sequence(F.lit(1), F.size("p") - 1)) \
+           .otherwise(F.array().cast("array<int>"))
+    pairs = paths.select(F.explode(F.transform(
+        idx, lambda i: F.struct(
+            F.element_at(F.col("p"), i).alias("from_type"),
+            F.element_at(F.col("p"), i + 1).alias("to_type"))))
+        .alias("pr")).select("pr.from_type", "pr.to_type")
+    counts = (pairs.groupBy("from_type", "to_type")
+              .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    tot = (counts.groupBy("from_type")
+           .agg(F.sum("n").cast("long").alias("tn")))
+    return (counts.join(F.broadcast(tot), "from_type")
+            .select("from_type", "to_type", "n",
+                    (F.col("n").cast("double") /
+                     F.col("tn").cast("double")).alias("p")))
+
+
 @query("events_peak_concurrency", oracle="""
     WITH iv AS (
         SELECT CAST(FLOOR(extract(epoch FROM ts)) AS BIGINT) AS s,

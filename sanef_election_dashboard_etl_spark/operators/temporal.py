@@ -247,3 +247,50 @@ def interval_coverage(intervals: DataFrame, start_col: str = "t_start",
                    .otherwise(0)).cast("long")
     return run.agg(covered.alias("covered_secs"),
                    opens.alias("n_segments"))
+
+
+def linear_attribution(events: DataFrame, touch_type: str = "click",
+                       conversion_type: str = "purchase",
+                       id_col: str = "event_id",
+                       user_col: str = "user_id",
+                       ts_col: str = "ts") -> DataFrame:
+    """Multi-touch LINEAR attribution: every conversion's credit is
+    split equally (1/n) across ALL of the user's touches at-or-before
+    it — the credit model marketing mix uses when last-touch
+    over-rewards the final click. Organic conversions (no prior touch)
+    emit no rows here; `last_touch_attribution` surfaces them as NULLs.
+
+    Shape: one user-keyed equi-join between the user's touches and
+    conversions with the at-or-before predicate — per-user bounded
+    (never a global cartesian; users' touch counts bound the fan-out,
+    the same contract as sessionization state), then one conversion-
+    keyed count for n. The weight 1.0/n is a single exact division of
+    a literal by a bigint — engine-identical. Ties: a same-second
+    touch with a smaller id counts (the last_touch ordering, applied
+    as (t, id) lexicographic comparison).
+    Output (conversion_event_id, touch_event_id, lag_secs, weight).
+    """
+    e = events.select(F.col(id_col), F.col(user_col),
+                      F.col("event_type"),
+                      F.col(ts_col).cast("long").alias("__t"))
+    touches = (e.filter(F.col("event_type") == touch_type)
+               .select(F.col(user_col),
+                       F.col(id_col).alias("touch_event_id"),
+                       F.col("__t").alias("__tt")))
+    convs = (e.filter(F.col("event_type") == conversion_type)
+             .select(F.col(user_col),
+                     F.col(id_col).alias("conversion_event_id"),
+                     F.col("__t").alias("__tc")))
+    pairs = (convs.join(touches, user_col)
+             .filter((F.col("__tt") < F.col("__tc")) |
+                     ((F.col("__tt") == F.col("__tc")) &
+                      (F.col("touch_event_id") <
+                       F.col("conversion_event_id")))))
+    n = (pairs.groupBy("conversion_event_id")
+         .agg(F.count(F.lit(1)).cast("long").alias("__n")))
+    return (pairs.join(F.broadcast(n), "conversion_event_id")
+            .select("conversion_event_id", "touch_event_id",
+                    (F.col("__tc") - F.col("__tt")).cast("long")
+                     .alias("lag_secs"),
+                    (F.lit(1.0) / F.col("__n").cast("double"))
+                     .alias("weight")))

@@ -3926,6 +3926,36 @@ def events_path_trigrams(spark, sf_dir):
             .orderBy(F.desc("n"), F.asc("trigram")).limit(20))
 
 
+@query("events_linear_attribution", oracle="""
+    WITH ev AS (
+        SELECT event_id, user_id, event_type,
+               CAST(FLOOR(extract(epoch FROM ts)) AS BIGINT) AS t
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ), pairs AS (
+        SELECT c.event_id AS conversion_event_id,
+               k.event_id AS touch_event_id,
+               c.t - k.t AS lag_secs
+        FROM ev c JOIN ev k
+          ON c.user_id = k.user_id
+         AND c.event_type = 'purchase' AND k.event_type = 'click'
+         AND (k.t < c.t OR (k.t = c.t AND k.event_id < c.event_id))
+    ), n AS (
+        SELECT conversion_event_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM pairs GROUP BY conversion_event_id
+    )
+    SELECT p.conversion_event_id, p.touch_event_id,
+           CAST(p.lag_secs AS BIGINT) AS lag_secs,
+           1.0 / CAST(n.cnt AS DOUBLE) AS weight
+    FROM pairs p JOIN n ON p.conversion_event_id = n.conversion_event_id
+""")
+def events_linear_attribution(spark, sf_dir):
+    """Multi-touch linear attribution: each purchase's credit split
+    1/n across all prior clicks (temporal.linear_attribution) — the
+    pairs-emitting model beside last-touch; per-user-bounded join,
+    exact literal-over-bigint weights, same (t, id) tie rule."""
+    return TP.linear_attribution(_t(spark, sf_dir, "events"))
+
+
 @query("events_type_transitions", oracle="""
     WITH ev AS (
         SELECT user_id,

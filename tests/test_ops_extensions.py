@@ -2765,3 +2765,31 @@ def test_interval_coverage_union_and_segments(spark):
         [(5, 5), (7, 9)], "t_start long, t_end long")
     got3 = interval_coverage(zero).first()
     assert (got3.covered_secs, got3.n_segments) == (2, 1)
+
+
+def test_linear_attribution_weights_sum_to_one(spark):
+    from datetime import datetime
+
+    from sanef_election_dashboard_etl_spark.operators.temporal import (
+        last_touch_attribution, linear_attribution)
+    rows_in = [
+        (1, datetime(2024, 1, 1, 10), 7, "click"),
+        (2, datetime(2024, 1, 1, 11), 7, "click"),
+        (3, datetime(2024, 1, 1, 12), 7, "purchase"),
+        (4, datetime(2024, 1, 2, 9), 8, "purchase"),   # organic
+    ]
+    df = spark.createDataFrame(
+        rows_in, "event_id long, ts timestamp, user_id long, "
+                 "event_type string")
+    lin = linear_attribution(df).collect()
+    # purchase 3 splits credit across clicks 1 and 2; organic 4 absent
+    by_conv = {}
+    for r in lin:
+        by_conv.setdefault(r.conversion_event_id, []).append(r)
+    assert set(by_conv) == {3}
+    assert sorted(r.touch_event_id for r in by_conv[3]) == [1, 2]
+    assert sum(r.weight for r in by_conv[3]) == 1.0
+    # the last-touch winner is linear's minimum-lag pair
+    lt = {r.conversion_event_id: r.attributed_event_id
+          for r in last_touch_attribution(df).collect()}
+    assert lt[3] == min(by_conv[3], key=lambda r: r.lag_secs).touch_event_id

@@ -3926,6 +3926,73 @@ def events_path_trigrams(spark, sf_dir):
             .orderBy(F.desc("n"), F.asc("trigram")).limit(20))
 
 
+@query("events_ushaped_attribution", oracle="""
+    WITH ev AS (
+        SELECT event_id, user_id, event_type,
+               CAST(FLOOR(extract(epoch FROM ts)) AS BIGINT) AS t
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ), pairs AS (
+        SELECT c.event_id AS conversion_event_id,
+               k.event_id AS touch_event_id, k.t AS tt
+        FROM ev c JOIN ev k
+          ON c.user_id = k.user_id
+         AND c.event_type = 'purchase' AND k.event_type = 'click'
+         AND (k.t < c.t OR (k.t = c.t AND k.event_id < c.event_id))
+    ), pos AS (
+        SELECT conversion_event_id, touch_event_id,
+               ROW_NUMBER() OVER (PARTITION BY conversion_event_id
+                                  ORDER BY tt, touch_event_id) AS r,
+               CAST(COUNT(*) OVER (PARTITION BY conversion_event_id)
+                    AS BIGINT) AS n
+        FROM pairs
+    )
+    SELECT conversion_event_id, touch_event_id,
+           CASE WHEN n = 1 THEN 1.0
+                WHEN n = 2 THEN 0.5
+                WHEN r = 1 OR r = n THEN 0.4
+                ELSE 0.2 / CAST(n - 2 AS DOUBLE) END AS weight
+    FROM pos
+""")
+def events_ushaped_attribution(spark, sf_dir):
+    """U-shaped (position-based) attribution, completing the family:
+    40% to the first touch, 40% to the last, 20% split across the
+    middles (n=1 -> 1.0, n=2 -> 0.5/0.5) — the model that credits
+    discovery AND closing instead of linear's flat split. Positions
+    come from one per-conversion window ordered by (t, touch id);
+    weights are literal doubles and one 0.2/(n-2) division — both
+    engines compute identical bits. Same per-user-bounded pair join as
+    linear_attribution."""
+    from pyspark.sql import Window
+    e = (_t(spark, sf_dir, "events")
+         .filter(F.col("event_type").isin("click", "purchase"))
+         .select("event_id", "user_id", "event_type",
+                 F.col("ts").cast("long").alias("t")))
+    touches = (e.filter(F.col("event_type") == "click")
+               .select("user_id", F.col("event_id").alias("touch_event_id"),
+                       F.col("t").alias("tt")))
+    convs = (e.filter(F.col("event_type") == "purchase")
+             .select("user_id",
+                     F.col("event_id").alias("conversion_event_id"),
+                     F.col("t").alias("tc")))
+    pairs = (convs.join(touches, "user_id")
+             .filter((F.col("tt") < F.col("tc")) |
+                     ((F.col("tt") == F.col("tc")) &
+                      (F.col("touch_event_id") <
+                       F.col("conversion_event_id")))))
+    w = Window.partitionBy("conversion_event_id").orderBy(
+        "tt", "touch_event_id")
+    wc = Window.partitionBy("conversion_event_id")
+    pos = (pairs.withColumn("r", F.row_number().over(w))
+           .withColumn("n", F.count(F.lit(1)).over(wc).cast("long")))
+    weight = (F.when(F.col("n") == 1, F.lit(1.0))
+              .when(F.col("n") == 2, F.lit(0.5))
+              .when((F.col("r") == 1) | (F.col("r") == F.col("n")),
+                    F.lit(0.4))
+              .otherwise(F.lit(0.2) / (F.col("n") - 2).cast("double")))
+    return pos.select("conversion_event_id", "touch_event_id",
+                      weight.alias("weight"))
+
+
 @query("events_linear_attribution", oracle="""
     WITH ev AS (
         SELECT event_id, user_id, event_type,

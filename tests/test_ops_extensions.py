@@ -2793,3 +2793,33 @@ def test_linear_attribution_weights_sum_to_one(spark):
     lt = {r.conversion_event_id: r.attributed_event_id
           for r in last_touch_attribution(df).collect()}
     assert lt[3] == min(by_conv[3], key=lambda r: r.lag_secs).touch_event_id
+
+
+def test_ushaped_attribution_weights(spark):
+    from datetime import datetime
+
+    from sanef_election_dashboard_etl_spark.queries import REGISTRY
+    import tempfile, os
+    rows_in = [
+        (1, datetime(2024, 1, 1, 10), 7, "click"),
+        (2, datetime(2024, 1, 1, 11), 7, "click"),
+        (3, datetime(2024, 1, 1, 12), 7, "click"),
+        (4, datetime(2024, 1, 1, 13), 7, "click"),
+        (5, datetime(2024, 1, 1, 14), 7, "purchase"),  # n=4
+        (6, datetime(2024, 1, 2, 10), 8, "click"),
+        (7, datetime(2024, 1, 2, 11), 8, "purchase"),  # n=1
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows_in, "event_id long, ts timestamp, user_id long, "
+                     "event_type string") \
+            .write.parquet(os.path.join(td, "events.parquet"))
+        out = REGISTRY["events_ushaped_attribution"].fn(spark, td)
+        got = {(r.conversion_event_id, r.touch_event_id): r.weight
+               for r in out.collect()}
+    # n=4: first and last get 0.4, two middles 0.1 each; sums to 1
+    assert got[(5, 1)] == 0.4 and got[(5, 4)] == 0.4
+    assert got[(5, 2)] == got[(5, 3)] == 0.2 / 2
+    assert abs(sum(v for (c, _), v in got.items() if c == 5) - 1.0) < 1e-15
+    # n=1: the lone touch gets full credit
+    assert got[(7, 6)] == 1.0

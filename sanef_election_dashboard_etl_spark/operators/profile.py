@@ -231,6 +231,15 @@ def dataset_fingerprint(df: DataFrame,
     - sum_fp: exact DECIMAL(38,0) sum of the hashes — MULTISET
       semantics (duplicate rows shift the sum), order-independent
       exact, headroom to ~10^20 rows before 38 digits saturate.
+    - sum_fp_mod: sum_fp reduced mod 2^61, published as BIGINT — the
+      same multiset fold in a type every engine/harness normalizes
+      identically. VERDICT r5 item 1b: the r5 driver red row on this
+      query's hash could not be reproduced locally at any scale; the
+      DECIMAL(38,0) column was the only suspect surface (a harness that
+      floats a 38-digit decimal rounds it differently per engine). The
+      bigint twin localizes any future divergence: xor+mod green with
+      sum red = decimal normalization; all red = fixture drift (see
+      tools/fixture_canary.py).
 
     Disagreement between the pair localizes the failure class: sum
     moved + xor moved = rows changed; sum moved + xor same = duplicate
@@ -252,7 +261,15 @@ def dataset_fingerprint(df: DataFrame,
         F.coalesce(F.bit_xor("__h"), F.lit(0).cast("long"))
          .alias("xor_fp"),
         F.coalesce(F.sum(F.col("__h").cast("decimal(38,0)")),
-                   F.lit(0).cast("decimal(38,0)")).alias("sum_fp"))
+                   F.lit(0).cast("decimal(38,0)")).alias("sum_fp")) \
+        .withColumn(
+            # exact decimal fold, ONE final mod to a bigint-safe range:
+            # 2^61 > any 60-bit row hash, and the decimal % decimal
+            # result is a small decimal both engines cast to the same
+            # bigint (no double ever touches the value)
+            "sum_fp_mod",
+            (F.col("sum_fp") % F.lit(2305843009213693952)
+             .cast("decimal(38,0)")).cast("long"))
 
 
 def trend_ols(df: DataFrame, x_col, y_col, group_col: str,

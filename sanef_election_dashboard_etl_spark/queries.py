@@ -6264,6 +6264,11 @@ _PINNED = [
     "o1_o3_topk_sort",
     # the flagship pipeline (entry()) keeps a driver row every round
     "pipe_hung_councils",
+    # VERDICT r5 item 1: the r5 red row — republished with harness-proof
+    # types (bigint mod + string twin beside the decimal fold); pinned
+    # until a driver-green row confirms the root cause. Rotation would
+    # otherwise skip it (it already has an r5 row).
+    "profile_dataset_fingerprint",
 ]
 
 _WINDOW_SIZE = 50
@@ -7626,7 +7631,11 @@ def dedup_pagerank_centrality(spark, sf_dir):
 @query("profile_dataset_fingerprint", oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
            coalesce(bit_xor(h), 0) AS xor_fp,
-           CAST(coalesce(SUM(h), 0) AS DECIMAL(38,0)) AS sum_fp
+           CAST(CAST(coalesce(SUM(h), 0) AS DECIMAL(38,0))
+                % CAST(2305843009213693952 AS DECIMAL(38,0))
+                AS BIGINT) AS sum_fp_mod,
+           CAST(CAST(coalesce(SUM(h), 0) AS DECIMAL(38,0)) AS VARCHAR)
+               AS sum_fp_str
     FROM (
         SELECT ('0x' || substr(md5(concat_ws(chr(31),
                    coalesce(CAST(doc_id AS VARCHAR), ''),
@@ -7644,11 +7653,23 @@ def profile_dataset_fingerprint(spark, sf_dir):
     copy-verification primitive (_MANIFEST.json in
     sinks.write_dataset_with_manifest) and the cheap equality check in
     front of snapshot_diff. xor = set semantics, decimal sum = multiset
-    semantics; both mergeable across shards."""
+    semantics; both mergeable across shards.
+
+    VERDICT r5 item 1: this entry went driver-red in r5 (hash_match
+    false) while passing locally at sf0.001/sf0.01/sf1 — the only
+    registry entry publishing a DECIMAL(38,0) value, so the decimal is
+    the prime normalization suspect. The gate row now publishes the
+    multiset fold twice in harness-proof types — sum_fp_mod (bigint,
+    exact-decimal sum reduced mod 2^61) and sum_fp_str (exact decimal
+    digits as a string) — and never a raw decimal. If a future row
+    still reds with these types, the cause is fixture drift, which
+    tools/fixture_canary.py now makes observable per table."""
     from .operators.profile import dataset_fingerprint
     docs = _t(spark, sf_dir, "documents")
-    return dataset_fingerprint(
+    fp = dataset_fingerprint(
         docs, cols=["doc_id", "text", "lang", "source", "n_chars"])
+    return fp.select("n_rows", "xor_fp", "sum_fp_mod",
+                     F.col("sum_fp").cast("string").alias("sum_fp_str"))
 
 
 @query("profile_trend_ols", oracle="""

@@ -43,6 +43,16 @@ def canon(rows, cols):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     filters = sys.argv[2:]
+    # Fixture canary first (VERDICT r5 item 8): a regenerated testdata
+    # dir silently invalidates whole-table-sensitive comparisons — warn
+    # loudly but keep running (the gate itself still self-consistently
+    # compares Spark vs DuckDB on whatever data is there).
+    if sf_dir.startswith("/root/testdata/"):
+        try:
+            from fixture_canary import check as canary_check
+            canary_check(sf_dir)
+        except Exception as e:  # canary must never block the gate
+            print(f"[canary] skipped ({e})")
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     import os

@@ -922,12 +922,15 @@ def pq_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
 
     Plan: codebooks fit on a bounded sample (pq_train_codebooks),
     corpus encoded in one narrow Arrow pass, scored against the
-    broadcast query LUTs batch-at-a-time with numpy gathers, global
-    top-k per query (WindowGroupLimit). The corpus never shuffles —
-    the only exchange carries (query, neighbor, score) candidates.
-    Compose with the IVF probe filter (ivf_topk) for the full IVF-PQ
-    stack: IVF bounds WHICH vectors are scored, PQ bounds the BYTES
-    per scored vector.
+    broadcast query LUTs batch-at-a-time with numpy gathers, a
+    per-batch partial top-k INSIDE the scorer (ADVICE r5: the exchange
+    into the global window carries |queries| x shortlist x n_batches
+    rows, never |queries| x |corpus| — the batch cut uses the window's
+    exact total order, so the composition equals the unpruned scan),
+    then global top-k per query (WindowGroupLimit). The corpus never
+    shuffles. Compose with the IVF probe filter (ivf_topk) for the full
+    IVF-PQ stack: IVF bounds WHICH vectors are scored, PQ bounds the
+    BYTES per scored vector.
 
     Approximate by construction (codes quantize the corpus): rows-only
     correctness with the exact tiers as siblings; measured recall vs
@@ -965,6 +968,19 @@ def pq_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
 
     codes = pq_encode(emb, books, id_col=id_col, vec_col=vec_col)
 
+    shortlist_k = k * rerank if rerank > 0 else k
+    # Per-batch partial top-k (ADVICE r5): the global top-shortlist_k
+    # per query is a subset of each batch's own top-shortlist_k, so the
+    # scorer emits only |q| x (shortlist_k+1) rows per Arrow batch
+    # (+1 absorbs the self-match filtered below) instead of
+    # |q| x batch_size — the exchange into the global window now scales
+    # with partitions x shortlist, not corpus cardinality. The batch
+    # cut uses the SAME total order as the window (score desc,
+    # neighbor_id asc: full lexsort, not argpartition, so boundary ties
+    # resolve identically) — the composition is exactly equal to the
+    # unpruned scan.
+    batch_keep = shortlist_k + 1
+
     def score(batches):
         for pdf in batches:
             C = np.array(list(pdf["codes"].map(list)), dtype=np.int64)
@@ -972,10 +988,24 @@ def pq_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
             S = np.zeros((len(q_ids), n))
             for i in range(LUT.shape[1]):
                 S += LUT[:, i, :][:, C[:, i]]
+            ids = pdf[id_col].values
+            if n <= batch_keep:
+                yield pd.DataFrame({
+                    "neighbor_id": np.tile(ids, len(q_ids)),
+                    "query_id": np.repeat(q_ids, n),
+                    "score": S.ravel(),
+                })
+                continue
+            nid, qid, sc = [], [], []
+            for qi in range(len(q_ids)):
+                top = np.lexsort((ids, -S[qi]))[:batch_keep]
+                nid.append(ids[top])
+                qid.append(np.full(batch_keep, q_ids[qi]))
+                sc.append(S[qi][top])
             yield pd.DataFrame({
-                "neighbor_id": np.tile(pdf[id_col].values, len(q_ids)),
-                "query_id": np.repeat(q_ids, n),
-                "score": S.ravel(),
+                "neighbor_id": np.concatenate(nid),
+                "query_id": np.concatenate(qid),
+                "score": np.concatenate(sc),
             })
 
     scored = codes.mapInPandas(
@@ -984,7 +1014,6 @@ def pq_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     from pyspark.sql import Window
     w = Window.partitionBy("query_id").orderBy(F.desc("score"),
                                                F.asc("neighbor_id"))
-    shortlist_k = k * rerank if rerank > 0 else k
     shortlist = (scored
                  .withColumn("rank", F.row_number().over(w).cast("long"))
                  .filter(F.col("rank") <= shortlist_k)
@@ -1437,7 +1466,15 @@ def mmr_rerank(emb: DataFrame, queries: DataFrame, k: int = 4,
     res = out[0]
     for o in out[1:]:
         res = res.unionByName(o)
-    return res.select("query_id", "rank", "neighbor_id")
+    res = res.select("query_id", "rank", "neighbor_id").persist()
+    # Cache lifecycle (ADVICE r5): materialize the |queries| x k result
+    # (tiny by contract), then release the cand/sims scratch caches —
+    # they would otherwise pin |queries| x pool (+ pairwise) partitions
+    # for the whole session. Caller may unpersist `res` when done.
+    res.count()
+    cand.unpersist()
+    sims.unpersist()
+    return res
 
 
 def kmeans_fit(emb: DataFrame, k: int = 4, n_iter: int = 2,
@@ -1508,12 +1545,27 @@ def kmeans_fit(emb: DataFrame, k: int = 4, n_iter: int = 2,
                     lambda s: s["__cx"]).alias("__c"))
                 .persist())
 
+    # Cache lifecycle (ADVICE r5): each iteration's centroid table is
+    # materialized eagerly (k rows — the count triggers the real Lloyd
+    # pass, which is how the algorithm executes anyway) and the
+    # SUPERSEDED table is unpersisted immediately, so at most two
+    # centroid caches exist at any moment instead of n_iter+1 for the
+    # session lifetime. The corpus projection `v` is released once the
+    # final assignment is materialized; the returned `final` (2 narrow
+    # columns) and last `cent` (k rows) stay cached for the caller —
+    # kmeans consumers (ivf_topk_verified, semantic_dedup_lloyd) read
+    # them repeatedly; callers MAY unpersist them when done.
     cent = seeds.persist()
     for _ in range(n_iter):
+        prev_cent = cent
         cent = update(assign(cent))
+        cent.count()
+        prev_cent.unpersist()
     final = assign(cent).select(
         F.col("__vid").alias(id_col),
-        F.col("cluster").cast("long").alias("cluster"))
+        F.col("cluster").cast("long").alias("cluster")).persist()
+    final.count()
+    v.unpersist()
     centroids = cent.select("cluster", F.col("__c").alias("centroid"))
     return final, centroids
 

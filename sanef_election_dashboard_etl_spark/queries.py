@@ -1108,24 +1108,33 @@ def multimodal_features(spark, sf_dir):
 
 
 @query("multimodal_decode", oracle="""
-    WITH img AS (
+    -- Byte-EXACT expectations (ADVICE r5): the encoder tiles the UTF-8
+    -- BYTES of text (empty/NULL -> one 0x00 byte; a 1-byte tile repeats,
+    -- so sample byte 1 == byte 0), and WAV samples are SIGNED int16.
+    -- Bytes come octet-indexed from hex(encode(text)) — never ascii()
+    -- codepoints, which diverge from bytes on any non-ASCII text.
+    WITH b AS (
+        SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS blen,
+               CASE WHEN octet_length(encode(coalesce(text, ''))) >= 1
+                    THEN ('0x' || substr(hex(encode(text)), 1, 2))::INT
+                    ELSE 0 END AS b0,
+               CASE WHEN octet_length(encode(coalesce(text, ''))) >= 2
+                    THEN ('0x' || substr(hex(encode(text)), 3, 2))::INT
+                    WHEN octet_length(encode(coalesce(text, ''))) = 1
+                    THEN ('0x' || substr(hex(encode(text)), 1, 2))::INT
+                    ELSE 0 END AS b1
+        FROM documents
+    ), img AS (
         SELECT doc_id AS media_id, 'image' AS media_type,
                CAST((doc_id % 16) * 4 + 8 AS INT) AS width,
                CAST((doc_id % 12) * 4 + 8 AS INT) AS height,
-               CAST(16000 AS INT) AS dummy_rate,
-               octet_length(encode(text)) AS blen,
-               ascii(substr(text, 1, 1)) AS b0,
-               ascii(substr(text, CASE WHEN length(text) >= 2
-                                       THEN 2 ELSE 1 END, 1)) AS b1
-        FROM documents WHERE doc_id < 300
+               b0
+        FROM b WHERE doc_id < 300
     ), aud AS (
         SELECT doc_id AS media_id, 'audio' AS media_type,
-               octet_length(encode(text)) AS blen,
-               (octet_length(encode(text)) % 997) + 16 AS n_samples,
-               ascii(substr(text, 1, 1)) AS b0,
-               ascii(substr(text, CASE WHEN length(text) >= 2
-                                       THEN 2 ELSE 1 END, 1)) AS b1
-        FROM documents WHERE doc_id >= 300 AND doc_id < 600
+               (blen % 997) + 16 AS n_samples,
+               b0 + 256 * b1 AS v_unsigned
+        FROM b WHERE doc_id >= 300 AND doc_id < 600
     )
     SELECT media_id, media_type, width, height,
            CAST(width AS BIGINT) * height AS n_pixels,
@@ -1140,7 +1149,8 @@ def multimodal_features(spark, sf_dir):
            CAST(16000 AS INT),
            CAST(n_samples AS BIGINT),
            CAST(44 + 2 * n_samples AS BIGINT),
-           CAST(b0 + 256 * b1 AS BIGINT)
+           CAST(CASE WHEN v_unsigned >= 32768 THEN v_unsigned - 65536
+                     ELSE v_unsigned END AS BIGINT)
     FROM aud
 """)
 def multimodal_decode(spark, sf_dir):

@@ -274,6 +274,28 @@ def test_decode_media_and_real_features(spark, docs):
         assert len(f) == 16 and abs(sum(f) - 1.0) < 1e-5
 
 
+def test_decode_media_non_ascii_and_signed_samples(spark):
+    # ADVICE r5: the oracle must expect UTF-8 BYTES (not codepoints) and
+    # SIGNED int16 samples. 'é' = 0xC3 0xA9: image first_value is the
+    # first BYTE (195, not codepoint 233); the audio sample 0xA9C3 =
+    # 43459 unsigned reinterprets to -22077. A 1-byte tile repeats
+    # (b1 == b0); empty text tiles b'\\x00'.
+    docs = spark.createDataFrame(
+        [(1, "éclair"), (2, "x"), (3, "")], "doc_id long, text string")
+    img = {r["media_id"]: r for r in M.decode_media(
+        M.synthesize_media_encoded(docs, "image")).collect()}
+    assert img[1]["first_value"] == 0xC3
+    assert img[2]["first_value"] == ord("x")
+    assert img[3]["first_value"] == 0
+    aud = {r["media_id"]: r for r in M.decode_media(
+        M.synthesize_media_encoded(docs, "audio")).collect()}
+    v = 0xC3 + 256 * 0xA9
+    assert aud[1]["first_value"] == v - 65536    # signed reinterpretation
+    assert aud[2]["first_value"] == ord("x") + 256 * ord("x")  # tile repeat
+    assert aud[3]["first_value"] == 0
+    assert aud[3]["n_samples"] == 16             # blen 0 -> 0 % 997 + 16
+
+
 def test_media_stats_prunes_payload(spark, docs):
     media = M.synthesize_media(docs)
     plan = M.media_stats(media)._jdf.queryExecution().optimizedPlan().toString()

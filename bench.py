@@ -133,11 +133,41 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
 
     # the empty-job floor: scheduler + noop-commit round trip with a
-    # zero-work plan — the hard minimum for ANY Spark action
+    # zero-work plan — the hard minimum for ANY Spark action.
+    # Load guard (VERDICT r5 item 5): r5's recorded bench ran on a
+    # loaded machine (floor 91 ms vs the 57 ms quiet record) and every
+    # row shifted by the ambient band — only the diff tooling rescued
+    # interpretation. The bench now measures the floor FIRST and
+    # loop-retries with backoff until it clears 1.3x the committed
+    # quiet-machine floor; if the machine never quiets, the full retry
+    # trail is stamped into the detail record and appended to SCALE.md
+    # so the BENCH_rN.json of record is self-adjudicating.
+    QUIET_FLOOR = 0.057          # r4 quiet record (SCALE.md floor analysis)
+    FLOOR_GATE = round(1.3 * QUIET_FLOOR, 3)
     run_full(spark.range(1))
-    t0 = time.perf_counter()
-    run_full(spark.range(1))
-    floor = round(time.perf_counter() - t0, 3)
+    floor_trail: list[float] = []
+    for attempt in range(6):
+        t0 = time.perf_counter()
+        run_full(spark.range(1))
+        floor_trail.append(round(time.perf_counter() - t0, 3))
+        if floor_trail[-1] <= FLOOR_GATE:
+            break
+        time.sleep(3.0 * (attempt + 1))
+    floor = min(floor_trail)
+    if floor > FLOOR_GATE:
+        print(f"bench floor guard: ambient load persists — floor trail "
+              f"{floor_trail} all > gate {FLOOR_GATE}s; numbers below "
+              f"carry the ambient band", file=sys.stderr)
+        try:
+            here0 = os.path.dirname(os.path.abspath(__file__))
+            with open(os.path.join(here0, "SCALE.md"), "a") as f:
+                f.write(
+                    "\n- bench floor-guard retry trail (loaded machine): "
+                    f"trail={floor_trail} gate={FLOOR_GATE}s — this run's "
+                    "record is ambient-inflated; compare via bench_diff "
+                    "band division, not raw numbers.\n")
+        except OSError:
+            pass
 
     # scan metric (BASELINE.md's `parquet scan, lineitem` row; like the
     # pandas row, warm process + OS page cache, uncached in the engine)
@@ -249,6 +279,8 @@ def main() -> None:
         "queries_aqe_on": aqe_on,
         "total_aqe_on": round(sum(aqe_on.values()), 3),
         "floor_noop_job": floor,
+        "floor_trail": floor_trail,
+        "floor_gate": FLOOR_GATE,
         "sf": sf,
     }
     here = os.path.dirname(os.path.abspath(__file__))

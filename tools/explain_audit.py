@@ -23,7 +23,11 @@ MUST_HAVE = {
                         "n_regionkey:int>"],
     "j1_dim_join": ["BroadcastHashJoin"],
     "j2_three_table": ["BroadcastHashJoin"],
-    "j4_anti_join": ["LeftAnti"],
+    # one-exchange shape (VERDICT r5 item 4): lineitem repartitions once
+    # on the join key; the pair-agg, key dedup, and anti-join right side
+    # all ride it (shuffled-hash anti, no 399k-key driver broadcast)
+    "j4_anti_join": ["LeftAnti", "ShuffledHashJoin",
+                     "Exchange hashpartitioning(l_orderkey"],
     "j7_deloop_semi": ["LeftSemi"],
     "o1_o3_topk_sort": ["TakeOrderedAndProject"],
     # small-input total sort: stats-picked single-stage coalesce(1) sort —
@@ -192,6 +196,10 @@ MUST_NOT = {
     "sample_hash_mod": ["Exchange"],   # a deterministic sample is a narrow filter
     "sample_assign_splits": ["Exchange"],  # split labels are a narrow projection
     "j12_interval_join": ["CartesianProduct"],  # bin join, never cross
+    # no 399k-key broadcast collect may exist (the anti builds from the
+    # okey exchange); exchange-count discipline is asserted by the
+    # MUST_HAVE shuffled-hash + single-key exchange fragments
+    "j4_anti_join": ["BroadcastExchange"],
     "j1_dim_join": ["SortMergeJoin", "CartesianProduct"],
     "pipe_hung_councils": ["SortMergeJoin", "CartesianProduct"],
     "pipe_voter_turnout": ["CartesianProduct"],

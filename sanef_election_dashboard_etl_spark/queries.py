@@ -1125,50 +1125,81 @@ def multimodal_features(spark, sf_dir):
     return feats.select("media_id", "media_type", "payload_bytes", "payload_sha256")
 
 
-@query("multimodal_decode", oracle="""
+_MM_BYTES_CTE = """
+    b AS (
+        SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS blen,
+               hex(encode(coalesce(text, ''))) AS hx
+        FROM documents
+    ), t AS (
+        SELECT doc_id, blen, hx,
+               CAST(GREATEST(blen, 1) AS BIGINT) AS tile_len,
+               CASE WHEN blen >= 1
+                    THEN ('0x' || substr(hx, 1, 2))::INT ELSE 0 END AS b0,
+               CASE WHEN blen >= 2 THEN ('0x' || substr(hx, 3, 2))::INT
+                    WHEN blen = 1 THEN ('0x' || substr(hx, 1, 2))::INT
+                    ELSE 0 END AS b1,
+               CASE WHEN blen = 0 THEN 0
+                    ELSE coalesce(list_aggregate(list_transform(
+                        range(1, CAST(blen + 1 AS BIGINT)),
+                        i -> ('0x' || substr(hx, CAST(2*i-1 AS INT), 2))
+                             ::BIGINT), 'sum'), 0) END AS tile_sum
+        FROM b
+    )
+"""
+
+# sum of the first (body_bytes % tile_len) tile bytes + whole-rep sums:
+# the decoded body is `tile` repeated to body_bytes and truncated
+_MM_VALUE_SUM = """
+    (body_bytes // tile_len) * tile_sum
+    + CASE WHEN blen = 0 OR (body_bytes % tile_len) = 0 THEN 0
+           ELSE coalesce(list_aggregate(list_transform(
+               range(1, body_bytes % tile_len + 1),
+               i -> ('0x' || substr(hx, CAST(2*i-1 AS INT), 2))::BIGINT),
+               'sum'), 0) END
+"""
+
+
+@query("multimodal_decode", oracle=f"""
     -- Byte-EXACT expectations (ADVICE r5): the encoder tiles the UTF-8
     -- BYTES of text (empty/NULL -> one 0x00 byte; a 1-byte tile repeats,
     -- so sample byte 1 == byte 0), and WAV samples are SIGNED int16.
     -- Bytes come octet-indexed from hex(encode(text)) — never ascii()
     -- codepoints, which diverge from bytes on any non-ASCII text.
-    WITH b AS (
-        SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS blen,
-               CASE WHEN octet_length(encode(coalesce(text, ''))) >= 1
-                    THEN ('0x' || substr(hex(encode(text)), 1, 2))::INT
-                    ELSE 0 END AS b0,
-               CASE WHEN octet_length(encode(coalesce(text, ''))) >= 2
-                    THEN ('0x' || substr(hex(encode(text)), 3, 2))::INT
-                    WHEN octet_length(encode(coalesce(text, ''))) = 1
-                    THEN ('0x' || substr(hex(encode(text)), 1, 2))::INT
-                    ELSE 0 END AS b1
-        FROM documents
-    ), img AS (
+    -- value_sum re-derives the sum of EVERY decoded body byte from the
+    -- tile arithmetic, so the whole pixel/sample stream is under oracle.
+    WITH {_MM_BYTES_CTE}, img AS (
         SELECT doc_id AS media_id, 'image' AS media_type,
                CAST((doc_id % 16) * 4 + 8 AS INT) AS width,
                CAST((doc_id % 12) * 4 + 8 AS INT) AS height,
-               b0
-        FROM b WHERE doc_id < 300
+               b0, blen, hx, tile_len, tile_sum,
+               CAST(3 * ((doc_id % 16) * 4 + 8)
+                    * ((doc_id % 12) * 4 + 8) AS BIGINT) AS body_bytes
+        FROM t WHERE doc_id < 300
     ), aud AS (
         SELECT doc_id AS media_id, 'audio' AS media_type,
                (blen % 997) + 16 AS n_samples,
-               b0 + 256 * b1 AS v_unsigned
-        FROM b WHERE doc_id >= 300 AND doc_id < 600
+               b0 + 256 * b1 AS v_unsigned,
+               blen, hx, tile_len, tile_sum,
+               CAST(2 * ((blen % 997) + 16) AS BIGINT) AS body_bytes
+        FROM t WHERE doc_id >= 300 AND doc_id < 600
     )
     SELECT media_id, media_type, width, height,
            CAST(width AS BIGINT) * height AS n_pixels,
            CAST(NULL AS INT) AS sample_rate,
            CAST(NULL AS BIGINT) AS n_samples,
-           CAST(54 + 3 * width * height AS BIGINT) AS payload_bytes,
-           CAST(b0 AS BIGINT) AS first_value
+           CAST(54 + body_bytes AS BIGINT) AS payload_bytes,
+           CAST(b0 AS BIGINT) AS first_value,
+           CAST({_MM_VALUE_SUM} AS BIGINT) AS value_sum
     FROM img
     UNION ALL
     SELECT media_id, media_type, CAST(NULL AS INT), CAST(NULL AS INT),
            CAST(NULL AS BIGINT),
            CAST(16000 AS INT),
            CAST(n_samples AS BIGINT),
-           CAST(44 + 2 * n_samples AS BIGINT),
+           CAST(44 + body_bytes AS BIGINT),
            CAST(CASE WHEN v_unsigned >= 32768 THEN v_unsigned - 65536
-                     ELSE v_unsigned END AS BIGINT)
+                     ELSE v_unsigned END AS BIGINT),
+           CAST({_MM_VALUE_SUM} AS BIGINT) AS value_sum
     FROM aud
 """)
 def multimodal_decode(spark, sf_dir):
@@ -1192,6 +1223,47 @@ def multimodal_decode(spark, sf_dir):
         docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 600)),
         "audio")
     return M.decode_media(img.unionByName(aud))
+
+
+@query("multimodal_decode_png", oracle=f"""
+    -- PNG round-trip (VERDICT r5 item 6, stub retired): genuine 8-bit
+    -- RGB PNGs (zlib IDAT, per-row filter = row % 5 so every unfilter
+    -- branch executes) decoded by the pure-stdlib decode_png; DuckDB
+    -- recomputes dims, pixel counts, the first pixel byte, and the sum
+    -- of EVERY unfiltered pixel byte from the source text's tile
+    -- arithmetic — a filter-reconstruction bug anywhere in the payload
+    -- moves value_sum. payload_bytes is intentionally absent: a
+    -- compressed size is a zlib artifact, not SQL-recomputable.
+    WITH {_MM_BYTES_CTE}
+    SELECT doc_id AS media_id,
+           CAST((doc_id % 16) * 4 + 8 AS INT) AS width,
+           CAST((doc_id % 12) * 4 + 8 AS INT) AS height,
+           CAST(((doc_id % 16) * 4 + 8)
+                * ((doc_id % 12) * 4 + 8) AS BIGINT) AS n_pixels,
+           CAST(b0 AS BIGINT) AS first_value,
+           CAST({_MM_VALUE_SUM} AS BIGINT) AS value_sum
+    FROM (SELECT t.*,
+                 CAST(3 * ((doc_id % 16) * 4 + 8)
+                      * ((doc_id % 12) * 4 + 8) AS BIGINT) AS body_bytes
+          FROM t) t2
+    WHERE doc_id < 300
+""")
+def multimodal_decode_png(spark, sf_dir):
+    """PNG decode round-trip (VERDICT r5 item 6): the last codec stub is
+    now real code — `_encode_png` builds genuine 8-bit RGB PNGs (IHDR +
+    zlib IDAT + IEND, per-row filter type row % 5 so None/Sub/Up/
+    Average/Paeth ALL execute), `decode_png` parses chunks, inflates,
+    and unfilters (operators/multimodal.py). The oracle recomputes
+    dims + first pixel + the full pixel-stream byte sum from the
+    documents table without seeing the binary. JPEG/MP3/H.264 remain
+    the honest NotImplementedError boundary (genuinely
+    codec-library-bound)."""
+    docs = _t(spark, sf_dir, "documents")
+    png = M.synthesize_media_encoded(docs.filter(F.col("doc_id") < 300),
+                                     "image", image_format="png")
+    return (M.decode_media(png)
+            .select("media_id", "width", "height", "n_pixels",
+                    "first_value", "value_sum"))
 
 
 # ==========================================================================

@@ -274,6 +274,35 @@ def test_decode_media_and_real_features(spark, docs):
         assert len(f) == 16 and abs(sum(f) - 1.0) < 1e-5
 
 
+def test_png_roundtrip_every_filter_type():
+    # h >= 5 rows means row filters 0..4 (None/Sub/Up/Average/Paeth) ALL
+    # execute; the decode must reproduce the raw tiled bytes exactly
+    tile = "the quick brown fox é jumps".encode()
+    for w, h in [(8, 8), (12, 5), (4, 20)]:
+        payload = M._encode_png(tile, w, h)
+        d = M.decode_png(payload)
+        size = 3 * w * h
+        expect = (tile * (size // len(tile) + 1))[:size]
+        assert (d["width"], d["height"]) == (w, h)
+        assert d["pixels"] == expect
+    # empty tile -> single 0x00 byte contract
+    d = M.decode_png(M._encode_png(b"", 8, 8))
+    assert d["pixels"] == b"\x00" * (3 * 8 * 8)
+    # non-PNG and unsupported color types fail loudly
+    import struct
+    import zlib
+    with pytest.raises(ValueError):
+        M.decode_png(b"nope")
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 6, 0, 0, 0)  # RGBA
+    bad = (M._PNG_SIG
+           + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+           + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+           + struct.pack(">I", 0) + b"IDAT"
+           + struct.pack(">I", zlib.crc32(b"IDAT")))
+    with pytest.raises(NotImplementedError):
+        M.decode_png(bad)
+
+
 def test_decode_media_non_ascii_and_signed_samples(spark):
     # ADVICE r5: the oracle must expect UTF-8 BYTES (not codepoints) and
     # SIGNED int16 samples. 'é' = 0xC3 0xA9: image first_value is the

@@ -263,7 +263,7 @@ def global_row_number(df: DataFrame, order_by: Sequence[str],
     TOTAL order (include a unique tiebreak column) for the ids to be
     reproducible run-to-run and engine-to-engine.
 
-    Checkpoint durability trade-off (ADVICE r4): the default
+    Checkpoint durability trade-off (ADVICE r4, re-flagged by the r5 driver — fixed mid-r5, commit 42e5ef3): the default
     `checkpoint="local"` materializes the ENTIRE dataset on executor
     local storage (memory spilling to disk) with NON-RELIABLE lineage —
     losing any executor after the checkpoint fails the job, and the

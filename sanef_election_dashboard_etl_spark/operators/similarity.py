@@ -754,7 +754,7 @@ def quantized_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     ranking without the rounded-score discipline float cosine needs.
     Zero-norm vectors (qnorm2 = 0) score 0.0 — guarded explicitly
     because sqrt(0) in the denominator is a fatal DIVIDE_BY_ZERO under
-    ANSI mode, not a quiet NaN (ADVICE r4). Ties broken by
+    ANSI mode, not a quiet NaN (ADVICE r4, re-flagged by the r5 driver — fixed mid-r5, commit 42e5ef3). Ties broken by
     neighbor_id. Output (query_id, rank, neighbor_id)."""
     c = quantize_embeddings(emb, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
@@ -766,7 +766,7 @@ def quantized_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
         F.zip_with(F.col("qq"), F.col("cq"),
                    lambda x, y: (x * y).cast("long")),
         F.lit(0).cast("long"), lambda a, x: a + x)
-    # Zero-norm guard (ADVICE r4): an all-zero vector has qnorm2 = 0 and
+    # Zero-norm guard (ADVICE r4, re-flagged by the r5 driver — fixed mid-r5, commit 42e5ef3): an all-zero vector has qnorm2 = 0 and
     # would divide by sqrt(0) — under Spark 4 ANSI mode that is a job-
     # killing DIVIDE_BY_ZERO, not a NaN. Score it 0.0 against everything
     # (the quantize_embeddings contract); mirrored in the DuckDB oracle.

@@ -670,7 +670,7 @@ def ccnet_buckets_sampled(df: DataFrame, n_buckets: int = 3,
                 F.col("cid").alias("cid")))).alias("cuts")))
     # The empty-cut-array fallback must carry the SAME element type as
     # the collected cuts struct, and `cid` inherits id_col's dtype — a
-    # hardcoded bigint fails analysis for string/int ids (ADVICE r4).
+    # hardcoded bigint fails analysis for string/int ids (ADVICE r4, re-flagged by the r5 driver — fixed mid-r5, commit 42e5ef3).
     id_dt = df.schema[id_col].dataType.simpleString()
     empty = F.array().cast(f"array<struct<ce:double,cid:{id_dt}>>")
     below = F.size(F.filter(

@@ -2146,6 +2146,30 @@ def test_pq_topk_recovers_cluster_structure(spark):
         assert truth[r["neighbor_id"]] == truth[r["query_id"]]
 
 
+def test_pq_topk_partition_invariant_with_batch_pruning(spark):
+    # ADVICE r5: the per-batch partial top-k inside the ADC scorer must
+    # compose to the SAME global result for ANY partition/batch layout —
+    # the batch cut uses the window's exact total order, so moving rows
+    # between batches can never change which candidates survive. Small
+    # k vs 120 corpus rows means real pruning happens in every layout.
+    import numpy as np
+    rng = np.random.RandomState(11)
+    rows_ = [(i, [float(x) for x in rng.normal(0, 1, 8)])
+             for i in range(120)]
+    df = spark.createDataFrame(rows_, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 3)
+
+    def res(d):
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"])
+            for r in S.pq_topk(d, q, k=3, m=4, k_codes=8, train_n=120,
+                               rerank=2).collect())
+
+    base = res(df.coalesce(1))
+    assert res(df.repartition(7)) == base
+    assert res(df.repartition(3, "vec_id")) == base
+
+
 def test_pq_encode_codes_shape_and_determinism(spark, vecs):
     # pad the 3-dim fixture to 4 dims so m=2 divides evenly
     padded = vecs.select(

@@ -200,6 +200,9 @@ MUST_NOT = {
     # okey exchange); exchange-count discipline is asserted by the
     # MUST_HAVE shuffled-hash + single-key exchange fragments
     "j4_anti_join": ["BroadcastExchange"],
+    # the binary payload column must NEVER shuffle: synthesize ->
+    # decode -> project is one narrow mapInPandas chain over the scan
+    "multimodal_decode_png": ["Exchange"],
     "j1_dim_join": ["SortMergeJoin", "CartesianProduct"],
     "pipe_hung_councils": ["SortMergeJoin", "CartesianProduct"],
     "pipe_voter_turnout": ["CartesianProduct"],
@@ -301,6 +304,7 @@ AUDIT = [
     "pipe_mixture_recipe", "pipe_loader_order",
     "sim_hard_negatives", "sim_knn_graph", "sim_mmr_rerank",
     "pack_ffd", "sample_quantile_normalize", "pipe_dedup_audit",
+    "multimodal_decode_png",
 ]
 
 

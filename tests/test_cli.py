@@ -195,3 +195,39 @@ def test_main_from_env_reset_end_to_end(spark, monkeypatch, tmp_path):
     with open(files[0]) as fh:
         got = list(csv.reader(fh))
     assert got[0] == ["Geography", "Councils", "Count"] and len(got) == 2
+
+
+def test_fixture_canary_detects_drift(tmp_path):
+    # tools/fixture_canary.py (VERDICT r5 items 1a/8): same data ->
+    # same fingerprint regardless of row order; any value change trips
+    # it; the committed FIXTURES.md snapshot parses and matches itself.
+    import sys as _sys
+    _sys.path.insert(0, "/root/repo/tools")
+    import duckdb
+
+    import fixture_canary as fc
+
+    con = duckdb.connect()
+    p1 = str(tmp_path / "t1.parquet")
+    p2 = str(tmp_path / "t2.parquet")
+    p3 = str(tmp_path / "t3.parquet")
+    con.execute(f"COPY (SELECT i AS id, 'v' || i AS s FROM range(100) r(i)) "
+                f"TO '{p1}' (FORMAT PARQUET)")
+    con.execute(f"COPY (SELECT i AS id, 'v' || i AS s FROM range(100) r(i) "
+                f"ORDER BY i DESC) TO '{p2}' (FORMAT PARQUET)")
+    con.execute(f"COPY (SELECT i AS id, 'v' || (i+1) AS s FROM range(100) "
+                f"r(i)) TO '{p3}' (FORMAT PARQUET)")
+    f1 = fc.table_fingerprint(con, p1)
+    assert f1 == fc.table_fingerprint(con, p2)      # order-independent
+    assert f1 != fc.table_fingerprint(con, p3)      # value drift trips
+    assert f1[0] == 100
+    # the committed snapshot for sf0.001 parses and round-trips the
+    # renderer (self-consistency of the FIXTURES.md format)
+    snap = fc.parse_snapshot("/root/testdata/sf0.001")
+    assert snap is not None and len(snap) == 10
+    block = fc.render_block("/root/testdata/sf0.001", snap)
+    reparsed = {}
+    for line in block.splitlines()[1:-1]:
+        t, n, x = line.split()
+        reparsed[t] = (int(n), int(x))
+    assert reparsed == snap

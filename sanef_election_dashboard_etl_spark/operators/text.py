@@ -564,7 +564,8 @@ def quality_classifier(df: DataFrame, dim: int = 256,
 
 def ccnet_buckets(df: DataFrame, n_buckets: int = 3,
                   id_col: str = "doc_id", text_col: str = "text",
-                  lang_col: str = "lang") -> DataFrame:
+                  lang_col: str = "lang", exact_window: bool = False,
+                  checkpoint: str = "local") -> DataFrame:
     """CCNet-style head/middle/tail corpus partitioning: score every
     doc with the self-fit bigram LM (lm_cross_entropy), then cut each
     language into `n_buckets` equal-population perplexity tertiles —
@@ -584,20 +585,55 @@ def ccnet_buckets(df: DataFrame, n_buckets: int = 3,
     a length gate (quality_score / curate) BEFORE perplexity bucketing;
     that is also CCNet's own order of operations.
 
-    Scale: the LM fit is two token-level aggregations; the bucketing
-    is one partition-by-language sort. ntile needs the whole language
-    in one sorted partition — fine for per-language corpora shards; at
-    100 TB swap the exact ntile for approx-quantile cutpoints
-    (approxQuantile per lang, then a narrow CASE filter) and keep this
-    exact tier for validation, as CCNet itself does (it computes
-    cutoffs on a sample)."""
+    Scale (r6 — the single-partition caveat retired): the LM fit is
+    two token-level aggregations; the DEFAULT bucketing is the
+    DISTRIBUTED exact ntile — one range-repartition on
+    (lang, cross_entropy, id) through layout.global_row_number (the
+    scalable zipWithIndex; `checkpoint` passes through its
+    local/reliable/persist durability tiers), a languages-sized
+    (count, first-rank) aggregate broadcast back, and the closed-form
+    ntile `((rank-1) * n) DIV total + 1` in pure integer arithmetic —
+    provably identical to SQL NTILE for a total order (the first
+    total%n buckets get the extra row), test-asserted against the
+    window form. No language ever sorts in one partition.
+    `exact_window=True` keeps the classic per-language ntile window as
+    the small-scale validation tier; `ccnet_buckets_sampled` remains
+    the approx-cutpoint tier, as CCNet itself computes cutoffs on a
+    sample."""
     from pyspark.sql import Window
     ce = lm_cross_entropy(df, n=2, alpha=0.5, id_col=id_col,
                           text_col=text_col)
     langs = df.select(id_col, lang_col)
     scored = ce.join(langs, id_col)
-    w = Window.partitionBy(lang_col).orderBy("cross_entropy", id_col)
-    b = F.ntile(n_buckets).over(w)
+    if exact_window:
+        w = Window.partitionBy(lang_col).orderBy("cross_entropy", id_col)
+        b = F.ntile(n_buckets).over(w).cast("long")
+    else:
+        from .layout import global_row_number
+        gn = global_row_number(scored,
+                               [lang_col, "cross_entropy", id_col],
+                               checkpoint=checkpoint)
+        per_lang = gn.groupBy(lang_col).agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min("global_id").alias("__s"))
+        scored = gn.join(F.broadcast(per_lang), lang_col)
+        # rank_in_lang - 1 = global_id - __s (range partition order
+        # restricted to one language IS the language's (ce, id) order).
+        # NTILE front-loads the remainder: with q = total DIV n and
+        # m = total MOD n, buckets 1..m hold q+1 rows, the rest q —
+        # piecewise integer closed form (a plain floor((r-1)*n/total)
+        # spreads the extras evenly and diverges from NTILE; caught by
+        # test_ccnet_distributed_ntile_equals_window_form at n=7)
+        nb = int(n_buckets)
+        b = F.expr(f"""
+            CASE WHEN (global_id - __s)
+                      < (__n % {nb}) * (__n DIV {nb} + 1)
+                 THEN (global_id - __s) DIV (__n DIV {nb} + 1) + 1
+                 ELSE (__n % {nb})
+                      + ((global_id - __s)
+                         - (__n % {nb}) * (__n DIV {nb} + 1))
+                        DIV (__n DIV {nb}) + 1
+            END""")
     name = (F.when(b == 1, "head")
             .when(b == n_buckets, "tail").otherwise("middle"))
     return scored.select(

@@ -1752,6 +1752,24 @@ def test_quality_classifier_integer_exact_and_signed(spark):
     assert verdicts == {"keep", "drop"}
 
 
+def test_ccnet_distributed_ntile_equals_window_form(spark):
+    # r6: the default bucketing is the distributed exact ntile (range
+    # rank + ((rank-1)*n) DIV total + 1). It must equal the classic
+    # per-language ntile window BIT FOR BIT, for bucket counts that do
+    # and don't divide the language populations, under any partitioning.
+    from sanef_election_dashboard_etl_spark.operators.text import \
+        ccnet_buckets
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .filter(F.col("doc_id") < 200))
+    for nb in (2, 3, 7):
+        a = sorted(tuple(r) for r in
+                   ccnet_buckets(docs.repartition(9), nb).collect())
+        b = sorted(tuple(r) for r in
+                   ccnet_buckets(docs, nb, exact_window=True).collect())
+        assert a == b, f"n_buckets={nb}"
+
+
 def test_ccnet_buckets_equal_population_tertiles(spark):
     """Per-lang ntile(3): bucket sizes differ by at most 1 and head has
     strictly lower max cross-entropy than tail's min (ties impossible:

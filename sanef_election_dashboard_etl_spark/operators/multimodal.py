@@ -12,10 +12,13 @@ builds genuine BMP/WAV/PNG payloads (PNG rows cycle all five filter
 types) so each round-trip is oracle-checkable end to end — the
 `multimodal_decode` / `multimodal_decode_png` registry entries have
 DuckDB recompute dims, first decoded value, AND the sum of every
-decoded body byte from the source table. Only JPEG/MP3/H.264 remain
-NotImplementedError — genuinely codec-library-bound (PIL/ffmpeg, not
-shipped here). Everything Spark-side — schema, batch iteration,
-partitioning, UDF signatures — is real and tested in both regimes.
+decoded body byte from the source table. `resize_images(fake=False)` is
+also real (r6): nearest-neighbor over the decoded grid, re-encoded as
+BMP — integer index math only. Only JPEG/MP3/H.264 (and with them
+`sample_frames`' real tier) remain NotImplementedError — genuinely
+codec-library-bound (PIL/ffmpeg, not shipped here). Everything
+Spark-side — schema, batch iteration, partitioning, UDF signatures —
+is real and tested in both regimes.
 
 At 100 TB: media bytes dominate row size, so the operators (a) never
 shuffle the binary column (feature extraction is a narrow map), (b) select
@@ -526,16 +529,47 @@ FRAMES_SCHEMA = StructType([
 
 def resize_images(media: DataFrame, width: int = 224,
                   height: int = 224, fake: bool = True) -> DataFrame:
-    """Resize plumbing: narrow mapInPandas over the payload, one output
-    row per input. STUB decode (no codec libs): the deterministic fake
-    'resized image' is sha256(payload || dims) repeated to a size-
-    proportional byte budget — stable, and downstream schema/partitioning
-    behave exactly as a real resize (bytes shrink, metadata updates)."""
+    """Resize over a narrow mapInPandas pass, one output row per input.
+
+    `fake=False` (r6 — the resize stub retired alongside the PNG one):
+    REAL nearest-neighbor resize of the decoded pixel grid. The payload
+    decodes through decode_image (BMP or PNG — both native now), the
+    grid resamples with two integer index gathers
+    (src_y = y*src_h DIV dst_h — pure numpy, no codec/interp library),
+    and the result re-encodes as an uncompressed 24-bit BMP
+    (`_encode_bmp` with the exact-size pixel buffer; `width` must be a
+    multiple of 4 so the BMP stride needs no padding — asserted).
+    Deterministic bit-for-bit: integer index math only.
+
+    `fake=True` remains the schema/partitioning test double:
+    sha256(payload || dims) repeated to a size-proportional budget —
+    stable, and downstream behaves exactly as a real resize (bytes
+    shrink, metadata updates)."""
+    if not fake and width % 4 != 0:
+        raise ValueError("real resize re-encodes as 24-bit BMP: width "
+                         "must be a multiple of 4 (stride padding)")
+
+    def _real_resize(p: bytes) -> bytes:
+        import numpy as np
+
+        d = decode_image(bytes(p))
+        arr = np.frombuffer(d["pixels"], np.uint8).reshape(
+            d["height"], d["width"], 3)
+        ys = (np.arange(height) * d["height"]) // height
+        xs = (np.arange(width) * d["width"]) // width
+        out = arr[ys][:, xs]
+        return _encode_bmp(out.tobytes(), width, height)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not fake:
-                raise NotImplementedError("no codec libraries in container")
+                yield pd.DataFrame({
+                    "media_id": pdf["media_id"],
+                    "out_width": width,
+                    "out_height": height,
+                    "resized": pdf["payload"].map(_real_resize),
+                })
+                continue
             tag = f"|{width}x{height}".encode()
             budget = max(16, (width * height) // 4096)
             yield pd.DataFrame({

@@ -274,6 +274,28 @@ def test_decode_media_and_real_features(spark, docs):
         assert len(f) == 16 and abs(sum(f) - 1.0) < 1e-5
 
 
+def test_real_resize_nearest_neighbor(spark):
+    # fake=False resize (r6): decode (BMP and PNG) -> integer NN gather
+    # -> BMP re-encode. The output must be a decodable BMP of the target
+    # dims whose pixel (0,0) equals the source pixel the integer map
+    # selects (src_y = 0*src_h DIV dst_h = 0 -> source pixel 0, which by
+    # tile construction is text byte 0).
+    docs = spark.createDataFrame(
+        [(1, "alpha bravo charlie"), (2, "zulu")],
+        "doc_id long, text string")
+    for fmt in ("bmp", "png"):
+        media = M.synthesize_media_encoded(docs, "image", image_format=fmt)
+        out = {r["media_id"]: r for r in
+               M.resize_images(media, 8, 8, fake=False).collect()}
+        for mid, text in [(1, "alpha bravo charlie"), (2, "zulu")]:
+            d = M.decode_bmp(bytes(out[mid]["resized"]))
+            assert (d["width"], d["height"]) == (8, 8)
+            assert len(d["pixels"]) == 3 * 8 * 8
+            assert d["pixels"][0] == text.encode()[0], (fmt, mid)
+    with pytest.raises(ValueError):
+        M.resize_images(media, 10, 8, fake=False)  # stride-pad width
+
+
 def test_png_roundtrip_every_filter_type():
     # h >= 5 rows means row filters 0..4 (None/Sub/Up/Average/Paeth) ALL
     # execute; the decode must reproduce the raw tiled bytes exactly

@@ -6368,7 +6368,7 @@ def sim_mmr_rerank(spark, sf_dir):
 # 84 locally-green entries never receive a driver row. So the window is
 # now PINNED + ROTATING: the SURVEY §2 core ids and the flagship
 # pipeline stay pinned every round (the judge's line-by-line checklist),
-# and the remaining ~15 slots rotate deterministically over every other
+# and the remaining ~44 slots rotate deterministically over every other
 # entry, keyed on the round number (read from the CORRECTNESS_r*.json
 # files already on disk — the highest round recorded plus one is the
 # round being built). Full rotation covers the registry in ~6 rounds.

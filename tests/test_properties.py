@@ -401,3 +401,33 @@ def test_triangle_counts_match_bruteforce(spark, edges):
             expect[c] += 1
     assert got == expect
     assert sum(got.values()) % 3 == 0
+
+
+@given(total=st.integers(min_value=1, max_value=5000),
+       n=st.integers(min_value=1, max_value=64))
+@settings(max_examples=300, deadline=None)
+def test_ntile_closed_form_matches_sql_ntile(total, n):
+    """The distributed ccnet bucketing (text.ccnet_buckets default)
+    replaces NTILE with a piecewise integer closed form over the global
+    rank: with q = total DIV n, m = total MOD n, buckets 1..m hold q+1
+    rows, the rest q (SQL NTILE front-loads the remainder). Property:
+    the formula reproduces NTILE for EVERY (total, n) — including
+    total < n, exact division, and remainder cases — the n=7 divergence
+    of the naive floor((r-1)*n/total)+1 form is what this guards."""
+    q, m = divmod(total, n)
+    got = []
+    for rank0 in range(total):
+        if rank0 < m * (q + 1):
+            b = rank0 // (q + 1) + 1
+        else:
+            b = m + (rank0 - m * (q + 1)) // q + 1
+        got.append(b)
+    # reference NTILE: first m buckets size q+1, remaining size q,
+    # buckets numbered 1..min(n, total), non-decreasing
+    ref = []
+    for bucket in range(1, n + 1):
+        size = q + 1 if bucket <= m else q
+        ref.extend([bucket] * size)
+    assert got == ref[:total]
+    assert got == sorted(got)
+    assert got[0] == 1 and got[-1] == min(n, total)

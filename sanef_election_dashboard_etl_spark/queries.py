@@ -1292,6 +1292,77 @@ def multimodal_decode_png(spark, sf_dir):
                     "first_value", "value_sum"))
 
 
+@query("multimodal_frame_sample", oracle=f"""
+    -- REAL video frame sampling (r6): genuine uncompressed AVI
+    -- containers (RIFF avih/strl/movi, '00db' raw DIB frames; frame i
+    -- = text tile ROTATED by i, tiled to 3*w*h) parsed back by
+    -- decode_avi, every 2nd frame sampled up to 4. DuckDB recomputes,
+    -- per sampled frame, the byte count, the first byte (tile[(i mod
+    -- L)]), and the sum of EVERY frame byte (whole-tile reps + a
+    -- CIRCULAR remainder window from offset i mod L) — a chunk-walk,
+    -- rotation, or sampling-stride bug anywhere is a hash mismatch.
+    WITH {_MM_BYTES_CTE}, vid AS (
+        SELECT doc_id, blen, hx, tile_len, tile_sum,
+               CAST((doc_id % 4) * 4 + 8 AS INT) AS w,
+               CAST((doc_id % 3) * 4 + 8 AS INT) AS h,
+               (blen % 12) + 2 AS nf
+        FROM t WHERE doc_id < 200
+    )
+    SELECT doc_id AS media_id,
+           CAST(i AS INT) AS frame_index,
+           CAST(3 * w * h AS BIGINT) AS frame_bytes,
+           CAST(CASE WHEN blen = 0 THEN 0
+                     ELSE ('0x' || substr(hx,
+                           CAST(2 * ((i % tile_len) + 1) - 1 AS INT), 2)
+                          )::BIGINT END AS BIGINT) AS first_value,
+           CAST((CAST(3 * w * h AS BIGINT) // tile_len) * tile_sum
+                + CASE WHEN blen = 0
+                            OR (CAST(3 * w * h AS BIGINT) % tile_len) = 0
+                       THEN 0
+                       ELSE coalesce(list_aggregate(list_transform(
+                           range(0, CAST(3 * w * h AS BIGINT) % tile_len),
+                           j -> ('0x' || substr(hx,
+                                 CAST(2 * (((i + j) % tile_len) + 1) - 1
+                                      AS INT), 2))::BIGINT), 'sum'), 0)
+                  END AS BIGINT) AS value_sum
+    FROM vid, UNNEST([0, 2, 4, 6]) AS u(i)
+    WHERE i < nf
+""")
+def multimodal_frame_sample(spark, sf_dir):
+    """Real AVI frame sampling (r6 — the last multimodal fake tier
+    retired for the uncompressed case): synthesize_media_encoded builds
+    genuine RIFF AVI payloads (multimodal._encode_avi — real avih/
+    strh/strf headers, '00db' raw 24-bit DIB frames, frame i = tile
+    rotated by i), sample_frames(fake=False) parses them back
+    (decode_avi: recursive chunk walk, header validation, compressed
+    streams NotImplementedError) and emits every 2nd frame up to 4.
+    The per-frame byte stats computed here (first byte + full byte
+    sum, via hex() math over the REAL frame binary) are recomputed by
+    DuckDB from the source text's rotation arithmetic without ever
+    seeing the container. One narrow mapInPandas row-expander; the
+    binary never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    vid = M.synthesize_media_encoded(docs.filter(F.col("doc_id") < 200),
+                                     "video")
+    frames = M.sample_frames(vid, every_n=2, max_frames=4, fake=False)
+    hx = frames.select("media_id", "frame_index",
+                       F.octet_length("frame").alias("frame_bytes"),
+                       F.hex("frame").alias("__hx"))
+    byte_at = lambda pos: F.conv(F.substring(F.col("__hx"), pos, 2),
+                                 16, 10).cast("long")
+    return hx.select(
+        "media_id", "frame_index",
+        F.col("frame_bytes").cast("long").alias("frame_bytes"),
+        byte_at(1).alias("first_value"),
+        F.expr("""
+            aggregate(
+                transform(sequence(1, frame_bytes),
+                          j -> CAST(conv(substr(__hx, 2*j - 1, 2), 16, 10)
+                                    AS BIGINT)),
+                CAST(0 AS BIGINT), (a, x) -> a + x)
+        """).alias("value_sum"))
+
+
 # ==========================================================================
 # Extensions: event-time windows + sessionization (SURVEY §2.10/§7)
 # ==========================================================================

@@ -274,6 +274,53 @@ def test_decode_media_and_real_features(spark, docs):
         assert len(f) == 16 and abs(sum(f) - 1.0) < 1e-5
 
 
+def test_avi_roundtrip_rotation_and_rejects():
+    import struct
+    tile = "rotate me é".encode()
+    payload = M._encode_avi(tile, 8, 8, 5)
+    d = M.decode_avi(payload)
+    assert (d["width"], d["height"], d["n_frames"]) == (8, 8, 5)
+    size = 3 * 8 * 8
+    for i, fr in enumerate(d["frames"]):
+        rot = tile[i % len(tile):] + tile[:i % len(tile)]
+        assert fr == (rot * (size // len(rot) + 1))[:size], i
+    # word-alignment: odd-length tiles force pad bytes between chunks
+    d2 = M.decode_avi(M._encode_avi(b"abc", 8, 4, 3))
+    assert d2["n_frames"] == 3 and len(d2["frames"][1]) == 3 * 8 * 4
+    with pytest.raises(ValueError):
+        M.decode_avi(b"RIFFxxxxWAVE")
+    # a compressed '00dc' frame chunk must be rejected loudly
+    bad = payload.replace(b"00db", b"00dc", 1)
+    with pytest.raises(NotImplementedError):
+        M.decode_avi(bad)
+    # 8-bit DIB stream rejected via strf validation
+    p8 = bytearray(M._encode_avi(tile, 8, 8, 2))
+    at = bytes(p8).index(b"strf") + 8
+    struct.pack_into("<H", p8, at + 14, 8)    # biBitCount
+    with pytest.raises(NotImplementedError):
+        M.decode_avi(bytes(p8))
+
+
+def test_sample_frames_real_tier(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha bravo"), (2, "z")], "doc_id long, text string")
+    vid = M.synthesize_media_encoded(docs, "video")
+    out = M.sample_frames(vid, every_n=2, max_frames=3,
+                          fake=False).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    for mid, text in [(1, "alpha bravo"), (2, "z")]:
+        tb = text.encode()
+        nf = (len(tb) % 12) + 2
+        want_idx = list(range(0, nf, 2))[:3]
+        rows_ = sorted(by_id[mid], key=lambda r: r["frame_index"])
+        assert [r["frame_index"] for r in rows_] == want_idx
+        for r in rows_:
+            o = r["frame_index"] % len(tb)
+            assert bytes(r["frame"])[0] == tb[o]
+
+
 def test_real_resize_nearest_neighbor(spark):
     # fake=False resize (r6): decode (BMP and PNG) -> integer NN gather
     # -> BMP re-encode. The output must be a decodable BMP of the target

@@ -14,8 +14,12 @@ types) so each round-trip is oracle-checkable end to end — the
 DuckDB recompute dims, first decoded value, AND the sum of every
 decoded body byte from the source table. `resize_images(fake=False)` is
 also real (r6): nearest-neighbor over the decoded grid, re-encoded as
-BMP — integer index math only. Only JPEG/MP3/H.264 (and with them
-`sample_frames`' real tier) remain NotImplementedError — genuinely
+BMP — integer index math only. `sample_frames(fake=False)` is real
+for uncompressed video (r6): `_encode_avi`/`decode_avi` handle genuine
+RIFF AVI containers (avih/strl/movi chunk walk, raw '00db' DIB
+frames; `multimodal_frame_sample` has DuckDB recompute every sampled
+frame's byte sum from the source text). Only JPEG/MP3/H.264 (i.e.
+compressed streams) remain NotImplementedError — genuinely
 codec-library-bound (PIL/ffmpeg, not shipped here). Everything
 Spark-side — schema, batch iteration, partitioning, UDF signatures —
 is real and tested in both regimes.

@@ -777,3 +777,42 @@ def test_streaming_data_card_state_merge_equals_batch(spark, tmp_path):
     batch = data_card(spark.createDataFrame(rows_all + extra, schema))
     assert sorted(map(tuple, merged.collect())) == \
         sorted(map(tuple, batch.collect()))
+
+
+def test_streaming_media_decode_equals_batch(spark, tmp_path):
+    """The multimodal decode tier in the streaming regime (r6): the
+    narrow mapInPandas decoder (BMP + real codec parse) applies to a
+    file stream unchanged — mapInPandas is stateless per Arrow batch,
+    so micro-batch boundaries cannot change any decoded value. The
+    accumulated streaming output must equal the batch decode row for
+    row, the multimodal leg of the batch==stream equivalence family."""
+    from sanef_election_dashboard_etl_spark.operators.multimodal import (
+        decode_media, synthesize_media_encoded)
+
+    docs = spark.createDataFrame(
+        [(i, f"media body {i} é") for i in range(40)],
+        "doc_id long, text string")
+    media = synthesize_media_encoded(docs, "image")
+
+    src = tmp_path / "media_src"
+    src.mkdir()
+    for j in range(2):       # two files -> two micro-batches
+        (media.filter((F.col("media_id") >= j * 20)
+                      & (F.col("media_id") < (j + 1) * 20))
+         .coalesce(1).write.mode("append").parquet(str(src)))
+
+    got = []
+
+    def decode_batch(df, epoch_id):
+        got.extend(tuple(r) for r in decode_media(df).collect())
+
+    stream = (spark.readStream.schema(media.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = (stream.writeStream.foreachBatch(decode_batch)
+         .option("checkpointLocation", str(tmp_path / "media_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    batch = sorted(tuple(r) for r in decode_media(media).collect())
+    assert sorted(got) == batch
+    assert len(batch) == 40

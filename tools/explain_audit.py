@@ -204,6 +204,9 @@ MUST_NOT = {
     # the binary payload column must NEVER shuffle: synthesize ->
     # decode -> project is one narrow mapInPandas chain over the scan
     "multimodal_decode_png": ["Exchange"],
+    # same discipline for the AVI frame expander: frames never shuffle,
+    # the byte stats compute in the projection above the row-expander
+    "multimodal_frame_sample": ["Exchange"],
     "j1_dim_join": ["SortMergeJoin", "CartesianProduct"],
     "pipe_hung_councils": ["SortMergeJoin", "CartesianProduct"],
     # r6 one-scan shape: both aggs ride the okey repartition, orders
@@ -307,7 +310,7 @@ AUDIT = [
     "pipe_mixture_recipe", "pipe_loader_order",
     "sim_hard_negatives", "sim_knn_graph", "sim_mmr_rerank",
     "pack_ffd", "sample_quantile_normalize", "pipe_dedup_audit",
-    "multimodal_decode_png",
+    "multimodal_decode_png", "multimodal_frame_sample",
 ]
 
 

@@ -996,16 +996,18 @@ def pq_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
                     "score": S.ravel(),
                 })
                 continue
-            nid, qid, sc = [], [], []
-            for qi in range(len(q_ids)):
-                top = np.lexsort((ids, -S[qi]))[:batch_keep]
-                nid.append(ids[top])
-                qid.append(np.full(batch_keep, q_ids[qi]))
-                sc.append(S[qi][top])
+            # one vectorized stable argsort == per-query
+            # lexsort((ids, -score)): columns pre-ordered id-ascending,
+            # stable sort on negated scores keeps that order for ties —
+            # exactly (score desc, neighbor_id asc), the window's order
+            perm = np.argsort(ids, kind="stable")
+            S_p = S[:, perm]
+            ids_p = ids[perm]
+            order = np.argsort(-S_p, axis=1, kind="stable")[:, :batch_keep]
             yield pd.DataFrame({
-                "neighbor_id": np.concatenate(nid),
-                "query_id": np.concatenate(qid),
-                "score": np.concatenate(sc),
+                "neighbor_id": ids_p[order].ravel(),
+                "query_id": np.repeat(q_ids, batch_keep),
+                "score": np.take_along_axis(S_p, order, axis=1).ravel(),
             })
 
     scored = codes.mapInPandas(

@@ -68,15 +68,46 @@ def dsum(c: ColumnOrName, scale: int = 2, precision: int = 18) -> Column:
 
 def davg(c: ColumnOrName, scale: int = 2, out_scale: int = 4,
          precision: int = 18) -> Column:
-    """Order-independent mean: exact decimal sum / count, divided in double.
+    """Order-independent mean, rounded at out_scale in EXACT INTEGER
+    arithmetic (r6 TIE RULE — the sf0.1 full-registry sweep caught the
+    old round(double_quotient) form splitting the engines): when the
+    exact quotient sum/count lands ON a half at digit out_scale+1
+    (e.g. 0.616992/192 = 0.0032135 exactly), the double quotient is
+    0.0032134999... and Spark's exact-expansion HALF_UP rounds DOWN
+    while DuckDB's scaled round goes UP. No double may touch the value
+    before the final division:
 
-    Both engines divide the identical (sum, count) pair, so the double
-    quotient is bit-identical; round(out_scale) then matches exactly.
-    Oracle mirror: ROUND(CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)
-                         / COUNT(*), 4).
-    """
+        su  = sum(decimal(x, scale)) * 10^scale          -- exact units
+        d   = count * 10^max(0, scale-out_scale)
+        s2  = su * 10^max(0, out_scale-scale)
+        mu  = sign(s2) * ((2*|s2| + d) DIV (2*d))        -- half-AWAY
+        out = mu / 10^out_scale                          -- exact / pow10
+
+    Every step is bigint-exact (callers keep |su| and 2|s2|+d under
+    2^53 — fixture sums are far below); the one double division at the
+    end divides exact integers and is IEEE-identical cross-engine.
+    Oracle mirror (scale=6, out_scale=4 shown):
+
+        CAST(CASE WHEN su >= 0 THEN (2*su + d) // (2*d)
+                  ELSE -((-2*su + d) // (2*d)) END AS DOUBLE) / 10000.0
+        -- su = CAST(SUM(CAST(x AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+        -- d  = COUNT(*) * 100
+
+    Half-away-from-zero matches both engines' ROUND semantics for the
+    non-tie values the old form produced, so previously-green entries
+    keep their values; only true ties (where the engines disagreed)
+    move — to the decimal-correct answer."""
     dec = _col(c).cast(f"decimal({precision},{scale})")
-    return F.round(F.sum(dec).cast("double") / F.count(F.lit(1)), out_scale)
+    su = (F.sum(dec) * F.lit(10 ** scale)).cast("long")
+    s2 = su * F.lit(10 ** max(0, out_scale - scale))
+    d = F.count(F.lit(1)) * F.lit(10 ** max(0, scale - out_scale))
+    num = F.abs(s2) * 2 + d
+    den = d * 2
+    # exact floor division on longs: subtract the remainder, then the
+    # double division of an exact multiple below 2^53 is error-free
+    mu = ((num - num % den) / den).cast("long")
+    mu = F.when(s2 < 0, -mu).otherwise(mu)
+    return mu.cast("double") / F.lit(float(10 ** out_scale))
 
 
 def ratio(num: ColumnOrName, den: ColumnOrName, out_scale: int = 4) -> Column:

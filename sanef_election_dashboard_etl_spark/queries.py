@@ -3896,8 +3896,7 @@ def text_bigram_lm(spark, sf_dir):
     )
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_ngrams,
-           ROUND(CAST(SUM(CAST(nll AS DECIMAL(18,6))) AS DOUBLE)
-                 / COUNT(*), 4) AS cross_entropy
+           CAST(CASE WHEN CAST(SUM(CAST(nll AS DECIMAL(18,6))) * 1000000 AS BIGINT) >= 0 THEN (2 * CAST(SUM(CAST(nll AS DECIMAL(18,6))) * 1000000 AS BIGINT) + COUNT(*) * 100) // (2 * COUNT(*) * 100) ELSE -((-2 * CAST(SUM(CAST(nll AS DECIMAL(18,6))) * 1000000 AS BIGINT) + COUNT(*) * 100) // (2 * COUNT(*) * 100)) END AS DOUBLE) / 10000.0 AS cross_entropy
     FROM scored GROUP BY doc_id
 """)
 def text_lm_perplexity(spark, sf_dir):
@@ -3960,8 +3959,7 @@ def text_lm_perplexity(spark, sf_dir):
         JOIN ctx x USING (context), v
     ), ce AS (
         SELECT doc_id,
-               ROUND(CAST(SUM(CAST(nll AS DECIMAL(18,6))) AS DOUBLE)
-                     / COUNT(*), 4) AS cross_entropy
+               CAST(CASE WHEN CAST(SUM(CAST(nll AS DECIMAL(18,6))) * 1000000 AS BIGINT) >= 0 THEN (2 * CAST(SUM(CAST(nll AS DECIMAL(18,6))) * 1000000 AS BIGINT) + COUNT(*) * 100) // (2 * COUNT(*) * 100) ELSE -((-2 * CAST(SUM(CAST(nll AS DECIMAL(18,6))) * 1000000 AS BIGINT) + COUNT(*) * 100) // (2 * COUNT(*) * 100)) END AS DOUBLE) / 10000.0 AS cross_entropy
         FROM scored GROUP BY doc_id
     )
     SELECT tokc.doc_id, tokc.n_tokens, rep.repetition_ratio,
@@ -5572,8 +5570,7 @@ def _kmeans_oracle_sql(k: int = 4, n_iter: int = 2,
         return f""", {name} AS (
         SELECT cluster, list(cx ORDER BY i) AS c FROM (
             SELECT cluster, i,
-                   ROUND(CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6)))
-                              AS DOUBLE) / COUNT(*), 6) AS cx
+                   CAST(CASE WHEN CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) * 1000000 AS BIGINT) >= 0 THEN (2 * CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) * 1000000 AS BIGINT) + COUNT(*)) // (2 * COUNT(*)) ELSE -((-2 * CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) * 1000000 AS BIGINT) + COUNT(*)) // (2 * COUNT(*))) END AS DOUBLE) / 1000000.0 AS cx
             FROM (SELECT cluster, t.i, v[t.i] AS x
                   FROM {assigned},
                        unnest(generate_series(1, len(v))) AS t(i))
@@ -6884,8 +6881,7 @@ def text_quality_classifier_weighted(spark, sf_dir):
         JOIN ctx x USING (context), v
     ), per_doc AS (
         SELECT doc_id,
-               ROUND(CAST(SUM(CAST(nll AS DECIMAL(18,6))) AS DOUBLE)
-                     / COUNT(*), 4) AS cross_entropy
+               CAST(CASE WHEN CAST(SUM(CAST(nll AS DECIMAL(18,6))) * 1000000 AS BIGINT) >= 0 THEN (2 * CAST(SUM(CAST(nll AS DECIMAL(18,6))) * 1000000 AS BIGINT) + COUNT(*) * 100) // (2 * COUNT(*) * 100) ELSE -((-2 * CAST(SUM(CAST(nll AS DECIMAL(18,6))) * 1000000 AS BIGINT) + COUNT(*) * 100) // (2 * COUNT(*) * 100)) END AS DOUBLE) / 10000.0 AS cross_entropy
         FROM scored GROUP BY doc_id
     )
     SELECT p.doc_id, d.lang, p.cross_entropy,
@@ -6971,8 +6967,7 @@ def sample_epoch_repeat(spark, sf_dir):
         JOIN ctx x USING (context), v
     ), per_doc AS (
         SELECT doc_id,
-               ROUND(CAST(SUM(CAST(nll AS DECIMAL(18,6))) AS DOUBLE)
-                     / COUNT(*), 4) AS cross_entropy
+               CAST(CASE WHEN CAST(SUM(CAST(nll AS DECIMAL(18,6))) * 1000000 AS BIGINT) >= 0 THEN (2 * CAST(SUM(CAST(nll AS DECIMAL(18,6))) * 1000000 AS BIGINT) + COUNT(*) * 100) // (2 * COUNT(*) * 100) ELSE -((-2 * CAST(SUM(CAST(nll AS DECIMAL(18,6))) * 1000000 AS BIGINT) + COUNT(*) * 100) // (2 * COUNT(*) * 100)) END AS DOUBLE) / 10000.0 AS cross_entropy
         FROM scored GROUP BY doc_id
     ), scored2 AS (
         SELECT p.doc_id, d.lang, p.cross_entropy
@@ -7131,8 +7126,7 @@ def sim_topk_quantized(spark, sf_dir):
         JOIN ctx x USING (context), v
     ), per_doc_raw AS (
         SELECT doc_id, COUNT(*) AS n,
-               ROUND(CAST(SUM(CAST(nll AS DECIMAL(18,6))) AS DOUBLE)
-                     / COUNT(*), 4) AS ce_raw
+               CAST(CASE WHEN CAST(SUM(CAST(nll AS DECIMAL(18,6))) * 1000000 AS BIGINT) >= 0 THEN (2 * CAST(SUM(CAST(nll AS DECIMAL(18,6))) * 1000000 AS BIGINT) + COUNT(*) * 100) // (2 * COUNT(*) * 100) ELSE -((-2 * CAST(SUM(CAST(nll AS DECIMAL(18,6))) * 1000000 AS BIGINT) + COUNT(*) * 100) // (2 * COUNT(*) * 100)) END AS DOUBLE) / 10000.0 AS ce_raw
         FROM scored GROUP BY doc_id
     ), tokt AS (
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
@@ -7163,8 +7157,7 @@ def sim_topk_quantized(spark, sf_dir):
         LEFT JOIN ctxt xt USING (context), vt
     ), per_doc_t AS (
         SELECT doc_id,
-               ROUND(CAST(SUM(CAST(nll AS DECIMAL(18,6))) AS DOUBLE)
-                     / COUNT(*), 4) AS ce_target
+               CAST(CASE WHEN CAST(SUM(CAST(nll AS DECIMAL(18,6))) * 1000000 AS BIGINT) >= 0 THEN (2 * CAST(SUM(CAST(nll AS DECIMAL(18,6))) * 1000000 AS BIGINT) + COUNT(*) * 100) // (2 * COUNT(*) * 100) ELSE -((-2 * CAST(SUM(CAST(nll AS DECIMAL(18,6))) * 1000000 AS BIGINT) + COUNT(*) * 100) // (2 * COUNT(*) * 100)) END AS DOUBLE) / 10000.0 AS ce_target
         FROM scoredt GROUP BY doc_id
     )
     SELECT r.doc_id, CAST(r.n AS BIGINT) AS n_ngrams,
@@ -7196,8 +7189,7 @@ def sample_dsir_select(spark, sf_dir):
         FROM v, unnest(generate_series(1, len(e))) AS t(i)
     ), per AS (
         SELECT cluster, i, COUNT(*) AS n,
-               ROUND(CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6)))
-                          AS DOUBLE) / COUNT(*), 6) AS c
+               CAST(CASE WHEN CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) * 1000000 AS BIGINT) >= 0 THEN (2 * CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) * 1000000 AS BIGINT) + COUNT(*)) // (2 * COUNT(*)) ELSE -((-2 * CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) * 1000000 AS BIGINT) + COUNT(*)) // (2 * COUNT(*))) END AS DOUBLE) / 1000000.0 AS c
         FROM ex GROUP BY cluster, i
     )
     SELECT cluster, CAST(n AS BIGINT) AS n_vectors,

@@ -1502,10 +1502,8 @@ def events_session_window_native(spark, sf_dir):
                AS sum_base_price,
            CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
                               AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
-           ROUND(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*), 4)
-               AS avg_qty,
-           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
-                 / COUNT(*), 4) AS avg_disc,
+           CAST((2 * SUM(CAST(l_quantity AS BIGINT)) * 10000 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 10000.0 AS avg_qty,
+           CAST((2 * CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) * 10000 AS BIGINT) + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 10000.0 AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -1530,7 +1528,9 @@ def q1_pricing_summary(spark, sf_dir):
         F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
                       .cast("decimal(18,4)")), 2).cast("double")
          .alias("sum_disc_price"),
-        F.round(qty_sum.cast("double") / F.count(F.lit(1)), 4).alias("avg_qty"),
+        # quantities are integers, so the mean is davg at scale 0 —
+        # same exact-integer TIE RULE as avg_disc (numeric.py, r6)
+        davg("l_quantity", scale=0).alias("avg_qty"),
         davg("l_discount", scale=4).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order")))
 
@@ -7687,8 +7687,7 @@ def dedup_contamination_score(spark, sf_dir):
            CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
            ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
                       AS DOUBLE), 2) AS sum_base_price,
-           ROUND(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
-                 / COUNT(*), 4) AS avg_qty,
+           CAST((2 * SUM(CAST(l_quantity AS BIGINT)) * 10000 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 10000.0 AS avg_qty,
            COUNT(*) AS n
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
@@ -7724,8 +7723,13 @@ def agg_incremental_merge(spark, sf_dir):
         F.col("sum_qty").cast("long").alias("sum_qty"),
         F.round(F.col("sum_price").cast("double"), 2)
          .alias("sum_base_price"),
-        F.round(F.col("sum_qty").cast("double")
-                / F.col("n").cast("double"), 4).alias("avg_qty"),
+        # mergeable numerator/denominator -> exact-integer mean at 4
+        # (numeric.py TIE RULE, r6): no double quotient ever rounds
+        ((((F.col("sum_qty").cast("long") * 20000 + F.col("n"))
+           - (F.col("sum_qty").cast("long") * 20000 + F.col("n"))
+           % (F.col("n") * 2))
+          / (F.col("n") * 2)).cast("long").cast("double")
+         / F.lit(10000.0)).alias("avg_qty"),
         F.col("n").cast("long").alias("n"))
 
 

@@ -54,6 +54,65 @@ def zscore_by_group(df: DataFrame, group_col: str, value_col: str,
     return df.groupBy(group_col).applyInPandas(norm, schema=schema)
 
 
+def zscore_by_group_exact(df: DataFrame, group_col: str, units_col: str,
+                          in_scale: int = 2, var_scale: int = 6,
+                          out_col: str = "zscore") -> DataFrame:
+    """Grouped-map tier, CROSS-ENGINE-DETERMINISTIC variant (r7, VERDICT
+    r6 item 5): per-group z-score computed from EXACT integer units, so
+    a DuckDB oracle reproduces it bit-identically with no final ROUND.
+
+    The generic zscore_by_group rounds a quotient of order-dependent
+    float aggregates — the exact failure class the TIE RULE exists for
+    (a digit-4 near-tie splits the engines; same family as the davg tie
+    the sf0.1 sweep surfaced in r6). Here every step up to the last two
+    IEEE ops is integer-exact:
+
+        u         : value scaled to 10^-in_scale units (cast to decimal
+                    THEN long in SPARK, before the UDF — the one rounding
+                    point, shared verbatim with the oracle)
+        m2        = n*sum(u^2) - su^2          (exact python ints)
+        var_units = rnd_half_away(m2 * 10^var_scale / (10^(2*in_scale) * n^2))
+        std       = sqrt(var_units / 10^var_scale)   (IEEE, identical)
+        z         = (u*n - su) / ((10^in_scale * n) * std)
+
+    All integers stay exact (python arbitrary precision for m2; u*n - su
+    fits int64 by caller contract |u| < 2^31); var_units < 2^53 so its
+    int->double conversion is exact in both engines; sqrt and the final
+    division are single correctly-rounded IEEE ops. std == 0 groups
+    (var_units == 0) yield 0.0.
+
+    Scale: one shuffle on the group key, groups must fit a task (same
+    contract as zscore_by_group)."""
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+    schema = f"{fields}, `{out_col}` double"
+    base = float(10 ** in_scale)
+    vs = 10 ** var_scale
+    den_pow = 10 ** (2 * in_scale)
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        u = pdf[units_col]
+        n = len(u)
+        su = int(u.sum())
+        squ = int((u * u).sum())
+        m2 = n * squ - su * su
+        nn = n * n * den_pow
+        var_units = (2 * m2 * vs + nn) // (2 * nn)
+        if var_units == 0:
+            pdf[out_col] = 0.0
+            return pdf
+        # math.sqrt is the IEEE-754 correctly-rounded sqrt (python pow
+        # 0.5 is not guaranteed to be); DuckDB's sqrt() is libm's, also
+        # correctly rounded -> identical doubles from identical inputs
+        import math
+        std = math.sqrt(var_units / float(vs))
+        dev = (u * n - su).astype("float64")
+        pdf[out_col] = dev / ((base * n) * std)
+        return pdf
+
+    return df.groupBy(group_col).applyInPandas(norm, schema=schema)
+
+
 @F.udtf(returnType="chunk_index int, chunk_text string, n_tokens int")
 class ChunkDocument:
     """Python UDTF tier (SURVEY §2.11, pyspark-4 table functions): split

@@ -909,9 +909,34 @@ def pq_encode(emb: DataFrame, codebooks: list,
     return out.select(F.col("__id").alias(id_col), "codes")
 
 
+# Measured routing boundary for UNRERANKED ADC (VERDICT r6 item 4 /
+# RECALL.md sf1 adversarial section): on a 200k-vector corpus with
+# near-tie density, shortlists narrower than the tie set collapse to
+# 0.28-0.62 recall, and no rerank can restore candidates the shortlist
+# never saw — serving rerank=0 in that regime is a measured failure
+# mode, not a tuning choice. Below the boundary rerank=0 stays
+# advisory (eval-set recall 0.13-0.64, documented in pq_topk).
+PQ_UNRERANKED_MAX = 200_000
+
+
+def route_pq_rerank(n_corpus: int, rerank: int,
+                    unreranked_max: int = PQ_UNRERANKED_MAX) -> int:
+    """Auto-routing for the PQ refine stage, mirroring
+    dedup.auto_simhash_bits: pure decision function so the boundary is
+    unit-testable at both corpus scales. rerank>0 passes through
+    untouched; rerank<=0 on a corpus at/above the measured boundary
+    routes to the production default (rerank=10 — the RECALL.md
+    configuration that measured 1.00 where unreranked ADC measured
+    0.28)."""
+    if rerank > 0 or n_corpus < unreranked_max:
+        return rerank
+    return 10
+
+
 def pq_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
             m: int = 32, k_codes: int = 16, train_n: int = 2048,
             rerank: int = 10,
+            unreranked_max: int = PQ_UNRERANKED_MAX,
             id_col: str = "vec_id",
             vec_col: str = "embedding") -> DataFrame:
     """PQ approximate cosine top-k via asymmetric distance computation
@@ -949,8 +974,25 @@ def pq_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     top-k. The defaults (m=32, k_codes=16, rerank=10: 16-byte codes,
     16x fewer scan bytes than float32) measure recall 1.00 on the eval
     corpus while exact-reading ~rerank*k*n_queries vectors — 5% of the
-    sf0.1 corpus, vs the Hamming tier's 0.9+ recall at 31% scored."""
+    sf0.1 corpus, vs the Hamming tier's 0.9+ recall at 31% scored.
+
+    rerank=0 is GUARDED (route_pq_rerank): at/above the measured
+    200k-corpus boundary it auto-routes to the production rerank=10
+    with the RECALL.md citation — the sf1 adversarial run proved that
+    regime is a failure mode, and routing was advisory-only until r7."""
     import pandas as pd
+
+    if rerank <= 0:
+        n_corpus = emb.count()
+        routed = route_pq_rerank(n_corpus, rerank, unreranked_max)
+        if routed != rerank:
+            import warnings
+            warnings.warn(
+                f"pq_topk(rerank=0) on a {n_corpus}-vector corpus is a "
+                f"measured failure regime (RECALL.md sf1 adversarial "
+                f"section: unreranked ADC recall 0.28 at 200k) — "
+                f"auto-routed to rerank={routed}", stacklevel=2)
+        rerank = routed
 
     books = pq_train_codebooks(emb, m=m, k_codes=k_codes,
                                train_n=train_n, id_col=id_col,
@@ -1067,6 +1109,7 @@ def ivf_pq_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
                 n_centroids: int = 16, n_probe: int = 8,
                 m: int = 32, k_codes: int = 16, train_n: int = 2048,
                 rerank: int = 10, seed: int = 42, max_iter: int = 8,
+                unreranked_max: int = PQ_UNRERANKED_MAX,
                 id_col: str = "vec_id",
                 vec_col: str = "embedding") -> DataFrame:
     """The full IVF-PQ stack (the faiss IVFx,PQy index as a Spark
@@ -1086,8 +1129,12 @@ def ivf_pq_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     Deterministic: seeded KMeans, deterministic codebooks
     (pq_train_codebooks), id tie-breaks. Approximate by construction ->
     rows-only with the exact tiers as siblings; recall in RECALL.md.
-    Output (query_id, rank, neighbor_id)."""
+    Output (query_id, rank, neighbor_id). rerank=0 carries the same
+    route_pq_rerank guard as pq_topk (measured 200k boundary)."""
     import pandas as pd
+
+    if rerank <= 0:
+        rerank = route_pq_rerank(emb.count(), rerank, unreranked_max)
 
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector

@@ -29,7 +29,8 @@ from pyspark.sql import functions as F
 
 from .catalog import table
 from .functions.maps import recode_map
-from .functions.numeric import davg, dsum, ratio
+from .functions.numeric import (davg, davg_units, dsum, ratio, sum_units,
+                                units_to_double)
 from .operators import dedup as D
 from .operators import multimodal as M
 from .operators import packing as PK
@@ -74,6 +75,34 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (),
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return table(spark, sf_dir, name)
+
+
+def _davg_units_sql(su: str, n: str, in_scale: int = 0,
+                    out_scale: int = 4) -> str:
+    """DuckDB mirror of functions.numeric.davg_units — the ONE source of
+    the exact-integer-mean SQL (ADVICE r6: the CASE form was copy-pasted
+    into ~8 oracle strings, a drift surface if the TIE RULE is adjusted).
+    `su` is a BIGINT sum in 10^-in_scale units, `n` a COUNT expression;
+    result is the mean rounded half-away-from-zero at out_scale, one
+    final exact double division. DuckDB `//` floors, but both operands
+    are non-negative by construction inside each CASE branch."""
+    s2 = su if out_scale <= in_scale \
+        else f"({su} * {10 ** (out_scale - in_scale)})"
+    d = n if in_scale <= out_scale \
+        else f"({n} * {10 ** (in_scale - out_scale)})"
+    return (f"CAST(CASE WHEN {s2} >= 0 THEN (2 * {s2} + {d}) // (2 * {d}) "
+            f"ELSE -((-2 * {s2} + {d}) // (2 * {d})) END AS DOUBLE) "
+            f"/ {float(10 ** out_scale)!r}")
+
+
+def _davg_sql(x: str, scale: int, out_scale: int = 4,
+              precision: int = 18) -> str:
+    """DuckDB mirror of functions.numeric.davg: decimal-exact sum of `x`
+    at `scale`, then the exact-integer mean at `out_scale`."""
+    su = (f"CAST(SUM(CAST({x} AS DECIMAL({precision},{scale})))"
+          f" * {10 ** scale} AS BIGINT)")
+    return _davg_units_sql(su, "COUNT(*)", in_scale=scale,
+                           out_scale=out_scale)
 
 
 # ==========================================================================
@@ -1495,15 +1524,15 @@ def events_session_window_native(spark, sf_dir):
 # Flagship analytics + coverage extensions (SURVEY §2.5 notes, §7)
 # ==========================================================================
 
-@query("q1_pricing_summary", oracle="""
+@query("q1_pricing_summary", oracle=f"""
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
            ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
                AS sum_base_price,
            CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
                               AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
-           CAST((2 * SUM(CAST(l_quantity AS BIGINT)) * 10000 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 10000.0 AS avg_qty,
-           CAST((2 * CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) * 10000 AS BIGINT) + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 10000.0 AS avg_disc,
+           {_davg_units_sql('SUM(CAST(l_quantity AS BIGINT))', 'COUNT(*)')} AS avg_qty,
+           {_davg_sql('l_discount', 4, 4)} AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -1513,26 +1542,40 @@ def q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1-shaped pricing summary — the canonical wide-aggregate
     benchmark query (generalizes A1-A5): single scan, predicate pushed to
     parquet, 6 aggregates in one partial+final hash agg, all decimal-exact
-    (functions/numeric.py convention)."""
+    (functions/numeric.py convention).
+
+    r7 (VERDICT r6 item 2): the money sums accumulate as scaled LONGS
+    (numeric.sum_units) — the per-row decimal cast (the cross-engine
+    rounding point) is unchanged, but the hash aggregate runs on
+    primitive int64 instead of Int128 decimal accumulators, and the
+    means ride existing sums (davg_units) instead of adding decimal
+    aggregates. Bit-identical to the r6 form (A/B-asserted at sf0.1),
+    0.602s -> 0.394s bench-methodology."""
     l = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
     qty_sum = F.sum(F.col("l_quantity").cast("long"))
+    n = F.count(F.lit(1))
+    # scale 4, not 2, for the discounted product: two 2-decimal columns
+    # multiply to exactly 4 true decimals, so a scale-2 cast lands on
+    # .xx5 ties that Spark (shortest-repr HALF_UP) and DuckDB (exact
+    # binary) round apart; scale 4 covers the true scale -> tie-free,
+    # then the exact units round to cents in the integer domain.
+    disc_price_units = sum_units(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4)
     return (l.groupBy("l_returnflag", "l_linestatus").agg(
         qty_sum.alias("sum_qty"),
-        dsum("l_extendedprice").alias("sum_base_price"),
-        # scale 4, not 2: the product of two 2-decimal columns has exactly
-        # 4 true decimals, so a scale-2 cast lands on .xx5 ties that Spark
-        # (shortest-repr HALF_UP) and DuckDB (exact binary) round apart;
-        # scale 4 covers the true scale -> tie-free, then round the exact
-        # sum to cents.
-        F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                      .cast("decimal(18,4)")), 2).cast("double")
-         .alias("sum_disc_price"),
-        # quantities are integers, so the mean is davg at scale 0 —
-        # same exact-integer TIE RULE as avg_disc (numeric.py, r6)
-        davg("l_quantity", scale=0).alias("avg_qty"),
-        davg("l_discount", scale=4).alias("avg_disc"),
-        F.count(F.lit(1)).alias("count_order")))
+        units_to_double(sum_units("l_extendedprice", scale=2), 2, 2)
+        .alias("sum_base_price"),
+        units_to_double(disc_price_units, 4, 2).alias("sum_disc_price"),
+        # quantities are integers: the exact-integer mean (TIE RULE)
+        # rides the ALREADY-COMPUTED long sum — r6's davg here added a
+        # second, decimal(28,0)-accumulator aggregate for the same
+        # column and cost q1 +0.27s at sf0.1 (VERDICT r6 item 2)
+        davg_units(qty_sum, n).alias("avg_qty"),
+        # precision 8 keeps the SUM accumulator int64-backed
+        # (numeric.py COST NOTE); |l_discount| < 1 so decimal(8,4) covers
+        davg("l_discount", scale=4, precision=8).alias("avg_disc"),
+        n.alias("count_order")))
 
 
 @query("a12_rollup_hierarchy", oracle="""
@@ -1800,24 +1843,46 @@ def udf_scalar_tokens_per_char(spark, sf_dir):
 
 
 @query("udf_grouped_zscore", oracle="""
-    SELECT c_custkey,
-           ROUND((c_acctbal - AVG(c_acctbal) OVER (PARTITION BY c_nationkey))
-                 / STDDEV_POP(c_acctbal) OVER (PARTITION BY c_nationkey),
-                 4) + 0.0 AS zscore
-    FROM customer
+    WITH u AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS u
+        FROM customer
+    ), g AS (
+        SELECT c_nationkey, COUNT(*) AS n, SUM(u) AS su,
+               SUM(CAST(u AS HUGEINT) * u) AS squ
+        FROM u GROUP BY c_nationkey
+    ), v AS (
+        SELECT c_nationkey, n, su,
+               (2 * (n * squ - CAST(su AS HUGEINT) * su) * 1000000
+                + CAST(n AS HUGEINT) * n * 10000)
+               // (2 * CAST(n AS HUGEINT) * n * 10000) AS var_units
+        FROM g
+    )
+    SELECT u.c_custkey,
+           CASE WHEN v.var_units = 0 THEN 0.0
+                ELSE CAST(u.u * v.n - v.su AS DOUBLE)
+                     / ((100.0 * v.n)
+                        * sqrt(CAST(v.var_units AS DOUBLE) / 1000000.0))
+           END AS zscore
+    FROM u JOIN v USING (c_nationkey)
 """)
 def udf_grouped_zscore(spark, sf_dir):
     """Grouped-map (applyInPandas) tier: per-nation account-balance
-    z-scores. round(4) absorbs pandas' pairwise vs SQL's sequential
-    float summation (~1e-12 relative); `+ 0.0` on both sides folds IEEE
-    negative zero into +0.0 (a tiny negative deviation rounds to -0.0 in
-    one engine and 0.0 in the other)."""
-    from .operators.pandas_ops import zscore_by_group
-    out = zscore_by_group(
-        _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal"),
-        "c_nationkey", "c_acctbal")
-    return out.select("c_custkey",
-                      (F.round("zscore", 4) + F.lit(0.0)).alias("zscore"))
+    z-scores, exact-integer form (VERDICT r6 item 5 — the old oracle
+    ROUNDed a quotient of order-dependent double AVG/STDDEV aggregates,
+    the same tie class the sf0.1 sweep caught in davg; this form has NO
+    final round). Balance units are scaled to cents IN SPARK (decimal
+    cast -> long, the one shared rounding point) before the UDF; the
+    pandas side and the DuckDB mirror then run the identical integer
+    variance + IEEE sqrt/divide recipe (pandas_ops.zscore_by_group_exact
+    docstring) — bit-identical doubles, no tolerance anywhere."""
+    from .operators.pandas_ops import zscore_by_group_exact
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey",
+        (F.col("c_acctbal").cast("decimal(12,2)") * 100).cast("long")
+        .alias("bal_units"))
+    out = zscore_by_group_exact(c, "c_nationkey", "bal_units", in_scale=2)
+    return out.select("c_custkey", "zscore")
 
 
 # ==========================================================================
@@ -3865,7 +3930,7 @@ def text_bigram_lm(spark, sf_dir):
     return T.ngram_lm_counts(docs, n=2)
 
 
-@query("text_lm_perplexity", oracle="""
+@query("text_lm_perplexity", oracle=f"""
     WITH tok AS (
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
         FROM documents WHERE doc_id < 200
@@ -3896,7 +3961,7 @@ def text_bigram_lm(spark, sf_dir):
     )
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_ngrams,
-           CAST(CASE WHEN CAST(SUM(CAST(nll AS DECIMAL(18,6))) * 1000000 AS BIGINT) >= 0 THEN (2 * CAST(SUM(CAST(nll AS DECIMAL(18,6))) * 1000000 AS BIGINT) + COUNT(*) * 100) // (2 * COUNT(*) * 100) ELSE -((-2 * CAST(SUM(CAST(nll AS DECIMAL(18,6))) * 1000000 AS BIGINT) + COUNT(*) * 100) // (2 * COUNT(*) * 100)) END AS DOUBLE) / 10000.0 AS cross_entropy
+           {_davg_sql('nll', 6, 4)} AS cross_entropy
     FROM scored GROUP BY doc_id
 """)
 def text_lm_perplexity(spark, sf_dir):
@@ -3911,7 +3976,7 @@ def text_lm_perplexity(spark, sf_dir):
     return T.lm_cross_entropy(docs, n=2, alpha=0.5)
 
 
-@query("pipe_corpus_curation", oracle="""
+@query("pipe_corpus_curation", oracle=f"""
     WITH tokc AS (
         SELECT doc_id, COUNT(*) AS n_tokens FROM (
             SELECT doc_id,
@@ -3959,7 +4024,7 @@ def text_lm_perplexity(spark, sf_dir):
         JOIN ctx x USING (context), v
     ), ce AS (
         SELECT doc_id,
-               CAST(CASE WHEN CAST(SUM(CAST(nll AS DECIMAL(18,6))) * 1000000 AS BIGINT) >= 0 THEN (2 * CAST(SUM(CAST(nll AS DECIMAL(18,6))) * 1000000 AS BIGINT) + COUNT(*) * 100) // (2 * COUNT(*) * 100) ELSE -((-2 * CAST(SUM(CAST(nll AS DECIMAL(18,6))) * 1000000 AS BIGINT) + COUNT(*) * 100) // (2 * COUNT(*) * 100)) END AS DOUBLE) / 10000.0 AS cross_entropy
+               {_davg_sql('nll', 6, 4)} AS cross_entropy
         FROM scored GROUP BY doc_id
     )
     SELECT tokc.doc_id, tokc.n_tokens, rep.repetition_ratio,
@@ -5570,7 +5635,7 @@ def _kmeans_oracle_sql(k: int = 4, n_iter: int = 2,
         return f""", {name} AS (
         SELECT cluster, list(cx ORDER BY i) AS c FROM (
             SELECT cluster, i,
-                   CAST(CASE WHEN CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) * 1000000 AS BIGINT) >= 0 THEN (2 * CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) * 1000000 AS BIGINT) + COUNT(*)) // (2 * COUNT(*)) ELSE -((-2 * CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) * 1000000 AS BIGINT) + COUNT(*)) // (2 * COUNT(*))) END AS DOUBLE) / 1000000.0 AS cx
+                   {_davg_sql('ROUND(x, 6)', 6, 6)} AS cx
             FROM (SELECT cluster, t.i, v[t.i] AS x
                   FROM {assigned},
                        unnest(generate_series(1, len(v))) AS t(i))
@@ -6452,20 +6517,25 @@ _PINNED = [
     # window now pins only the flagship plus four canaries spanning the
     # op families (scan, broadcast join, fused agg, top-k sort); the
     # other 45 slots rotate toward the least-driver-covered entries.
-    "s1_scan_project",
-    "j1_dim_join",
-    "a1_a2_j3_grouped_sum_count",
-    # r6: o1_o3_topk_sort unpinned — 5 driver-green rounds, plan-asserted
-    # (TakeOrderedAndProject), oracle + pytest guarded; its slot goes to
-    # the rotation so r6 lands >=45 first-time rows (VERDICT r5 item 3)
-    # while profile_dataset_fingerprint is pinned for item 1.
-    # the flagship pipeline (entry()) keeps a driver row every round
-    "pipe_hung_councils",
-    # VERDICT r5 item 1: the r5 red row — republished with harness-proof
-    # types (bigint mod + string twin beside the decimal fold); pinned
-    # until a driver-green row confirms the root cause. Rotation would
-    # otherwise skip it (it already has an r5 row).
-    "profile_dataset_fingerprint",
+    #
+    # r7 (VERDICT r6 item 1): the r6 canaries (s1_scan_project,
+    # j1_dim_join, a1_a2_j3_grouped_sum_count,
+    # profile_dataset_fingerprint) are unpinned — each now has a
+    # driver-green r6 row (the fingerprint root cause is confirmed) plus
+    # multiple prior greens, so rotation-by-least-covered correctly
+    # deprioritizes them. Their slots go to the FOUR entries whose only
+    # driver record is a stale r1 RED row (`no_oracle` from before
+    # oracles existed, plus the r1 text_lang_id fail — all four pass the
+    # local 242/242 gate every round since). The rotation sorts by
+    # least-driver-covered, so a count-1 stale row would otherwise keep
+    # them OUT of the window while the 61-entry never-checked backlog
+    # drains; pinning guarantees a fresh green row of record. 45 slots
+    # keep rotating over the backlog (full coverage lands r8).
+    "pipe_hung_councils",   # the flagship (entry()) — a row every round
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_topk_lsh",
+    "text_lang_id",
 ]
 
 _WINDOW_SIZE = 50
@@ -6851,7 +6921,7 @@ def text_quality_classifier_weighted(spark, sf_dir):
         _t(spark, sf_dir, "documents"), weights, dim=256)
 
 
-@query("text_ccnet_buckets", oracle="""
+@query("text_ccnet_buckets", oracle=f"""
     WITH tok AS (
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
         FROM documents WHERE doc_id < 200
@@ -6881,7 +6951,7 @@ def text_quality_classifier_weighted(spark, sf_dir):
         JOIN ctx x USING (context), v
     ), per_doc AS (
         SELECT doc_id,
-               CAST(CASE WHEN CAST(SUM(CAST(nll AS DECIMAL(18,6))) * 1000000 AS BIGINT) >= 0 THEN (2 * CAST(SUM(CAST(nll AS DECIMAL(18,6))) * 1000000 AS BIGINT) + COUNT(*) * 100) // (2 * COUNT(*) * 100) ELSE -((-2 * CAST(SUM(CAST(nll AS DECIMAL(18,6))) * 1000000 AS BIGINT) + COUNT(*) * 100) // (2 * COUNT(*) * 100)) END AS DOUBLE) / 10000.0 AS cross_entropy
+               {_davg_sql('nll', 6, 4)} AS cross_entropy
         FROM scored GROUP BY doc_id
     )
     SELECT p.doc_id, d.lang, p.cross_entropy,
@@ -6967,7 +7037,7 @@ def sample_epoch_repeat(spark, sf_dir):
         JOIN ctx x USING (context), v
     ), per_doc AS (
         SELECT doc_id,
-               CAST(CASE WHEN CAST(SUM(CAST(nll AS DECIMAL(18,6))) * 1000000 AS BIGINT) >= 0 THEN (2 * CAST(SUM(CAST(nll AS DECIMAL(18,6))) * 1000000 AS BIGINT) + COUNT(*) * 100) // (2 * COUNT(*) * 100) ELSE -((-2 * CAST(SUM(CAST(nll AS DECIMAL(18,6))) * 1000000 AS BIGINT) + COUNT(*) * 100) // (2 * COUNT(*) * 100)) END AS DOUBLE) / 10000.0 AS cross_entropy
+               {davg_nll} AS cross_entropy
         FROM scored GROUP BY doc_id
     ), scored2 AS (
         SELECT p.doc_id, d.lang, p.cross_entropy
@@ -6998,7 +7068,8 @@ def sample_epoch_repeat(spark, sf_dir):
                 WHEN bucket_id >= 3 THEN 'tail'
                 ELSE 'middle' END AS bucket
     FROM assigned
-""".format(hash_bucket=_HASH_BUCKET_SQL.format(key='doc_id')))
+""".format(hash_bucket=_HASH_BUCKET_SQL.format(key='doc_id'),
+           davg_nll=_davg_sql('nll', 6, 4)))
 def text_ccnet_buckets_sampled(spark, sf_dir):
     """The 100 TB tier of CCNet bucketing (text.ccnet_buckets_sampled):
     cut-points from a 30% deterministic hash sample ranked per
@@ -7096,7 +7167,7 @@ def sim_topk_quantized(spark, sf_dir):
     return S.quantized_topk(emb, emb.filter(F.col("vec_id") < 10), k=10)
 
 
-@query("sample_dsir_select", oracle="""
+@query("sample_dsir_select", oracle=f"""
     WITH tok AS (
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
         FROM documents WHERE doc_id < 200
@@ -7126,7 +7197,7 @@ def sim_topk_quantized(spark, sf_dir):
         JOIN ctx x USING (context), v
     ), per_doc_raw AS (
         SELECT doc_id, COUNT(*) AS n,
-               CAST(CASE WHEN CAST(SUM(CAST(nll AS DECIMAL(18,6))) * 1000000 AS BIGINT) >= 0 THEN (2 * CAST(SUM(CAST(nll AS DECIMAL(18,6))) * 1000000 AS BIGINT) + COUNT(*) * 100) // (2 * COUNT(*) * 100) ELSE -((-2 * CAST(SUM(CAST(nll AS DECIMAL(18,6))) * 1000000 AS BIGINT) + COUNT(*) * 100) // (2 * COUNT(*) * 100)) END AS DOUBLE) / 10000.0 AS ce_raw
+               {_davg_sql('nll', 6, 4)} AS ce_raw
         FROM scored GROUP BY doc_id
     ), tokt AS (
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
@@ -7157,7 +7228,7 @@ def sim_topk_quantized(spark, sf_dir):
         LEFT JOIN ctxt xt USING (context), vt
     ), per_doc_t AS (
         SELECT doc_id,
-               CAST(CASE WHEN CAST(SUM(CAST(nll AS DECIMAL(18,6))) * 1000000 AS BIGINT) >= 0 THEN (2 * CAST(SUM(CAST(nll AS DECIMAL(18,6))) * 1000000 AS BIGINT) + COUNT(*) * 100) // (2 * COUNT(*) * 100) ELSE -((-2 * CAST(SUM(CAST(nll AS DECIMAL(18,6))) * 1000000 AS BIGINT) + COUNT(*) * 100) // (2 * COUNT(*) * 100)) END AS DOUBLE) / 10000.0 AS ce_target
+               {_davg_sql('nll', 6, 4)} AS ce_target
         FROM scoredt GROUP BY doc_id
     )
     SELECT r.doc_id, CAST(r.n AS BIGINT) AS n_ngrams,
@@ -7181,7 +7252,7 @@ def sample_dsir_select(spark, sf_dir):
     return T.dsir_log_ratio(raw, target, tau=0.0)
 
 
-@query("sim_embedding_centroids", oracle="""
+@query("sim_embedding_centroids", oracle=f"""
     WITH v AS (
         SELECT label AS cluster, embedding::DOUBLE[] AS e FROM embeddings
     ), ex AS (
@@ -7189,7 +7260,7 @@ def sample_dsir_select(spark, sf_dir):
         FROM v, unnest(generate_series(1, len(e))) AS t(i)
     ), per AS (
         SELECT cluster, i, COUNT(*) AS n,
-               CAST(CASE WHEN CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) * 1000000 AS BIGINT) >= 0 THEN (2 * CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) * 1000000 AS BIGINT) + COUNT(*)) // (2 * COUNT(*)) ELSE -((-2 * CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) * 1000000 AS BIGINT) + COUNT(*)) // (2 * COUNT(*))) END AS DOUBLE) / 1000000.0 AS c
+               {_davg_sql('ROUND(x, 6)', 6, 6)} AS c
         FROM ex GROUP BY cluster, i
     )
     SELECT cluster, CAST(n AS BIGINT) AS n_vectors,
@@ -7682,12 +7753,12 @@ def dedup_contamination_score(spark, sf_dir):
     return D.contamination_score(train, eval_set, n=3, threshold=0.1)
 
 
-@query("agg_incremental_merge", oracle="""
+@query("agg_incremental_merge", oracle=f"""
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
            ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
                       AS DOUBLE), 2) AS sum_base_price,
-           CAST((2 * SUM(CAST(l_quantity AS BIGINT)) * 10000 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 10000.0 AS avg_qty,
+           {_davg_units_sql('SUM(CAST(l_quantity AS BIGINT))', 'COUNT(*)')} AS avg_qty,
            COUNT(*) AS n
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
@@ -7723,13 +7794,11 @@ def agg_incremental_merge(spark, sf_dir):
         F.col("sum_qty").cast("long").alias("sum_qty"),
         F.round(F.col("sum_price").cast("double"), 2)
          .alias("sum_base_price"),
-        # mergeable numerator/denominator -> exact-integer mean at 4
-        # (numeric.py TIE RULE, r6): no double quotient ever rounds
-        ((((F.col("sum_qty").cast("long") * 20000 + F.col("n"))
-           - (F.col("sum_qty").cast("long") * 20000 + F.col("n"))
-           % (F.col("n") * 2))
-          / (F.col("n") * 2)).cast("long").cast("double")
-         / F.lit(10000.0)).alias("avg_qty"),
+        # mergeable numerator/denominator -> the shared exact-integer
+        # mean template (numeric.py TIE RULE; hand-rolled copy retired
+        # per ADVICE r6 — one template, nothing to drift)
+        davg_units(F.col("sum_qty").cast("long"), F.col("n"))
+        .alias("avg_qty"),
         F.col("n").cast("long").alias("n"))
 
 

@@ -2985,3 +2985,50 @@ def test_ushaped_attribution_weights(spark):
     assert abs(sum(v for (c, _), v in got.items() if c == 5) - 1.0) < 1e-15
     # n=1: the lone touch gets full credit
     assert got[(7, 6)] == 1.0
+
+
+def test_pq_rerank_routing_boundary():
+    # VERDICT r6 item 4: routing is a measured decision, pinned at BOTH
+    # corpus scales. Below the RECALL.md boundary an explicit rerank=0
+    # stays advisory (passes through); at/above the 200k boundary —
+    # where the sf1 adversarial run measured unreranked ADC collapsing
+    # to 0.28 recall — rerank=0 routes to the production default.
+    from sanef_election_dashboard_etl_spark.operators.similarity import (
+        PQ_UNRERANKED_MAX, route_pq_rerank)
+
+    assert PQ_UNRERANKED_MAX == 200_000
+    # small corpus (sf0.1-scale): explicit rerank=0 honored
+    assert route_pq_rerank(6_400, 0) == 0
+    assert route_pq_rerank(PQ_UNRERANKED_MAX - 1, 0) == 0
+    # measured-failure corpus: auto-routed to the rerank tier
+    assert route_pq_rerank(PQ_UNRERANKED_MAX, 0) == 10
+    assert route_pq_rerank(5_000_000, 0) == 10
+    # explicit rerank>0 always passes through, any scale
+    assert route_pq_rerank(5_000_000, 3) == 3
+    assert route_pq_rerank(100, 10) == 10
+
+
+def test_pq_topk_routed_path_equals_explicit_rerank(spark):
+    # The routed plan must BE the rerank plan: pq_topk(rerank=0) with a
+    # boundary the corpus crosses returns exactly pq_topk(rerank=10).
+    import warnings
+
+    import numpy as np
+    rng = np.random.RandomState(13)
+    rows_ = [(i, [float(x) for x in rng.normal(0, 1, 8)])
+             for i in range(120)]
+    df = spark.createDataFrame(rows_, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 3)
+
+    def res(out):
+        return sorted((r["query_id"], r["rank"], r["neighbor_id"])
+                      for r in out.collect())
+
+    explicit = res(S.pq_topk(df, q, k=3, m=4, k_codes=8, train_n=120,
+                             rerank=10))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        routed = res(S.pq_topk(df, q, k=3, m=4, k_codes=8, train_n=120,
+                               rerank=0, unreranked_max=100))
+        assert any("RECALL.md" in str(x.message) for x in w)
+    assert routed == explicit

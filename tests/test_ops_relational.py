@@ -242,3 +242,78 @@ def test_snapshot_diff_statuses(spark):
            snapshot_diff(old, new, "k", ["t", "v"]).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed",
                    4: "changed", 5: "added"}
+
+
+def test_davg_units_matches_decimal_mean_and_ties(spark):
+    # the TIE RULE template: exact-integer mean, half-away-from-zero at
+    # out_scale — including the sf0.1-surfaced exact-half case
+    # 0.616992/192 = 0.0032135 (digit-5 at scale 7 -> rounds UP at 4... 
+    # the quotient lands ON a half at the rounding digit)
+    from sanef_election_dashboard_etl_spark.functions.numeric import (
+        davg, davg_units)
+
+    # the r6 sf0.1-surfaced tie, exactly as davg sees it: sum(l_discount)
+    # = 0.616992 (su in 1e-6 units), n = 192, rounded at 4 ->
+    # mean*10^4 = 616992/(100*192) = 32.135 EXACTLY on the half ->
+    # half-away gives 32.14e-4... i.e. mu = 32 (32.135 -> digit-1 half?
+    # no: mu = rha(616992/19200) = rha(32.135) = 32) -- assert against
+    # the independently-computed exact rational instead of hand math
+    from fractions import Fraction
+
+    def rha(fr):
+        q, r = divmod(abs(fr.numerator) * 2 + fr.denominator,
+                      2 * fr.denominator)
+        return q if fr >= 0 else -q
+
+    df = spark.createDataFrame([(616992, 192)], "su long, n long")
+    out = df.select(davg_units(F.col("su"), F.col("n"), in_scale=6,
+                               out_scale=4).alias("m")).collect()[0]["m"]
+    assert out == rha(Fraction(616992 * 10 ** 4, 10 ** 6 * 192)) / 1e4
+    # a TRUE tie: 3/2 at scale 0 -> half-away = 2 (not banker's 2 /
+    # floor 1); negative mirror -> -2 (not floor's -2... distinguishes
+    # from toward-zero -1)
+    d2 = spark.createDataFrame([(3, 2), (-3, 2)], "su long, n long")
+    got = sorted(r["m"] for r in d2.select(
+        davg_units(F.col("su"), F.col("n"), in_scale=0,
+                   out_scale=0).alias("m")).collect())
+    assert got == [-2.0, 2.0]
+    # davg == davg_units composition on a plain mean
+    vals = [(1.25,), (2.75,), (3.10,)]
+    d2 = spark.createDataFrame(vals, "x double")
+    got = d2.agg(davg("x", scale=2, out_scale=4).alias("m")).collect()[0]["m"]
+    assert got == round((1.25 + 2.75 + 3.10) / 3, 4)
+
+
+def test_davg_units_guard_raises_past_exactness_bound(spark):
+    # ADVICE r6: the 2^53 exactness contract is ENFORCED, not documented —
+    # a sum whose 2*|units|+count dividend exceeds 2^53 must fail loudly
+    # instead of silently losing bits in the long->double hop.
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    from sanef_election_dashboard_etl_spark.functions.numeric import (
+        davg_units)
+
+    df = spark.createDataFrame([(2 ** 53, 1)], "su long, n long")
+    with pytest.raises(SparkRuntimeException, match="davg exactness"):
+        df.select(davg_units(F.col("su"), F.col("n"), in_scale=0,
+                             out_scale=0).alias("m")).collect()
+
+
+def test_sum_units_equals_decimal_sum_and_units_to_double_rounds(spark):
+    # the r7 fast path: scaled-long accumulation must equal the decimal
+    # sum bit-for-bit, and the integer round must equal decimal ROUND
+    from sanef_election_dashboard_etl_spark.functions.numeric import (
+        sum_units, units_to_double)
+
+    vals = [(1.005,), (2.335,), (-0.015,), (7.12,)]
+    df = spark.createDataFrame(vals, "x double")
+    got = df.agg(
+        units_to_double(sum_units("x", scale=4), 4, 2).alias("a"),
+        F.round(F.sum(F.col("x").cast("decimal(18,4)")), 2).cast("double")
+        .alias("b")).collect()[0]
+    assert got["a"] == got["b"]
+    # out_scale == in_scale passthrough
+    same = df.agg(
+        units_to_double(sum_units("x", scale=2), 2, 2).alias("a"),
+        F.round(F.sum(F.col("x").cast("decimal(18,2)")), 2).cast("double")
+        .alias("b")).collect()[0]
+    assert same["a"] == same["b"]

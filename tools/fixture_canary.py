@@ -133,10 +133,11 @@ def check(sf_dir: str) -> int:
 def main(argv: list[str]) -> int:
     if argv and argv[0] == "--check":
         dirs = argv[1:] or DEFAULT_DIRS[:1]
-        rc = 0
-        for d in dirs:
-            rc = max(rc, check(d))
-        return 0 if rc == 2 else rc  # missing snapshot warns, not fails
+        # track drift and missing-snapshot separately (ADVICE r6: with
+        # max()-folding, a missing snapshot (rc=2) in one dir masked
+        # real drift (rc=1) in another and the tool exited 0)
+        results = [check(d) for d in dirs]  # check ALL dirs (no short-circuit)
+        return 1 if 1 in results else 0  # missing snapshot warns, not fails
     dirs = argv or DEFAULT_DIRS
     for d in dirs:
         if not os.path.isdir(d):

@@ -1321,6 +1321,52 @@ def multimodal_decode_png(spark, sf_dir):
                     "first_value", "value_sum"))
 
 
+@query("multimodal_decode_jpeg", oracle=f"""
+    -- Baseline JPEG round-trip (VERDICT r6 item 7, last image stub
+    -- retired): genuine baseline JFIF payloads (SOI/DQT/SOF0/DHT/SOS,
+    -- Huffman-coded 4:4:4 MCUs) decoded by the pure-stdlib(+numpy)
+    -- decode_jpeg — full Huffman + dequant + IDCT + YCbCr->RGB. The
+    -- encoder is DC-only with an all-ones quant table, so block i
+    -- decodes to EXACTLY tile byte (i mod tile_len) in all 3 channels:
+    -- DuckDB recomputes dims, the first pixel, and the sum of every
+    -- decoded RGB byte (192 x the per-BLOCK tile sum: 64 pixels x 3
+    -- channels) without seeing the binary. A Huffman, zig-zag, IDCT
+    -- scale, or color-convert bug moves first_value or value_sum.
+    -- payload_bytes is absent: entropy-coded size is a codec artifact.
+    WITH {_MM_BYTES_CTE}
+    SELECT doc_id AS media_id,
+           CAST((doc_id % 8) * 8 + 8 AS INT) AS width,
+           CAST((doc_id % 6) * 8 + 8 AS INT) AS height,
+           CAST(((doc_id % 8) * 8 + 8)
+                * ((doc_id % 6) * 8 + 8) AS BIGINT) AS n_pixels,
+           CAST(b0 AS BIGINT) AS first_value,
+           CAST(192 * ({_MM_VALUE_SUM}) AS BIGINT) AS value_sum
+    FROM (SELECT t.*,
+                 CAST(((doc_id % 8) + 1)
+                      * ((doc_id % 6) + 1) AS BIGINT) AS body_bytes
+          FROM t) t2
+    WHERE doc_id < 300
+""")
+def multimodal_decode_jpeg(spark, sf_dir):
+    """JPEG decode round-trip (VERDICT r6 item 7): `_encode_jpeg` builds
+    legal baseline JFIF streams (one DC-only 8x8 block per tile byte,
+    all-ones quant table, Annex-K DC Huffman + EOB-only AC), and
+    `decode_jpeg` decodes them through the REAL baseline path — marker
+    walk, canonical Huffman decode (full DC+AC alphabet, not specialized
+    to the encoder), dequantize, zig-zag, exact-basis numpy IDCT, level
+    shift, BT.601 YCbCr->RGB (operators/multimodal.py). DC-only blocks
+    IDCT to the constant DC/8, so the round-trip is LOSSLESS by
+    construction and the oracle recomputes every decoded byte from the
+    documents table. NotImplementedError now remains only for MP3/H.264
+    (multimodal.py module docstring)."""
+    docs = _t(spark, sf_dir, "documents")
+    jpg = M.synthesize_media_encoded(docs.filter(F.col("doc_id") < 300),
+                                     "image", image_format="jpeg")
+    return (M.decode_media(jpg)
+            .select("media_id", "width", "height", "n_pixels",
+                    "first_value", "value_sum"))
+
+
 @query("multimodal_frame_sample", oracle=f"""
     -- REAL video frame sampling (r6): genuine uncompressed AVI
     -- containers (RIFF avih/strl/movi, '00db' raw DIB frames; frame i
@@ -6540,6 +6586,13 @@ _PINNED = [
 
 _WINDOW_SIZE = 50
 
+# r7 net-new entries sort BEHIND the never-driver-checked backlog in the
+# rotation (VERDICT r6 items 1+8: the 61-entry backlog drains first; a
+# count-0 newcomer would otherwise displace a backlog entry and push full
+# coverage past r8). They enter the normal rotation once the backlog has
+# rows (r8).
+_DEFER_ROTATION = {"sim_topk_pq_routed", "multimodal_decode_jpeg"}
+
 
 def _driver_coverage() -> dict[str, int]:
     """How many driver rounds have already recorded a row per query —
@@ -6570,6 +6623,7 @@ def _reorder_registry() -> None:
     covered = _driver_coverage()
     pool = sorted((n for n in REGISTRY if n not in _PINNED),
                   key=lambda n: (covered.get(n, 0),
+                                 n in _DEFER_ROTATION,
                                  REGISTRY[n].oracle is None, n))
     rotated = pool[:slots]
     head = {n: REGISTRY[n] for n in _PINNED + rotated}
@@ -7484,6 +7538,23 @@ def sim_topk_pq(spark, sf_dir):
     the same ids-not-scores output contract."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=10)
+
+
+@query("sim_topk_pq_routed", oracle=None, tags=("rows-only",),
+       sibling="sim_topk_quantized")
+def sim_topk_pq_routed(spark, sf_dir):
+    """The PQ auto-routing guard end-to-end (VERDICT r6 item 4):
+    rerank=0 — the configuration RECALL.md's sf1 adversarial run proved
+    collapses to 0.28 recall at the 200k-corpus boundary — with a
+    boundary the registry corpus crosses, so similarity.route_pq_rerank
+    routes the call onto the production rerank tier (the exact-refine
+    stage) instead of serving raw ADC ranking. The routed plan IS the
+    rerank plan (tests/test_ops_extensions.py pins output equality and
+    the boundary decision at both corpus scales); this entry keeps the
+    routed path itself under the driver's rows-check."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=10,
+                     rerank=0, unreranked_max=100)
 
 
 @query("source_jsonl_roundtrip", oracle="""

@@ -3032,3 +3032,76 @@ def test_pq_topk_routed_path_equals_explicit_rerank(spark):
                                rerank=0, unreranked_max=100))
         assert any("RECALL.md" in str(x.message) for x in w)
     assert routed == explicit
+
+
+def test_jpeg_roundtrip_dc_only_blocks_exact():
+    # VERDICT r6 item 7: baseline JPEG encode->decode. DC-only blocks
+    # against an all-ones quant table IDCT to the constant DC/8, so
+    # every decoded pixel equals its block's tile byte EXACTLY in all
+    # three channels — lossless by construction through the real
+    # Huffman/dequant/IDCT/YCbCr path.
+    import numpy as np
+    tile = "the quick brown fox é jumps".encode()
+    for w, h in [(8, 8), (32, 24), (64, 48)]:
+        d = M.decode_jpeg(M._encode_jpeg(tile, w, h))
+        assert (d["width"], d["height"]) == (w, h)
+        px = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(h, w, 3)
+        bw = w // 8
+        for by in range(h // 8):
+            for bx in range(bw):
+                b = tile[(by * bw + bx) % len(tile)]
+                assert (px[by*8:(by+1)*8, bx*8:(bx+1)*8, :] == b).all()
+    # empty tile -> single 0x00 byte contract; decode_image dispatches
+    d = M.decode_image(M._encode_jpeg(b"", 8, 8))
+    assert d["pixels"] == b"\x00" * (3 * 8 * 8)
+    # dims must be block-aligned; progressive SOF fails loudly
+    with pytest.raises(ValueError):
+        M._encode_jpeg(b"x", 12, 8)
+    prog = M._encode_jpeg(b"x", 8, 8).replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError):
+        M.decode_jpeg(prog)
+
+
+def test_jpeg_decoder_full_ac_alphabet_matches_reference_idct():
+    # The decoder is a GENERAL baseline decoder, not specialized to the
+    # DC-only encoder: hand-build a grayscale stream with AC
+    # coefficients (run/size codes beyond EOB) and compare the decoded
+    # block to an independent numpy IDCT of the same coefficients.
+    import math
+    import struct
+
+    import numpy as np
+    dc_codes = M._jpeg_huff_codes(M._JPEG_DC_COUNTS, M._JPEG_DC_SYMBOLS)
+    ac_counts = [0, 2, 1] + [0] * 13
+    ac_syms = [0x00, 0x01, 0x11]
+    ac_codes = M._jpeg_huff_codes(ac_counts, ac_syms)
+
+    def seg(m, b):
+        return b"\xff" + m + struct.pack(">H", len(b) + 2) + b
+
+    out = [b"\xff\xd8", seg(b"\xdb", b"\x00" + bytes([1] * 64))]
+    out.append(seg(b"\xc0", struct.pack(">BHHB", 8, 8, 8, 1)
+                   + bytes([1, 0x11, 0])))
+    out.append(seg(b"\xc4", b"\x00" + bytes(M._JPEG_DC_COUNTS)
+                   + bytes(M._JPEG_DC_SYMBOLS)
+                   + b"\x10" + bytes(ac_counts) + bytes(ac_syms)))
+    out.append(seg(b"\xda", b"\x01" + b"\x01\x00" + b"\x00\x3f\x00"))
+    bwr = M._JpegBitWriter()
+    c, ln = dc_codes[5]; bwr.write(c, ln); bwr.write(16, 5)   # DC = +16
+    c, ln = ac_codes[0x01]; bwr.write(c, ln); bwr.write(1, 1)  # k=1: +1
+    c, ln = ac_codes[0x11]; bwr.write(c, ln); bwr.write(0, 1)  # k=3: -1
+    c, ln = ac_codes[0x00]; bwr.write(c, ln)                   # EOB
+    out.append(bwr.flush())
+    out.append(b"\xff\xd9")
+    got = np.frombuffer(M.decode_jpeg(b"".join(out))["pixels"],
+                        dtype=np.uint8).reshape(8, 8, 3)
+    assert (got[:, :, 0] == got[:, :, 1]).all()  # grayscale replication
+    B = np.array([[0.5 * (1 / math.sqrt(2) if u == 0 else 1.0)
+                   * math.cos((2 * x + 1) * u * math.pi / 16)
+                   for u in range(8)] for x in range(8)])
+    Fm = np.zeros((8, 8))
+    Fm.flat[M._JPEG_ZIGZAG[0]] = 16
+    Fm.flat[M._JPEG_ZIGZAG[1]] = 1
+    Fm.flat[M._JPEG_ZIGZAG[3]] = -1
+    ref = np.clip(np.rint(B @ Fm @ B.T + 128.0), 0, 255).astype(np.uint8)
+    assert (got[:, :, 0] == ref).all()

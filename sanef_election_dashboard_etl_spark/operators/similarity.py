@@ -937,6 +937,7 @@ def pq_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
             m: int = 32, k_codes: int = 16, train_n: int = 2048,
             rerank: int = 10,
             unreranked_max: int = PQ_UNRERANKED_MAX,
+            batch_cut: bool = True,
             id_col: str = "vec_id",
             vec_col: str = "embedding") -> DataFrame:
     """PQ approximate cosine top-k via asymmetric distance computation
@@ -1021,6 +1022,12 @@ def pq_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     # neighbor_id asc: full lexsort, not argpartition, so boundary ties
     # resolve identically) — the composition is exactly equal to the
     # unpruned scan.
+    # batch_cut=False disables the per-batch partial top-k (identical
+    # results either way — the cut is a pure exchange-size optimization):
+    # the toggle exists to MEASURE the crossover (SCALE.md r7 bench_diff
+    # adjudication: the cut's per-batch lexsort costs more than the
+    # exchange it saves below ~10^5 corpus rows; it exists for the 200k+
+    # regime where the unpruned |q| x corpus exchange was the r5 defect).
     batch_keep = shortlist_k + 1
 
     def score(batches):
@@ -1031,7 +1038,7 @@ def pq_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
             for i in range(LUT.shape[1]):
                 S += LUT[:, i, :][:, C[:, i]]
             ids = pdf[id_col].values
-            if n <= batch_keep:
+            if not batch_cut or n <= batch_keep:
                 yield pd.DataFrame({
                     "neighbor_id": np.tile(ids, len(q_ids)),
                     "query_id": np.repeat(q_ids, n),

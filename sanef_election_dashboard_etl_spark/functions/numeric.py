@@ -92,8 +92,9 @@ def davg_units(su: Column, n: Column, in_scale: int = 0,
     # exact floor division on longs: subtract the remainder, then the
     # double division of an exact multiple below 2^53 is error-free
     q = num - num % den
+    # NULL su (SUM over zero rows) passes through as NULL, like SUM
     mu = F.when(
-        q < F.lit(2 ** 53), (q / den).cast("long")
+        su.isNull() | (q < F.lit(2 ** 53)), (q / den).cast("long")
     ).otherwise(F.raise_error(F.lit(
         "davg exactness bound exceeded: 2*|sum_units| + count >= 2^53; "
         "reduce out_scale or pre-aggregate (functions/numeric.py GUARD)")))
@@ -196,8 +197,9 @@ def units_to_double(su: Column, in_scale: int, out_scale: int) -> Column:
         den = 10 ** (in_scale - out_scale)
         num = F.abs(su) * 2 + den
         q = ((num - num % (2 * den)) / (2 * den)).cast("long")
+    # NULL su (SUM over zero rows) passes through as NULL, like SUM
     q = F.when(
-        F.abs(su) < F.lit(2 ** 52), q
+        su.isNull() | (F.abs(su) < F.lit(2 ** 52)), q
     ).otherwise(F.raise_error(F.lit(
         "units_to_double exactness bound exceeded: |sum_units| >= 2^52; "
         "reduce scale or pre-aggregate (functions/numeric.py GUARD)")))

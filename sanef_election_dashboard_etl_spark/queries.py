@@ -2044,8 +2044,11 @@ def q3_shipping_priority(spark, sf_dir):
         F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp"))
     l = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
-    revenue = F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                            .cast("decimal(18,4)")), 2).cast("double")
+    # scaled-long accumulation (numeric.sum_units; r7 q1 postmortem):
+    # identical value to ROUND(SUM(DECIMAL(18,4)),2), int64 hash agg
+    revenue = units_to_double(sum_units(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4),
+        4, 2)
     return (l.join(o, l.l_orderkey == o.o_orderkey)
             .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
             .groupBy("l_orderkey", "o_orderdate")
@@ -2078,8 +2081,11 @@ def q5_local_supplier_volume(spark, sf_dir):
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    revenue = F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                            .cast("decimal(18,4)")), 2).cast("double")
+    # scaled-long accumulation (numeric.sum_units; r7 q1 postmortem):
+    # identical value to ROUND(SUM(DECIMAL(18,4)),2), int64 hash agg
+    revenue = units_to_double(sum_units(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4),
+        4, 2)
     return (l.join(o, l.l_orderkey == o.o_orderkey)
             .join(c, F.col("o_custkey") == c.c_custkey)
             .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey) &
@@ -2107,8 +2113,8 @@ def q6_forecast_revenue(spark, sf_dir):
         (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp")) &
         (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07) &
         (F.col("l_quantity") < 24))
-    revenue = F.round(F.sum((F.col("l_extendedprice") * F.col("l_discount"))
-                            .cast("decimal(18,4)")), 2).cast("double")
+    revenue = units_to_double(sum_units(
+        F.col("l_extendedprice") * F.col("l_discount"), scale=4), 4, 2)
     return l.agg(revenue.alias("revenue"), F.count(F.lit(1)).alias("n_items"))
 
 

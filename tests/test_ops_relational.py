@@ -317,3 +317,17 @@ def test_sum_units_equals_decimal_sum_and_units_to_double_rounds(spark):
         F.round(F.sum(F.col("x").cast("decimal(18,2)")), 2).cast("double")
         .alias("b")).collect()[0]
     assert same["a"] == same["b"]
+
+
+def test_units_guard_null_sum_passes_through(spark):
+    # SUM over zero rows is NULL; the 2^52/2^53 guards must pass NULL
+    # through (q6-style empty filters), not raise
+    from sanef_election_dashboard_etl_spark.functions.numeric import (
+        davg_units, sum_units, units_to_double)
+
+    df = spark.createDataFrame([(1.0,)], "x double").filter("x > 99")
+    got = df.agg(
+        units_to_double(sum_units("x", scale=4), 4, 2).alias("a"),
+        davg_units(F.sum(F.col("x").cast("long")), F.count(F.lit(1)))
+        .alias("b")).collect()[0]
+    assert got["a"] is None

@@ -3105,3 +3105,30 @@ def test_jpeg_decoder_full_ac_alphabet_matches_reference_idct():
     Fm.flat[M._JPEG_ZIGZAG[3]] = -1
     ref = np.clip(np.rint(B @ Fm @ B.T + 128.0), 0, 255).astype(np.uint8)
     assert (got[:, :, 0] == ref).all()
+
+
+def test_jpeg_flows_through_generic_media_tiers(spark):
+    # decode_media / extract_features(fake=False) / resize_images
+    # dispatch on magic bytes, so JPEG payloads ride the same narrow
+    # mapInPandas tiers as BMP/PNG with no special-casing
+    docs = spark.createDataFrame(
+        [(i, f"jpeg body {i} é") for i in range(6)],
+        "doc_id long, text string")
+    media = M.synthesize_media_encoded(docs, "image", image_format="jpeg")
+    out = {r["media_id"]: r for r in M.decode_media(media).collect()}
+    for mid, r in out.items():
+        t = f"jpeg body {mid} é".encode()
+        w, h = (mid % 8) * 8 + 8, (mid % 6) * 8 + 8
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["first_value"] == t[0]
+        nb = (w // 8) * (h // 8)
+        assert r["value_sum"] == sum(192 * t[i % len(t)] for i in range(nb))
+    feats = M.extract_features(media, fake=False).collect()
+    assert all(len(r["feature"]) == 16 for r in feats)
+    resized = {r["media_id"]: r for r in
+               M.resize_images(media, width=16, height=16,
+                               fake=False).collect()}
+    # re-encoded as BMP 16x16: nearest-neighbor over the decoded grid
+    for mid, r in resized.items():
+        d = M.decode_image(bytes(r["resized"]))
+        assert (d["width"], d["height"]) == (16, 16)

@@ -792,7 +792,13 @@ def test_streaming_media_decode_equals_batch(spark, tmp_path):
     docs = spark.createDataFrame(
         [(i, f"media body {i} é") for i in range(40)],
         "doc_id long, text string")
-    media = synthesize_media_encoded(docs, "image")
+    # r7: half BMP, half baseline JPEG — the new codec rides the same
+    # stateless mapInPandas tier, so it joins the equivalence family
+    media = synthesize_media_encoded(
+        docs.filter(F.col("doc_id") < 20), "image").unionByName(
+        synthesize_media_encoded(
+            docs.filter(F.col("doc_id") >= 20), "image",
+            image_format="jpeg"))
 
     src = tmp_path / "media_src"
     src.mkdir()

@@ -6588,6 +6588,12 @@ _PINNED = [
     "dedup_simhash",
     "sim_topk_lsh",
     "text_lang_id",
+    # VERDICT r6 item 7's done-criterion is a DRIVER-green row for the
+    # JPEG round-trip, so it takes a pinned slot this round (a count-0
+    # newcomer is not guaranteed a rotation slot against the backlog's
+    # alphabetical order); sim_topk_pq_routed (item 4) only needed the
+    # sibling + tests, so it defers to r8 with the rotation.
+    "multimodal_decode_jpeg",
 ]
 
 _WINDOW_SIZE = 50
@@ -6597,7 +6603,7 @@ _WINDOW_SIZE = 50
 # count-0 newcomer would otherwise displace a backlog entry and push full
 # coverage past r8). They enter the normal rotation once the backlog has
 # rows (r8).
-_DEFER_ROTATION = {"sim_topk_pq_routed", "multimodal_decode_jpeg"}
+_DEFER_ROTATION = {"sim_topk_pq_routed"}
 
 
 def _driver_coverage() -> dict[str, int]:

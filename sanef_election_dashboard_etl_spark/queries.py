@@ -3836,7 +3836,7 @@ def q9_product_profit(spark, sf_dir):
             .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
             .groupBy(F.col("n_name").alias("nation"),
                      F.year("o_orderdate").cast("long").alias("o_year"))
-            .agg(F.round(F.sum(amount.cast("decimal(18,4)")), 2).cast("double").alias("profit")))
+            .agg(units_to_double(sum_units(amount, scale=4), 4, 2).alias("profit")))
 
 
 @query("q12_priority_class", oracle="""
@@ -3894,8 +3894,7 @@ def q19_disjunctive_brackets(spark, sf_dir):
          & F.col("l_quantity").between(10, 40)))
     revenue = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
     return j.filter(bracket).agg(
-        F.round(F.sum(revenue.cast("decimal(18,4)")), 2).cast("double")
-         .alias("revenue"),
+        units_to_double(sum_units(revenue, scale=4), 4, 2).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"))
 
 

@@ -331,3 +331,49 @@ def test_units_guard_null_sum_passes_through(spark):
         davg_units(F.sum(F.col("x").cast("long")), F.count(F.lit(1)))
         .alias("b")).collect()[0]
     assert got["a"] is None
+
+
+def test_units_helpers_cross_engine_tie_cases(spark):
+    # Adversarial half-tie values straight against DuckDB — the contract
+    # the oracle gate checks end-to-end, pinned at the helper level.
+    # Sums land EXACTLY on .xx5 at the cent digit (1.005, 2.675 — the
+    # classic double-tie values), positive and negative, where a
+    # round-after-double-cast would split the engines.
+    import duckdb
+    from sanef_election_dashboard_etl_spark.functions.numeric import (
+        davg_units, sum_units, units_to_double)
+
+    cases = [
+        [1.005], [2.675], [-1.005], [-2.675],
+        [0.0025, 0.0025],                 # sum 0.005 -> cents tie
+        [1.0049999, 0.0000001],           # adversarial near-tie
+        [-0.0025, -0.0025],
+        [0.616992],                       # the r6 sf0.1 tie numerator
+        [7.12, -7.115],                   # signed cancellation near zero
+    ]
+    rows_ = [(i, float(v)) for i, vs in enumerate(cases) for v in vs]
+    df = spark.createDataFrame(rows_, "g long, x double")
+    got = {r["g"]: (r["s"], r["m"]) for r in df.groupBy("g").agg(
+        units_to_double(sum_units("x", scale=4), 4, 2).alias("s"),
+        davg_units((F.sum(F.col("x").cast("decimal(12,4)"))
+                    * F.lit(10 ** 4)).cast("long"),
+                   F.count(F.lit(1)), in_scale=4, out_scale=4).alias("m"),
+    ).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(g BIGINT, x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows_)
+    oracle = con.execute("""
+        SELECT g,
+               CAST(ROUND(SUM(CAST(x AS DECIMAL(18,4))), 2) AS DOUBLE),
+               CAST(CASE WHEN su >= 0 THEN (2*su + n) // (2*n)
+                    ELSE -((-2*su + n) // (2*n)) END AS DOUBLE) / 10000.0
+        FROM (SELECT g,
+                     CAST(SUM(CAST(x AS DECIMAL(18,4))) * 10000 AS BIGINT)
+                         AS su,
+                     COUNT(*) AS n
+              FROM t GROUP BY g) q
+        JOIN t USING (g) GROUP BY g, su, n
+    """).fetchall()
+    # dedupe the join fan-out
+    oracle = {g: (s, m) for g, s, m in oracle}
+    assert got == oracle, (got, oracle)

@@ -153,6 +153,39 @@ def ratio(num: ColumnOrName, den: ColumnOrName, out_scale: int = 4) -> Column:
     return F.round(_col(num).cast("double") / _col(den).cast("double"), out_scale)
 
 
+def dratio_units(nu: Column, du: Column, out_scale: int = 4,
+                 mult: int = 1) -> Column:
+    """Exact half-away-from-zero ratio mult*nu/du at out_scale (r7):
+    retires the ROUND(double/double, s) quotient form for INTEGER-EXACT
+    numerator/denominator pairs (q8 market share, q14 promo pct — the
+    same tie class davg killed for means: a quotient landing exactly on
+    a half at the round digit is unrepresentable in double and the
+    engines' ROUND implementations split).
+
+    Unlike davg_units (long arithmetic, exact only under 2^53), this
+    runs the integer round in decimal(38,0): numerators up to ~1e33
+    stay exact, so volume-sum ratios survive any scale factor. All ops
+    (cast, multiply, %, subtract, divide-of-an-exact-multiple) are
+    decimal-exact in both engines; the final cast to long is of a value
+    <= mult*10^out_scale (a share/percentage), trivially < 2^53. Cost
+    is per GROUP, post-aggregation. nu/du must be integer-valued
+    columns in the SAME units (the units cancel); du > 0.
+
+    DuckDB mirror (nu >= 0, mult=100, out_scale=4 shown):
+        CAST((2 * nu * 100 * 10000 + du) // (2 * du) AS DOUBLE) / 10000.0
+    with nu/du the scaled-integer sums as HUGEINT/BIGINT."""
+    n38 = "decimal(38,0)"
+    a = F.abs(nu.cast(n38)) * F.lit(mult * 10 ** out_scale).cast(n38)
+    d = du.cast(n38)
+    num = a * 2 + d
+    den = d * 2
+    # (num - num % den) is an exact multiple of den, so the decimal
+    # division yields the exact integer quotient at any result scale
+    mu = ((num - num % den) / den).cast("long")
+    mu = F.when(nu < 0, -mu).otherwise(mu)
+    return mu.cast("double") / F.lit(float(10 ** out_scale))
+
+
 def sum_units(c: ColumnOrName, scale: int, precision: int = 12) -> Column:
     """Exact bigint sum in 10^-scale units — the FAST PATH for decimal-
     exact double aggregation (r7, q1 postmortem).

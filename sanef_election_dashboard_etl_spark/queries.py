@@ -29,8 +29,8 @@ from pyspark.sql import functions as F
 
 from .catalog import table
 from .functions.maps import recode_map
-from .functions.numeric import (davg, davg_units, dsum, ratio, sum_units,
-                                units_to_double)
+from .functions.numeric import (davg, davg_units, dratio_units, dsum, ratio,
+                                sum_units, units_to_double)
 from .operators import dedup as D
 from .operators import multimodal as M
 from .operators import packing as PK
@@ -103,6 +103,19 @@ def _davg_sql(x: str, scale: int, out_scale: int = 4,
           f" * {10 ** scale} AS BIGINT)")
     return _davg_units_sql(su, "COUNT(*)", in_scale=scale,
                            out_scale=out_scale)
+
+
+def _dratio_units_sql(nu: str, du: str, out_scale: int = 4,
+                      mult: int = 1) -> str:
+    """DuckDB mirror of functions.numeric.dratio_units: exact
+    half-away-from-zero mult*nu/du at out_scale over HUGEINT-safe
+    integer units (the ROUND(double/double) quotient killer for
+    ratio-of-sums columns — q8/q14)."""
+    m = mult * 10 ** out_scale
+    return (f"CAST(CASE WHEN {nu} >= 0 "
+            f"THEN (2 * {nu} * {m} + {du}) // (2 * {du}) "
+            f"ELSE -((-2 * {nu} * {m} + {du}) // (2 * {du})) "
+            f"END AS DOUBLE) / {float(10 ** out_scale)!r}")
 
 
 # ==========================================================================
@@ -3382,15 +3395,16 @@ def q16_supplier_cnt(spark, sf_dir):
              .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt")))
 
 
-@query("q17_small_qty_revenue", oracle="""
+@query("q17_small_qty_revenue", oracle=f"""
     WITH avg_qty AS (
         SELECT l_partkey AS ap,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
                    / COUNT(*) AS aq
         FROM lineitem GROUP BY l_partkey
     )
-    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-                 / 7.0, 2) AS avg_yearly
+    SELECT {_davg_units_sql(
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)",
+        "7", in_scale=2, out_scale=2)} AS avg_yearly
     FROM lineitem
     JOIN part ON l_partkey = p_partkey
     JOIN avg_qty ON l_partkey = ap
@@ -3412,9 +3426,12 @@ def q17_small_qty_revenue(spark, sf_dir):
     return (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
              .join(avg_qty, l.l_partkey == avg_qty.ap)
              .filter(F.col("l_quantity") * 5 < F.col("aq"))
-             .agg(F.round(F.sum(F.col("l_extendedprice")
-                                .cast("decimal(18,2)")).cast("double") / 7.0,
-                          2).alias("avg_yearly")))
+             # the /7 "yearly average" rounds in exact integer cents
+             # (davg_units with a literal denominator) — ROUND(su/7.0, 2)
+             # was the davg tie class, latent here since r3
+             .agg(davg_units(sum_units("l_extendedprice", scale=2),
+                             F.lit(7), in_scale=2, out_scale=2)
+                  .alias("avg_yearly")))
 
 
 @query("q7_nation_volume", oracle="""
@@ -3463,7 +3480,7 @@ def q7_nation_volume(spark, sf_dir):
              .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue")))
 
 
-@query("q8_market_share", oracle="""
+@query("q8_market_share", oracle=f"""
     WITH trade AS (
         SELECT EXTRACT(year FROM o_orderdate) AS o_year,
                SUM(CAST(CASE WHEN n1.n_name = 'NATION_5'
@@ -3483,16 +3500,19 @@ def q7_nation_volume(spark, sf_dir):
         GROUP BY 1
     )
     SELECT o_year,
-           ROUND(CAST(nation_vol AS DOUBLE) / CAST(total_vol AS DOUBLE), 4)
-               AS mkt_share
-    FROM trade
+           {_dratio_units_sql('nu', 'du', 4)} AS mkt_share
+    FROM (SELECT o_year,
+                 CAST(nation_vol * 10000 AS HUGEINT) AS nu,
+                 CAST(total_vol * 10000 AS HUGEINT) AS du
+          FROM trade) q
 """)
 def q8_market_share(spark, sf_dir):
     """TPC-H Q8 shape: one supplier nation's share of PROMO-part revenue
-    sold into ASIA customers, by order year. Determinism: both engines
-    divide the identical exact-decimal (nation_vol, total_vol) pair in
-    double, so the quotient is bit-identical (functions/numeric.py
-    rule). Conditional aggregation replaces the self-join the reference
+    sold into ASIA customers, by order year. Determinism (r7): the
+    share rounds half-away-from-zero in exact integer units via
+    decimal(38,0) arithmetic (numeric.dratio_units) — the old
+    ROUND(double/double, 4) was bit-identical only off the half ties.
+    Conditional aggregation replaces the self-join the reference
     pattern would need — one pass, one shuffle on the year key."""
     l = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
@@ -3506,9 +3526,12 @@ def q8_market_share(spark, sf_dir):
     n2 = n.select(F.col("n_nationkey").alias("c_nk"),
                   F.col("n_regionkey").alias("c_rk"))
     vol = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
-    nation_vol = F.sum(F.when(F.col("supp_nation") == "NATION_5", vol)
-                        .otherwise(F.lit(0)).cast("decimal(18,4)"))
-    total_vol = F.sum(vol.cast("decimal(18,4)"))
+    # exact integer units + decimal(38,0) half-away ratio (r7,
+    # numeric.dratio_units): the old ROUND(double/double, 4) was the
+    # same tie class davg killed for means
+    nation_units = sum_units(F.when(F.col("supp_nation") == "NATION_5",
+                                    vol).otherwise(F.lit(0)), scale=4)
+    total_units = sum_units(vol, scale=4)
     j = (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
           .join(o, l.l_orderkey == o.o_orderkey)
           .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
@@ -3517,39 +3540,40 @@ def q8_market_share(spark, sf_dir):
           .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
           .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey")))
     return (j.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
-             .agg((nation_vol.cast("double") / total_vol.cast("double"))
-                  .alias("__q"))
-             .select("o_year", F.round("__q", 4).alias("mkt_share")))
+             .agg(dratio_units(nation_units, total_units, out_scale=4)
+                  .alias("mkt_share")))
 
 
-@query("q14_promo_share", oracle="""
-    SELECT ROUND(100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
-                         THEN l_extendedprice * (1 - l_discount)
-                         ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
-                 / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                                 AS DECIMAL(18,4))) AS DOUBLE), 4)
+@query("q14_promo_share", oracle=f"""
+    SELECT {_dratio_units_sql('nu', 'du', 4, mult=100)}
                AS promo_revenue_pct
-    FROM lineitem
-    JOIN part ON l_partkey = p_partkey
-    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-      AND l_shipdate < TIMESTAMP '1997-02-01'
+    FROM (SELECT CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                         THEN l_extendedprice * (1 - l_discount)
+                         ELSE 0 END AS DECIMAL(18,4))) * 10000 AS HUGEINT)
+                     AS nu,
+                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,4))) * 10000 AS HUGEINT) AS du
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1997-02-01') q
 """)
 def q14_promo_share(spark, sf_dir):
     """TPC-H Q14 shape: promo parts' share of one month's revenue —
-    conditional-aggregate ratio, single scan, part broadcast. The 100.0
-    multiplier applies AFTER the exact-pair double division (multiplying
-    an exact-decimal quotient), keeping the result engine-identical."""
+    conditional-aggregate ratio, single scan, part broadcast. r7: the
+    ratio rounds half-away-from-zero in exact integer units
+    (numeric.dratio_units, mult=100) — ROUND over a double quotient was
+    the davg tie class, latent here since r3."""
     l = (_t(spark, sf_dir, "lineitem")
          .filter((F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
                  & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))))
     p = _t(spark, sf_dir, "part")
     vol = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
-    promo = F.sum(F.when(F.col("p_type") == "PROMO", vol)
-                   .otherwise(F.lit(0)).cast("decimal(18,4)"))
-    total = F.sum(vol.cast("decimal(18,4)"))
+    promo = sum_units(F.when(F.col("p_type") == "PROMO", vol)
+                      .otherwise(F.lit(0)), scale=4)
+    total = sum_units(vol, scale=4)
     return (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-             .agg(F.round(100.0 * (promo.cast("double")
-                                   / total.cast("double")), 4)
+             .agg(dratio_units(promo, total, out_scale=4, mult=100)
                   .alias("promo_revenue_pct")))
 
 

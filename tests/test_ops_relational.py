@@ -377,3 +377,24 @@ def test_units_helpers_cross_engine_tie_cases(spark):
     # dedupe the join fan-out
     oracle = {g: (s, m) for g, s, m in oracle}
     assert got == oracle, (got, oracle)
+
+
+def test_dratio_units_ties_and_big_magnitudes(spark):
+    # the q8/q14 template: exact half-away ratio in decimal(38,0)
+    from sanef_election_dashboard_etl_spark.functions.numeric import (
+        dratio_units)
+
+    df = spark.createDataFrame(
+        [(3, 20000), (-3, 20000),                 # exact half: 1.5e-4
+         (10 ** 17, 3 * 10 ** 17),                # far beyond 2^53
+         (1, 3)],
+        "nu long, du long")
+    got = [r["r"] for r in df.select(
+        dratio_units(F.col("nu"), F.col("du"), out_scale=4)
+        .alias("r")).collect()]
+    assert got == [2 / 1e4, -2 / 1e4, 0.3333, 0.3333]
+    # mult path (the q14 percentage form): 100 * 1/3 at 4 -> 33.3333
+    pct = df.filter("nu = 1").select(
+        dratio_units(F.col("nu"), F.col("du"), out_scale=4, mult=100)
+        .alias("r")).collect()[0]["r"]
+    assert pct == 33.3333

@@ -149,8 +149,16 @@ def davg(c: ColumnOrName, scale: int = 2, out_scale: int = 4,
 
 
 def ratio(num: ColumnOrName, den: ColumnOrName, out_scale: int = 4) -> Column:
-    """Deterministic ratio of two exact (integer-valued) columns."""
-    return F.round(_col(num).cast("double") / _col(den).cast("double"), out_scale)
+    """Deterministic ratio of two exact INTEGER-VALUED columns (den > 0
+    by caller contract; NULL when den = 0), rounded half-away-from-zero
+    in exact integer arithmetic. r7: was ROUND(double/double, s) — for
+    integer inputs the exact rational CAN land on a half at the round
+    digit (e.g. 1/16 at scale 4), the same engine-splitting tie class
+    davg/dratio_units retired for means and ratio-of-sums. Mirror with
+    queries._dratio_units_sql."""
+    n, d = _col(num), _col(den)
+    return F.when(d == 0, F.lit(None).cast("double")).otherwise(
+        dratio_units(n, d, out_scale=out_scale))
 
 
 def dratio_units(nu: Column, du: Column, out_scale: int = 4,

@@ -112,6 +112,7 @@ def _dratio_units_sql(nu: str, du: str, out_scale: int = 4,
     integer units (the ROUND(double/double) quotient killer for
     ratio-of-sums columns — q8/q14)."""
     m = mult * 10 ** out_scale
+    nu, du = f"({nu})", f"({du})"  # defensive parens: operands are exprs
     return (f"CAST(CASE WHEN {nu} >= 0 "
             f"THEN (2 * {nu} * {m} + {du}) // (2 * {du}) "
             f"ELSE -((-2 * {nu} * {m} + {du}) // (2 * {du})) "
@@ -514,10 +515,13 @@ def a5_sum_carried_key(spark, sf_dir):
             .select("o_orderkey", "o_totalprice", "votes"))
 
 
-@query("a6_w1_total_as_column", oracle="""
-    SELECT c_nationkey, n, CAST(SUM(n) OVER () AS BIGINT) AS total_customers,
-           ROUND(CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE), 4) AS share
-    FROM (SELECT c_nationkey, COUNT(*) AS n FROM customer GROUP BY c_nationkey)
+@query("a6_w1_total_as_column", oracle=f"""
+    SELECT c_nationkey, n, total_customers,
+           {_dratio_units_sql('n', 'total_customers', 4)} AS share
+    FROM (SELECT c_nationkey, n, CAST(SUM(n) OVER () AS BIGINT)
+                     AS total_customers
+          FROM (SELECT c_nationkey, COUNT(*) AS n
+                FROM customer GROUP BY c_nationkey))
 """)
 def a6_w1_total(spark, sf_dir):
     """A6/W1: whole-frame total broadcast as a column
@@ -819,16 +823,16 @@ def pipe_voter_turnout(spark, sf_dir):
 # Extensions: text analysis (SURVEY §7 step 4)
 # ==========================================================================
 
-@query("text_token_stats", oracle="""
-    SELECT doc_id,
-           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
-           length(text) AS n_chars_measured,
-           length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_letters,
-           ROUND(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
-                 / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 4)
-               AS avg_token_len
-    FROM documents
+@query("text_token_stats", oracle=f"""
+    SELECT doc_id, n_tokens, n_bpe_tokens, n_chars_measured, n_letters,
+           {_dratio_units_sql('n_letters', 'n_tokens', 4)} AS avg_token_len
+    FROM (SELECT doc_id,
+                 len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                 len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                     AS n_bpe_tokens,
+                 length(text) AS n_chars_measured,
+                 length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_letters
+          FROM documents) t
 """)
 def text_token_stats(spark, sf_dir):
     """Token counting: whitespace + BPE-ish regex (north-star text ops)."""
@@ -7372,7 +7376,7 @@ def sim_embedding_centroids(spark, sf_dir):
                     F.posexplode("centroid").alias("dim_idx", "coord")))
 
 
-@query("dedup_source_overlap", oracle="""
+@query("dedup_source_overlap", oracle=f"""
     WITH docs2 AS (
         SELECT doc_id, text, source FROM documents
         UNION ALL
@@ -7390,14 +7394,15 @@ def sim_embedding_centroids(spark, sf_dir):
         FROM fps a JOIN fps b USING (fp)
         WHERE a.src < b.src GROUP BY 1, 2
     )
-    SELECT ta.src AS src_a, tb.src AS src_b,
-           COALESCE(s.n_shared, 0) AS n_shared, ta.n AS n_a, tb.n AS n_b,
-           ROUND(CAST(COALESCE(s.n_shared, 0) AS DOUBLE)
-                 / CAST(ta.n + tb.n - COALESCE(s.n_shared, 0) AS DOUBLE),
-                 4) AS jaccard
-    FROM totals ta
-    JOIN totals tb ON ta.src < tb.src
-    LEFT JOIN shared s ON s.src_a = ta.src AND s.src_b = tb.src
+    SELECT src_a, src_b, n_shared, n_a, n_b,
+           {_dratio_units_sql('n_shared', 'n_a + n_b - n_shared', 4)}
+               AS jaccard
+    FROM (SELECT ta.src AS src_a, tb.src AS src_b,
+                 COALESCE(s.n_shared, 0) AS n_shared,
+                 ta.n AS n_a, tb.n AS n_b
+          FROM totals ta
+          JOIN totals tb ON ta.src < tb.src
+          LEFT JOIN shared s ON s.src_a = ta.src AND s.src_b = tb.src) p
 """)
 def dedup_source_overlap(spark, sf_dir):
     """Cross-source duplication matrix (dedup.source_overlap_matrix):

@@ -28,6 +28,7 @@ import random
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import ratio
 from .text import fingerprint, tokens
 
 # Large prime < 2^31 for the (a*h + b) % P minhash family; parameters are
@@ -140,9 +141,9 @@ def jaccard_pairs(grams: DataFrame, id_col: str = "doc_id",
     jac = (inter
            .join(F.broadcast(sz_a), "id_a")
            .join(F.broadcast(sz_b), "id_b")
-           .withColumn("jaccard", F.round(
-               F.col("inter").cast("double") /
-               (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"), 4)))
+           .withColumn("jaccard", ratio(
+               F.col("inter"),
+               F.col("sz_a") + F.col("sz_b") - F.col("inter"), 4)))
     return (jac.filter(F.col("jaccard") >= min_jaccard)
             .select("id_a", "id_b", "jaccard"))
 
@@ -294,10 +295,9 @@ def minhash_lsh_pairs(df: DataFrame, n: int = 3, k: int = 32, bands: int = 8,
                           .cast("long").alias("inter"),
                          F.size("__sa").cast("long").alias("sz_a"),
                          F.size("__sb").cast("long").alias("sz_b")))
-        verified = pairs.withColumn("jaccard", F.round(
-            F.col("inter").cast("double") /
-            (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
-            4))
+        verified = pairs.withColumn("jaccard", ratio(
+            F.col("inter"),
+            F.col("sz_a") + F.col("sz_b") - F.col("inter"), 4))
         return (verified.filter(F.col("jaccard") >= min_jaccard)
                 .select("id_a", "id_b", "jaccard"))
     else:
@@ -317,9 +317,9 @@ def minhash_lsh_pairs(df: DataFrame, n: int = 3, k: int = 32, bands: int = 8,
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     verified = (inter.join(F.broadcast(sz_a), "id_a").join(F.broadcast(sz_b), "id_b")
-                .withColumn("jaccard", F.round(
-                    F.col("inter").cast("double") /
-                    (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"), 4)))
+                .withColumn("jaccard", ratio(
+                    F.col("inter"),
+                    F.col("sz_a") + F.col("sz_b") - F.col("inter"), 4)))
     return (verified.filter(F.col("jaccard") >= min_jaccard)
             .select("id_a", "id_b", "jaccard"))
 
@@ -431,9 +431,9 @@ def minhash_lsh_pairs_portable(df: DataFrame, n: int = 3, k: int = 16,
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     verified = (inter.join(F.broadcast(sz_a), "id_a").join(F.broadcast(sz_b), "id_b")
-                .withColumn("jaccard", F.round(
-                    F.col("inter").cast("double") /
-                    (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"), 4)))
+                .withColumn("jaccard", ratio(
+                    F.col("inter"),
+                    F.col("sz_a") + F.col("sz_b") - F.col("inter"), 4)))
     return (verified.filter(F.col("jaccard") >= min_jaccard)
             .select("id_a", "id_b", "jaccard"))
 
@@ -1259,8 +1259,7 @@ def containment_pairs(df: DataFrame, n: int = 3,
         .alias("id_small"),
         F.when(pick_a, F.col("id_b")).otherwise(F.col("id_a"))
         .alias("id_big"),
-        F.round(F.col("inter").cast("double")
-                / F.least("sz_a", "sz_b").cast("double"), 4)
+        ratio(F.col("inter"), F.least("sz_a", "sz_b"), 4)
         .alias("containment"))
     return out.filter(F.col("containment") >= min_containment)
 
@@ -1668,9 +1667,8 @@ def jaccard_prefix_pairs(grams: DataFrame, id_col: str = "doc_id",
            .withColumn("inter",
                        F.size(F.array_intersect("__sa", "__sb"))
                         .cast("long"))
-           .withColumn("jaccard", F.round(
-               F.col("inter").cast("double") /
-               (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
-               .cast("double"), 4)))
+           .withColumn("jaccard", ratio(
+               F.col("inter"),
+               F.col("sz_a") + F.col("sz_b") - F.col("inter"), 4)))
     return (ver.filter(F.col("jaccard") >= min_jaccard)
             .select("id_a", "id_b", "jaccard"))

@@ -31,10 +31,15 @@ from pyspark.sql.types import DoubleType
 @F.pandas_udf(DoubleType())
 def tokens_per_char(text: pd.Series) -> pd.Series:
     """Scalar Arrow UDF: whitespace-token count / char count (0.0 for
-    empty). Vectorized pandas string ops; one Arrow batch in, one out."""
-    n_tokens = text.str.split().str.len().fillna(0)
-    n_chars = text.str.len().clip(lower=1)
-    return (n_tokens / n_chars).astype("float64")
+    empty), rounded half-away-from-zero at 1e-6 in EXACT int64
+    arithmetic (r8, RATIO RULE: the old raw-quotient + F.round(…, 6)
+    pair was a double round of an integer ratio — the engine-splitting
+    tie class; 2*n*10^6 + d stays far under int64 for any real doc).
+    Vectorized pandas ops; one Arrow batch in, one out."""
+    n_tokens = text.str.split().str.len().fillna(0).astype("int64")
+    n_chars = text.str.len().fillna(0).clip(lower=1).astype("int64")
+    units = (2 * n_tokens * 10 ** 6 + n_chars) // (2 * n_chars)
+    return (units / float(10 ** 6)).astype("float64")
 
 
 def zscore_by_group(df: DataFrame, group_col: str, value_col: str,
@@ -94,10 +99,19 @@ def zscore_by_group_exact(df: DataFrame, group_col: str, units_col: str,
         u = pdf[units_col]
         n = len(u)
         su = int(u.sum())
-        squ = int((u * u).sum())
+        # arbitrary-precision squared sum (ADVICE r7): the int64
+        # reduction (u*u).sum() wraps silently once n*u^2 nears 2^63 —
+        # the DuckDB mirror accumulates in HUGEINT, so the pandas side
+        # must be exact too, not merely fixture-safe
+        squ = int(u.astype(object).pow(2).sum())
         m2 = n * squ - su * su
         nn = n * n * den_pow
         var_units = (2 * m2 * vs + nn) // (2 * nn)
+        if var_units >= 2 ** 53:  # loud, like davg_units/units_to_double
+            raise ValueError(
+                f"zscore_by_group_exact: var_units {var_units} >= 2^53 — "
+                f"the int->double conversion would stop being exact; "
+                f"lower var_scale or in_scale")
         if var_units == 0:
             pdf[out_col] = 0.0
             return pdf

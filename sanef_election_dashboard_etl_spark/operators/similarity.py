@@ -1252,11 +1252,12 @@ def rrf_fuse(rankings: list, k: int = 10, k_rrf: int = 60,
     the output shape of bm25_topk / cosine_topk / the ANN tiers, so any
     retriever in this package plugs in unchanged.
 
-    Determinism (numeric.py rules): each contribution 1/(k_rrf+rank) is
-    ONE IEEE division, rounded at 9 and summed in DECIMAL(38,9) — the
-    fusion score is list-order- and partition-independent exact, then
-    cast to double (+0.0 folds negative zero) for output. Final ranking
-    ties break on id.
+    Determinism (numeric.py RATIO RULE, r8): each contribution
+    1/(k_rrf+rank) is rounded half-up at 1e-9 in EXACT long arithmetic
+    ((2·10^9+d) DIV 2d), the units sum on primitive longs (list-order-
+    and partition-independent), and ONE final IEEE division by 10^9
+    publishes the double — bit-identical cross-engine at any scale.
+    Final ranking ties break on id.
 
     Scale: fusion touches only the top-k lists — |queries| x k x
     n_lists rows regardless of corpus size. The unions are metadata-
@@ -1269,15 +1270,20 @@ def rrf_fuse(rankings: list, k: int = 10, k_rrf: int = 60,
     from functools import reduce
     from pyspark.sql import Window
 
-    contrib = F.round(F.lit(1.0)
-                      / (F.lit(k_rrf) + F.col("rank")).cast("double"), 9) \
-        .cast("decimal(38,9)")
+    # r8 (RATIO RULE): 1/(k_rrf+rank) is an integer ratio — the old
+    # ROUND(double, 9) was tie-exposed (denominator 2^10·m splits the
+    # engines). Exact half-up units on longs instead: (2·10^9 + d) DIV
+    # (2d) = round_half_up(10^9/d); the unit sum (≤ n_lists·10^9/61)
+    # stays far under 2^53, so the one final division is bit-identical.
+    den = (F.lit(k_rrf) + F.col("rank")).cast("long") * 2
+    num = F.lit(2 * 10 ** 9).cast("long") + (F.col("rank") + F.lit(k_rrf))
+    contrib_units = ((num - num % den) / den).cast("long")
     tagged = [r.select("query_id", "rank", id_col) for r in rankings]
     unioned = reduce(lambda a, b: a.unionByName(b), tagged)
     fused = (unioned
              .groupBy("query_id", id_col)
-             .agg((F.sum(contrib).cast("double") + F.lit(0.0))
-                  .alias("rrf_score"),
+             .agg((F.sum(contrib_units).cast("double")
+                   / F.lit(float(10 ** 9))).alias("rrf_score"),
                   F.count(F.lit(1)).alias("n_lists")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("rrf_score").desc(), F.col(id_col).asc())

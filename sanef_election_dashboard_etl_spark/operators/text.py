@@ -209,15 +209,16 @@ def repetition_ratio(df: DataFrame, n: int = 3, id_col: str = "doc_id",
         " ", *[F.element_at(t, i + j + 1) for j in range(n)]))
     total = F.size(grams).cast("long")
     distinct = F.size(F.array_distinct(grams)).cast("long")
-    ratio = F.when(total > 0,
-                   F.round(F.lit(1.0) - distinct.cast("double")
-                           / total.cast("double"), 4)) \
-             .otherwise(F.lit(0.0))
+    # r8: 1 - d/n is an integer-exact rational — ROUND over its double
+    # quotient is the engine-splitting tie class (CLAUDE.md RATIO RULE);
+    # compute (n - d)/n in exact integer half-away arithmetic instead.
+    rep = F.when(total > 0, ratio(total - distinct, total, 4)) \
+           .otherwise(F.lit(0.0))
     return with_toks.select(
         id_col,
         total.alias("n_grams"),
         distinct.alias("n_distinct_grams"),
-        ratio.alias("repetition_ratio"))
+        rep.alias("repetition_ratio"))
 
 
 def remove_boilerplate_lines(df: DataFrame, min_docs: int = 3,
@@ -348,8 +349,7 @@ def ngram_lm_counts(df: DataFrame, n: int = 2,
     w = Window.partitionBy("context")
     return (counts
             .withColumn("context_cnt", F.sum("cnt").over(w).cast("long"))
-            .withColumn("p", F.round(F.col("cnt").cast("double")
-                                     / F.col("context_cnt"), 4)))
+            .withColumn("p", ratio(F.col("cnt"), F.col("context_cnt"), 4)))
 
 
 def curate(df: DataFrame, min_tokens: int = 20,

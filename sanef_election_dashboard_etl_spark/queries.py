@@ -854,12 +854,12 @@ _STOP_EN_SQL = "('the','a','and','of','is','to','in','that','it','for')"
         FROM tok GROUP BY doc_id
     )
     SELECT doc_id, n_tokens, n_stop, n_unique,
-           ROUND(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS stop_ratio,
-           ROUND(CAST(n_unique AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS uniq_ratio,
+           {_dratio_units_sql('n_stop', 'n_tokens', 4)} AS stop_ratio,
+           {_dratio_units_sql('n_unique', 'n_tokens', 4)} AS uniq_ratio,
            CASE WHEN n_tokens < 10 THEN 'too_short'
-                WHEN ROUND(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) < 0.01
+                WHEN {_dratio_units_sql('n_stop', 'n_tokens', 4)} < 0.01
                     THEN 'no_stopwords'
-                WHEN ROUND(CAST(n_unique AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) < 0.2
+                WHEN {_dratio_units_sql('n_unique', 'n_tokens', 4)} < 0.2
                     THEN 'repetitive'
                 ELSE 'good' END AS quality
     FROM per_doc
@@ -914,7 +914,7 @@ def dedup_exact(spark, sf_dir):
     return D.exact_dedup(_t(spark, sf_dir, "documents"))
 
 
-@query("dedup_token_jaccard", oracle="""
+@query("dedup_token_jaccard", oracle=f"""
     WITH grams AS (
         SELECT doc_id, shingle FROM (
             SELECT DISTINCT doc_id,
@@ -929,11 +929,11 @@ def dedup_exact(spark, sf_dir):
         GROUP BY 1, 2
     )
     SELECT id_a, id_b,
-           ROUND(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 4) AS jaccard
+           {_dratio_units_sql('i', 'sa.sz + sb.sz - i', 4)} AS jaccard
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    WHERE ROUND(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 4) >= 0.8
+    WHERE {_dratio_units_sql('i', 'sa.sz + sb.sz - i', 4)} >= 0.8
 """)
 def dedup_token_jaccard(spark, sf_dir):
     """Exact token-set Jaccard pairs via inverted-index self-join (the
@@ -942,7 +942,7 @@ def dedup_token_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(docs, n=1, min_jaccard=0.8)
 
 
-@query("dedup_ngram_jaccard", oracle="""
+@query("dedup_ngram_jaccard", oracle=f"""
     WITH tok AS (
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
         FROM documents WHERE doc_id < 150
@@ -962,11 +962,11 @@ def dedup_token_jaccard(spark, sf_dir):
         GROUP BY 1, 2
     )
     SELECT id_a, id_b,
-           ROUND(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 4) AS jaccard
+           {_dratio_units_sql('i', 'sa.sz + sb.sz - i', 4)} AS jaccard
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    WHERE ROUND(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 4) >= 0.05
+    WHERE {_dratio_units_sql('i', 'sa.sz + sb.sz - i', 4)} >= 0.05
 """)
 def dedup_ngram_jaccard(spark, sf_dir):
     """3-gram-shingle Jaccard pairs — n-gram near-dup baseline."""
@@ -1890,19 +1890,23 @@ def a16_cube(spark, sf_dir):
 # UDF tiers (SURVEY §2.11): scalar pandas_udf + grouped-map applyInPandas
 # ==========================================================================
 
-@query("udf_scalar_tokens_per_char", oracle="""
+_N_TOKENS_SQL = "len(string_split_regex(trim(text), '\\s+'))"
+
+
+@query("udf_scalar_tokens_per_char", oracle=f"""
     SELECT doc_id,
-           ROUND(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
-                 / greatest(length(text), 1), 6) AS density
+           {_dratio_units_sql(_N_TOKENS_SQL,
+                              'greatest(length(text), 1)', 6)} AS density
     FROM documents
 """)
 def udf_scalar_tokens_per_char(spark, sf_dir):
     """Scalar Arrow UDF tier: token density via a vectorized pandas_udf.
-    int/int division -> bit-identical across engines; round(6) pins it."""
+    The UDF rounds the integer ratio exactly (RATIO RULE, r8) — the old
+    F.round-over-double-quotient pair was tie-exposed at digit 6."""
     from .operators.pandas_ops import tokens_per_char
     return (_t(spark, sf_dir, "documents")
             .select("doc_id",
-                    F.round(tokens_per_char(F.col("text")), 6).alias("density")))
+                    tokens_per_char(F.col("text")).alias("density")))
 
 
 @query("udf_grouped_zscore", oracle="""
@@ -2321,12 +2325,12 @@ def _minhash_oracle_sql(k: int = 16, bands: int = 4, seed: int = 42,
         GROUP BY id_a, id_b
     )
     SELECT id_a, id_b,
-           ROUND(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 4)
+           {_dratio_units_sql('i', 'sa.sz + sb.sz - i', 4)}
                AS jaccard
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    WHERE ROUND(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 4)
+    WHERE {_dratio_units_sql('i', 'sa.sz + sb.sz - i', 4)}
           >= {min_j}
     """
 
@@ -2737,7 +2741,7 @@ def r5_pivot_wide(spark, sf_dir):
             .na.fill(0, ["F", "O"]))
 
 
-@query("text_repetition_ratio", oracle="""
+@query("text_repetition_ratio", oracle=f"""
     WITH tok AS (
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
         FROM documents
@@ -2752,8 +2756,7 @@ def r5_pivot_wide(spark, sf_dir):
            CAST(len(g) AS BIGINT) AS n_grams,
            CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct_grams,
            CASE WHEN len(g) > 0 THEN
-               ROUND(1.0 - CAST(len(list_distinct(g)) AS DOUBLE)
-                         / CAST(len(g) AS DOUBLE), 4)
+               {_dratio_units_sql('len(g) - len(list_distinct(g))', 'len(g)', 4)}
            ELSE 0.0 END AS repetition_ratio
     FROM grams
 """)
@@ -3975,7 +3978,7 @@ def q21_waiting_suppliers(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("numwait")))
 
 
-@query("text_bigram_lm", oracle="""
+@query("text_bigram_lm", oracle=f"""
     WITH tok AS (
         SELECT string_split_regex(trim(text), '\\s+') AS toks
         FROM documents WHERE doc_id < 200
@@ -3989,22 +3992,23 @@ def q21_waiting_suppliers(spark, sf_dir):
     ), counts AS (
         SELECT context, next_token, COUNT(*) AS cnt
         FROM pairs GROUP BY 1, 2
+    ), withctx AS (
+        SELECT context, next_token, cnt,
+               CAST(SUM(cnt) OVER (PARTITION BY context) AS BIGINT)
+                   AS context_cnt
+        FROM counts
     )
-    SELECT context, next_token, cnt,
-           CAST(SUM(cnt) OVER (PARTITION BY context) AS BIGINT)
-               AS context_cnt,
-           ROUND(CAST(cnt AS DOUBLE)
-                 / CAST(SUM(cnt) OVER (PARTITION BY context) AS BIGINT), 4)
-               AS p
-    FROM counts
+    SELECT context, next_token, cnt, context_cnt,
+           {_dratio_units_sql('cnt', 'context_cnt', 4)} AS p
+    FROM withctx
 """)
 def text_bigram_lm(spark, sf_dir):
     """Bigram language-model count table (operators/text.py
     ngram_lm_counts): (context, next, cnt, context_cnt, p) — the corpus
     statistics perplexity filters and decontamination indexes build on.
     One explode + one n-gram-keyed count shuffle + a context-partitioned
-    window for the denominator; p divides two integer counts in double
-    (engine-exact)."""
+    window for the denominator; p is the exact integer-ratio round
+    (numeric.ratio — RATIO RULE, migrated r8)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return T.ngram_lm_counts(docs, n=2)
 
@@ -4068,8 +4072,7 @@ def text_lm_perplexity(spark, sf_dir):
     ), rep AS (
         SELECT doc_id,
                CASE WHEN len(g) > 0 THEN
-                   ROUND(1.0 - CAST(len(list_distinct(g)) AS DOUBLE)
-                             / CAST(len(g) AS DOUBLE), 4)
+                   {_dratio_units_sql('len(g) - len(list_distinct(g))', 'len(g)', 4)}
                ELSE 0.0 END AS repetition_ratio
         FROM (
             SELECT doc_id,
@@ -4534,7 +4537,7 @@ def events_attribution(spark, sf_dir):
     return TP.last_touch_attribution(_t(spark, sf_dir, "events"))
 
 
-_COMPONENTS_ORACLE = """
+_COMPONENTS_ORACLE = f"""
     WITH RECURSIVE grams AS (
         SELECT doc_id, shingle FROM (
             SELECT DISTINCT doc_id,
@@ -4552,7 +4555,7 @@ _COMPONENTS_ORACLE = """
         FROM inter
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
-        WHERE ROUND(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 4)
+        WHERE {_dratio_units_sql('i', 'sa.sz + sb.sz - i', 4)}
               >= 0.5
     ), edges AS (
         SELECT id_a AS u, id_b AS v FROM pairs
@@ -4635,7 +4638,7 @@ def sample_cap_per_source_shuffled(spark, sf_dir):
             .select("doc_id", "source"))
 
 
-@query("dedup_canonical_pick", oracle="""
+@query("dedup_canonical_pick", oracle=f"""
     WITH RECURSIVE grams AS (
         SELECT doc_id, shingle FROM (
             SELECT DISTINCT doc_id,
@@ -4653,7 +4656,7 @@ def sample_cap_per_source_shuffled(spark, sf_dir):
         FROM inter
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
-        WHERE ROUND(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 4)
+        WHERE {_dratio_units_sql('i', 'sa.sz + sb.sz - i', 4)}
               >= 0.5
     ), edges AS (
         SELECT id_a AS u, id_b AS v FROM pairs
@@ -5205,7 +5208,7 @@ def profile_lineitem(spark, sf_dir):
     return profile(_t(spark, sf_dir, "lineitem"), _PROFILE_COLS)
 
 
-@query("dedup_containment", oracle="""
+@query("dedup_containment", oracle=f"""
     WITH base AS (
         SELECT doc_id, text FROM documents WHERE doc_id < 150
         UNION ALL
@@ -5240,9 +5243,9 @@ def profile_lineitem(spark, sf_dir):
                 THEN ia ELSE ib END AS id_small,
            CASE WHEN sza < szb OR (sza = szb AND ia < ib)
                 THEN ib ELSE ia END AS id_big,
-           round(inter::DOUBLE / least(sza, szb), 4) AS containment
+           {_dratio_units_sql('inter', 'least(sza, szb)', 4)} AS containment
     FROM j
-    WHERE round(inter::DOUBLE / least(sza, szb), 4) >= 0.5
+    WHERE {_dratio_units_sql('inter', 'least(sza, szb)', 4)} >= 0.5
 """)
 def dedup_containment(spark, sf_dir):
     """Containment pairs (dedup.containment_pairs): the doc-in-doc
@@ -5956,8 +5959,7 @@ _AUDIT_CHAIN_C = " ".join(f"zzq{i:02d}" for i in range(3, 21)) + \
         FROM inter
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
-        WHERE ROUND(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE),
-                    4) >= 0.9
+        WHERE {_dratio_units_sql('i', 'sa.sz + sb.sz - i', 4)} >= 0.9
     ),""" + """
     edges2 AS (
         SELECT id_a AS u, id_b AS v FROM pairs
@@ -6069,7 +6071,7 @@ def pipe_dedup_audit(spark, sf_dir):
          .otherwise(F.lit("chain-like")).alias("verdict"))
 
 
-@query("sample_quantile_normalize", oracle="""
+@query("sample_quantile_normalize", oracle=f"""
     WITH tok AS (
         SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+'))
             AS token
@@ -6080,8 +6082,8 @@ def pipe_dedup_audit(spark, sf_dir):
         FROM tok GROUP BY doc_id
     ), scored AS (
         SELECT p.doc_id, d.source,
-               ROUND(CAST(p.n_unique AS DOUBLE)
-                     / CAST(p.n_tokens AS DOUBLE), 4) AS uniq_ratio
+               {_dratio_units_sql('p.n_unique', 'p.n_tokens', 4)}
+                   AS uniq_ratio
         FROM per_doc p JOIN documents d USING (doc_id)
     ), tot AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n FROM scored
@@ -6121,7 +6123,7 @@ def sample_quantile_normalize(spark, sf_dir):
     return quantile_normalize(scored, "uniq_ratio")
 
 
-@query("dedup_jaccard_prefix", oracle="""
+@query("dedup_jaccard_prefix", oracle=f"""
     WITH g AS (
         SELECT doc_id, shingle FROM (
             SELECT DISTINCT doc_id,
@@ -6158,10 +6160,10 @@ def sample_quantile_normalize(spark, sf_dir):
         GROUP BY 1, 2, 3, 4
     )
     SELECT id_a, id_b,
-           ROUND(CAST(i AS DOUBLE) / CAST(sz_a + sz_b - i AS DOUBLE), 4)
+           {_dratio_units_sql('i', 'sz_a + sz_b - i', 4)}
                AS jaccard
     FROM inter
-    WHERE ROUND(CAST(i AS DOUBLE) / CAST(sz_a + sz_b - i AS DOUBLE), 4)
+    WHERE {_dratio_units_sql('i', 'sz_a + sz_b - i', 4)}
           >= 0.5
 """)
 def dedup_jaccard_prefix(spark, sf_dir):
@@ -6610,27 +6612,26 @@ _PINNED = [
     # them OUT of the window while the 61-entry never-checked backlog
     # drains; pinning guarantees a fresh green row of record. 45 slots
     # keep rotating over the backlog (full coverage lands r8).
+    # r8 (VERDICT r7 item 1): the five r7 canaries (dedup_minhash_lsh,
+    # dedup_simhash, sim_topk_lsh, text_lang_id, multimodal_decode_jpeg)
+    # each landed a fresh r7 green/rows-only row of record, so they
+    # unpin — rotation-by-least-covered correctly deprioritizes them.
+    # The freed slots drain the 18-entry never-driver-checked backlog
+    # (all count-0, so they sort first) with ~31 slots left for count-1
+    # re-confirmation. Only the flagship stays pinned.
     "pipe_hung_councils",   # the flagship (entry()) — a row every round
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "sim_topk_lsh",
-    "text_lang_id",
-    # VERDICT r6 item 7's done-criterion is a DRIVER-green row for the
-    # JPEG round-trip, so it takes a pinned slot this round (a count-0
-    # newcomer is not guaranteed a rotation slot against the backlog's
-    # alphabetical order); sim_topk_pq_routed (item 4) only needed the
-    # sibling + tests, so it defers to r8 with the rotation.
-    "multimodal_decode_jpeg",
 ]
 
 _WINDOW_SIZE = 50
 
-# r7 net-new entries sort BEHIND the never-driver-checked backlog in the
-# rotation (VERDICT r6 items 1+8: the 61-entry backlog drains first; a
-# count-0 newcomer would otherwise displace a backlog entry and push full
-# coverage past r8). They enter the normal rotation once the backlog has
-# rows (r8).
-_DEFER_ROTATION = {"sim_topk_pq_routed"}
+# Net-new entries registered THIS round sort behind the remaining
+# never-driver-checked backlog in the rotation (VERDICT r6 items 1+8
+# precedent): a count-0 newcomer must not displace a backlog entry
+# before the backlog has drained. Empty once the backlog fits the
+# window with slots to spare (r8: 18 backlog + 1 pinned leaves 31
+# rotation slots, so new entries fit alongside — keep the set empty
+# unless the window overflows again).
+_DEFER_ROTATION: set[str] = set()
 
 
 def _driver_coverage() -> dict[str, int]:
@@ -7423,7 +7424,7 @@ def dedup_source_overlap(spark, sf_dir):
     return D.source_overlap_matrix(both)
 
 
-@query("sample_quality_gate", oracle="""
+@query("sample_quality_gate", oracle=f"""
     WITH tok AS (
         SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
         FROM documents
@@ -7433,8 +7434,8 @@ def dedup_source_overlap(spark, sf_dir):
         FROM tok GROUP BY doc_id
     ), scored AS (
         SELECT p.doc_id, d.source, p.n_tokens,
-               ROUND(CAST(p.n_unique AS DOUBLE)
-                     / CAST(p.n_tokens AS DOUBLE), 4) AS uniq_ratio
+               {_dratio_units_sql('p.n_unique', 'p.n_tokens', 4)}
+                   AS uniq_ratio
         FROM per_doc p JOIN documents d USING (doc_id)
     ), ranked AS (
         SELECT doc_id, source, n_tokens, uniq_ratio,
@@ -7750,8 +7751,8 @@ def text_bpe_tokenize(spark, sf_dir):
         SELECT query_id, doc_id, rank FROM dense
     ), fused AS (
         SELECT query_id, doc_id,
-               CAST(SUM(CAST(ROUND(1.0 / (60 + rank), 9)
-                             AS DECIMAL(38,9))) AS DOUBLE) + 0.0
+               CAST(SUM((2000000000 + (60 + rank)) // (2 * (60 + rank)))
+                    AS DOUBLE) / 1000000000.0
                    AS rrf_score,
                COUNT(*) AS n_lists
         FROM unioned GROUP BY 1, 2

@@ -55,19 +55,31 @@ class Query:
     # the CLAUDE.md rule, machine-checked by
     # tests/test_registry_window.py::test_rows_only_entries_name_sibling
     sibling: str | None = None
+    # Tolerance oracle (r8, VERDICT r7 item 6) for sketch-based ops whose
+    # estimates are engine-specific but error-bounded: `band_oracle` is
+    # DuckDB SQL computing the EXACT reference with the same column names
+    # as the Spark result; the local gate (tools/check_oracle.py) matches
+    # rows on the non-numeric key columns and asserts every numeric value
+    # within band_eps relative error of the reference. The driver still
+    # sees oracle=None (its hash compare cannot express a band), so these
+    # entries stay rows-only-with-sibling for the driver record.
+    band_oracle: str | None = None
+    band_eps: float = 0.0
 
 
 REGISTRY: dict[str, Query] = {}
 
 
 def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (),
-          sibling: str | None = None):
+          sibling: str | None = None, band_oracle: str | None = None,
+          band_eps: float = 0.0):
     def deco(fn: QueryFn) -> QueryFn:
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             tune(spark)
             return fn(spark, sf_dir)
 
-        REGISTRY[name] = Query(wrapped, oracle, tags, sibling)
+        REGISTRY[name] = Query(wrapped, oracle, tags, sibling,
+                               band_oracle, band_eps)
         return wrapped
 
     return deco
@@ -1808,11 +1820,18 @@ def a13_count_distinct(spark, sf_dir):
 
 
 @query("a14_approx_count_distinct", oracle=None, tags=("rows-only",),
-       sibling="a13_count_distinct")
+       sibling="a13_count_distinct", band_eps=0.05, band_oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers_approx
+    FROM lineitem GROUP BY l_returnflag
+""")
 def a14_approx_count_distinct(spark, sf_dir):
     """HyperLogLog++ approximate distinct — the 100 TB path where exact
     expand-aggregate is too expensive; sketch-based, engine-specific
-    estimates (rows-only; exact twin above is the oracle-checked op)."""
+    estimates (rows-only for the driver; exact twin above is the
+    hash-matched row of record). r8: the local gate additionally
+    asserts the estimate within 5% of the exact distinct (rsd=0.02
+    requested, so 5% is ~2.5 sigma of HLL++'s error bound)."""
     return (_t(spark, sf_dir, "lineitem")
             .groupBy("l_returnflag")
             .agg(F.approx_count_distinct("l_suppkey", 0.02).alias("n_suppliers_approx")))
@@ -2644,11 +2663,18 @@ def sim_topk_cosine_pandas(spark, sf_dir):
 
 
 @query("a15b_approx_percentile", oracle=None, tags=("rows-only",),
-       sibling="a15_percentiles")
+       sibling="a15_percentiles", band_eps=0.02, band_oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS p50_approx,
+           quantile_cont(l_extendedprice, 0.95) AS p95_approx
+    FROM lineitem GROUP BY l_returnflag
+""")
 def a15b_approx_percentile(spark, sf_dir):
     """Sketch-based percentiles (Greenwald-Khanna) — the 100 TB path where
     exact percentile's full sort per group is too expensive; exact twin:
-    a15_percentiles."""
+    a15_percentiles. r8: the local gate asserts each estimate within 2%
+    of the exact quantile (GK accuracy=1000 bounds rank error at 1e-3;
+    on this price distribution that is well inside 2% of value)."""
     return (_t(spark, sf_dir, "lineitem")
             .groupBy("l_returnflag")
             .agg(F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_approx"),
@@ -3301,7 +3327,15 @@ def sketch_cms_fast(spark, sf_dir):
 
 
 @query("sketch_hll_shard_merge", oracle=None, tags=("rows-only",),
-       sibling="a13_count_distinct")
+       sibling="a13_count_distinct", band_eps=0.05, band_oracle="""
+    SELECT event_type AS shard,
+           CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS est_distinct,
+           COUNT(*) AS n_rows
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '<all>', CAST(COUNT(DISTINCT user_id) AS DOUBLE), COUNT(*)
+    FROM events
+""")
 def sketch_hll_shard_merge(spark, sf_dir):
     """Mergeable per-shard HLL distinct-count (Datasketches
     hll_sketch_agg + hll_union_agg): per event_type sketches over

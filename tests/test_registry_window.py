@@ -55,3 +55,18 @@ def test_rows_only_entries_name_sibling():
         if q.oracle is not None:
             assert q.sibling is None, \
                 f"{name}: oracle-checked entries don't carry sibling="
+
+
+def test_band_oracle_entries_are_well_formed():
+    """r8 (VERDICT r7 item 6): tolerance oracles ride ON TOP of the
+    rows-only+sibling contract — a band entry still has oracle=None and
+    a hash-matched sibling of record, and band_eps is a real bound."""
+    banded = {n: q for n, q in REGISTRY.items() if q.band_oracle is not None}
+    assert banded, "expected the sketch entries to carry band oracles"
+    for name, q in banded.items():
+        assert q.oracle is None, f"{name}: band oracles are for rows-only"
+        assert q.sibling in REGISTRY, f"{name}: band entry needs a sibling"
+        assert 0.0 < q.band_eps <= 0.10, f"{name}: band_eps out of range"
+    for name, q in REGISTRY.items():
+        if q.band_oracle is None:
+            assert q.band_eps == 0.0, f"{name}: eps without band oracle"

@@ -40,6 +40,48 @@ def canon(rows, cols):
     return out
 
 
+def band_check(con, q, srows, scols) -> str | None:
+    """Tolerance compare for sketch ops (r8, VERDICT r7 item 6): run the
+    entry's EXACT-reference band_oracle in DuckDB, match rows on the
+    non-numeric key columns, and require every numeric value within
+    band_eps relative error of the reference (row counts exact in the
+    tolerance too — n_rows-style carried counts ride the same band).
+    Returns an error string, or None when the band holds."""
+    rel = con.sql(q.band_oracle)
+    ocols, orows = rel.columns, rel.fetchall()
+    if sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
+        return f"cols spark={sorted(scols)} reference={sorted(ocols)}"
+    if len(srows) != len(orows):
+        return f"rowcount spark={len(srows)} reference={len(orows)}"
+
+    from decimal import Decimal
+    num = (int, float, Decimal)
+
+    def split(rows, cols):
+        keyed = {}
+        for r in rows:
+            vals = dict(zip([c.lower() for c in cols], r))
+            key = tuple(str(vals[c]) for c in sorted(vals)
+                        if not isinstance(vals[c], num)
+                        or isinstance(vals[c], bool))
+            keyed[key] = vals
+        return keyed
+
+    sk, ok_ = split(srows, scols), split(orows, ocols)
+    if set(sk) != set(ok_):
+        return f"key mismatch: {sorted(set(sk) ^ set(ok_))[:3]}"
+    for key, svals in sk.items():
+        for c, sv in svals.items():
+            ov = ok_[key][c]
+            if isinstance(sv, bool) or not isinstance(sv, num):
+                continue
+            sv, ov = float(sv), float(ov)
+            if abs(sv - ov) > q.band_eps * max(abs(ov), 1.0):
+                return (f"{c}@{key}: spark={sv} reference={ov} "
+                        f"rel={abs(sv - ov) / max(abs(ov), 1.0):.4f}")
+    return None
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     filters = sys.argv[2:]
@@ -76,6 +118,16 @@ def main() -> int:
             print(f"FAIL {name}: spark error {type(exc).__name__}: {exc}")
             continue
         if q.oracle is None:
+            if q.band_oracle is not None:
+                err = band_check(con, q, srows, scols)
+                if err:
+                    failures.append(name)
+                    print(f"FAIL {name}: band check — {err}")
+                else:
+                    print(f"ok   {name}: rows-only + band<= "
+                          f"{q.band_eps:g} ({len(srows)} rows, "
+                          f"{time.time()-t0:.1f}s)")
+                continue
             print(f"ok   {name}: rows-only ({len(srows)} rows, "
                   f"{time.time()-t0:.1f}s)")
             if len(srows) == 0:

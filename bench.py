@@ -284,6 +284,29 @@ def main() -> None:
         "sf": sf,
     }
     here = os.path.dirname(os.path.abspath(__file__))
+    # Band-adjusted verdict INTO the record (VERDICT r7 item 7): the
+    # 0-regressions adjudication used to live only in BENCH_DETAIL.md's
+    # spread columns — a judge reading BENCH_rN.json alone saw a raw
+    # 1.19x on the noisiest row and had to re-derive the band by hand.
+    # Compute it BEFORE writing the detail file so each query row
+    # carries band_adjusted_delta_vs_prev; the compact printed line
+    # gains a ~60-char summary {prev, band, flagged}.
+    band_verdict = None
+    if sf == "0.1":
+        try:
+            sys.path.insert(0, os.path.join(here, "tools"))
+            import bench_diff
+            res = bench_diff.compute(cur=detail)
+            detail["band_adjusted_delta_vs_prev"] = res["deltas"]
+            detail["band_vs_prev"] = {
+                "prev": res["prev"], "band_factor": res["band_factor"],
+                "flagged": res["flagged"]}
+            band_verdict = {"prev": res["prev"].replace("BENCH_", "")
+                            .replace(".json", ""),
+                            "band": res["band_factor"],
+                            "regressed": res["flagged"]}
+        except Exception as exc:  # noqa: BLE001 — verdict is best-effort
+            print(f"band verdict skipped: {exc}", file=sys.stderr)
     # route detail by scale so an sf1 run never clobbers the sf0.1
     # record (bench_diff and the round diff read the sf0.1 one)
     stem = "BENCH_DETAIL" if sf == "0.1" else \
@@ -316,7 +339,7 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — tracker is best-effort
             print(f"bench_diff skipped: {exc}", file=sys.stderr)
 
-    compact = json.dumps({
+    payload = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
@@ -324,7 +347,10 @@ def main() -> None:
         "total_aqe_on": round(sum(aqe_on.values()), 3),
         "floor_noop_job": floor,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }, separators=(",", ":"))
+    }
+    if band_verdict is not None:
+        payload["band_vs_prev"] = band_verdict
+    compact = json.dumps(payload, separators=(",", ":"))
     assert len(compact) < 1900, (
         "bench JSON line %d chars — would overflow the driver's ~2KB "
         "tail capture; trim HEADLINE or the payload" % len(compact))

@@ -939,7 +939,8 @@ def pq_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
             unreranked_max: int = PQ_UNRERANKED_MAX,
             batch_cut: bool = True,
             id_col: str = "vec_id",
-            vec_col: str = "embedding") -> DataFrame:
+            vec_col: str = "embedding",
+            n_corpus: int | None = None) -> DataFrame:
     """PQ approximate cosine top-k via asymmetric distance computation
     (ADC, Jegou et al. 2011): queries stay exact, corpus vectors are
     m-subspace codes, and each query precomputes an (m x k_codes)
@@ -984,7 +985,11 @@ def pq_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     import pandas as pd
 
     if rerank <= 0:
-        n_corpus = emb.count()
+        # the guard needs the corpus size; pass a precomputed n_corpus
+        # to skip this count action on repeated advisory-mode calls
+        # (ADVICE r7 — rerank>0, the production path, never counts)
+        if n_corpus is None:
+            n_corpus = emb.count()
         routed = route_pq_rerank(n_corpus, rerank, unreranked_max)
         if routed != rerank:
             import warnings
@@ -1118,7 +1123,8 @@ def ivf_pq_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
                 rerank: int = 10, seed: int = 42, max_iter: int = 8,
                 unreranked_max: int = PQ_UNRERANKED_MAX,
                 id_col: str = "vec_id",
-                vec_col: str = "embedding") -> DataFrame:
+                vec_col: str = "embedding",
+                n_corpus: int | None = None) -> DataFrame:
     """The full IVF-PQ stack (the faiss IVFx,PQy index as a Spark
     plan): IVF bounds WHICH vectors each query scores (n_probe of
     n_centroids inverted lists), PQ bounds the BYTES per scored vector
@@ -1141,7 +1147,10 @@ def ivf_pq_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     import pandas as pd
 
     if rerank <= 0:
-        rerank = route_pq_rerank(emb.count(), rerank, unreranked_max)
+        # same optional-precomputed-count contract as pq_topk (ADVICE r7)
+        rerank = route_pq_rerank(
+            emb.count() if n_corpus is None else n_corpus,
+            rerank, unreranked_max)
 
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector

@@ -841,9 +841,13 @@ def bm25_topk(df: DataFrame, queries: DataFrame, k: int = 10,
 
     tok = exploded_tokens(df, id_col, text_col).filter(F.col("token") != "")
     tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    stats = tok.agg(
-        F.count(F.lit(1)).alias("total_tokens")).crossJoin(
+    dl = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
+    # total_tokens = SUM(dl) — derived from the tf aggregate instead of
+    # a second full explode of the corpus (r8, VERDICT r7 item 4: the
+    # stats branch was one of TWO documents explodes in the plan; same
+    # value, since dl sums exactly the exploded non-empty tokens)
+    stats = dl.agg(
+        F.sum("dl").cast("long").alias("total_tokens")).crossJoin(
         F.broadcast(df.agg(F.count(F.lit(1)).alias("n_docs"))))
     qterms = queries.select("query_id", F.col("term").alias("token"))
     matched = tf.join(F.broadcast(qterms), "token")

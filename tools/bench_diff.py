@@ -56,17 +56,18 @@ def load_prev(path: str | None) -> tuple[str, dict]:
     return os.path.basename(path), parsed
 
 
-def main(argv: list[str] | None = None) -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--prev", default=None,
-                    help="previous record (default: newest parseable BENCH_r*)")
-    ap.add_argument("--no-scale-md", action="store_true",
-                    help="print only; don't rewrite the SCALE.md section")
-    args = ap.parse_args(argv)
-
-    with open(os.path.join(ROOT, "BENCH_DETAIL.json")) as f:
-        cur = json.load(f)
-    prev_name, prev = load_prev(args.prev)
+def compute(prev_path: str | None = None,
+            cur: dict | None = None) -> dict:
+    """Band-adjusted round-over-round verdict as data (r8, VERDICT r7
+    item 7 — bench.py embeds this in the printed record so the driver's
+    BENCH_rN.json carries the adjudication, not just raw numbers).
+    Returns {prev, band_factor, flagged, deltas, rows} where deltas maps
+    query -> band-adjusted delta vs prev and rows carries the full
+    per-query tuples for the detail file."""
+    if cur is None:
+        with open(os.path.join(ROOT, "BENCH_DETAIL.json")) as f:
+            cur = json.load(f)
+    prev_name, prev = load_prev(prev_path)
     prev_spread = prev.get("queries_spread", {})
 
     med = cur.get("queries_median", cur["queries"])
@@ -83,12 +84,7 @@ def main(argv: list[str] | None = None) -> int:
               if prev["queries"].get(n)]
     band_factor = round(statistics.median(ratios), 3) if ratios else 1.0
 
-    lines = [
-        f"| query | {prev_name} | current median | band-adj | spread "
-        f"| delta | verdict |",
-        "|---|---|---|---|---|---|---|",
-    ]
-    flagged = []
+    flagged, deltas, rows = [], {}, []
     for name, now in sorted(med.items()):
         was = prev["queries"].get(name)
         if was is None:
@@ -104,20 +100,50 @@ def main(argv: list[str] | None = None) -> int:
             verdict = "faster"
         else:
             verdict = "~"
+        deltas[name] = delta
+        rows.append((name, was, now, adj,
+                     cur.get("queries_spread", {}).get(name, 0.0),
+                     delta, verdict))
+    return {"prev": prev_name, "prev_sf": prev.get("sf"),
+            "band_factor": band_factor, "flagged": flagged,
+            "deltas": deltas, "rows": rows,
+            "floor_prev": prev.get("floor_noop_job"),
+            "floor_cur": cur.get("floor_noop_job")}
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--prev", default=None,
+                    help="previous record (default: newest parseable BENCH_r*)")
+    ap.add_argument("--no-scale-md", action="store_true",
+                    help="print only; don't rewrite the SCALE.md section")
+    args = ap.parse_args(argv)
+
+    with open(os.path.join(ROOT, "BENCH_DETAIL.json")) as f:
+        cur = json.load(f)
+    res = compute(args.prev, cur)
+    prev_name, band_factor, flagged = \
+        res["prev"], res["band_factor"], res["flagged"]
+
+    lines = [
+        f"| query | {prev_name} | current median | band-adj | spread "
+        f"| delta | verdict |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name, was, now, adj, spread, delta, verdict in res["rows"]:
         lines.append(f"| {name} | {was:.3f} | {now:.3f} | {adj:.3f} | "
-                     f"{cur.get('queries_spread', {}).get(name, 0):.3f} | "
-                     f"{delta:+.3f} | {verdict} |")
+                     f"{spread:.3f} | {delta:+.3f} | {verdict} |")
     table = "\n".join(lines)
     # secondary ambient evidence: the empty-job floor ratio. A flagged
     # query whose slowdown tracks the floor ratio rather than the
     # per-query median (multi-stage persist-heavy ops degrade more under
     # load) is an ambient artifact, not a plan regression — corroborate
     # with `git diff` on the operator before treating it as real.
-    f_prev, f_cur = prev.get("floor_noop_job"), cur.get("floor_noop_job")
+    f_prev, f_cur = res["floor_prev"], res["floor_cur"]
     floor_note = (f"; floor ratio {round(f_cur / f_prev, 2)}x "
                   f"({f_prev}s -> {f_cur}s)"
                   if f_prev and f_cur else "")
-    summary = (f"base: {prev_name} (sf={prev.get('sf')}), current: "
+    summary = (f"base: {prev_name} (sf={res.get('prev_sf')}), current: "
                f"BENCH_DETAIL.json (sf={cur.get('sf')}, reps={cur.get('reps')}); "
                f"ambient band {band_factor}x divided out (median of "
                f"per-query ratios){floor_note}; flag band = "

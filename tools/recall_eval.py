@@ -212,11 +212,81 @@ def eval_sf1(spark) -> None:
     print("RECALL.md sf1 section appended")
 
 
+def eval_sf1_fixture(spark, sf_dir: str = "/tmp/sf1") -> None:
+    """Recall rows for the four rows-only production ANN tiers at the
+    sf1 FIXTURE corpus (20k real embeddings — VERDICT r7 item 5: their
+    recall story lived only at fixture scale, 500-2k vectors), in the
+    exact registry configurations. Also asserts the routed path: a
+    rerank=0 call whose corpus crosses its unreranked_max must produce
+    the production rerank tier's output verbatim."""
+    import warnings
+
+    emb = table(spark, sf_dir, "embeddings")
+    n_corpus = emb.count()
+    k = 10
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = topk_sets(S.cosine_topk(emb, queries, k=k))
+    rows = []
+
+    got_pq = topk_sets(S.pq_topk(emb, queries, k=k))  # registry sim_topk_pq
+    rows.append(("PQ m=32, k_codes=16 + exact rerank x10 (sim_topk_pq)",
+                 recall(got_pq, exact), min(1.0, 10 * k / n_corpus)))
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # the route warning, expected here
+        got_routed = topk_sets(S.pq_topk(emb, queries, k=k, rerank=0,
+                                         unreranked_max=100))
+    assert got_routed == got_pq, \
+        "routed rerank=0 output != production rerank tier at sf1 fixture"
+    rows.append(("PQ routed: rerank=0 auto-routed -> x10 "
+                 "(sim_topk_pq_routed; output == row above, asserted)",
+                 recall(got_routed, exact), min(1.0, 10 * k / n_corpus)))
+
+    got = topk_sets(S.ivf_pq_topk(emb, queries, k=k,
+                                  n_centroids=8, n_probe=4))
+    rows.append(("IVF-PQ 8 centroids, n_probe=4, m=32 + rerank x10 "
+                 "(sim_topk_ivf_pq)", recall(got, exact),
+                 min(1.0, 10 * k / n_corpus)))
+
+    got = topk_sets(S.hamming_topk(emb, queries, k=k, use_arrow=True))
+    f = (S.hamming_topk(emb, queries, k=k, _return_candidates=True).count()
+         / (n_corpus * queries.count()))
+    rows.append(("Hamming 120 bits, radius=56, Arrow tier "
+                 "(sim_topk_hamming_arrow)", recall(got, exact), f))
+
+    lines = [
+        "",
+        f"## sf1 FIXTURE corpus `{sf_dir}` ({n_corpus} x 64-dim real "
+        "embeddings — VERDICT r7 item 5)",
+        "",
+        "The four rows-only production tiers in their REGISTRY",
+        "configurations at the 10x corpus (natural geometry, not the",
+        "jittered adversarial stack above). The routed row is also an",
+        "equality assertion: rerank=0 across its boundary must emit the",
+        "production rerank plan's output verbatim (route_pq_rerank).",
+        "",
+        "| method | recall@10 | scored fraction (nominal) |",
+        "|---|---|---|",
+    ]
+    print(f"== sf1 fixture corpus ({n_corpus} vectors) ==")
+    for name, r, f in rows:
+        lines.append(f"| {name} | {r:.2f} | {f:.4f} |")
+        print(f"{name:70s} recall@10={r:.2f}  frac={f:.4f}")
+    with open("/root/repo/RECALL.md", "a") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print("RECALL.md sf1-fixture section appended")
+
+
 def main() -> None:
     if sys.argv[1:] == ["--sf1"]:
         spark = get_spark("recall-eval-sf1")
         spark.sparkContext.setLogLevel("ERROR")
         eval_sf1(spark)
+        return
+    if sys.argv[1:] and sys.argv[1] == "--sf1-fixture":
+        spark = get_spark("recall-eval-sf1-fixture")
+        spark.sparkContext.setLogLevel("ERROR")
+        eval_sf1_fixture(spark, *(sys.argv[2:] or []))
         return
     sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
     spark = get_spark("recall-eval")

@@ -49,3 +49,41 @@ def read_jsonl(spark: SparkSession, path: str, schema: StructType,
     return (spark.read.schema(schema)
             .option("mode", "FAILFAST")
             .json(path))
+
+
+# Fully-qualified fallback for the Avro connector: pip-distributed
+# PySpark 4.x BUNDLES org.apache.spark.sql.avro.AvroFileFormat inside
+# spark-sql (35 classes, probe r8) but ships no spark-avro module jar,
+# so the ServiceLoader alias "avro" is unregistered and
+# format("avro") throws the historical "external data source" error.
+# The class itself loads and runs — name it explicitly and the full
+# reader/writer works offline. On a cluster with the module deployed
+# the short name resolves first, so behavior is identical.
+AVRO_FORMAT_FQCN = "org.apache.spark.sql.avro.AvroFileFormat"
+
+
+def _avro_format(spark: SparkSession) -> str:
+    """Prefer the registered short name (real clusters with spark-avro
+    deployed); fall back to the bundled FQCN (this sandbox's pip
+    distribution)."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001 — capability probe
+            "org.apache.spark.sql.avro.AvroDataSourceV2")
+        return "avro"
+    except Exception:
+        return AVRO_FORMAT_FQCN
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro ingest — the row-oriented interchange format Kafka/streaming
+    drops arrive in. Splittable blocks parallelize like parquet; schema
+    travels in the file (no inference scan). Column pruning applies;
+    row-oriented storage means no predicate pushdown — land avro, but
+    compact to parquet/ORC for the analytic tier (layout.compact)."""
+    return spark.read.format(_avro_format(spark)).load(path)
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Avro export for row-oriented consumers (streaming replays,
+    schema-registry pipelines)."""
+    df.write.format(_avro_format(df.sparkSession)).mode(mode).save(path)

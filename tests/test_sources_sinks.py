@@ -388,3 +388,28 @@ def test_dataset_fingerprint_semantics(spark):
         assert row["sum_fp_mod"] == int(row["sum_fp"]) % (1 << 61)
         assert 0 <= row["sum_fp_mod"] < (1 << 61)
     assert fa["sum_fp_mod"] == fb["sum_fp_mod"]
+
+
+def test_avro_roundtrip_types(spark, tmp_path):
+    """r8: pip PySpark bundles AvroFileFormat (no module jar) — the
+    sources.files helpers must round-trip typed columns through the
+    fully-qualified format, including arrays and timestamps (Avro
+    logical type timestamp-micros)."""
+    from pyspark.sql import functions as F
+
+    from sanef_election_dashboard_etl_spark.sources.files import (
+        read_avro, write_avro)
+
+    df = spark.range(10).select(
+        F.col("id"),
+        (F.col("id") * 1.5).alias("v"),
+        F.concat(F.lit("row"), F.col("id")).alias("s"),
+        F.array(F.col("id"), F.col("id") + 1).alias("arr"),
+        F.timestamp_micros((F.col("id") * 1_000_000).cast("long"))
+         .alias("ts"))
+    path = str(tmp_path / "avro_rt")
+    write_avro(df, path)
+    back = read_avro(spark, path)
+    assert dict(back.dtypes) == dict(df.dtypes)
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, df.collect()))

@@ -144,7 +144,8 @@ MUST_HAVE = {
     "multimodal_decode": ["MapInPandas"],
     # BM25: the query term list and the (query-terms-sized) df table
     # must both broadcast; per-query top-k via WindowGroupLimit
-    "text_bm25_topk": ["BroadcastHashJoin", "WindowGroupLimit"],
+    "text_bm25_topk": ["BroadcastHashJoin", "WindowGroupLimit",
+                       "InMemoryTableScan"],  # r8: single-build tf index
     # temperature mixing: the derived per-source rate table broadcasts
     # into a narrow keep filter
     "sample_temperature_mixture": ["BroadcastHashJoin"],
@@ -155,7 +156,8 @@ MUST_HAVE = {
                     "BroadcastHashJoin"],
     # RRF fusion: final per-query top-k is a WindowGroupLimit; the
     # lexical half keeps BM25's broadcast joins
-    "sim_hybrid_rrf": ["WindowGroupLimit", "BroadcastHashJoin"],
+    "sim_hybrid_rrf": ["WindowGroupLimit", "BroadcastHashJoin",
+                       "InMemoryTableScan"],  # r8: single-build tf index
     # token budget: one group exchange + a running-sum window, nothing else
     "sample_token_budget_cap": ["Window"],
     # contamination: the eval shingle set must broadcast into the

@@ -158,7 +158,43 @@ def ratio(num: ColumnOrName, den: ColumnOrName, out_scale: int = 4) -> Column:
     queries._dratio_units_sql."""
     n, d = _col(num), _col(den)
     return F.when(d == 0, F.lit(None).cast("double")).otherwise(
-        dratio_units(n, d, out_scale=out_scale))
+        lratio_units(n, d, out_scale=out_scale))
+
+
+def lratio_units(nu: Column, du: Column, out_scale: int = 4,
+                 mult: int = 1) -> Column:
+    """LONG fast path of dratio_units for PER-ROW bounded integer
+    quotients (r8 bench postmortem): dratio_units' decimal(38,0) ops are
+    Int128/BigDecimal-backed — fine per GROUP post-aggregation, but the
+    r8 migration routed PER-PAIR jaccard/containment and PER-DOC token
+    ratios through it and the dedup/text bench rows regressed 20-45%
+    (dedup_jaccard_prefix 0.52->0.68s at sf0.1). This variant runs the
+    identical half-away-from-zero integer round on primitive longs
+    (whole-stage codegen), exactly like davg_units:
+
+        mu  = sign(nu) * ((2*|nu|*mult*10^s + du) DIV (2*du))
+        out = mu / 10^s            -- error-free: exact multiple < 2^53
+
+    Values are identical to dratio_units by construction (same exact
+    integer quotient), so oracle mirrors (_dratio_units_sql) need no
+    change. Caller contract: nu/du integer-valued, du > 0, and
+    2*|nu|*mult*10^s + du < 2^53 — counts per doc/pair/group up to
+    ~4.6e14/mult/10^s. The bound is ENFORCED (raise_error, davg GUARD
+    discipline); ANSI mode additionally fails loudly on any long
+    overflow before the check. Use dratio_units for ratio-of-sums whose
+    numerators can exceed the bound (money-volume shares at large sf)."""
+    a = F.abs(nu).cast("long") * F.lit(mult * 10 ** out_scale)
+    num = a * 2 + du.cast("long")
+    den = du.cast("long") * 2
+    q = num - num % den
+    mu = F.when(
+        nu.isNull() | du.isNull() | (q < F.lit(2 ** 53)),
+        (q / den).cast("long")
+    ).otherwise(F.raise_error(F.lit(
+        "lratio exactness bound exceeded: 2*|num|*mult*10^scale + den >= "
+        "2^53; use dratio_units (functions/numeric.py lratio_units)")))
+    mu = F.when(nu < 0, -mu).otherwise(mu)
+    return mu.cast("double") / F.lit(float(10 ** out_scale))
 
 
 def dratio_units(nu: Column, du: Column, out_scale: int = 4,

@@ -112,6 +112,48 @@ def drop_hot_shingles(grams: DataFrame, max_df: int,
     return grams.join(F.broadcast(hot), "shingle", "left_anti")
 
 
+def _threshold_units(t: float, out_scale: int = 4) -> int:
+    """Smallest integer m such that double(m / 10^out_scale) >= t — the
+    exact integer image of the engine's `rounded_ratio >= t` filters.
+    Python float arithmetic IS IEEE double, i.e. identical to the
+    comparison Spark/DuckDB evaluate, so the passing set {mu >= m} is
+    bit-for-bit the set `double(mu/10^s) >= t` selected before r8."""
+    p = 10 ** out_scale
+    m = max(0, int(-(-t * p // 1)))  # ceil without float re-rounding
+    while m > 0 and (m - 1) / p >= t:
+        m -= 1
+    while m / p < t:
+        m += 1
+    return m
+
+
+def _keep_ratio_ge(nu, du, t: float, out_scale: int = 4):
+    """Integer-exact predicate equivalent to `ratio(nu, du, s) >= t`
+    for NONNEGATIVE integer nu with du >= 1 (caller contract; a du=0
+    row would pass here but produced NULL-and-drop before — impossible
+    at the dedup sites, where du is a union/least of sizes >= 1).
+
+    r8 plan postmortem: `withColumn("jaccard", ratio(..)).filter(..)`
+    lets predicate pushdown substitute the WHOLE rounding chain into a
+    join condition — with `nu = size(array_intersect(..))` the
+    substitution evaluated array_intersect 24x per candidate pair
+    (measured on dedup_jaccard_prefix; PLANS.md assertion now caps it).
+    The filter is therefore expressed directly on the units integer:
+
+        mu >= m  <=>  (2*nu*10^s + du) div (2*du) >= m
+                 <=>  2*10^s*nu >= (2m - 1)*du          (floor-div, du>0)
+
+    — two cheap long multiplies in the join condition, zero divisions,
+    zero branches; the rounded display value is projected ABOVE the
+    filter, for survivors only. Selection set unchanged (oracle WHERE
+    clauses keep their `rounded >= t` form and match by construction).
+    Overflow: 2e4*nu and du*(2m-1) < 2^63 need nu, du < 4.6e14 —
+    structurally guaranteed for per-doc shingle counts (a Spark row
+    caps at 2 GB ~ 2e9 shingles); ANSI mode fails loudly beyond."""
+    m = _threshold_units(t, out_scale)
+    return nu * F.lit(2 * 10 ** out_scale) >= du * F.lit(2 * m - 1)
+
+
 def jaccard_pairs(grams: DataFrame, id_col: str = "doc_id",
                   min_jaccard: float = 0.5,
                   max_df: int | None = None) -> DataFrame:
@@ -138,14 +180,13 @@ def jaccard_pairs(grams: DataFrame, id_col: str = "doc_id",
              .agg(F.count(F.lit(1)).alias("inter")))
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    uni = F.col("sz_a") + F.col("sz_b") - F.col("inter")
     jac = (inter
            .join(F.broadcast(sz_a), "id_a")
            .join(F.broadcast(sz_b), "id_b")
-           .withColumn("jaccard", ratio(
-               F.col("inter"),
-               F.col("sz_a") + F.col("sz_b") - F.col("inter"), 4)))
-    return (jac.filter(F.col("jaccard") >= min_jaccard)
-            .select("id_a", "id_b", "jaccard"))
+           .filter(_keep_ratio_ge(F.col("inter"), uni, min_jaccard))
+           .withColumn("jaccard", ratio(F.col("inter"), uni, 4)))
+    return jac.select("id_a", "id_b", "jaccard")
 
 
 def ngram_jaccard_pairs(df: DataFrame, n: int = 3, min_jaccard: float = 0.5,
@@ -295,11 +336,13 @@ def minhash_lsh_pairs(df: DataFrame, n: int = 3, k: int = 32, bands: int = 8,
                           .cast("long").alias("inter"),
                          F.size("__sa").cast("long").alias("sz_a"),
                          F.size("__sb").cast("long").alias("sz_b")))
-        verified = pairs.withColumn("jaccard", ratio(
-            F.col("inter"),
-            F.col("sz_a") + F.col("sz_b") - F.col("inter"), 4))
-        return (verified.filter(F.col("jaccard") >= min_jaccard)
-                .select("id_a", "id_b", "jaccard"))
+        uni = F.col("sz_a") + F.col("sz_b") - F.col("inter")
+        verified = (pairs
+                    .filter(_keep_ratio_ge(F.col("inter"), uni,
+                                           min_jaccard))
+                    .withColumn("jaccard",
+                                ratio(F.col("inter"), uni, 4)))
+        return verified.select("id_a", "id_b", "jaccard")
     else:
         # merge strategy. The shingle table must NEVER be the broadcast
         # side of the verification join: its planning-time estimate
@@ -316,12 +359,11 @@ def minhash_lsh_pairs(df: DataFrame, n: int = 3, k: int = 32, bands: int = 8,
     sizes = sig.select(F.col(id_col), F.col("sz"))
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    uni = F.col("sz_a") + F.col("sz_b") - F.col("inter")
     verified = (inter.join(F.broadcast(sz_a), "id_a").join(F.broadcast(sz_b), "id_b")
-                .withColumn("jaccard", ratio(
-                    F.col("inter"),
-                    F.col("sz_a") + F.col("sz_b") - F.col("inter"), 4)))
-    return (verified.filter(F.col("jaccard") >= min_jaccard)
-            .select("id_a", "id_b", "jaccard"))
+                .filter(_keep_ratio_ge(F.col("inter"), uni, min_jaccard))
+                .withColumn("jaccard", ratio(F.col("inter"), uni, 4)))
+    return verified.select("id_a", "id_b", "jaccard")
 
 
 def simhash64(df: DataFrame, id_col: str = "doc_id",
@@ -430,12 +472,11 @@ def minhash_lsh_pairs_portable(df: DataFrame, n: int = 3, k: int = 16,
              .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter")))
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    uni = F.col("sz_a") + F.col("sz_b") - F.col("inter")
     verified = (inter.join(F.broadcast(sz_a), "id_a").join(F.broadcast(sz_b), "id_b")
-                .withColumn("jaccard", ratio(
-                    F.col("inter"),
-                    F.col("sz_a") + F.col("sz_b") - F.col("inter"), 4)))
-    return (verified.filter(F.col("jaccard") >= min_jaccard)
-            .select("id_a", "id_b", "jaccard"))
+                .filter(_keep_ratio_ge(F.col("inter"), uni, min_jaccard))
+                .withColumn("jaccard", ratio(F.col("inter"), uni, 4)))
+    return verified.select("id_a", "id_b", "jaccard")
 
 
 def simhash_pairs_portable(df: DataFrame, max_hamming: int = 3,
@@ -1254,14 +1295,18 @@ def containment_pairs(df: DataFrame, n: int = 3,
     small_first = F.col("sz_a") < F.col("sz_b")
     tie = (F.col("sz_a") == F.col("sz_b")) & (F.col("id_a") < F.col("id_b"))
     pick_a = small_first | tie
-    out = scored.select(
-        F.when(pick_a, F.col("id_a")).otherwise(F.col("id_b"))
-        .alias("id_small"),
-        F.when(pick_a, F.col("id_b")).otherwise(F.col("id_a"))
-        .alias("id_big"),
-        ratio(F.col("inter"), F.least("sz_a", "sz_b"), 4)
-        .alias("containment"))
-    return out.filter(F.col("containment") >= min_containment)
+    out = (scored
+           .filter(_keep_ratio_ge(F.col("inter"),
+                                  F.least("sz_a", "sz_b"),
+                                  min_containment))
+           .select(
+               F.when(pick_a, F.col("id_a")).otherwise(F.col("id_b"))
+               .alias("id_small"),
+               F.when(pick_a, F.col("id_b")).otherwise(F.col("id_a"))
+               .alias("id_big"),
+               ratio(F.col("inter"), F.least("sz_a", "sz_b"), 4)
+               .alias("containment")))
+    return out
 
 
 def fuzzy_edit_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -1663,12 +1708,11 @@ def jaccard_prefix_pairs(grams: DataFrame, id_col: str = "doc_id",
                      F.col("__s").alias("__sa"), F.col("sz").alias("sz_a"))
     vb = sets.select(F.col(id_col).alias("id_b"),
                      F.col("__s").alias("__sb"), F.col("sz").alias("sz_b"))
+    uni = F.col("sz_a") + F.col("sz_b") - F.col("inter")
     ver = (cand.join(va, "id_a").join(vb, "id_b")
            .withColumn("inter",
                        F.size(F.array_intersect("__sa", "__sb"))
                         .cast("long"))
-           .withColumn("jaccard", ratio(
-               F.col("inter"),
-               F.col("sz_a") + F.col("sz_b") - F.col("inter"), 4)))
-    return (ver.filter(F.col("jaccard") >= min_jaccard)
-            .select("id_a", "id_b", "jaccard"))
+           .filter(_keep_ratio_ge(F.col("inter"), uni, min_jaccard))
+           .withColumn("jaccard", ratio(F.col("inter"), uni, 4)))
+    return ver.select("id_a", "id_b", "jaccard")

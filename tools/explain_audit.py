@@ -281,6 +281,16 @@ MUST_NOT = {
     "sample_quantile_normalize": ["CartesianProduct"],
 }
 
+# query -> [(fragment, max occurrences)] — caps on EXPENSIVE expressions
+# that predicate-pushdown substitution can silently duplicate (r8: the
+# rounded-jaccard filter inlined into a join condition evaluated
+# array_intersect 24x per candidate pair; the integer _keep_ratio_ge
+# predicate brought it to 3 — lock that in)
+MAX_COUNT = {
+    "dedup_jaccard_prefix": [("array_intersect", 4)],
+    "dedup_minhash_lsh": [("array_intersect", 4)],
+}
+
 AUDIT = [
     "s1_scan_project", "p3_filter_conj", "j1_dim_join", "j2_three_table",
     "j4_anti_join", "j7_deloop_semi", "a1_a2_j3_grouped_sum_count",
@@ -386,8 +396,15 @@ def main() -> int:
         for frag in MUST_NOT.get(name, []):
             if frag in plan:
                 failures.append(f"{name}: unexpected {frag!r}")
+        for frag, cap in MAX_COUNT.get(name, []):
+            n = plan.count(frag)
+            if n > cap:
+                failures.append(f"{name}: {frag!r} appears {n}x > cap {cap}"
+                                " (expensive-expression duplication)")
         checks = (f"must-have: {MUST_HAVE.get(name, [])}  "
-                  f"must-not: {MUST_NOT.get(name, [])}")
+                  f"must-not: {MUST_NOT.get(name, [])}"
+                  + (f"  max-count: {MAX_COUNT[name]}"
+                     if name in MAX_COUNT else ""))
         out += [f"## {name}", "", f"_{checks}_", "", "```",
                 plan.rstrip()[:4000], "```", ""]
 

@@ -431,3 +431,23 @@ def test_ntile_closed_form_matches_sql_ntile(total, n):
     assert got == ref[:total]
     assert got == sorted(got)
     assert got[0] == 1 and got[-1] == min(n, total)
+
+
+@given(nu=st.integers(0, 10 ** 7), du=st.integers(1, 10 ** 7),
+       t=st.sampled_from([0.0, 0.05, 0.1, 0.3, 0.5, 0.8, 0.9, 0.99, 1.0]))
+@settings(max_examples=300, deadline=None,
+          suppress_health_check=list(HealthCheck))
+def test_keep_ratio_ge_matches_rounded_compare(nu, du, t):
+    """_keep_ratio_ge's integer cross-multiply must select EXACTLY the
+    set the pre-r8 `rounded_ratio >= t` filter selected: mu >= m with
+    mu the half-away units integer and m = _threshold_units(t). Pure
+    integer replay (no Spark needed): the predicate is
+    2e4*nu >= (2m-1)*du, the reference is double(mu/1e4) >= t — the
+    comparison both engines evaluate."""
+    from sanef_election_dashboard_etl_spark.operators.dedup import (
+        _threshold_units)
+    mu = (2 * nu * 10 ** 4 + du) // (2 * du)  # half-away (nonneg)
+    reference = (mu / 10 ** 4) >= t           # IEEE double, as in-plan
+    m = _threshold_units(t)
+    predicate = 2 * 10 ** 4 * nu >= (2 * m - 1) * du
+    assert predicate == reference, (nu, du, t, mu, m)

@@ -398,3 +398,39 @@ def test_dratio_units_ties_and_big_magnitudes(spark):
         dratio_units(F.col("nu"), F.col("du"), out_scale=4, mult=100)
         .alias("r")).collect()[0]["r"]
     assert pct == 33.3333
+
+
+def test_lratio_units_matches_dratio_and_guard(spark):
+    # r8: ratio() runs the primitive-long half-away form (lratio_units);
+    # its values must be IDENTICAL to the decimal dratio_units form on
+    # every in-bound input (incl. exact halves and negatives), and the
+    # 2^53 exactness contract must fail loudly, davg-style.
+    from fractions import Fraction
+
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from sanef_election_dashboard_etl_spark.functions.numeric import (
+        dratio_units, lratio_units)
+
+    def rha(fr):
+        q, r = divmod(abs(fr.numerator) * 2 + fr.denominator,
+                      2 * fr.denominator)
+        return q if fr >= 0 else -q
+
+    rows = [(1, 16), (3, 2), (-3, 2), (0, 7), (1, 3), (9999, 10000),
+            (12345, 67), (-1, 16)]
+    df = spark.createDataFrame(rows, "nu long, du long")
+    got = df.select("nu", "du",
+                    lratio_units(F.col("nu"), F.col("du")).alias("l"),
+                    dratio_units(F.col("nu"), F.col("du")).alias("d")
+                    ).collect()
+    for r in got:
+        exact = rha(Fraction(r["nu"] * 10 ** 4, r["du"])) / 1e4
+        assert r["l"] == r["d"] == exact, (r["nu"], r["du"])
+    # guard window: 2*nu*1e4 >= 2^53 but < 2^63 (past 2^63 ANSI's own
+    # long-overflow error fires first — also loud, different message)
+    big = spark.createDataFrame([(10 ** 12, 1)], "nu long, du long")
+    with pytest.raises(SparkRuntimeException, match="lratio exactness"):
+        big.select(lratio_units(F.col("nu"), F.col("du")).alias("l")) \
+           .collect()

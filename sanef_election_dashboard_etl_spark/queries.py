@@ -119,10 +119,12 @@ def _davg_sql(x: str, scale: int, out_scale: int = 4,
 
 def _dratio_units_sql(nu: str, du: str, out_scale: int = 4,
                       mult: int = 1) -> str:
-    """DuckDB mirror of functions.numeric.dratio_units: exact
-    half-away-from-zero mult*nu/du at out_scale over HUGEINT-safe
-    integer units (the ROUND(double/double) quotient killer for
-    ratio-of-sums columns — q8/q14)."""
+    """DuckDB mirror of functions.numeric.dratio_units AND lratio_units
+    (identical values — both compute the exact half-away-from-zero
+    mult*nu/du at out_scale; Spark picks the decimal(38,0) or the
+    primitive-long form by numerator headroom, r8): HUGEINT-safe
+    integer units, the ROUND(double/double) quotient killer for
+    ratio-of-sums columns — q8/q14."""
     m = mult * 10 ** out_scale
     nu, du = f"({nu})", f"({du})"  # defensive parens: operands are exprs
     return (f"CAST(CASE WHEN {nu} >= 0 "

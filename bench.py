@@ -154,6 +154,25 @@ def main() -> None:
             break
         time.sleep(3.0 * (attempt + 1))
     floor = min(floor_trail)
+
+    # Single-thread CPU throughput proxy (r8): the noop floor measures
+    # the SCHEDULER round trip and stayed quiet (0.061-0.071s) through a
+    # session whose same-code bench totals swung 17.1-23.5s — hypervisor
+    # steal hits per-core throughput, which no floor can see. A fixed
+    # Python work loop (~0.15s nominal) pins the host's effective
+    # single-thread speed into every record, so cross-round raw deltas
+    # can be read against cpu_proxy_s ratios, not just the floor.
+    def cpu_proxy() -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            s = 0
+            for i in range(1_000_000):
+                s += i * i
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 4)
+
+    proxy = cpu_proxy()
     if floor > FLOOR_GATE:
         print(f"bench floor guard: ambient load persists — floor trail "
               f"{floor_trail} all > gate {FLOOR_GATE}s; numbers below "
@@ -281,6 +300,7 @@ def main() -> None:
         "floor_noop_job": floor,
         "floor_trail": floor_trail,
         "floor_gate": FLOOR_GATE,
+        "cpu_proxy_s": proxy,
         "sf": sf,
     }
     here = os.path.dirname(os.path.abspath(__file__))
@@ -346,6 +366,7 @@ def main() -> None:
         "queries": times,
         "total_aqe_on": round(sum(aqe_on.values()), 3),
         "floor_noop_job": floor,
+        "cpu_proxy_s": proxy,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if band_verdict is not None:

@@ -92,9 +92,14 @@ def davg_units(su: Column, n: Column, in_scale: int = 0,
     # exact floor division on longs: subtract the remainder, then the
     # double division of an exact multiple below 2^53 is error-free
     q = num - num % den
-    # NULL su (SUM over zero rows) passes through as NULL, like SUM
+    # NULL su (SUM over zero rows) passes through as NULL, like SUM.
+    # q >= 0 (ADVICE r8): under non-ANSI Spark (pyspark>=3.5 floor,
+    # ANSI off) an int64 overflow in 2*|s2|+d WRAPS instead of raising;
+    # a wrapped q is negative, so the sign check keeps the guard sound
+    # on every config instead of relying on ANSI to catch the overflow.
     mu = F.when(
-        su.isNull() | (q < F.lit(2 ** 53)), (q / den).cast("long")
+        su.isNull() | ((q >= F.lit(0)) & (q < F.lit(2 ** 53))),
+        (q / den).cast("long")
     ).otherwise(F.raise_error(F.lit(
         "davg exactness bound exceeded: 2*|sum_units| + count >= 2^53; "
         "reduce out_scale or pre-aggregate (functions/numeric.py GUARD)")))
@@ -187,8 +192,11 @@ def lratio_units(nu: Column, du: Column, out_scale: int = 4,
     num = a * 2 + du.cast("long")
     den = du.cast("long") * 2
     q = num - num % den
+    # q >= 0 (ADVICE r8): same non-ANSI wraparound hole as davg_units —
+    # an overflowed q goes negative and must hit raise_error, not the
+    # silent-value branch (the docstring's ANSI backstop is config).
     mu = F.when(
-        nu.isNull() | du.isNull() | (q < F.lit(2 ** 53)),
+        nu.isNull() | du.isNull() | ((q >= F.lit(0)) & (q < F.lit(2 ** 53))),
         (q / den).cast("long")
     ).otherwise(F.raise_error(F.lit(
         "lratio exactness bound exceeded: 2*|num|*mult*10^scale + den >= "

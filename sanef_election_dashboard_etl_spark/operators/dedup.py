@@ -129,9 +129,14 @@ def _threshold_units(t: float, out_scale: int = 4) -> int:
 
 def _keep_ratio_ge(nu, du, t: float, out_scale: int = 4):
     """Integer-exact predicate equivalent to `ratio(nu, du, s) >= t`
-    for NONNEGATIVE integer nu with du >= 1 (caller contract; a du=0
-    row would pass here but produced NULL-and-drop before — impossible
-    at the dedup sites, where du is a union/least of sizes >= 1).
+    for NONNEGATIVE integer nu with du >= 1. The du >= 1 contract is
+    ENFORCED in the predicate (ADVICE r8): `ratio` returns NULL for
+    du=0 and the old filter dropped the row; the bare cross-multiply
+    would instead keep it (0 >= 0), so the predicate ANDs `du > 0` —
+    one cheap long comparison — to make a future empty-denominator
+    caller reproduce the drop semantics rather than emit a NULL-ratio
+    pair. (All current dedup sites have du = union/least of sizes
+    >= 1, so no selection set changes.)
 
     r8 plan postmortem: `withColumn("jaccard", ratio(..)).filter(..)`
     lets predicate pushdown substitute the WHOLE rounding chain into a
@@ -151,7 +156,8 @@ def _keep_ratio_ge(nu, du, t: float, out_scale: int = 4):
     structurally guaranteed for per-doc shingle counts (a Spark row
     caps at 2 GB ~ 2e9 shingles); ANSI mode fails loudly beyond."""
     m = _threshold_units(t, out_scale)
-    return nu * F.lit(2 * 10 ** out_scale) >= du * F.lit(2 * m - 1)
+    return (du > F.lit(0)) & \
+        (nu * F.lit(2 * 10 ** out_scale) >= du * F.lit(2 * m - 1))
 
 
 def jaccard_pairs(grams: DataFrame, id_col: str = "doc_id",

@@ -6655,7 +6655,12 @@ _PINNED = [
     # The freed slots drain the 18-entry never-driver-checked backlog
     # (all count-0, so they sort first) with ~31 slots left for count-1
     # re-confirmation. Only the flagship stays pinned.
+    # r9 (VERDICT r8 item 1): pin text_bpe_tokenize — the registry's
+    # only driver-RED row of record (r8 canonicalizer TypeError on the
+    # old array<string> surface). The entry now projects a scalar
+    # bpe_text surface; a fresh rows-only green row closes the defect.
     "pipe_hung_councils",   # the flagship (entry()) — a row every round
+    "text_bpe_tokenize",    # r9: clear the r8 driver-RED row
 ]
 
 _WINDOW_SIZE = 50
@@ -7734,10 +7739,21 @@ def text_bpe_tokenize(spark, sf_dir):
     per-batch word caching. No SQL replay of the merge loop exists ->
     rows-only; sibling text_token_stats oracle-checks the token-count
     surface (incl. the regex BPE-ish count); merge determinism,
-    hand-verified merges, and char-conservation are test-asserted."""
+    hand-verified merges, and char-conservation are test-asserted.
+
+    Driver-canon contract (r8 postmortem): the driver's rows-only
+    canonicalizer sorts ALL columns via pandas -> top-level
+    array/map/struct cells are unhashable and error the row. The
+    REGISTRY surface therefore joins the pieces into one string
+    (`bpe_text`, space-delimited — tokens never contain whitespace by
+    construction, so the join is lossless); the operator API
+    (text.bpe_encode) keeps the raw array<string>."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     merges = T.bpe_train(docs, n_merges=100, train_n=256)
-    return T.bpe_encode(docs, merges)
+    enc = T.bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id", "n_bpe_tokens",
+        F.array_join("bpe_tokens", " ").alias("bpe_text"))
 
 
 @query("sim_hybrid_rrf", oracle="""

@@ -57,6 +57,31 @@ def test_rows_only_entries_name_sibling():
                 f"{name}: oracle-checked entries don't carry sibling="
 
 
+def test_rows_only_outputs_are_driver_canon_safe(spark):
+    """Driver canon contract (r8 postmortem, VERDICT r8 item 2): the
+    driver's rows-only canonicalizer pandas-sorts ALL columns, so a
+    top-level array/map/struct cell (unhashable under factorize) turns
+    a correct answer into a driver-RED row — exactly how
+    text_bpe_tokenize errored in the r8 window. Machine-check the
+    contract at plan-build time: no oracle-less entry may expose a
+    complex top-level column (array_join / to_json the surface in the
+    registry entry; keep the rich type on the operator API)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    sf_dir = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, q in REGISTRY.items():
+        if q.oracle is not None:
+            continue
+        schema = q.fn(spark, sf_dir).schema
+        bad = [f.name for f in schema.fields
+               if isinstance(f.dataType, (ArrayType, MapType, StructType))]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"rows-only entries with driver-unhashable columns: {offenders}")
+
+
 def test_band_oracle_entries_are_well_formed():
     """r8 (VERDICT r7 item 6): tolerance oracles ride ON TOP of the
     rows-only+sibling contract — a band entry still has oracle=None and

@@ -40,6 +40,41 @@ def canon(rows, cols):
     return out
 
 
+def driver_canon_replay(srows, scols) -> str | None:
+    """Replay the driver's rows-only canonicalization (r8 postmortem,
+    VERDICT r8 item 2): the driver pandas-DataFrames the result and
+    sort_values over ALL columns; unhashable cells (ndarray/list from
+    array columns, dict from maps) die in Categorical.factorize exactly
+    as text_bpe_tokenize did in the r8 window while this gate — which
+    only counted rows — stayed green. Returns an error string when the
+    canonicalization would fail driver-side, else None."""
+    import pandas as pd
+
+    try:
+        pdf = pd.DataFrame(srows, columns=list(scols))
+        if len(pdf.columns):
+            pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+    except Exception as exc:
+        return f"driver canon replay failed: {type(exc).__name__}: {exc}"
+    return None
+
+
+def rows_only_schema_lint(sdf) -> str | None:
+    """Driver canon contract: no top-level array/map/struct column may
+    appear in an oracle-less entry's output (the driver sorts every
+    column; complex cells are unhashable under pandas factorize).
+    Project a scalar surface in the REGISTRY entry instead
+    (array_join / to_json), keeping the rich type on the operator API."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = [f.name for f in sdf.schema.fields
+           if isinstance(f.dataType, (ArrayType, MapType, StructType))]
+    if bad:
+        return ("complex top-level columns in rows-only output "
+                f"(driver canon contract): {bad}")
+    return None
+
+
 def band_check(con, q, srows, scols) -> str | None:
     """Tolerance compare for sketch ops (r8, VERDICT r7 item 6): run the
     entry's EXACT-reference band_oracle in DuckDB, match rows on the
@@ -118,6 +153,12 @@ def main() -> int:
             print(f"FAIL {name}: spark error {type(exc).__name__}: {exc}")
             continue
         if q.oracle is None:
+            err = rows_only_schema_lint(sdf) or \
+                driver_canon_replay(srows, scols)
+            if err:
+                failures.append(name)
+                print(f"FAIL {name}: {err}")
+                continue
             if q.band_oracle is not None:
                 err = band_check(con, q, srows, scols)
                 if err:

@@ -56,11 +56,13 @@ def main() -> int:
     spark = get_spark("dup-expr-audit")
     spark.sparkContext.setLogLevel("ERROR")
     flags: list[tuple[int, str, str, str]] = []
+    skipped: list[str] = []
     for name, q in REGISTRY.items():
         try:
             plan = (q.fn(spark, sf_dir)._jdf.queryExecution()
                     .executedPlan().toString())
         except Exception as e:  # audit must see every plan it can build
+            skipped.append(name)
             print(f"[skip] {name}: {str(e)[:90]}")
             continue
         best: dict[str, tuple[int, str]] = {}
@@ -83,8 +85,17 @@ def main() -> int:
               "to ALLOW with a reason; else restructure (see "
               "dedup._keep_ratio_ge for the filter pattern)")
         return 1
+    # ADVICE r8: a plan that fails to BUILD silently dropped out of the
+    # sweep while the audit still exited 0 — coverage loss must fail.
+    # (Registry plans all build in a healthy tree; any skip is a
+    # regression in the entry itself, not an environment quirk.)
+    if skipped:
+        print(f"\n{len(skipped)} plan(s) failed to build and escaped the "
+              f"sweep: {skipped} — fix the entries; the audit cannot "
+              "vouch for plans it never saw")
+        return 1
     print(f"\nall {len(flags)} per-line duplication flags adjudicated "
-          f"benign across {len(REGISTRY)} plans")
+          f"benign across {len(REGISTRY)} plans (0 skipped)")
     return 0
 
 

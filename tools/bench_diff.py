@@ -84,12 +84,44 @@ def compute(prev_path: str | None = None,
               if prev["queries"].get(n)]
     band_factor = round(statistics.median(ratios), 3) if ratios else 1.0
 
+    # r9 (VERDICT r8 item 4): when BOTH records carry the fixed
+    # single-thread CPU proxy (bench.py cpu_proxy, r8+ payloads), the
+    # proxy ratio is a load-independent normalizer measured OUTSIDE the
+    # queries — divide it out before banding so hypervisor-steal drift
+    # can't manufacture regressions, while a genuine plan regression
+    # (which moves a query but not the proxy) still flags. Pre-r8
+    # records have no proxy -> fall back to the median-of-ratios band
+    # (which would absorb a machine-wide slowdown into the band; the
+    # proxy is reported alongside so the two can be cross-read).
+    # The proxy only normalizes QUIET-vs-QUIET compares: measured r9,
+    # a loud host's 32-thread query throughput degrades MORE than its
+    # single-thread proxy (proxy ratio 1.198 vs median band 1.469 in
+    # the same run — hypervisor steal compounds under parallelism), so
+    # dividing a loud run by its proxy under-corrects and manufactures
+    # flags. Loud runs fall back to the median band and are
+    # non-adjudicating by the floor guard anyway.
+    QUIET_PROXY = 0.062  # r8 quiet record (VERDICT r8 item 4)
+    p_prev, p_cur = prev.get("cpu_proxy_s"), cur.get("cpu_proxy_s")
+    proxy_ratio = round(p_cur / p_prev, 3) if p_prev and p_cur else None
+    quiet = (proxy_ratio is not None
+             and p_prev <= QUIET_PROXY and p_cur <= QUIET_PROXY)
+    # Best normalizer first (r9): the fixed Spark parallel proxy
+    # measures 32-way JVM throughput — the resource the queries
+    # actually contend on (the r9 adjudication proved the host drifts
+    # ~1.25x there while every single-thread instrument reads quiet).
+    # Unlike the median-of-ratios band it is code-independent, so a
+    # change that slows EVERY query still flags instead of being
+    # absorbed into the band.
+    sp_prev, sp_cur = prev.get("spark_proxy_s"), cur.get("spark_proxy_s")
+    spark_ratio = round(sp_cur / sp_prev, 3) if sp_prev and sp_cur else None
+    norm = spark_ratio or (proxy_ratio if quiet else band_factor)
+
     flagged, deltas, rows = [], {}, []
     for name, now in sorted(med.items()):
         was = prev["queries"].get(name)
         if was is None:
             continue
-        adj = round(now / band_factor, 3)
+        adj = round(now / norm, 3)
         band = max(cur.get("queries_spread", {}).get(name, 0.0),
                    prev_spread.get(name, 0.0), MIN_S)
         delta = round(adj - was, 3)
@@ -105,7 +137,9 @@ def compute(prev_path: str | None = None,
                      cur.get("queries_spread", {}).get(name, 0.0),
                      delta, verdict))
     return {"prev": prev_name, "prev_sf": prev.get("sf"),
-            "band_factor": band_factor, "flagged": flagged,
+            "band_factor": band_factor, "proxy_ratio": proxy_ratio,
+            "spark_proxy_ratio": spark_ratio,
+            "norm": norm, "flagged": flagged,
             "deltas": deltas, "rows": rows,
             "floor_prev": prev.get("floor_noop_job"),
             "floor_cur": cur.get("floor_noop_job")}
@@ -143,10 +177,25 @@ def main(argv: list[str] | None = None) -> int:
     floor_note = (f"; floor ratio {round(f_cur / f_prev, 2)}x "
                   f"({f_prev}s -> {f_cur}s)"
                   if f_prev and f_cur else "")
+    if res.get("spark_proxy_ratio") and res["norm"] == res["spark_proxy_ratio"]:
+        norm_note = (f"spark-parallel-proxy ratio "
+                     f"{res['spark_proxy_ratio']}x divided out "
+                     f"(whole-stack; median band {band_factor}x, "
+                     f"cpu proxy {res.get('proxy_ratio')}x corroborate)")
+    elif res["norm"] == res.get("proxy_ratio"):
+        norm_note = (f"cpu-proxy ratio {res['proxy_ratio']}x divided out "
+                     f"(quiet-vs-quiet; median-of-ratios band "
+                     f"{band_factor}x corroborates)")
+    elif res.get("proxy_ratio"):
+        norm_note = (f"ambient band {band_factor}x divided out (median "
+                     f"of per-query ratios; host NOT quiet — proxy "
+                     f"ratio {res['proxy_ratio']}x reported, not used)")
+    else:
+        norm_note = (f"ambient band {band_factor}x divided out (median "
+                     f"of per-query ratios; no cpu proxy in base record)")
     summary = (f"base: {prev_name} (sf={res.get('prev_sf')}), current: "
                f"BENCH_DETAIL.json (sf={cur.get('sf')}, reps={cur.get('reps')}); "
-               f"ambient band {band_factor}x divided out (median of "
-               f"per-query ratios){floor_note}; flag band = "
+               f"{norm_note}{floor_note}; flag band = "
                f"max(spread_cur, spread_prev, {int(MIN_S*1000)} ms) on "
                f"the residual. {len(flagged)} regression(s)"
                + (": " + ", ".join(flagged) if flagged else "."))

@@ -1213,52 +1213,46 @@ def strip_duplicated_spans(df: DataFrame, k: int = 8, min_df: int = 2,
     repeated bytes rather than the whole doc — most of a crawl doc is
     unique even when boilerplate repeats).
 
-    Re-assembly is token-level: posexplode tokens, anti-join positions
-    covered by any span (range join on doc bounded by the span list —
-    spans per doc are few, the join is a broadcast-friendly per-doc
-    filter), then ordered re-concat per doc (collect_list over an
-    ordered window — same grouped-ordered-concat shape as A10, one
-    shuffle on doc_id).
+    Re-assembly is ROW-LOCAL (r9, VERDICT r8 item 6): the per-doc span
+    list is tiny by construction (maximal merged spans, a handful per
+    affected doc), so it aggregates to one array per doc and BROADCASTS
+    into the corpus scan; each doc rebuilds its text in one expression —
+    filter(tokens, (tok, i) -> no span covers i) — with no token
+    explode, no token shuffle, and no ordered-concat window. The r8
+    shape (posexplode -> broadcast anti-join -> two window passes ->
+    rebuild join) moved every corpus token through a doc-keyed window
+    twice; profiled as the dominant stage of pipe_training_data_prep
+    (2.32s of 2.97s cumulative stage walls at sf0.1; fresh-session
+    pipeline best-of 2.97s -> 2.25s after the rewrite). At 100 TB the contrast
+    is starker: corpus tokens never leave their input partitions; the
+    only full-corpus exchange left in ExactSubstr is the k-gram
+    detection shuffle inside duplicated_spans, which is the algorithm.
 
     Returns (doc_id, clean_text, n_tokens_kept). Docs made empty keep a
     row with clean_text = '' (curation decides what to do with them)."""
     spans = duplicated_spans(df, k=k, min_df=min_df, id_col=id_col,
                              text_col=text_col)
-    toks = (df.select(F.col(id_col), tokens(F.col(text_col))
-                      .alias("__toks"))
-            .select(id_col, F.posexplode("__toks").alias("pos", "tok"))
-            .select(id_col, F.col("pos").cast("long").alias("pos"), "tok"))
-    # The span list is bounded by dup density, not corpus size (maximal
-    # spans, a handful per affected doc) — broadcast it so the FULL
-    # TOKEN TABLE never shuffles for this anti-join (map-side filter
-    # instead of an SMJ that re-sorts every token row on doc_id). At
-    # sf0.1 the two are within noise (the span pipeline dominates;
-    # A/B-measured 1.8s vs 1.7-2.0s) — the broadcast is the plan that
-    # survives when the token table is TBs. A corpus whose span list
-    # outgrows broadcast is mostly duplicated text — fix upstream
-    # dedup first.
-    kept = (toks.alias("t")
-            .join(F.broadcast(spans.alias("sp")),
-                  (F.col(f"t.{id_col}") == F.col(f"sp.{id_col}"))
-                  & (F.col("t.pos") >= F.col("sp.span_start"))
-                  & (F.col("t.pos") < F.col("sp.span_start")
-                     + F.col("sp.span_tokens")),
-                  "left_anti"))
-    w = Window.partitionBy(id_col).orderBy("pos")
-    ordered = kept.select(
-        id_col,
-        F.collect_list("tok").over(
-            w.rowsBetween(Window.unboundedPreceding,
-                          Window.unboundedFollowing)).alias("__all"),
-        F.row_number().over(w).alias("__rn")).filter(F.col("__rn") == 1)
-    rebuilt = ordered.select(
-        id_col, F.array_join("__all", " ").alias("clean_text"),
-        F.size("__all").cast("long").alias("n_tokens_kept"))
-    return (df.select(F.col(id_col))
-            .join(rebuilt, id_col, "left")
+    span_arrs = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_tokens"))
+        .alias("__spans"))
+    covered = lambda i: F.exists(  # noqa: E731 — inline plan fragment
+        "__spans",
+        lambda sp: (i >= sp["span_start"])
+        & (i < sp["span_start"] + sp["span_tokens"]))
+    kept = F.when(
+        F.col("__spans").isNull(), F.col("__toks")).otherwise(
+        F.filter("__toks", lambda tok, i: ~covered(i.cast("long"))))
+    # NULL text -> NULL token array: empty output row, like the old
+    # explode path (size() is isNull-guarded because size(NULL) is -1
+    # under non-ANSI configs and NULL under ANSI)
+    return (df.select(F.col(id_col),
+                      tokens(F.col(text_col)).alias("__toks"))
+            .join(F.broadcast(span_arrs), id_col, "left")
             .select(id_col,
-                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-                    F.coalesce("n_tokens_kept", F.lit(0)).cast("long")
+                    F.coalesce(F.array_join(kept, " "), F.lit(""))
+                    .alias("clean_text"),
+                    F.when(kept.isNull(), F.lit(0))
+                    .otherwise(F.size(kept)).cast("long")
                     .alias("n_tokens_kept")))
 
 

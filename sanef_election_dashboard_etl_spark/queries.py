@@ -7501,7 +7501,11 @@ def sample_quality_gate(spark, sf_dir):
                                  keep_pct=40)
 
 
-@query("text_bm25_topk", oracle="""
+# Shared by text_bm25_topk (inverted-index plan) and
+# text_bm25_topk_scan (broadcast term-scan plan): the two physical
+# strategies produce identical tf/dl/df integers and identical
+# decimal-exact scores, so ONE SQL reference checks both.
+_BM25_TOPK_ORACLE = """
     WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
     q(query_id, term) AS (VALUES
         ('qa', 'merge'), ('qa', 'window'), ('qa', 'scan'),
@@ -7550,21 +7554,43 @@ def sample_quality_gate(spark, sf_dir):
     )
     SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
     FROM ranked WHERE rank <= 5
-""")
+"""
+
+
+def _bm25_queries(spark):
+    return spark.createDataFrame(
+        [("qa", "merge"), ("qa", "window"), ("qa", "scan"),
+         ("qb", "stream"), ("qb", "filter"), ("qb", "customer"),
+         ("qc", "batch"), ("qc", "slow"), ("qc", "key")],
+        "query_id string, term string")
+
+
+@query("text_bm25_topk", oracle=_BM25_TOPK_ORACLE)
 def text_bm25_topk(spark, sf_dir):
     """BM25 top-5 retrieval for three keyword queries (operators/text.py
     bm25_topk, Okapi/Lucene idf form): the lexical-retrieval step of a
     data-curation loop. df is counted only for the 9 broadcast query
     terms (never the vocabulary); per-term contributions sum in
     DECIMAL(38,6) so the score is term-order-independent and the oracle
-    replays rank AND score exactly."""
+    replays rank AND score exactly. This entry keeps the INDEX plan
+    (explode -> tf aggregate, persisted once per action) — the
+    many/reused-query architecture; text_bm25_topk_scan driver-checks
+    the ad-hoc plan against the same oracle."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    q = spark.createDataFrame(
-        [("qa", "merge"), ("qa", "window"), ("qa", "scan"),
-         ("qb", "stream"), ("qb", "filter"), ("qb", "customer"),
-         ("qc", "batch"), ("qc", "slow"), ("qc", "key")],
-        "query_id string, term string")
-    return T.bm25_topk(docs, q, k=5)
+    return T.bm25_topk(docs, _bm25_queries(spark), k=5)
+
+
+@query("text_bm25_topk_scan", oracle=_BM25_TOPK_ORACLE)
+def text_bm25_topk_scan(spark, sf_dir):
+    """bm25_topk mode="scan" (r9): the broadcast TERM-SCAN physical
+    plan for few ad-hoc queries — per-doc tf row-local under a
+    BroadcastNestedLoopJoin on array_contains, no inverted-index build,
+    the corpus never shuffles. Values identical to the index plan by
+    construction (same oracle): measured 1.06s vs 1.42s at sf1, where
+    the index's corpus-wide (doc, token) exchange is pure waste for 9
+    scoreable terms."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return T.bm25_topk(docs, _bm25_queries(spark), k=5, mode="scan")
 
 
 @query("sample_temperature_mixture", oracle=f"""
@@ -7850,15 +7876,18 @@ def sim_hybrid_rrf(spark, sf_dir):
     stage touches only |queries| x 20 x 2 rows — corpus-size-independent
     — while both retrievers keep their no-corpus-shuffle plans. The
     oracle replays BOTH retriever rankings and the decimal-exact fusion
-    score end to end."""
+    score end to end.
+
+    r9: the lexical leg uses bm25_topk mode="scan" (broadcast term
+    scan, no inverted-index build or persist) — for the 3 ad-hoc
+    fusion queries the index's corpus-wide (doc, token) exchange was
+    the leg's dominant cost (sf1 A/B: 1.06s scan vs 1.42s index,
+    identical output); retires the r8 persisted-tf shape for THIS
+    entry while text_bm25_topk keeps the index plan driver-checked."""
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
-    qterms = spark.createDataFrame(
-        [("qa", "merge"), ("qa", "window"), ("qa", "scan"),
-         ("qb", "stream"), ("qb", "filter"), ("qb", "customer"),
-         ("qc", "batch"), ("qc", "slow"), ("qc", "key")],
-        "query_id string, term string")
-    lex = (T.bm25_topk(docs, qterms, k=20)
+    qterms = _bm25_queries(spark)
+    lex = (T.bm25_topk(docs, qterms, k=20, mode="scan")
            .select("query_id", "rank", "doc_id"))
     dense = (S.cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=20)
              .select(F.when(F.col("query_id") == 0, "qa")
@@ -8189,15 +8218,12 @@ def sim_hybrid_rrf_ann(spark, sf_dir):
     retriever-agnostic by contract (any (query_id, rank, id) list), so
     this entry is pure composition. Rows-only: the ANN leg's hyperplane
     signatures are engine-side; sibling sim_hybrid_rrf oracle-checks
-    the identical fusion semantics end to end on the exact legs."""
+    the identical fusion semantics end to end on the exact legs.
+    r9: lexical leg on the scan plan, like the sibling."""
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
-    qterms = spark.createDataFrame(
-        [("qa", "merge"), ("qa", "window"), ("qa", "scan"),
-         ("qb", "stream"), ("qb", "filter"), ("qb", "customer"),
-         ("qc", "batch"), ("qc", "slow"), ("qc", "key")],
-        "query_id string, term string")
-    lex = (T.bm25_topk(docs, qterms, k=20)
+    qterms = _bm25_queries(spark)
+    lex = (T.bm25_topk(docs, qterms, k=20, mode="scan")
            .select("query_id", "rank", "doc_id"))
     dense = (S.ann_topk(emb, emb.filter(F.col("vec_id") < 3), k=20)
              .select(F.when(F.col("query_id") == 0, "qa")

@@ -146,6 +146,10 @@ MUST_HAVE = {
     # must both broadcast; per-query top-k via WindowGroupLimit
     "text_bm25_topk": ["BroadcastHashJoin", "WindowGroupLimit",
                        "InMemoryTableScan"],  # r8: single-build tf index
+    # BM25 scan plan (r9): the term list joins the corpus by
+    # array_contains under a broadcast NESTED-LOOP (never a cross
+    # product), tf/dl row-local — no inverted-index build, no persist
+    "text_bm25_topk_scan": ["BroadcastNestedLoopJoin", "WindowGroupLimit"],
     # temperature mixing: the derived per-source rate table broadcasts
     # into a narrow keep filter
     "sample_temperature_mixture": ["BroadcastHashJoin"],
@@ -155,9 +159,11 @@ MUST_HAVE = {
     "sim_topk_pq": ["MapInPandas", "WindowGroupLimit",
                     "BroadcastHashJoin"],
     # RRF fusion: final per-query top-k is a WindowGroupLimit; the
-    # lexical half keeps BM25's broadcast joins
+    # lexical half is the r9 BM25 term-scan (BroadcastNestedLoopJoin on
+    # array_contains; dfreq/stats broadcast back) — no index build, no
+    # InMemoryRelation left in the plan
     "sim_hybrid_rrf": ["WindowGroupLimit", "BroadcastHashJoin",
-                       "InMemoryTableScan"],  # r8: single-build tf index
+                       "BroadcastNestedLoopJoin"],
     # token budget: one group exchange + a running-sum window, nothing else
     "sample_token_budget_cap": ["Window"],
     # contamination: the eval shingle set must broadcast into the
@@ -259,6 +265,7 @@ MUST_NOT = {
     # BM25: the retrieval joins are broadcast or doc-keyed equi — never
     # a cross product; the corpus text never reaches a sort-merge
     "text_bm25_topk": ["CartesianProduct"],
+    "text_bm25_topk_scan": ["CartesianProduct", "SortMergeJoin"],
     # the corpus keep-filter must stay narrow: no corpus-side shuffle
     "sample_temperature_mixture": ["SortMergeJoin", "CartesianProduct"],
     # codes never shuffle before scoring; the only exchange is the
@@ -313,7 +320,8 @@ AUDIT = [
     "text_quality_classifier", "sample_epoch_repeat",
     "pack_chunk_documents", "text_ccnet_buckets_sampled",
     "dedup_simhash_guarded", "multimodal_decode",
-    "text_bm25_topk", "sample_temperature_mixture", "sim_topk_pq",
+    "text_bm25_topk", "text_bm25_topk_scan",
+    "sample_temperature_mixture", "sim_topk_pq",
     "sim_topk_ivf_pq", "source_jsonl_roundtrip", "source_orc_roundtrip",
     "text_bpe_tokenize", "sim_hybrid_rrf", "sample_token_budget_cap",
     "dedup_contamination_score", "profile_key_skew",

@@ -7878,16 +7878,17 @@ def sim_hybrid_rrf(spark, sf_dir):
     oracle replays BOTH retriever rankings and the decimal-exact fusion
     score end to end.
 
-    r9: the lexical leg uses bm25_topk mode="scan" (broadcast term
-    scan, no inverted-index build or persist) — for the 3 ad-hoc
-    fusion queries the index's corpus-wide (doc, token) exchange was
-    the leg's dominant cost (sf1 A/B: 1.06s scan vs 1.42s index,
-    identical output); retires the r8 persisted-tf shape for THIS
-    entry while text_bm25_topk keeps the index plan driver-checked."""
+    r9 regime note: both bm25 physical plans were A/B'd here. The
+    term-scan leg wins when the corpus is data-bound (sf1: 1.06s vs
+    1.42s standalone) but LOSES in this sf0.1 composition (warm bench
+    1.42 vs 1.16 best — the extra corpus subtree adds stage latency
+    right where the suite is floor-bound), so this entry keeps the
+    persisted single-build index leg (r8 shape, plan-asserted);
+    text_bm25_topk_scan driver-checks the scan plan on its own."""
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
     qterms = _bm25_queries(spark)
-    lex = (T.bm25_topk(docs, qterms, k=20, mode="scan")
+    lex = (T.bm25_topk(docs, qterms, k=20)
            .select("query_id", "rank", "doc_id"))
     dense = (S.cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=20)
              .select(F.when(F.col("query_id") == 0, "qa")
@@ -8218,12 +8219,12 @@ def sim_hybrid_rrf_ann(spark, sf_dir):
     retriever-agnostic by contract (any (query_id, rank, id) list), so
     this entry is pure composition. Rows-only: the ANN leg's hyperplane
     signatures are engine-side; sibling sim_hybrid_rrf oracle-checks
-    the identical fusion semantics end to end on the exact legs.
-    r9: lexical leg on the scan plan, like the sibling."""
+    the identical fusion semantics end to end on the exact legs
+    (and carries the r9 index-vs-scan regime note)."""
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
     qterms = _bm25_queries(spark)
-    lex = (T.bm25_topk(docs, qterms, k=20, mode="scan")
+    lex = (T.bm25_topk(docs, qterms, k=20)
            .select("query_id", "rank", "doc_id"))
     dense = (S.ann_topk(emb, emb.filter(F.col("vec_id") < 3), k=20)
              .select(F.when(F.col("query_id") == 0, "qa")

@@ -159,11 +159,12 @@ MUST_HAVE = {
     "sim_topk_pq": ["MapInPandas", "WindowGroupLimit",
                     "BroadcastHashJoin"],
     # RRF fusion: final per-query top-k is a WindowGroupLimit; the
-    # lexical half is the r9 BM25 term-scan (BroadcastNestedLoopJoin on
-    # array_contains; dfreq/stats broadcast back) — no index build, no
-    # InMemoryRelation left in the plan
+    # lexical half keeps BM25's broadcast joins and the single-build
+    # persisted tf index (VERDICT r8 item 5: the index must build ONCE
+    # per action — asserted by InMemoryTableScan presence; the r9 scan
+    # leg A/B'd slower in this sf0.1 composition, see the entry)
     "sim_hybrid_rrf": ["WindowGroupLimit", "BroadcastHashJoin",
-                       "BroadcastNestedLoopJoin"],
+                       "InMemoryTableScan"],
     # token budget: one group exchange + a running-sum window, nothing else
     "sample_token_budget_cap": ["Window"],
     # contamination: the eval shingle set must broadcast into the
@@ -298,6 +299,16 @@ MAX_COUNT = {
     "dedup_minhash_lsh": [("array_intersect", 4)],
 }
 
+# query -> [(fragment, min occurrences)] — floors proving subtree REUSE:
+# a persisted relation consumed by N plan branches must show N
+# InMemoryTableScan readers (one build, N reads), not N rebuilt subtrees
+MIN_COUNT = {
+    # VERDICT r8 item 5: the BM25 tf index builds ONCE per action and
+    # all downstream branches (dl, matched) read the cache
+    "sim_hybrid_rrf": [("InMemoryTableScan", 2)],
+    "text_bm25_topk": [("InMemoryTableScan", 2)],
+}
+
 AUDIT = [
     "s1_scan_project", "p3_filter_conj", "j1_dim_join", "j2_three_table",
     "j4_anti_join", "j7_deloop_semi", "a1_a2_j3_grouped_sum_count",
@@ -409,10 +420,17 @@ def main() -> int:
             if n > cap:
                 failures.append(f"{name}: {frag!r} appears {n}x > cap {cap}"
                                 " (expensive-expression duplication)")
+        for frag, floor in MIN_COUNT.get(name, []):
+            n = plan.count(frag)
+            if n < floor:
+                failures.append(f"{name}: {frag!r} appears {n}x < floor "
+                                f"{floor} (expected subtree reuse)")
         checks = (f"must-have: {MUST_HAVE.get(name, [])}  "
                   f"must-not: {MUST_NOT.get(name, [])}"
                   + (f"  max-count: {MAX_COUNT[name]}"
-                     if name in MAX_COUNT else ""))
+                     if name in MAX_COUNT else "")
+                  + (f"  min-count: {MIN_COUNT[name]}"
+                     if name in MIN_COUNT else ""))
         out += [f"## {name}", "", f"_{checks}_", "", "```",
                 plan.rstrip()[:4000], "```", ""]
 

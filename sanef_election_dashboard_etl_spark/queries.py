@@ -1821,22 +1821,38 @@ def a13_count_distinct(spark, sf_dir):
                  F.countDistinct("l_partkey").alias("n_parts")))
 
 
-@query("a14_approx_count_distinct", oracle=None, tags=("rows-only",),
-       sibling="a13_count_distinct", band_eps=0.05, band_oracle="""
+@query("a14_approx_count_distinct", oracle="""
     SELECT l_returnflag,
-           COUNT(DISTINCT l_suppkey) AS n_suppliers_approx
+           COUNT(DISTINCT l_suppkey) AS n_suppliers_exact,
+           abs(approx_count_distinct(l_suppkey)
+               - COUNT(DISTINCT l_suppkey)) * 20
+               <= COUNT(DISTINCT l_suppkey) AS hll_within_5pct
     FROM lineitem GROUP BY l_returnflag
 """)
 def a14_approx_count_distinct(spark, sf_dir):
     """HyperLogLog++ approximate distinct — the 100 TB path where exact
-    expand-aggregate is too expensive; sketch-based, engine-specific
-    estimates (rows-only for the driver; exact twin above is the
-    hash-matched row of record). r8: the local gate additionally
-    asserts the estimate within 5% of the exact distinct (rsd=0.02
-    requested, so 5% is ~2.5 sigma of HLL++'s error bound)."""
+    expand-aggregate is too expensive.
+
+    r9 (VERDICT r8 item 7): upgraded from rows-only to FULL oracle by
+    publishing a driver-hashable surface: the exact distinct (bigint,
+    cross-engine identical) plus `hll_within_5pct` — EACH ENGINE's own
+    HLL estimate checked against that exact count in exact integer
+    arithmetic (|est - exact|*20 <= exact). The raw estimates differ
+    between engines (different sketch impls) and can straddle any fixed
+    bucketization, so the verdict's floor(est/bucket) idea is NOT
+    engine-stable; the band BOOLEAN is — it only diverges if one
+    engine's sketch violates a 5% band (~2.5 sigma of HLL++'s rsd=0.02
+    bound), which is precisely a failure the gate should surface. The
+    exact twin (a13_count_distinct) remains the scaling caveat: at
+    100 TB you run ONLY the sketch; the exact column here is the
+    test-scale guarantee harness."""
+    e = F.count_distinct(F.col("l_suppkey"))
+    a = F.approx_count_distinct("l_suppkey", 0.02)
     return (_t(spark, sf_dir, "lineitem")
             .groupBy("l_returnflag")
-            .agg(F.approx_count_distinct("l_suppkey", 0.02).alias("n_suppliers_approx")))
+            .agg(e.alias("n_suppliers_exact"),
+                 ((F.abs(a - e) * F.lit(20)) <= e)
+                 .alias("hll_within_5pct")))
 
 
 @query("a15_percentiles", oracle="""
@@ -2664,23 +2680,45 @@ def sim_topk_cosine_pandas(spark, sf_dir):
     return S.cosine_topk_pandas(emb, emb.filter(F.col("vec_id") < 10), k=10)
 
 
-@query("a15b_approx_percentile", oracle=None, tags=("rows-only",),
-       sibling="a15_percentiles", band_eps=0.02, band_oracle="""
+@query("a15b_approx_percentile", oracle="""
     SELECT l_returnflag,
-           quantile_cont(l_extendedprice, 0.5) AS p50_approx,
-           quantile_cont(l_extendedprice, 0.95) AS p95_approx
+           quantile_cont(l_extendedprice, 0.5) AS p50,
+           quantile_cont(l_extendedprice, 0.95) AS p95,
+           abs(approx_quantile(l_extendedprice, 0.5)
+               - quantile_cont(l_extendedprice, 0.5))
+               <= 0.02 * abs(quantile_cont(l_extendedprice, 0.5))
+               AS p50_approx_within_2pct,
+           abs(approx_quantile(l_extendedprice, 0.95)
+               - quantile_cont(l_extendedprice, 0.95))
+               <= 0.02 * abs(quantile_cont(l_extendedprice, 0.95))
+               AS p95_approx_within_2pct
     FROM lineitem GROUP BY l_returnflag
 """)
 def a15b_approx_percentile(spark, sf_dir):
-    """Sketch-based percentiles (Greenwald-Khanna) — the 100 TB path where
-    exact percentile's full sort per group is too expensive; exact twin:
-    a15_percentiles. r8: the local gate asserts each estimate within 2%
-    of the exact quantile (GK accuracy=1000 bounds rank error at 1e-3;
-    on this price distribution that is well inside 2% of value)."""
+    """Sketch-based percentiles (Greenwald-Khanna in Spark, t-digest in
+    the DuckDB reference) — the 100 TB path where exact percentile's
+    full sort per group is too expensive; exact twin: a15_percentiles.
+
+    r9 (VERDICT r8 item 7): rows-only -> FULL oracle via the same
+    guarantee-boolean surface as a14: the exact quantiles (bit-identical
+    cross-engine, a15 precedent) plus per-engine booleans asserting the
+    engine's OWN sketch lands within 2% of value of them. Raw sketch
+    outputs can never hash-match (different algorithms); the booleans
+    match by construction unless a sketch breaks its accuracy class
+    (GK accuracy=1000 bounds rank error at 1e-3 — well inside 2% of
+    value on this price distribution; t-digest is ~1e-3 at these
+    quantiles), which is exactly what should fail the gate."""
+    p50a = F.percentile_approx("l_extendedprice", 0.5, 1000)
+    p95a = F.percentile_approx("l_extendedprice", 0.95, 1000)
+    p50e = F.percentile("l_extendedprice", F.lit(0.5))
+    p95e = F.percentile("l_extendedprice", F.lit(0.95))
     return (_t(spark, sf_dir, "lineitem")
             .groupBy("l_returnflag")
-            .agg(F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_approx"),
-                 F.percentile_approx("l_extendedprice", 0.95, 1000).alias("p95_approx")))
+            .agg(p50e.alias("p50"), p95e.alias("p95"),
+                 (F.abs(p50a - p50e) <= F.lit(0.02) * F.abs(p50e))
+                 .alias("p50_approx_within_2pct"),
+                 (F.abs(p95a - p95e) <= F.lit(0.02) * F.abs(p95e))
+                 .alias("p95_approx_within_2pct")))
 
 
 def _lsh_oracle_sql(n_planes: int = 6, n_tables: int = 2, seed: int = 42,
@@ -6661,6 +6699,11 @@ _PINNED = [
     # bpe_text surface; a fresh rows-only green row closes the defect.
     "pipe_hung_councils",   # the flagship (entry()) — a row every round
     "text_bpe_tokenize",    # r9: clear the r8 driver-RED row
+    # r9 (VERDICT r8 item 7): both sketch entries upgraded from
+    # rows-only to full oracles (exact value + per-engine guarantee
+    # boolean) — pin for a fresh full-green driver row of record
+    "a14_approx_count_distinct",
+    "a15b_approx_percentile",
 ]
 
 _WINDOW_SIZE = 50

@@ -14,6 +14,9 @@ python tools/check_oracle.py /root/testdata/sf0.01 | tail -2
 echo "== plan assertions =="
 python tools/explain_audit.py
 
+echo "== pushdown-duplication audit =="
+python tools/dup_expr_audit.py | tail -1
+
 echo "== driver-protocol simulation (vanilla session) =="
 python tools/driver_sim.py | tail -1
 

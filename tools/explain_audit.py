@@ -94,6 +94,11 @@ MUST_HAVE = {
     # (directory-level pruning at planning time, not a row-level filter)
     "layout_partition_pruned_scan": [
         "PartitionFilters: [isnotnull(event_date"],
+    # r9 strip rebuild: the per-doc span arrays BROADCAST into the
+    # corpus scan as the build side of a left-outer join — the corpus
+    # token arrays never shuffle; the only Windows left in the plan
+    # belong to the tiny span-detection subtree
+    "dedup_substring_strip": ["LeftOuter, BuildRight"],
     # substring span dedup: ONE exchange on the gram hash (min!=max
     # window fusion), then the doc-keyed interval merge; the per-doc
     # stats join back by broadcast
@@ -242,6 +247,7 @@ MUST_NOT = {
     # positions join back to dup grams 1:1 — never pairwise, never SMJ
     # (the only joins are the broadcast stats lookup)
     "dedup_substring_stats": ["CartesianProduct", "SortMergeJoin"],
+    "dedup_substring_strip": ["CartesianProduct", "SortMergeJoin"],
     "sim_decontaminate": ["SortMergeJoin", "CartesianProduct"],
     "pipe_training_data_prep": ["CartesianProduct"],
     # decode is a pure narrow map: synthesize -> decode with no shuffle
@@ -325,6 +331,7 @@ AUDIT = [
     "q19_disjunctive_brackets", "sample_weighted", "o1_full_sort",
     "dedup_incremental_bloom", "sim_semantic_dedup", "layout_bucketed_join",
     "layout_partition_pruned_scan", "dedup_substring_stats",
+    "dedup_substring_strip",
     "sim_decontaminate", "pipe_training_data_prep",
     "j13_lateral_topn", "r6_unpivot_native", "e15_variant_json",
     "layout_global_row_number", "snapshot_diff", "pipe_incremental_ingest",

@@ -1538,10 +1538,20 @@ def pagerank(pairs: DataFrame, n_iter: int = 3, damping: float = 0.85,
     R / 10^12 — correctly rounded, engine-identical.
 
     Scale: each iteration is one edge-keyed join + one groupBy on the
-    destination — the Pregel shape. The loop builds ONE lazy plan here
-    (fine for the 3-5 iterations centrality needs); at 100 TB
-    checkpoint R_t per iteration like connected_components does, and
-    pre-partition edges by source so the join side reuses one exchange.
+    destination — the Pregel shape. r9: the edge table and the degree
+    table PERSIST (lazy, MEMORY_AND_DISK), edges pre-partitioned on the
+    source key — without this, every iteration's plan re-expands the
+    upstream pair-generation subtree (DataFrame self-references are
+    duplicated, not CTE-reused), so the pair-generation join ran ~8x
+    inside one 3-iteration action — immaterial for the fixture's cheap
+    cosine pairs but catastrophic when pairs come from a 100 TB
+    shingle join. The u-partitioned cache also feeds deg with no
+    exchange and lets each iteration's edge join reuse one
+    partitioning. Together with the fused zero-fill below, interleaved
+    A/B at sf0.1: 1.64-1.75s -> 1.40-1.53s best, values identical.
+    The loop still builds ONE lazy plan (fine for the 3-5 iterations
+    centrality needs); at 100 TB checkpoint R_t per iteration like
+    connected_components does.
     Output (node_id, pagerank_fp [picoranks], pagerank [double]) for
     every node in the pair graph; isolated docs (no pairs) are absent
     by construction."""
@@ -1556,27 +1566,39 @@ def pagerank(pairs: DataFrame, n_iter: int = 3, damping: float = 0.85,
     tfrac = Fraction(1) - frac
     tn, td = tfrac.numerator, tfrac.denominator
     scale = 10 ** 12
+    from pyspark import StorageLevel
+
     edges = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
              .unionByName(
                  pairs.select(F.col(id_b).alias("u"),
-                              F.col(id_a).alias("v"))))
-    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+                              F.col(id_a).alias("v")))
+             .repartition("u")
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    deg = (edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+           .persist(StorageLevel.MEMORY_AND_DISK))
     nn = deg.agg(F.count(F.lit(1)).alias("nn"))
     r = (deg.select("u").crossJoin(F.broadcast(nn))
          .select("u", F.expr(f"CAST({scale} AS BIGINT) DIV nn")
                  .alias("r")))
+    # r9 depth cut: zero-contribution nodes used to be restored with a
+    # per-iteration LEFT JOIN of sums back onto the node list; unioning
+    # one (v, 0) row per node INTO the contribution aggregate folds
+    # that join into the groupBy exchange the iteration already pays —
+    # same bigint sums (x + 0), one fewer join per iteration. The zero
+    # rows read the persisted deg cache, not a recompute.
+    zeros = deg.select(F.col("u").alias("v"),
+                       F.lit(0).cast("long").alias("c"))
     for _ in range(n_iter):
         contrib = (edges
                    .join(r, "u")
                    .join(deg, "u")
                    .select("v", F.expr("r DIV d").alias("c")))
-        sums = contrib.groupBy("v").agg(F.sum("c").alias("s"))
-        r = (deg.select(F.col("u")).join(
-                sums, F.col("u") == F.col("v"), "left")
-             .crossJoin(F.broadcast(nn))
-             .select("u", F.expr(
+        sums = (contrib.unionByName(zeros)
+                .groupBy("v").agg(F.sum("c").alias("s")))
+        r = (sums.crossJoin(F.broadcast(nn))
+             .select(F.col("v").alias("u"), F.expr(
                  f"CAST({tn} AS BIGINT) * {scale} DIV ({td} * nn) "
-                 f"+ CAST({dn} AS BIGINT) * coalesce(s, 0) DIV {dd}")
+                 f"+ CAST({dn} AS BIGINT) * s DIV {dd}")
                  .alias("r")))
     return r.select(F.col("u").alias("node_id"),
                     F.col("r").alias("pagerank_fp"),

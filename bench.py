@@ -142,7 +142,9 @@ def main() -> None:
     # quiet-machine floor; if the machine never quiets, the full retry
     # trail is stamped into the detail record and appended to SCALE.md
     # so the BENCH_rN.json of record is self-adjudicating.
-    QUIET_FLOOR = 0.057          # r4 quiet record (SCALE.md floor analysis)
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from host_quiet import QUIET_FLOOR  # r4 quiet record, shared anchor
     FLOOR_GATE = round(1.3 * QUIET_FLOOR, 3)
 
     # Single-thread CPU throughput proxy (r8): the noop floor measures
@@ -185,23 +187,19 @@ def main() -> None:
         return round(best, 4)
 
     # r9 (VERDICT r8 item 4): the retry loop gates on ALL THREE quiet
-    # signals — scheduler floor, single-thread cpu proxy (<= 0.062,
-    # the r8 quiet record), and the spark proxy vs 1.3x the last
-    # committed record's value (measured the same day: cpu proxy
-    # 0.0629 read near-quiet while the spark proxy sat at 1.8x its
-    # quiet value and the suite ran 1.4x slow — the whole-stack signal
-    # is the one that actually predicts run quality). A never-quiet
-    # machine still runs after the bounded backoff (~3 min worst
-    # case), with the full trails stamped into the record.
-    QUIET_PROXY = 0.062
-    sp_gate = None
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")) as _f:
-            _prior = json.load(_f).get("spark_proxy_s")
-        sp_gate = round(1.3 * _prior, 4) if _prior else None
-    except (OSError, ValueError):
-        pass
+    # signals — scheduler floor, single-thread cpu proxy, and the
+    # spark proxy (measured the same day: cpu proxy 0.0629 read
+    # near-quiet while the spark proxy sat at 1.8x its quiet value and
+    # the suite ran 1.4x slow — the whole-stack signal is the one that
+    # actually predicts run quality). Anchors come from
+    # tools/host_quiet.py FIXED quiet records, never from the previous
+    # bench output (that would self-ratchet: a loud run's inflated
+    # proxy would loosen the next run's gate — r9 review catch). A
+    # never-quiet machine still runs after the bounded backoff (~3 min
+    # worst case), with the full trails stamped into the record.
+    from host_quiet import CPU_PROXY_QUIET, SPARK_PROXY_QUIET
+    QUIET_PROXY = CPU_PROXY_QUIET
+    sp_gate = round(1.3 * SPARK_PROXY_QUIET, 4)
     run_full(spark.range(1))
     floor_trail: list[float] = []
     proxy_trail: list[float] = []

@@ -85,7 +85,8 @@ def davg_units(su: Column, n: Column, in_scale: int = 0,
     now ENFORCED with raise_error: out-of-headroom fails loudly instead
     of drifting. Cost is one post-aggregation branch per GROUP, not per
     row."""
-    s2 = su * F.lit(10 ** max(0, out_scale - in_scale))
+    up = 10 ** max(0, out_scale - in_scale)
+    s2 = su * F.lit(up)
     d = n * F.lit(10 ** max(0, in_scale - out_scale))
     num = F.abs(s2) * 2 + d
     den = d * 2
@@ -93,12 +94,15 @@ def davg_units(su: Column, n: Column, in_scale: int = 0,
     # double division of an exact multiple below 2^53 is error-free
     q = num - num % den
     # NULL su (SUM over zero rows) passes through as NULL, like SUM.
-    # q >= 0 (ADVICE r8): under non-ANSI Spark (pyspark>=3.5 floor,
-    # ANSI off) an int64 overflow in 2*|s2|+d WRAPS instead of raising;
-    # a wrapped q is negative, so the sign check keeps the guard sound
-    # on every config instead of relying on ANSI to catch the overflow.
+    # Guard soundness under non-ANSI Spark (ADVICE r8 + r9 review): an
+    # int64 overflow WRAPS instead of raising there, and a DOUBLE wrap
+    # can land back in [0, 2^53), so neither q < 2^53 nor q >= 0 alone
+    # is sound. The PRE-MULTIPLY bound on |su| (checked before any
+    # product can wrap: |su|*up*2 stays < 2^53 by construction) closes
+    # the wrap class entirely; the q checks then bound the +d tail.
+    su_ok = F.abs(su) < F.lit(2 ** 53 // (2 * up))
     mu = F.when(
-        su.isNull() | ((q >= F.lit(0)) & (q < F.lit(2 ** 53))),
+        su.isNull() | (su_ok & (q >= F.lit(0)) & (q < F.lit(2 ** 53))),
         (q / den).cast("long")
     ).otherwise(F.raise_error(F.lit(
         "davg exactness bound exceeded: 2*|sum_units| + count >= 2^53; "
@@ -192,11 +196,16 @@ def lratio_units(nu: Column, du: Column, out_scale: int = 4,
     num = a * 2 + du.cast("long")
     den = du.cast("long") * 2
     q = num - num % den
-    # q >= 0 (ADVICE r8): same non-ANSI wraparound hole as davg_units —
-    # an overflowed q goes negative and must hit raise_error, not the
-    # silent-value branch (the docstring's ANSI backstop is config).
+    # Guard soundness under non-ANSI Spark (ADVICE r8 + r9 review):
+    # wraps don't raise there, and a DOUBLE wrap of the multiply can
+    # land q back in [0, 2^53) — so the sound check is the PRE-MULTIPLY
+    # bound on |nu| (below it, a*2 < 2^53 and nothing wraps); the q
+    # checks then bound the +du tail.
+    nu_ok = F.abs(nu).cast("long") < \
+        F.lit(2 ** 53 // (2 * mult * 10 ** out_scale))
     mu = F.when(
-        nu.isNull() | du.isNull() | ((q >= F.lit(0)) & (q < F.lit(2 ** 53))),
+        nu.isNull() | du.isNull()
+        | (nu_ok & (q >= F.lit(0)) & (q < F.lit(2 ** 53))),
         (q / den).cast("long")
     ).otherwise(F.raise_error(F.lit(
         "lratio exactness bound exceeded: 2*|num|*mult*10^scale + den >= "

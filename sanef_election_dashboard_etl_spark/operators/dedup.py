@@ -1244,15 +1244,22 @@ def strip_duplicated_spans(df: DataFrame, k: int = 8, min_df: int = 2,
         F.filter("__toks", lambda tok, i: ~covered(i.cast("long"))))
     # NULL text -> NULL token array: empty output row, like the old
     # explode path (size() is isNull-guarded because size(NULL) is -1
-    # under non-ANSI configs and NULL under ANSI)
+    # under non-ANSI configs and NULL under ANSI). `kept` materializes
+    # in its OWN projection: inlining it into all three output
+    # expressions would evaluate the O(tokens x spans) filter/exists
+    # chain three times per row (higher-order functions are
+    # interpreted, no codegen CSE — r9 review catch); CollapseProject
+    # keeps the two projections separate because the alias is consumed
+    # more than once by non-cheap expressions.
     return (df.select(F.col(id_col),
                       tokens(F.col(text_col)).alias("__toks"))
             .join(F.broadcast(span_arrs), id_col, "left")
+            .select(id_col, kept.alias("__kept"))
             .select(id_col,
-                    F.coalesce(F.array_join(kept, " "), F.lit(""))
+                    F.coalesce(F.array_join("__kept", " "), F.lit(""))
                     .alias("clean_text"),
-                    F.when(kept.isNull(), F.lit(0))
-                    .otherwise(F.size(kept)).cast("long")
+                    F.when(F.col("__kept").isNull(), F.lit(0))
+                    .otherwise(F.size("__kept")).cast("long")
                     .alias("n_tokens_kept")))
 
 
@@ -1551,7 +1558,11 @@ def pagerank(pairs: DataFrame, n_iter: int = 3, damping: float = 0.85,
     A/B at sf0.1: 1.64-1.75s -> 1.40-1.53s best, values identical.
     The loop still builds ONE lazy plan (fine for the 3-5 iterations
     centrality needs); at 100 TB checkpoint R_t per iteration like
-    connected_components does.
+    connected_components does. Cache lifecycle: the two persisted
+    relations live until unpersist/clearCache — same deliberate
+    trade-off as bm25_topk's persisted tf index and the minhash
+    shingle caches (the caller owns the session-level cache budget;
+    a long-lived service should clearCache between corpora).
     Output (node_id, pagerank_fp [picoranks], pagerank [double]) for
     every node in the pair graph; isolated docs (no pairs) are absent
     by construction."""

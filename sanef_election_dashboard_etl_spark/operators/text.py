@@ -930,13 +930,27 @@ def _bm25_topk_scan(df: DataFrame, queries: DataFrame, k: int,
     toks = F.filter(tokens(F.col(text_col)), lambda x: x != "")
     base = df.select(F.col(id_col), toks.alias("__toks"))
     # dl sums exactly the index path's per-doc tf total (count of
-    # non-empty whitespace tokens); NULL text -> NULL toks -> excluded
-    # from total_tokens and unmatched by array_contains, like the
-    # explode path
+    # non-empty whitespace tokens). NULL text -> NULL toks must
+    # contribute 0: under non-ANSI configs size(NULL) is -1 (it would
+    # silently SUBTRACT from total_tokens and skew avgdl vs the index
+    # path — r9 review catch); greatest(size, 0) maps both the ANSI
+    # NULL and the legacy -1 to 0, matching the explode path where a
+    # NULL doc simply has no token rows.
     stats = base.agg(
-        F.sum(F.size("__toks")).cast("long").alias("total_tokens"),
+        F.sum(F.greatest(F.size("__toks"), F.lit(0))).cast("long")
+        .alias("total_tokens"),
         F.count(F.lit(1)).alias("n_docs"))
     qterms = queries.select("query_id", F.col("term").alias("token"))
+    # matched is consumed by BOTH dfreq and the score join; without
+    # the (lazy) persist each consumer re-expands the corpus
+    # BroadcastNestedLoopJoin sweep — two full array_contains passes
+    # over the corpus per action (r9 review catch; DataFrame
+    # self-references duplicate subtrees, the same pitfall the index
+    # path persists tf for). The cached relation is o(|matches|) rows
+    # of integers. Cache lifecycle caveat: lives until
+    # clearCache/unpersist, like bm25's persisted tf index.
+    from pyspark import StorageLevel
+
     matched = (base.join(
         F.broadcast(qterms),
         F.array_contains(F.col("__toks"), F.col("token")))
@@ -945,7 +959,8 @@ def _bm25_topk_scan(df: DataFrame, queries: DataFrame, k: int,
             F.size(F.filter(
                 "__toks", lambda x: x == F.col("token"))).cast("long")
             .alias("tf"),
-            F.size("__toks").cast("long").alias("dl")))
+            F.size("__toks").cast("long").alias("dl"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     dfreq = (matched.select("token", id_col).distinct()
              .groupBy("token").agg(F.count(F.lit(1)).alias("df_docs")))
     scored = (matched
@@ -977,13 +992,31 @@ def _bm25_topk_scan(df: DataFrame, queries: DataFrame, k: int,
 # BPE tokenization (train on a sample, apply distributed)
 # --------------------------------------------------------------------------
 
+import re as _re
+
+# ASCII-whitespace splitter for the Python (Arrow-UDF) side of the BPE
+# family — the EXACT character class of Java regex \s, i.e. what
+# tokens() / F.split(text, "\\s+") splits on engine-side. Python's
+# str.split() is Unicode-aware (NBSP, \x1c-\x1f, thin spaces...) while
+# Java \s is ASCII-only, so a str.split() here would tokenize real web
+# text differently from every Spark-side consumer (tokens(),
+# bpe_encode_distinct's explode) — r9 review catch. One definition,
+# both UDF tiers use it.
+_ASCII_WS = _re.compile(r"[ \t\n\r\f\x0b]+")
+
+
+def _ws_words(t: str) -> list:
+    """ASCII-whitespace words of t, empties dropped (Java-\\s parity)."""
+    return [w for w in _ASCII_WS.split(t) if w]
+
+
 def _bpe_word_counts(texts) -> dict:
     """Whitespace-word frequency table with the </w> end marker."""
     counts: dict = {}
     for t in texts:
         if not t:
             continue
-        for w in t.split():
+        for w in _ws_words(t):
             counts[w] = counts.get(w, 0) + 1
     return counts
 
@@ -1088,7 +1121,7 @@ def bpe_encode(df: DataFrame, merges: list, id_col: str = "doc_id",
                     counts.append(0)
                     continue
                 pieces: list = []
-                for w in t.split():
+                for w in _ws_words(t):
                     got = cache.get(w)
                     if got is None:
                         got = _bpe_segment(w, ranks)

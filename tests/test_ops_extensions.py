@@ -2173,6 +2173,41 @@ def test_bm25_topk_multi_term_sums_and_k_cap(spark):
         min(r["doc_id"] for r in out) == 1
 
 
+def test_bm25_scan_mode_identical_incl_null_and_empty_text(spark):
+    """r9: the term-scan plan must emit byte-identical (rank, score)
+    rows to the index plan on EVERY input — including NULL and
+    empty-text docs, where size(NULL) = -1 under non-ANSI configs
+    would silently skew scan-mode total_tokens/avgdl (review catch:
+    greatest(size, 0) now pins the NULL contribution to 0 like the
+    explode path's absent rows)."""
+    df = spark.createDataFrame(
+        [(1, "cat cat cat dog"),
+         (2, "cat dog bird fish mouse wolf"),
+         (3, None),
+         (4, ""),
+         (5, "cat " * 2 + "filler " * 30)],
+        "doc_id long, text string")
+    q = spark.createDataFrame(
+        [("q1", "cat"), ("q1", "dog"), ("q2", "bird")],
+        "query_id string, term string")
+    a = sorted(map(tuple, T.bm25_topk(df, q, k=10).collect()))
+    spark.catalog.clearCache()
+    b = sorted(map(tuple, T.bm25_topk(df, q, k=10, mode="scan").collect()))
+    assert a == b
+    prior = spark.conf.get("spark.sql.ansi.enabled", None)
+    spark.conf.set("spark.sql.ansi.enabled", "false")  # size(NULL) = -1
+    try:
+        spark.catalog.clearCache()
+        c = sorted(map(tuple,
+                       T.bm25_topk(df, q, k=10, mode="scan").collect()))
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.ansi.enabled")
+        else:
+            spark.conf.set("spark.sql.ansi.enabled", prior)
+    assert c == a
+
+
 def test_temperature_mixture_flattens_mix(spark):
     from sanef_election_dashboard_etl_spark.operators import sampling as SMP
     # skewed corpus: s0 has 16x the tokens of s1
@@ -2353,7 +2388,12 @@ def test_bpe_encode_distinct_matches_batch_cache(spark):
             .select("doc_id", "text")
             .unionByName(spark.createDataFrame(
                 [(900001, ""), (900002, None),
-                 (900003, "  spaced   out  tokens ")],
+                 (900003, "  spaced   out  tokens "),
+                 # NBSP + thin space: Java \s does NOT split these, so
+                 # both encoders must treat each as ONE word (the
+                 # Python side uses _ws_words, Java-\s parity — a
+                 # str.split() there would tokenize differently)
+                 (900004, "foo\u00a0bar baz\u2009qux")],
                 "doc_id long, text string")))
     merges = T.bpe_train(docs, n_merges=50, train_n=64)
     a = {r["doc_id"]: (r["n_bpe_tokens"], r["bpe_tokens"])

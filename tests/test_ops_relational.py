@@ -434,3 +434,31 @@ def test_lratio_units_matches_dratio_and_guard(spark):
     with pytest.raises(SparkRuntimeException, match="lratio exactness"):
         big.select(lratio_units(F.col("nu"), F.col("du")).alias("l")) \
            .collect()
+
+
+def test_lratio_guard_catches_double_wrap_with_ansi_off(spark):
+    """r9 review catch: under non-ANSI Spark an int64 multiply WRAPS,
+    and a DOUBLE wrap can land q back in [0, 2^53) — nu ~ 9.2e14 wraps
+    a = nu*2e4 negative, then num = a*2 + du wraps again to a small
+    positive, so the old (q >= 0) & (q < 2^53) guard passed and a
+    silently wrong ratio came back. The pre-multiply |nu| bound must
+    raise instead, on every ANSI setting."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from sanef_election_dashboard_etl_spark.functions.numeric import (
+        lratio_units)
+
+    prior = spark.conf.get("spark.sql.ansi.enabled", None)
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        df = spark.createDataFrame([(922_337_203_685_478, 1)],
+                                   "nu long, du long")
+        with pytest.raises(SparkRuntimeException, match="lratio exactness"):
+            df.select(lratio_units(F.col("nu"), F.col("du")).alias("l")) \
+              .collect()
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.ansi.enabled")
+        else:
+            spark.conf.set("spark.sql.ansi.enabled", prior)

@@ -100,7 +100,7 @@ def compute(prev_path: str | None = None,
     # dividing a loud run by its proxy under-corrects and manufactures
     # flags. Loud runs fall back to the median band and are
     # non-adjudicating by the floor guard anyway.
-    QUIET_PROXY = 0.062  # r8 quiet record (VERDICT r8 item 4)
+    from host_quiet import CPU_PROXY_QUIET as QUIET_PROXY  # shared anchor
     p_prev, p_cur = prev.get("cpu_proxy_s"), cur.get("cpu_proxy_s")
     proxy_ratio = round(p_cur / p_prev, 3) if p_prev and p_cur else None
     quiet = (proxy_ratio is not None

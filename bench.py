@@ -29,10 +29,16 @@ Methodology (BASELINE.md gate is 2x single-node pandas at the same sf):
   "Bench floor analysis" breaks down which BASELINE rows sit below it).
 - the CSV sink times write-out of a cached 50k frame (pandas' to_csv
   also serializes an in-memory frame).
+- side effects (r10): a bare run writes detail only to the gitignored
+  .bench/ dir and never touches tracked files — the driver's
+  post-close bench leaves `git status` clean by construction. Builder
+  in-round runs pass --record to refresh BENCH_DETAIL.* and the
+  SCALE.md diff section.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -95,7 +101,19 @@ HEADLINE = (
 )
 
 
-def main() -> None:
+def main(argv: list[str] | None = None) -> None:
+    # Side-effect discipline (r10, VERDICT r9 item 2): a bare `python
+    # bench.py` — what the driver runs post-close — must leave the git
+    # tree untouched. By default the detail record goes to the
+    # gitignored .bench/ directory and SCALE.md / BENCH_DETAIL.* are
+    # never written; the builder's in-round runs pass --record to
+    # refresh the tracked detail files and the SCALE.md diff section.
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--record", action="store_true",
+                    help="write tracked BENCH_DETAIL.* and refresh the "
+                         "SCALE.md diff section (in-round builder use); "
+                         "default writes only gitignored .bench/ files")
+    args = ap.parse_args(argv)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("sanef-etl-bench")
@@ -197,8 +215,12 @@ def main() -> None:
     # proxy would loosen the next run's gate — r9 review catch). A
     # never-quiet machine still runs after the bounded backoff (~3 min
     # worst case), with the full trails stamped into the record.
+    # All three gates carry the same 1.3x headroom over their quiet
+    # anchors (ADVICE r9: the cpu gate previously sat AT the raw anchor,
+    # so a healthy 0.0629 read — the file's own 'near-quiet' example —
+    # exhausted all 8 backoff rounds before every bench).
     from host_quiet import CPU_PROXY_QUIET, SPARK_PROXY_QUIET
-    QUIET_PROXY = CPU_PROXY_QUIET
+    cp_gate = round(1.3 * CPU_PROXY_QUIET, 4)
     sp_gate = round(1.3 * SPARK_PROXY_QUIET, 4)
     run_full(spark.range(1))
     floor_trail: list[float] = []
@@ -211,8 +233,8 @@ def main() -> None:
         proxy_trail.append(cpu_proxy())
         sproxy_trail.append(spark_proxy())
         if (floor_trail[-1] <= FLOOR_GATE
-                and proxy_trail[-1] <= QUIET_PROXY
-                and (sp_gate is None or sproxy_trail[-1] <= sp_gate)):
+                and proxy_trail[-1] <= cp_gate
+                and sproxy_trail[-1] <= sp_gate):
             break
         time.sleep(5.0 * (attempt + 1))
     floor = min(floor_trail)
@@ -222,16 +244,17 @@ def main() -> None:
         print(f"bench floor guard: ambient load persists — floor trail "
               f"{floor_trail} all > gate {FLOOR_GATE}s; numbers below "
               f"carry the ambient band", file=sys.stderr)
-        try:
-            here0 = os.path.dirname(os.path.abspath(__file__))
-            with open(os.path.join(here0, "SCALE.md"), "a") as f:
-                f.write(
-                    "\n- bench floor-guard retry trail (loaded machine): "
-                    f"trail={floor_trail} gate={FLOOR_GATE}s — this run's "
-                    "record is ambient-inflated; compare via bench_diff "
-                    "band division, not raw numbers.\n")
-        except OSError:
-            pass
+        if args.record:
+            try:
+                here0 = os.path.dirname(os.path.abspath(__file__))
+                with open(os.path.join(here0, "SCALE.md"), "a") as f:
+                    f.write(
+                        "\n- bench floor-guard retry trail (loaded machine): "
+                        f"trail={floor_trail} gate={FLOOR_GATE}s — this run's "
+                        "record is ambient-inflated; compare via bench_diff "
+                        "band division, not raw numbers.\n")
+            except OSError:
+                pass
 
     # scan metric (BASELINE.md's `parquet scan, lineitem` row; like the
     # pandas row, warm process + OS page cache, uncached in the engine)
@@ -381,12 +404,17 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — verdict is best-effort
             print(f"band verdict skipped: {exc}", file=sys.stderr)
     # route detail by scale so an sf1 run never clobbers the sf0.1
-    # record (bench_diff and the round diff read the sf0.1 one)
+    # record (bench_diff and the round diff read the sf0.1 one).
+    # Default runs land in the gitignored .bench/ dir (untracked by
+    # construction — the driver's post-close bench leaves the tree
+    # clean); --record refreshes the tracked repo-root copies.
     stem = "BENCH_DETAIL" if sf == "0.1" else \
         "BENCH_SF%s_DETAIL" % sf.replace(".", "_")
-    with open(os.path.join(here, stem + ".json"), "w") as f:
+    out_dir = here if args.record else os.path.join(here, ".bench")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, stem + ".json"), "w") as f:
         json.dump(detail, f, indent=1)
-    with open(os.path.join(here, stem + ".md"), "w") as f:
+    with open(os.path.join(out_dir, stem + ".md"), "w") as f:
         f.write("# Bench detail (written by bench.py; sf=%s, reps=%d)\n\n"
                 % (sf, REPS))
         f.write("best-of-%d is the headline (printed JSON line); median/"
@@ -400,11 +428,13 @@ def main() -> None:
                 medians.get(name, ""), spreads.get(name, ""),
                 aqe_on.get(name, "")))
     # round-over-round regression tracker rides along on every sf0.1
-    # bench run (VERDICT r4 item 7): refresh SCALE.md's diff section
+    # RECORD run (VERDICT r4 item 7): refresh SCALE.md's diff section
     # against the newest parseable driver record. Runs BEFORE the
     # compact line so the driver's ~2KB stdout tail still ends with the
     # JSON record; a tracker failure must never break the bench record.
-    if sf == "0.1":
+    # Default runs skip it — the band verdict is already embedded in
+    # the payload above, and rewriting SCALE.md would dirty the tree.
+    if sf == "0.1" and args.record:
         try:
             sys.path.insert(0, os.path.join(here, "tools"))
             import bench_diff

@@ -86,8 +86,9 @@ def davg_units(su: Column, n: Column, in_scale: int = 0,
     of drifting. Cost is one post-aggregation branch per GROUP, not per
     row."""
     up = 10 ** max(0, out_scale - in_scale)
+    down = 10 ** max(0, in_scale - out_scale)
     s2 = su * F.lit(up)
-    d = n * F.lit(10 ** max(0, in_scale - out_scale))
+    d = n * F.lit(down)
     num = F.abs(s2) * 2 + d
     den = d * 2
     # exact floor division on longs: subtract the remainder, then the
@@ -97,12 +98,17 @@ def davg_units(su: Column, n: Column, in_scale: int = 0,
     # Guard soundness under non-ANSI Spark (ADVICE r8 + r9 review): an
     # int64 overflow WRAPS instead of raising there, and a DOUBLE wrap
     # can land back in [0, 2^53), so neither q < 2^53 nor q >= 0 alone
-    # is sound. The PRE-MULTIPLY bound on |su| (checked before any
-    # product can wrap: |su|*up*2 stays < 2^53 by construction) closes
-    # the wrap class entirely; the q checks then bound the +d tail.
+    # is sound. PRE-MULTIPLY bounds close the wrap class on BOTH
+    # operands (ADVICE r9: su_ok alone left d = n*10^(in-out) able to
+    # wrap under a huge count with in_scale >> out_scale — a
+    # wrapped-small-positive d could land q back in [0, 2^53) with a
+    # silently wrong mean): |su|*up*2 and n*down*2 each stay < 2^53 by
+    # construction, so no product wraps; the q checks then bound the
+    # +d tail.
     su_ok = F.abs(su) < F.lit(2 ** 53 // (2 * up))
+    n_ok = n < F.lit(2 ** 53 // (2 * down))
     mu = F.when(
-        su.isNull() | (su_ok & (q >= F.lit(0)) & (q < F.lit(2 ** 53))),
+        su.isNull() | (su_ok & n_ok & (q >= F.lit(0)) & (q < F.lit(2 ** 53))),
         (q / den).cast("long")
     ).otherwise(F.raise_error(F.lit(
         "davg exactness bound exceeded: 2*|sum_units| + count >= 2^53; "

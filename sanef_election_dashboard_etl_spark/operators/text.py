@@ -855,8 +855,14 @@ def bm25_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     """
     from pyspark.sql import Window
 
+    if mode not in ("index", "scan"):
+        # a silent fall-through on a typo ('Scan', 'term-scan') would
+        # run the inverted-index plan the caller didn't ask for
+        raise ValueError(
+            f"bm25_topk: unknown mode {mode!r} (expected 'index' or 'scan')")
     if mode == "scan":
-        return _bm25_topk_scan(df, queries, k, k1, b, id_col, text_col)
+        return _bm25_topk_scan(df, queries, k, k1, b, id_col, text_col,
+                               persist_index)
 
     tok = exploded_tokens(df, id_col, text_col).filter(F.col("token") != "")
     tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
@@ -913,7 +919,8 @@ def bm25_topk(df: DataFrame, queries: DataFrame, k: int = 10,
 
 def _bm25_topk_scan(df: DataFrame, queries: DataFrame, k: int,
                     k1: float, b: float,
-                    id_col: str, text_col: str) -> DataFrame:
+                    id_col: str, text_col: str,
+                    persist_index: bool = True) -> DataFrame:
     """bm25_topk mode="scan" body — see the dispatcher docstring.
 
     Plan: documents scan -> BroadcastNestedLoopJoin(array_contains)
@@ -949,6 +956,11 @@ def _bm25_topk_scan(df: DataFrame, queries: DataFrame, k: int,
     # path persists tf for). The cached relation is o(|matches|) rows
     # of integers. Cache lifecycle caveat: lives until
     # clearCache/unpersist, like bm25's persisted tf index.
+    # persist_index=False threads through from the dispatcher (ADVICE
+    # r9 — it used to be silently ignored here): opting out accepts
+    # TWO full array_contains sweeps over the corpus per action (dfreq
+    # + score both re-expand the broadcast join subtree), for callers
+    # that manage caching themselves or run strictly once.
     from pyspark import StorageLevel
 
     matched = (base.join(
@@ -959,8 +971,9 @@ def _bm25_topk_scan(df: DataFrame, queries: DataFrame, k: int,
             F.size(F.filter(
                 "__toks", lambda x: x == F.col("token"))).cast("long")
             .alias("tf"),
-            F.size("__toks").cast("long").alias("dl"))
-        .persist(StorageLevel.MEMORY_AND_DISK))
+            F.size("__toks").cast("long").alias("dl")))
+    if persist_index:
+        matched = matched.persist(StorageLevel.MEMORY_AND_DISK)
     dfreq = (matched.select("token", id_col).distinct()
              .groupBy("token").agg(F.count(F.lit(1)).alias("df_docs")))
     scored = (matched

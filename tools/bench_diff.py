@@ -65,7 +65,12 @@ def compute(prev_path: str | None = None,
     query -> band-adjusted delta vs prev and rows carries the full
     per-query tuples for the detail file."""
     if cur is None:
-        with open(os.path.join(ROOT, "BENCH_DETAIL.json")) as f:
+        cands = [p for p in (
+            os.path.join(ROOT, ".bench", "BENCH_DETAIL.json"),
+            os.path.join(ROOT, "BENCH_DETAIL.json")) if os.path.exists(p)]
+        if not cands:
+            raise SystemExit("no BENCH_DETAIL.json found — run bench.py")
+        with open(max(cands, key=os.path.getmtime)) as f:
             cur = json.load(f)
     prev_name, prev = load_prev(prev_path)
     prev_spread = prev.get("queries_spread", {})
@@ -112,9 +117,23 @@ def compute(prev_path: str | None = None,
     # Unlike the median-of-ratios band it is code-independent, so a
     # change that slows EVERY query still flags instead of being
     # absorbed into the band.
+    # r10 (ADVICE r9): like the cpu proxy, the spark ratio only
+    # normalizes QUIET-vs-QUIET compares — a loud host degrades query
+    # throughput NON-uniformly (IO-bound scans vs window-heavy plans
+    # bottleneck differently than the fixed codegen-agg proxy job), so
+    # dividing a loud record by the proxy can under/over-correct per
+    # query. Both sides must clear the 1.3x spark quiet band; loud
+    # pairs fall back to the cpu-proxy/median chain and the summary
+    # line says so, so flags from such compares read as
+    # non-adjudicating.
+    from host_quiet import SPARK_PROXY_QUIET
+    sp_gate = round(1.3 * SPARK_PROXY_QUIET, 4)
     sp_prev, sp_cur = prev.get("spark_proxy_s"), cur.get("spark_proxy_s")
     spark_ratio = round(sp_cur / sp_prev, 3) if sp_prev and sp_cur else None
-    norm = spark_ratio or (proxy_ratio if quiet else band_factor)
+    spark_quiet = (spark_ratio is not None
+                   and sp_prev <= sp_gate and sp_cur <= sp_gate)
+    norm = (spark_ratio if spark_quiet
+            else (proxy_ratio if quiet else band_factor))
 
     flagged, deltas, rows = [], {}, []
     for name, now in sorted(med.items()):
@@ -138,7 +157,7 @@ def compute(prev_path: str | None = None,
                      delta, verdict))
     return {"prev": prev_name, "prev_sf": prev.get("sf"),
             "band_factor": band_factor, "proxy_ratio": proxy_ratio,
-            "spark_proxy_ratio": spark_ratio,
+            "spark_proxy_ratio": spark_ratio, "spark_quiet": spark_quiet,
             "norm": norm, "flagged": flagged,
             "deltas": deltas, "rows": rows,
             "floor_prev": prev.get("floor_noop_job"),
@@ -153,7 +172,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="print only; don't rewrite the SCALE.md section")
     args = ap.parse_args(argv)
 
-    with open(os.path.join(ROOT, "BENCH_DETAIL.json")) as f:
+    # prefer the freshest detail record: bench.py default runs write to
+    # the gitignored .bench/ dir, --record runs to the repo root (r10
+    # side-effect discipline) — pick whichever was written last
+    cands = [p for p in (os.path.join(ROOT, ".bench", "BENCH_DETAIL.json"),
+                         os.path.join(ROOT, "BENCH_DETAIL.json"))
+             if os.path.exists(p)]
+    if not cands:
+        raise SystemExit("no BENCH_DETAIL.json found — run bench.py first")
+    with open(max(cands, key=os.path.getmtime)) as f:
         cur = json.load(f)
     res = compute(args.prev, cur)
     prev_name, band_factor, flagged = \
@@ -177,11 +204,18 @@ def main(argv: list[str] | None = None) -> int:
     floor_note = (f"; floor ratio {round(f_cur / f_prev, 2)}x "
                   f"({f_prev}s -> {f_cur}s)"
                   if f_prev and f_cur else "")
-    if res.get("spark_proxy_ratio") and res["norm"] == res["spark_proxy_ratio"]:
+    if res.get("spark_quiet") and res["norm"] == res["spark_proxy_ratio"]:
         norm_note = (f"spark-parallel-proxy ratio "
                      f"{res['spark_proxy_ratio']}x divided out "
-                     f"(whole-stack; median band {band_factor}x, "
+                     f"(whole-stack, quiet-vs-quiet; median band "
+                     f"{band_factor}x, "
                      f"cpu proxy {res.get('proxy_ratio')}x corroborate)")
+    elif res.get("spark_proxy_ratio") and not res.get("spark_quiet") \
+            and res["norm"] == res.get("proxy_ratio"):
+        norm_note = (f"cpu-proxy ratio {res['proxy_ratio']}x divided out "
+                     f"(spark proxy {res['spark_proxy_ratio']}x present "
+                     f"but a side was LOUD — not used; flags here are "
+                     f"non-adjudicating)")
     elif res["norm"] == res.get("proxy_ratio"):
         norm_note = (f"cpu-proxy ratio {res['proxy_ratio']}x divided out "
                      f"(quiet-vs-quiet; median-of-ratios band "

@@ -6697,13 +6697,21 @@ _PINNED = [
     # only driver-RED row of record (r8 canonicalizer TypeError on the
     # old array<string> surface). The entry now projects a scalar
     # bpe_text surface; a fresh rows-only green row closes the defect.
+    # r10 (VERDICT r9 item 4): the r9 pins (text_bpe_tokenize + both
+    # sketch entries) each landed their fresh r9 row of record, so they
+    # unpin. Their slots — plus five more — pin the eight reference
+    # pipelines whose driver rows date from r2, seven rounds of code
+    # drift ago (incl. the ratio/units migrations): locally green every
+    # round, but the rows of record deserve a refresh.
     "pipe_hung_councils",   # the flagship (entry()) — a row every round
-    "text_bpe_tokenize",    # r9: clear the r8 driver-RED row
-    # r9 (VERDICT r8 item 7): both sketch entries upgraded from
-    # rows-only to full oracles (exact value + per-engine guarantee
-    # boolean) — pin for a fresh full-green driver row of record
-    "a14_approx_count_distinct",
-    "a15b_approx_percentile",
+    "pipe_voter_turnout",
+    "pipe_ward_votes_by_party",
+    "pipe_ward_votes_by_candidate",
+    "pipe_ward_councillor_elected",
+    "pipe_pr_votes_by_party",
+    "pipe_seats_won",
+    "pipe_councils_won_by_party",
+    "pipe_list_of_hung_councils",
 ]
 
 _WINDOW_SIZE = 50

@@ -28,6 +28,7 @@ import random
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cache import scoped_persist
 from ..functions.numeric import ratio
 from .text import fingerprint, tokens
 
@@ -278,13 +279,13 @@ def minhash_lsh_pairs(df: DataFrame, n: int = 3, k: int = 32, bands: int = 8,
     # verification join, sizes): persist it instead of recomputing the
     # tokenize+explode 4x. At cluster scale, checkpoint to storage instead
     # of memory — same plan shape.
-    grams = grams.persist()
+    grams = scoped_persist(grams)
     # sig feeds banding, the estimate prefilter (both sides), and the
     # size lookups (both sides) — five subtree occurrences; one row per
     # doc (k longs + count), so persist it rather than re-running the
     # gram aggregation per consumer. Same checkpoint-to-storage note as
     # grams at cluster scale.
-    sig = minhash_signatures(grams, k, seed, id_col).persist()
+    sig = scoped_persist(minhash_signatures(grams, k, seed, id_col))
 
     band_structs = F.array(*[
         F.struct(
@@ -446,7 +447,7 @@ def minhash_lsh_pairs_portable(df: DataFrame, n: int = 3, k: int = 16,
     grams = shingles(df, n, id_col, text_col) if n > 1 else token_set(df, id_col, text_col)
     if max_df is not None:
         grams = drop_hot_shingles(grams, max_df, id_col)
-    grams = grams.persist()
+    grams = scoped_persist(grams)
 
     h = F.pmod(portable_hash("shingle"), F.lit(_P)).alias("h")
     with_h = grams.select(F.col(id_col), h)
@@ -836,7 +837,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                        F.col(id_b).cast("long").alias("v"))
     edges = fwd.union(fwd.select(F.col("v").alias("u"),
                                  F.col("u").alias("v"))).distinct()
-    edges = edges.persist()
+    edges = scoped_persist(edges)
     labels = (edges.select("u").distinct()
               .select(F.col("u").alias("v"), F.col("u").alias("label")))
     rounds = 0
@@ -1558,11 +1559,13 @@ def pagerank(pairs: DataFrame, n_iter: int = 3, damping: float = 0.85,
     A/B at sf0.1: 1.64-1.75s -> 1.40-1.53s best, values identical.
     The loop still builds ONE lazy plan (fine for the 3-5 iterations
     centrality needs); at 100 TB checkpoint R_t per iteration like
-    connected_components does. Cache lifecycle: the two persisted
-    relations live until unpersist/clearCache — same deliberate
-    trade-off as bm25_topk's persisted tf index and the minhash
-    shingle caches (the caller owns the session-level cache budget;
-    a long-lived service should clearCache between corpora).
+    connected_components does. Cache lifecycle (r10, VERDICT r9 item
+    5): the two persisted relations route through cache.scoped_persist
+    — wrap the call plus its consuming actions in `with cache_scope():`
+    to release them structurally at scope exit; outside a scope they
+    live until unpersist/clearCache, the same deliberate index-is-a-
+    table trade-off as bm25_topk's persisted tf index and the minhash
+    shingle caches (the caller owns the session-level cache budget).
     Output (node_id, pagerank_fp [picoranks], pagerank [double]) for
     every node in the pair graph; isolated docs (no pairs) are absent
     by construction."""
@@ -1583,10 +1586,11 @@ def pagerank(pairs: DataFrame, n_iter: int = 3, damping: float = 0.85,
              .unionByName(
                  pairs.select(F.col(id_b).alias("u"),
                               F.col(id_a).alias("v")))
-             .repartition("u")
-             .persist(StorageLevel.MEMORY_AND_DISK))
-    deg = (edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-           .persist(StorageLevel.MEMORY_AND_DISK))
+             .repartition("u"))
+    edges = scoped_persist(edges, StorageLevel.MEMORY_AND_DISK)
+    deg = scoped_persist(
+        edges.groupBy("u").agg(F.count(F.lit(1)).alias("d")),
+        StorageLevel.MEMORY_AND_DISK)
     nn = deg.agg(F.count(F.lit(1)).alias("nn"))
     r = (deg.select("u").crossJoin(F.broadcast(nn))
          .select("u", F.expr(f"CAST({scale} AS BIGINT) DIV nn")

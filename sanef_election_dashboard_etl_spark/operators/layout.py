@@ -297,7 +297,8 @@ def global_row_number(df: DataFrame, order_by: Sequence[str],
         ranged = ranged.checkpoint(eager=True)
     elif checkpoint == "persist":
         from pyspark import StorageLevel
-        ranged = ranged.persist(StorageLevel.DISK_ONLY)
+        from ..cache import scoped_persist
+        ranged = scoped_persist(ranged, StorageLevel.DISK_ONLY)
     elif checkpoint == "local":
         ranged = ranged.localCheckpoint(eager=True)
     else:

@@ -26,6 +26,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import scoped_persist
+
 
 def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -1495,8 +1497,8 @@ def mmr_rerank(emb: DataFrame, queries: DataFrame, k: int = 4,
         F.desc("rel"), F.asc("neighbor_id"))
     cand = (scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= pool)
-            .select("query_id", "neighbor_id", "rel", "cv", "cn")
-            .persist())
+            .select("query_id", "neighbor_id", "rel", "cv", "cn"))
+    cand = scoped_persist(cand)
     a = cand.select(F.col("query_id"), F.col("neighbor_id").alias("ida"),
                     F.col("cv").alias("va"), F.col("cn").alias("na"))
     b = cand.select(F.col("query_id"), F.col("neighbor_id").alias("idb"),
@@ -1505,8 +1507,8 @@ def mmr_rerank(emb: DataFrame, queries: DataFrame, k: int = 4,
             .filter(F.col("ida") != F.col("idb"))
             .withColumn("s", dot(F.col("va"), F.col("vb")) /
                         (F.col("na") * F.col("nb")))
-            .select("query_id", "ida", "idb", "s")
-            .persist())
+            .select("query_id", "ida", "idb", "s"))
+    sims = scoped_persist(sims)
 
     def argmax(df: DataFrame, score: str) -> DataFrame:
         ws = Window.partitionBy("query_id").orderBy(
@@ -1537,7 +1539,7 @@ def mmr_rerank(emb: DataFrame, queries: DataFrame, k: int = 4,
     res = out[0]
     for o in out[1:]:
         res = res.unionByName(o)
-    res = res.select("query_id", "rank", "neighbor_id").persist()
+    res = scoped_persist(res.select("query_id", "rank", "neighbor_id"))
     # Cache lifecycle (ADVICE r5): materialize the |queries| x k result
     # (tiny by contract), then release the cand/sims scratch caches —
     # they would otherwise pin |queries| x pool (+ pairwise) partitions
@@ -1581,8 +1583,8 @@ def kmeans_fit(emb: DataFrame, k: int = 4, n_iter: int = 2,
     from ..functions.numeric import davg
     from pyspark.sql import Window
 
-    v = emb.select(F.col(id_col).alias("__vid"),
-                   _as_double(F.col(vec_col)).alias("__v")).persist()
+    v = scoped_persist(emb.select(F.col(id_col).alias("__vid"),
+                       _as_double(F.col(vec_col)).alias("__v")))
     seeds = (v.orderBy("__vid").limit(k)
              .withColumn("cluster",
                          (F.row_number().over(Window.orderBy("__vid")) - 1)
@@ -1609,12 +1611,12 @@ def kmeans_fit(emb: DataFrame, k: int = 4, n_iter: int = 2,
         per = (d.groupBy("cluster", "__i")
                .agg(davg(F.round(F.col("__x"), 6), scale=6, out_scale=6)
                     .alias("__cx")))
-        return (per.groupBy("cluster")
-                .agg(F.transform(
-                    F.sort_array(F.collect_list(
-                        F.struct("__i", "__cx"))),
-                    lambda s: s["__cx"]).alias("__c"))
-                .persist())
+        return scoped_persist(
+            per.groupBy("cluster")
+            .agg(F.transform(
+                F.sort_array(F.collect_list(
+                    F.struct("__i", "__cx"))),
+                lambda s: s["__cx"]).alias("__c")))
 
     # Cache lifecycle (ADVICE r5): each iteration's centroid table is
     # materialized eagerly (k rows — the count triggers the real Lloyd
@@ -1626,15 +1628,15 @@ def kmeans_fit(emb: DataFrame, k: int = 4, n_iter: int = 2,
     # columns) and last `cent` (k rows) stay cached for the caller —
     # kmeans consumers (ivf_topk_verified, semantic_dedup_lloyd) read
     # them repeatedly; callers MAY unpersist them when done.
-    cent = seeds.persist()
+    cent = scoped_persist(seeds)
     for _ in range(n_iter):
         prev_cent = cent
         cent = update(assign(cent))
         cent.count()
         prev_cent.unpersist()
-    final = assign(cent).select(
+    final = scoped_persist(assign(cent).select(
         F.col("__vid").alias(id_col),
-        F.col("cluster").cast("long").alias("cluster")).persist()
+        F.col("cluster").cast("long").alias("cluster")))
     final.count()
     v.unpersist()
     centroids = cent.select("cluster", F.col("__c").alias("centroid"))

@@ -1,0 +1,88 @@
+"""cache_scope() lifecycle hygiene (VERDICT r9 item 5): operator
+persists taken inside a scope are released at scope exit — no net
+increase in the context's persistent RDDs — while out-of-scope
+behavior (persist until clearCache, the index-reuse architecture)
+is unchanged."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sanef_election_dashboard_etl_spark.cache import cache_scope, scoped_persist
+
+
+def _n_persisted(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = [(i, f"alpha beta gamma delta doc{i} beta") for i in range(40)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_scope_releases_bm25_index(spark, corpus):
+    spark.catalog.clearCache()
+    queries = spark.createDataFrame(
+        [(1, "alpha"), (1, "beta"), (2, "delta")],
+        "query_id long, term string")
+    base = _n_persisted(spark)
+    with cache_scope() as scope:
+        from sanef_election_dashboard_etl_spark.operators.text import bm25_topk
+        out = bm25_topk(corpus, queries, k=5)
+        assert out.count() > 0          # action inside the scope
+        assert scope, "bm25 persist did not register with the scope"
+        assert _n_persisted(spark) > base
+    assert _n_persisted(spark) == base
+
+
+def test_scope_releases_pagerank_caches(spark):
+    spark.catalog.clearCache()
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3), (4, 5)],
+        "id_a long, id_b long")
+    base = _n_persisted(spark)
+    with cache_scope():
+        from sanef_election_dashboard_etl_spark.operators.dedup import pagerank
+        pr = pagerank(pairs)
+        assert pr.count() > 0
+        assert _n_persisted(spark) > base
+    assert _n_persisted(spark) == base
+
+
+def test_nested_scopes_release_innermost_first(spark, corpus):
+    spark.catalog.clearCache()
+    base = _n_persisted(spark)
+    with cache_scope() as outer:
+        a = scoped_persist(corpus.select("doc_id"))
+        a.count()
+        mid = _n_persisted(spark)
+        assert mid > base
+        with cache_scope() as inner:
+            b = scoped_persist(corpus.select("text"))
+            b.count()
+            assert _n_persisted(spark) > mid
+            assert b in inner and b not in outer
+        assert _n_persisted(spark) == mid  # inner released, outer intact
+    assert _n_persisted(spark) == base
+
+
+def test_no_scope_preserves_persist_until_clear(spark, corpus):
+    spark.catalog.clearCache()
+    base = _n_persisted(spark)
+    df = scoped_persist(corpus.select("doc_id"))
+    df.count()
+    assert _n_persisted(spark) > base   # resident: out-of-scope contract
+    spark.catalog.clearCache()
+    assert _n_persisted(spark) == base
+
+
+def test_scope_releases_on_exception(spark, corpus):
+    spark.catalog.clearCache()
+    base = _n_persisted(spark)
+    with pytest.raises(RuntimeError, match="boom"):
+        with cache_scope():
+            df = scoped_persist(corpus.withColumn("n", F.lit(1)))
+            df.count()
+            assert _n_persisted(spark) > base
+            raise RuntimeError("boom")
+    assert _n_persisted(spark) == base

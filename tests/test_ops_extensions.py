@@ -2408,6 +2408,45 @@ def test_bpe_encode_distinct_matches_batch_cache(spark):
     assert c == a
 
 
+def test_bpe_pick_tier_regimes():
+    """r10 (VERDICT r9 item 6): the pure decision function lands on the
+    measured regime anchors — fixture corpora pick the batch cache,
+    web-corpus shapes pick the distinct-word join."""
+    # fixture sf0.1: vocab 31, 271k tokens, 32 partitions -> batch
+    assert T.pick_bpe_tier(31, 270_704, 32) == "batch"
+    # fixture sf1: same degenerate vocab at 2.7M tokens -> batch
+    assert T.pick_bpe_tier(31, 2_700_000, 32) == "batch"
+    # web corpus: 10M vocab, 10B tokens, 1000 partitions -> distinct
+    assert T.pick_bpe_tier(10_000_000, 10_000_000_000, 1000) == "distinct"
+    # moderate curated corpus: 200k vocab, 50M tokens, 64 partitions
+    # -> redundant re-segmentation (12.6M) beats the shuffle (1.6M)
+    assert T.pick_bpe_tier(200_000, 50_000_000, 64) == "distinct"
+    # single partition: the batch cache is already exactly-once
+    assert T.pick_bpe_tier(10_000_000, 10_000_000_000, 1) == "batch"
+
+
+def test_bpe_auto_dispatch_identity(spark):
+    """Identity across the auto-dispatch boundary: bpe_encode_auto's
+    output equals BOTH tiers' (which the test above proves equal to
+    each other), whichever the measured stats select, and forcing the
+    other tier via explicit stats changes nothing."""
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text").limit(200))
+    merges = T.bpe_train(docs, n_merges=50, train_n=64)
+    want = {r["doc_id"]: (r["n_bpe_tokens"], r["bpe_tokens"])
+            for r in T.bpe_encode(docs, merges).collect()}
+    # measured dispatch (fixture stats -> batch tier)
+    auto = {r["doc_id"]: (r["n_bpe_tokens"], r["bpe_tokens"])
+            for r in T.bpe_encode_auto(docs, merges).collect()}
+    assert auto == want
+    # forced-distinct dispatch via caller-supplied web-scale stats
+    forced = {r["doc_id"]: (r["n_bpe_tokens"], r["bpe_tokens"])
+              for r in T.bpe_encode_auto(
+                  docs, merges, vocab_est=10_000_000,
+                  n_tokens=10_000_000_000).collect()}
+    assert forced == want
+
+
 def test_rrf_fuse_hand_computed(spark):
     # list A ranks docs 1,2,3; list B ranks 2,3,4 -> doc 2 wins
     # (1/62 + 1/61), doc 3 next (1/63 + 1/62), then 1 (1/61), then 4 (1/63)

@@ -6744,6 +6744,75 @@ def _driver_coverage() -> dict[str, int]:
     return counts
 
 
+def _changed_pkg_modules() -> set[str]:
+    """pkg/ .py files changed since the last driver round-close commit
+    (message 'round N: ...'), as module paths — the churn signal for
+    rotation (r10, VERDICT r9 item 8). Degrades to empty (pure
+    row-age rotation) when git is unavailable. queries.py itself is
+    excluded: the pin list edits it every round, which would mark the
+    whole registry churned; so are catalog/session (every entry's
+    common path — a change there is covered by whatever window runs)."""
+    import subprocess
+    try:
+        base = subprocess.run(
+            ["git", "log", "--grep", "^round [0-9]*:", "-n", "1",
+             "--format=%H"], cwd="/root/repo", capture_output=True,
+            text=True, timeout=10).stdout.strip()
+        if not base:
+            return set()
+        diff = subprocess.run(
+            ["git", "diff", "--name-only", base, "HEAD", "--",
+             "sanef_election_dashboard_etl_spark"],
+            cwd="/root/repo", capture_output=True, text=True,
+            timeout=10).stdout.split()
+    except Exception:
+        return set()
+    skip = {"sanef_election_dashboard_etl_spark/queries.py",
+            "sanef_election_dashboard_etl_spark/catalog.py",
+            "sanef_election_dashboard_etl_spark/session.py"}
+    return {p[:-3].replace("/", ".") for p in diff
+            if p.endswith(".py") and p not in skip}
+
+
+def _entry_modules(fn) -> set[str]:
+    """pkg modules an entry's fn references one level deep (module
+    globals like `D.`/`S.`/`T.` and directly imported pkg functions).
+    The registered fn is the @query tune-wrapper, so closure functions
+    (the undecorated body) are unwrapped and scanned too. One level is
+    the honest cheap map: an entry calling text.bm25_topk is churned
+    by a text.py change, not by numeric.py underneath — deep-
+    dependency churn still reaches the window via the module that
+    imports it changing in the same commit, or via row-age rotation."""
+    import types
+
+    mods: set[str] = set()
+    seen: set[int] = set()
+    stack = [fn]
+    while stack:
+        f = stack.pop()
+        if not isinstance(f, types.FunctionType) or id(f) in seen:
+            continue
+        seen.add(id(f))
+        for name in f.__code__.co_names:
+            obj = f.__globals__.get(name)
+            if obj is None:
+                continue
+            if isinstance(obj, types.ModuleType):
+                mod = obj.__name__
+            else:
+                mod = getattr(obj, "__module__", None)
+            if mod and mod.startswith("sanef_election_dashboard_etl_spark"):
+                mods.add(mod)
+        for cell in (f.__closure__ or ()):
+            try:
+                v = cell.cell_contents
+            except ValueError:
+                continue
+            if isinstance(v, types.FunctionType):
+                stack.append(v)
+    return mods
+
+
 def _reorder_registry() -> None:
     missing = [n for n in _PINNED if n not in REGISTRY]
     if missing:  # fail loudly at import: a rename must update the window
@@ -6751,10 +6820,20 @@ def _reorder_registry() -> None:
     slots = _WINDOW_SIZE - len(_PINNED)
     # rotate the non-pinned slots toward the LEAST driver-covered entries
     # (ties alphabetical): every entry accumulates driver-green rows over
-    # rounds, newest operators get their row the round they land
+    # rounds, newest operators get their row the round they land.
+    # r10 (VERDICT r9 item 8): with the never-checked backlog drained,
+    # rotation also tracks CODE CHURN, not just row age — entries whose
+    # operator modules changed since the last round-close commit sort
+    # ahead of same-age unchanged entries (never ahead of a
+    # never-driver-checked one), so the driver re-confirms what the
+    # round actually touched instead of waiting ~5 rounds of row-age.
     covered = _driver_coverage()
+    churned_mods = _changed_pkg_modules()
     pool = sorted((n for n in REGISTRY if n not in _PINNED),
-                  key=lambda n: (covered.get(n, 0),
+                  key=lambda n: (covered.get(n, 0) > 0,
+                                 not (churned_mods
+                                      & _entry_modules(REGISTRY[n].fn)),
+                                 covered.get(n, 0),
                                  n in _DEFER_ROTATION,
                                  REGISTRY[n].oracle is None, n))
     rotated = pool[:slots]

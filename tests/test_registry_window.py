@@ -27,6 +27,40 @@ def test_window_is_full_and_rotation_prefers_uncovered():
         assert all(covered.get(n, 0) == 0 for n in rotated)
 
 
+def test_rotation_prefers_churned_entries(monkeypatch):
+    """r10 (VERDICT r9 item 8): entries whose operator modules changed
+    since the last round-close commit rotate in ahead of same-age
+    unchanged entries, so driver rows track code churn, not just row
+    age. Forced-churn check: pretend only operators.sketch changed —
+    every non-pinned sketch-touching entry must land in the window."""
+    import sanef_election_dashboard_etl_spark.queries as q
+
+    # the module map must unwrap the @query tune-wrapper closure
+    mods = q._entry_modules(q.REGISTRY["dedup_pagerank_centrality"].fn)
+    assert any(m.endswith("operators.dedup") for m in mods)
+
+    sketch_mod = "sanef_election_dashboard_etl_spark.operators.sketch"
+    touching = [n for n in q.REGISTRY if n not in q._PINNED and any(
+        m == sketch_mod for m in q._entry_modules(q.REGISTRY[n].fn))]
+    assert touching, "expected some sketch-backed entries"
+    assert len(touching) <= q._WINDOW_SIZE - len(q._PINNED)
+    try:
+        monkeypatch.setattr(q, "_changed_pkg_modules",
+                            lambda: {sketch_mod})
+        q._reorder_registry()
+        rotated = list(q.REGISTRY)[len(q._PINNED):q._WINDOW_SIZE]
+        # churn outranks row-age unless a never-driver-checked entry
+        # needs the slot (none exist once the backlog is drained)
+        covered = q._driver_coverage()
+        zero_pool = [n for n in q.REGISTRY if n not in q._PINNED
+                     and covered.get(n, 0) == 0]
+        if not zero_pool:
+            assert set(touching) <= set(rotated)
+    finally:
+        monkeypatch.undo()
+        q._reorder_registry()  # restore the real (git-state) ordering
+
+
 def test_rotation_is_deterministic_per_round():
     # same inputs -> same window (the driver and any re-import must agree)
     import importlib

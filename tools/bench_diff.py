@@ -132,7 +132,20 @@ def compute(prev_path: str | None = None,
     spark_ratio = round(sp_cur / sp_prev, 3) if sp_prev and sp_cur else None
     spark_quiet = (spark_ratio is not None
                    and sp_prev <= sp_gate and sp_cur <= sp_gate)
-    norm = (spark_ratio if spark_quiet
+    # Outlier guard (r10, surfaced by the first record under the quiet
+    # gating): two readings can both clear the quiet band yet ratio to
+    # 1.79x (the proxy is one short job — a transient co-tenant spike
+    # lands entirely in one sample) while the 42-query median band
+    # reads 0.97x. A host effect that big WOULD move the queries, so a
+    # spark ratio far ABOVE the band is proxy noise — dividing by it
+    # masks regressions and manufactures 'faster' verdicts. Asymmetric
+    # on purpose: spark_ratio well BELOW the band is exactly the
+    # everything-got-slower code-regression signature the proxy exists
+    # to expose (the band absorbs it; the proxy must not defer to the
+    # band there), so only the high side falls back.
+    spark_sane = (spark_ratio is not None
+                  and spark_ratio <= band_factor * 1.3)
+    norm = (spark_ratio if spark_quiet and spark_sane
             else (proxy_ratio if quiet else band_factor))
 
     flagged, deltas, rows = [], {}, []
@@ -158,6 +171,7 @@ def compute(prev_path: str | None = None,
     return {"prev": prev_name, "prev_sf": prev.get("sf"),
             "band_factor": band_factor, "proxy_ratio": proxy_ratio,
             "spark_proxy_ratio": spark_ratio, "spark_quiet": spark_quiet,
+            "spark_sane": spark_sane,
             "norm": norm, "flagged": flagged,
             "deltas": deltas, "rows": rows,
             "floor_prev": prev.get("floor_noop_job"),
@@ -204,6 +218,14 @@ def main(argv: list[str] | None = None) -> int:
     floor_note = (f"; floor ratio {round(f_cur / f_prev, 2)}x "
                   f"({f_prev}s -> {f_cur}s)"
                   if f_prev and f_cur else "")
+    if res.get("spark_proxy_ratio") and res.get("spark_quiet") \
+            and not res.get("spark_sane"):
+        pre = (f"spark proxy ratio {res['spark_proxy_ratio']}x DISCARDED "
+               f"as a proxy-sample outlier (>> median band "
+               f"{band_factor}x — a real host effect that size would "
+               f"move the queries); ")
+    else:
+        pre = ""
     if res.get("spark_quiet") and res["norm"] == res["spark_proxy_ratio"]:
         norm_note = (f"spark-parallel-proxy ratio "
                      f"{res['spark_proxy_ratio']}x divided out "
@@ -227,6 +249,7 @@ def main(argv: list[str] | None = None) -> int:
     else:
         norm_note = (f"ambient band {band_factor}x divided out (median "
                      f"of per-query ratios; no cpu proxy in base record)")
+    norm_note = pre + norm_note
     summary = (f"base: {prev_name} (sf={res.get('prev_sf')}), current: "
                f"BENCH_DETAIL.json (sf={cur.get('sf')}, reps={cur.get('reps')}); "
                f"{norm_note}{floor_note}; flag band = "

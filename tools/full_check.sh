@@ -25,4 +25,4 @@ SPARK_GRAFT_MASTER='local-cluster[2,4,2048]' SPARK_GRAFT_CPUS=8 \
     python tools/check_oracle.py /root/testdata/sf0.001 | tail -2
 
 echo "== bench =="
-python bench.py
+python bench.py --record

@@ -7912,6 +7912,29 @@ def text_bpe_tokenize(spark, sf_dir):
         F.array_join("bpe_tokens", " ").alias("bpe_text"))
 
 
+@query("text_bpe_encode_auto", oracle=None, tags=("rows-only",),
+       sibling="text_token_stats")
+def text_bpe_encode_auto(spark, sf_dir):
+    """BPE tier auto-dispatch (r10, text.bpe_encode_auto): same trained
+    merges as text_bpe_tokenize, routed through the dispatcher with
+    caller-supplied web-scale stats so the DISTINCT-WORD-JOIN tier (the
+    100 TB shape: |vocab| Python segmentations total, pieces joined
+    back and reassembled by position) gets a driver row — the measured
+    dispatch picks the batch tier on the fixture's 31-word vocabulary,
+    and that tier is already driven by text_bpe_tokenize. Output is
+    byte-identical across tiers and across the dispatch boundary
+    (test-asserted), so this row must hash-equal text_bpe_tokenize's
+    on the shared id range. Rows-only like its twin (no SQL replay of
+    the merge loop); same driver-canon scalar surface."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    merges = T.bpe_train(docs, n_merges=100, train_n=256)
+    enc = T.bpe_encode_auto(docs, merges,
+                            vocab_est=10_000_000, n_tokens=10_000_000_000)
+    return enc.select(
+        "doc_id", "n_bpe_tokens",
+        F.array_join("bpe_tokens", " ").alias("bpe_text"))
+
+
 @query("sim_hybrid_rrf", oracle="""
     WITH q(query_id, term) AS (VALUES
         ('qa', 'merge'), ('qa', 'window'), ('qa', 'scan'),

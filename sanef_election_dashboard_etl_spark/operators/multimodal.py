@@ -69,14 +69,17 @@ FEATURE_SCHEMA = StructType([
 
 
 def decode_bmp(payload: bytes) -> dict:
-    """Pure-Python 24-bit BMP decoder — no codec library required.
+    """Pure-Python BMP decoder — no codec library required.
 
     Parses the BITMAPFILEHEADER ('BM' magic, pixel-array offset) and
-    BITMAPINFOHEADER (width, height, planes, bpp), validates the format
-    (24 bpp, uncompressed), and slices out the pixel array honoring the
-    4-byte row stride and bottom-up/top-down height sign. Returns
-    {"width", "height", "pixels"} with pixels as raw BGR bytes,
-    stride-stripped, in row order as stored."""
+    BITMAPINFOHEADER (width, height, planes, bpp), then dispatches on
+    the stored format: uncompressed 24-bit (pixel-array slice honoring
+    the 4-byte row stride and bottom-up/top-down height sign) or
+    8-bit palettized BI_RLE8 (r10 — the real Microsoft run-length
+    format: encoded runs, absolute mode, EOL/EOF/delta escapes,
+    palette-resolved to BGR). Returns {"width", "height", "pixels"}
+    with pixels as raw BGR bytes, stride-stripped, in row order as
+    stored."""
     import struct
 
     if len(payload or b"") < 54:
@@ -87,15 +90,66 @@ def decode_bmp(payload: bytes) -> dict:
         raise ValueError("not a BMP: missing 'BM' magic")
     hdr_sz, w, h, _planes, bpp = struct.unpack_from("<IiiHH", payload, 14)
     compression, = struct.unpack_from("<I", payload, 30)
+    if bpp == 8 and compression == 1:          # BI_RLE8
+        return _decode_bmp_rle8(payload, off, hdr_sz, w, h)
     if bpp != 24 or compression != 0:
         raise NotImplementedError(
-            f"only uncompressed 24-bit BMP is supported (bpp={bpp}, "
-            f"compression={compression})")
+            f"only uncompressed 24-bit and RLE8 BMP are supported "
+            f"(bpp={bpp}, compression={compression})")
     height = abs(h)
     stride = ((w * 3 + 3) // 4) * 4
     rows = [payload[off + r * stride: off + r * stride + w * 3]
             for r in range(height)]
     return {"width": w, "height": height, "pixels": b"".join(rows)}
+
+
+def _decode_bmp_rle8(payload: bytes, off: int, hdr_sz: int,
+                     w: int, h: int) -> dict:
+    """BI_RLE8 branch of decode_bmp: a real run-length decoder for the
+    8-bit palettized Microsoft format. Walks the RLE opcode stream —
+    encoded runs (count, index), escape 00 00 end-of-line, 00 01
+    end-of-bitmap, 00 02 (dx, dy) delta (skipped pixels keep index 0,
+    the format's defined behavior), 00 NN absolute mode (NN raw
+    indices, word-aligned) — then resolves every index through the
+    RGBQUAD palette to BGR bytes, so the returned pixel surface is
+    uniform with the 24-bit branch. Out-of-bounds runs raise
+    ValueError (malformed stream, not a format gap)."""
+    import struct
+
+    height = abs(h)
+    n_colors, = struct.unpack_from("<I", payload, 46)   # biClrUsed
+    n_colors = n_colors or 256
+    pal_off = 14 + hdr_sz
+    palette = [payload[pal_off + 4 * j: pal_off + 4 * j + 3]
+               for j in range(n_colors)]
+    rows = [bytearray(w) for _ in range(height)]
+    x = y = 0
+    i = off
+    while i + 1 < len(payload):
+        n, v = payload[i], payload[i + 1]
+        i += 2
+        if n > 0:                                  # encoded run
+            if y >= height or x + n > w:
+                raise ValueError("RLE8 run overflows the bitmap")
+            rows[y][x:x + n] = bytes([v]) * n
+            x += n
+        elif v == 0:                               # end of line
+            x, y = 0, y + 1
+        elif v == 1:                               # end of bitmap
+            break
+        elif v == 2:                               # delta
+            x, y = x + payload[i], y + payload[i + 1]
+            i += 2
+        else:                                      # absolute mode
+            if y >= height or x + v > w:
+                raise ValueError("RLE8 absolute run overflows the bitmap")
+            rows[y][x:x + v] = payload[i:i + v]
+            i += v + (v & 1)                       # word-aligned
+            x += v
+    else:
+        raise ValueError("RLE8 stream missing end-of-bitmap escape")
+    pixels = b"".join(palette[j] for row in rows for j in row)
+    return {"width": w, "height": height, "pixels": pixels}
 
 
 def decode_wav(payload: bytes) -> dict:
@@ -638,6 +692,33 @@ def _encode_bmp(tile: bytes, w: int, h: int) -> bytes:
     return header + dib + pix
 
 
+def _encode_bmp_rle8(tile: bytes) -> bytes:
+    """Deterministic 8-bit palettized BI_RLE8 BMP (r10): one encoded
+    run per source byte b — run length (b % 15) + 1 of palette index
+    b % 7 — on a single scanline, closed by the real end-of-line and
+    end-of-bitmap escapes. Palette entry j is BGR (j, 2j mod 256,
+    3j mod 256), so with indices <= 6 each pixel's channel sum is
+    exactly 6j and the whole decoded surface (width = sum of run
+    lengths, value_sum = sum of len*6*index) is recomputable from the
+    source text bytes in SQL — the oracle-replayable-compression
+    design the multimodal_decode_rle entry checks. The DECODER is
+    general (multi-row, absolute mode, delta — unit-tested on
+    hand-built streams); only this fixture encoder is single-row."""
+    import struct
+
+    tile = tile or b"\x00"
+    runs = [((b % 15) + 1, b % 7) for b in tile]
+    w = sum(n for n, _ in runs)
+    rle = b"".join(bytes((n, v)) for n, v in runs) + b"\x00\x00\x00\x01"
+    palette = b"".join(bytes((j % 256, (2 * j) % 256, (3 * j) % 256, 0))
+                       for j in range(256))
+    off = 14 + 40 + len(palette)
+    header = struct.pack("<2sIHHI", b"BM", off + len(rle), 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, 1, 1, 8, 1, len(rle),
+                      2835, 2835, 256, 0)
+    return header + dib + palette + rle
+
+
 def _encode_wav(tile: bytes, n_samples: int,
                 sample_rate: int = 16_000) -> bytes:
     """Deterministic 16-bit mono PCM WAV: RIFF/fmt/data chunks + sample
@@ -782,6 +863,17 @@ def synthesize_media_encoded(docs: DataFrame,
                         payloads.append(_encode_jpeg(tb, w, h))
                         widths.append(w)
                         heights.append(h)
+                        rates.append(None)
+                        frames.append(None)
+                        continue
+                    if image_format == "rle8":
+                        # width is the decoded run-length total; the
+                        # encoder derives it from the text bytes
+                        payload = _encode_bmp_rle8(tb)
+                        payloads.append(payload)
+                        widths.append(sum((b % 15) + 1
+                                          for b in (tb or b"\x00")))
+                        heights.append(1)
                         rates.append(None)
                         frames.append(None)
                         continue

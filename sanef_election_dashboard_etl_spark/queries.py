@@ -1352,6 +1352,68 @@ def multimodal_decode_png(spark, sf_dir):
                     "first_value", "value_sum"))
 
 
+@query("multimodal_decode_rle", oracle=f"""
+    -- BI_RLE8 BMP round-trip (r10): genuine 8-bit palettized
+    -- run-length BMPs — one encoded run per source byte b (length
+    -- b%15+1 of palette index b%7), real EOL/EOF escapes — decoded by
+    -- the general RLE decoder (encoded+absolute+delta branches
+    -- unit-tested) and palette-resolved to BGR. Palette entry j is
+    -- (j, 2j, 3j), so each pixel's channel sum is exactly 6*index and
+    -- DuckDB recomputes the decoded width (sum of run lengths), the
+    -- first pixel byte (blue = index), and the sum of EVERY resolved
+    -- pixel byte from the source text — a run-walk, palette, or
+    -- escape-handling bug moves width or value_sum. payload_bytes IS
+    -- checkable here (unlike zlib/Huffman formats): the RLE stream is
+    -- exactly 2 bytes per run + 4 escape bytes.
+    WITH b AS (
+        SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS blen,
+               hex(encode(coalesce(text, ''))) AS hx
+        FROM documents WHERE doc_id < 300
+    ), r AS (
+        SELECT doc_id, blen,
+               CASE WHEN blen = 0 THEN 1 ELSE coalesce(list_aggregate(
+                   list_transform(range(1, CAST(blen + 1 AS BIGINT)),
+                       i -> (('0x' || substr(hx, CAST(2*i-1 AS INT), 2))
+                             ::BIGINT % 15) + 1), 'sum'), 1) END AS width,
+               CASE WHEN blen = 0 THEN 0 ELSE coalesce(list_aggregate(
+                   list_transform(range(1, CAST(blen + 1 AS BIGINT)),
+                       i -> ((('0x' || substr(hx, CAST(2*i-1 AS INT), 2))
+                              ::BIGINT % 15) + 1) * 6
+                            * (('0x' || substr(hx, CAST(2*i-1 AS INT), 2))
+                               ::BIGINT % 7)), 'sum'), 0) END AS value_sum,
+               CASE WHEN blen = 0 THEN 0
+                    ELSE ('0x' || substr(hx, 1, 2))::BIGINT % 7
+               END AS first_value
+        FROM b
+    )
+    SELECT doc_id AS media_id,
+           CAST(width AS INT) AS width,
+           CAST(1 AS INT) AS height,
+           CAST(width AS BIGINT) AS n_pixels,
+           CAST(14 + 40 + 1024 + 2 * GREATEST(blen, 1) + 4 AS BIGINT)
+               AS payload_bytes,
+           CAST(first_value AS BIGINT) AS first_value,
+           CAST(value_sum AS BIGINT) AS value_sum
+    FROM r
+""")
+def multimodal_decode_rle(spark, sf_dir):
+    """Compressed-BMP decode round-trip (r10): `_encode_bmp_rle8`
+    builds genuine BI_RLE8 payloads (8-bit palette, encoded runs, real
+    EOL/EOF escapes) and the extended `decode_bmp` run-length-decodes
+    and palette-resolves them — the first COMPRESSED image format with
+    a fully SQL-replayable oracle (RLE's run structure is arithmetic,
+    where zlib/Huffman sizes are codec artifacts). The decoder also
+    handles absolute-mode and delta escapes and multi-row streams
+    (hand-built-payload unit tests); MP3/H.264 remain the honest
+    codec-library boundary."""
+    docs = _t(spark, sf_dir, "documents")
+    rle = M.synthesize_media_encoded(docs.filter(F.col("doc_id") < 300),
+                                     "image", image_format="rle8")
+    return (M.decode_media(rle)
+            .select("media_id", "width", "height", "n_pixels",
+                    "payload_bytes", "first_value", "value_sum"))
+
+
 @query("multimodal_decode_jpeg", oracle=f"""
     -- Baseline JPEG round-trip (VERDICT r6 item 7, last image stub
     -- retired): genuine baseline JFIF payloads (SOI/DQT/SOF0/DHT/SOS,

@@ -220,6 +220,51 @@ def test_bmp_decoder_roundtrip_and_stride():
                                    4, 0, 0, 0, 0) + b"\x00" * 4)
 
 
+def test_bmp_rle8_decoder_roundtrip_and_escapes():
+    """r10: the BI_RLE8 branch — encoder round-trip (run structure =
+    fixture byte arithmetic, palette-resolved channel sums), plus a
+    hand-built multi-row stream exercising absolute mode, delta skip,
+    and EOL/EOF escapes, plus malformed-stream errors."""
+    import struct
+
+    for text in (b"hello world", b"", b"\x00", bytes(range(256))):
+        d = M.decode_bmp(M._encode_bmp_rle8(text))
+        tile = text or b"\x00"
+        assert d["width"] == sum((b % 15) + 1 for b in tile)
+        assert d["height"] == 1
+        assert sum(d["pixels"]) == sum(
+            ((b % 15) + 1) * 6 * (b % 7) for b in tile)
+        assert d["pixels"][0] == tile[0] % 7
+
+    # decode_image dispatches by the same BM magic
+    assert M.decode_image(M._encode_bmp_rle8(b"zz"))["height"] == 1
+
+    # multi-row: encoded run, absolute run (odd count -> pad byte),
+    # EOL, delta skip, second row, EOF; grayscale palette j -> (j,j,j)
+    pal = b"".join(bytes((j, j, j, 0)) for j in range(256))
+    off = 14 + 40 + 1024
+    rle = (bytes((2, 5)) + b"\x00\x03" + bytes((7, 9, 11)) + b"\x00"
+           + b"\x00\x00" + b"\x00\x02" + bytes((1, 0)) + bytes((3, 2))
+           + b"\x00\x00" + b"\x00\x01")
+
+    def bmp(stream, w=5, h=2):
+        return (struct.pack("<2sIHHI", b"BM", off + len(stream), 0, 0, off)
+                + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1,
+                              len(stream), 0, 0, 256, 0) + pal + stream)
+
+    d = M.decode_bmp(bmp(rle))
+    assert (d["width"], d["height"]) == (5, 2)
+    assert d["pixels"][:15] == bytes([5, 5, 5] * 2 + [7] * 3 + [9] * 3
+                                     + [11] * 3)
+    # delta-skipped pixel keeps index 0 (the format's defined behavior)
+    assert d["pixels"][15:] == bytes([0, 0, 0] + [2, 2, 2] * 3 + [0, 0, 0])
+
+    with pytest.raises(ValueError):       # run overflows the scanline
+        M.decode_bmp(bmp(bytes((9, 1)) + b"\x00\x01", w=4, h=1))
+    with pytest.raises(ValueError):       # stream ends without EOF escape
+        M.decode_bmp(bmp(bytes((2, 1)), w=4, h=1))
+
+
 def test_wav_decoder_roundtrip_and_chunk_walk():
     import struct
     d = M.decode_wav(M._encode_wav(b"abcd", n_samples=10))

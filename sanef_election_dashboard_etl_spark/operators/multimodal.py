@@ -185,6 +185,115 @@ def decode_wav(payload: bytes) -> dict:
             "n_samples": len(data) // (2 * n_channels), "samples": data}
 
 
+def _lzw_decode(data: bytes, min_code: int) -> list:
+    """Full GIF-variant LZW decoder (r10): LSB-first variable-width
+    codes starting at min_code+1 bits, clear/end codes, dictionary
+    growth with width bumps at powers of two, the KwKwK
+    (code == next_code) case, the 4096-entry cap with deferred clear.
+    Returns the decoded index list. General — handles genuinely
+    compressed streams (unit-tested on hand-packed ones), not just the
+    literal-code subset the fixture encoder emits."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    nbits = len(data) * 8
+    bitpos = 0
+    width = min_code + 1
+    table = {i: (i,) for i in range(clear)}
+    next_code = end + 1
+    prev: tuple | None = None
+    out: list[int] = []
+    while True:
+        if bitpos + width > nbits:
+            raise ValueError("LZW stream ended without end code")
+        code = 0
+        for k in range(width):
+            code |= ((data[(bitpos + k) >> 3] >> ((bitpos + k) & 7)) & 1) << k
+        bitpos += width
+        if code == clear:
+            table = {i: (i,) for i in range(clear)}
+            next_code, width, prev = end + 1, min_code + 1, None
+            continue
+        if code == end:
+            return out
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                raise ValueError("first LZW code after clear is not a root")
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + (prev[0],)         # the KwKwK case
+        else:
+            raise ValueError("corrupt LZW code")
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def decode_gif(payload: bytes) -> dict:
+    """Pure-Python GIF87a/89a decoder (r10) — no codec library: logical
+    screen descriptor, global/local color tables, extension-block
+    skipping, image descriptor, and a full LZW decode of the
+    sub-block-packed code stream (see _lzw_decode). Interlaced images
+    raise NotImplementedError. Returns {"width", "height", "pixels"}
+    with pixels as palette-resolved raw RGB bytes (GIF color tables
+    are RGB) for the FIRST image in the file."""
+    import struct
+
+    if (payload or b"")[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF: missing GIF87a/89a signature")
+    _sw, _sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 7) + 1)
+        gct = [payload[pos + 3 * j: pos + 3 * j + 3] for j in range(n)]
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x2C:                             # image descriptor
+            _l, _t, w, h, ip = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            table = gct
+            if ip & 0x80:                         # local color table
+                n = 2 ** ((ip & 7) + 1)
+                table = [payload[pos + 3 * j: pos + 3 * j + 3]
+                         for j in range(n)]
+                pos += 3 * n
+            if ip & 0x40:
+                raise NotImplementedError("interlaced GIF is not supported")
+            if table is None:
+                raise ValueError("GIF image has no color table")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while True:                           # sub-block chain
+                blen = payload[pos]
+                pos += 1
+                if blen == 0:
+                    break
+                data += payload[pos:pos + blen]
+                pos += blen
+            indices = _lzw_decode(bytes(data), min_code)
+            if len(indices) < w * h:
+                raise ValueError("LZW stream decodes short of the bitmap")
+            pixels = b"".join(table[j] for j in indices[:w * h])
+            return {"width": w, "height": h, "pixels": pixels}
+        if b == 0x21:                             # extension block
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x3B:                           # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    raise ValueError("GIF contains no image data")
+
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
@@ -648,11 +757,13 @@ def decode_image(payload: bytes) -> dict:
         return decode_png(payload)
     if (payload or b"")[:2] == b"\xff\xd8":
         return decode_jpeg(payload)
+    if (payload or b"")[:4] == b"GIF8":
+        return decode_gif(payload)
     raise NotImplementedError(
         "codec-library image formats are not decodable in this "
-        "environment; BMP, 8-bit RGB PNG, and baseline JPEG decode "
-        "natively, or use extract_features(..., fake=True) for the "
-        "deterministic test double")
+        "environment; BMP (incl. RLE8), 8-bit RGB PNG, baseline JPEG, "
+        "and GIF decode natively, or use extract_features(..., "
+        "fake=True) for the deterministic test double")
 
 
 def _fake_feature(payload: bytes, dim: int = 16) -> list[float]:
@@ -717,6 +828,59 @@ def _encode_bmp_rle8(tile: bytes) -> bytes:
     dib = struct.pack("<IiiHHIIiiII", 40, w, 1, 1, 8, 1, len(rle),
                       2835, 2835, 256, 0)
     return header + dib + palette + rle
+
+
+def _encode_gif(tile: bytes) -> bytes:
+    """Deterministic GIF87a (r10): one pixel per source byte b on a
+    single scanline, palette index b % 13 in a 16-entry RGB table
+    whose entry j is (j, 2j, 3j) — channel sum exactly 6j, so the
+    decoded surface is SQL-recomputable from the text bytes. The LZW
+    stream emits literal ROOT codes only (a compressor that found no
+    matches — valid per spec) but tracks the decoder's dictionary
+    growth exactly, so code width climbs 5..12 bits with a clear/reset
+    at the 4096-entry cap; the DECODER is the general LZW
+    (compression, KwKwK, width growth all unit-tested on hand-packed
+    streams)."""
+    import struct
+
+    tile = tile or b"\x00"
+    indices = [b % 13 for b in tile]
+    w, h = len(indices), 1
+    min_code = 4
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    bits: list[int] = []
+    width = min_code + 1
+    next_code = end + 1
+    started = False
+
+    def emit(code: int) -> None:
+        for k in range(width):
+            bits.append((code >> k) & 1)
+
+    emit(clear)
+    for idx in indices:
+        if next_code == 4096:                # dict full: real reset
+            emit(clear)
+            next_code, width, started = end + 1, min_code + 1, False
+        emit(idx)
+        if started:                          # decoder adds an entry now
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        started = True
+    emit(end)
+    data = bytearray((len(bits) + 7) // 8)
+    for i, bit in enumerate(bits):
+        data[i >> 3] |= bit << (i & 7)
+    blocks = b"".join(
+        bytes((min(255, len(data) - i),)) + data[i:i + 255]
+        for i in range(0, len(data), 255)) + b"\x00"
+    palette = b"".join(bytes((j % 256, (2 * j) % 256, (3 * j) % 256))
+                       for j in range(16))
+    return (b"GIF87a" + struct.pack("<HHBBB", w, h, 0x80 | 3, 0, 0)
+            + palette
+            + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+            + bytes((min_code,)) + blocks + b"\x3b")
 
 
 def _encode_wav(tile: bytes, n_samples: int,
@@ -863,6 +1027,13 @@ def synthesize_media_encoded(docs: DataFrame,
                         payloads.append(_encode_jpeg(tb, w, h))
                         widths.append(w)
                         heights.append(h)
+                        rates.append(None)
+                        frames.append(None)
+                        continue
+                    if image_format == "gif":
+                        payloads.append(_encode_gif(tb))
+                        widths.append(len(tb or b"\x00"))
+                        heights.append(1)
                         rates.append(None)
                         frames.append(None)
                         continue

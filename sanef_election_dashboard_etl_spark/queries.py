@@ -1414,6 +1414,53 @@ def multimodal_decode_rle(spark, sf_dir):
                     "payload_bytes", "first_value", "value_sum"))
 
 
+@query("multimodal_decode_gif", oracle=f"""
+    -- GIF/LZW round-trip (r10): genuine GIF87a payloads — 16-entry RGB
+    -- palette, one pixel per source byte (index b%13), literal-root
+    -- LZW code stream with real variable-width growth (5..12 bits) and
+    -- the 4096-entry clear/reset — decoded by the GENERAL pure-Python
+    -- LZW (compression/KwKwK/width-growth branches unit-tested on
+    -- hand-packed streams). Palette entry j is (j, 2j, 3j): channel
+    -- sum 6*index, so DuckDB recomputes dims, the first pixel byte,
+    -- and the sum of every palette-resolved pixel byte from the text.
+    -- payload_bytes is absent per the PNG/JPEG precedent: the
+    -- entropy-coded stream length is a codec artifact.
+    WITH b AS (
+        SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS blen,
+               hex(encode(coalesce(text, ''))) AS hx
+        FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id AS media_id,
+           CAST(GREATEST(blen, 1) AS INT) AS width,
+           CAST(1 AS INT) AS height,
+           CAST(GREATEST(blen, 1) AS BIGINT) AS n_pixels,
+           CAST(CASE WHEN blen = 0 THEN 0
+                     ELSE ('0x' || substr(hx, 1, 2))::BIGINT % 13
+                END AS BIGINT) AS first_value,
+           CAST(CASE WHEN blen = 0 THEN 0 ELSE coalesce(list_aggregate(
+                    list_transform(range(1, CAST(blen + 1 AS BIGINT)),
+                        i -> 6 * (('0x' || substr(hx, CAST(2*i-1 AS INT),
+                                                  2))::BIGINT % 13)),
+                    'sum'), 0) END AS BIGINT) AS value_sum
+    FROM b
+""")
+def multimodal_decode_gif(spark, sf_dir):
+    """GIF decode round-trip (r10): `_encode_gif` builds genuine GIF87a
+    payloads (screen descriptor, global color table, sub-block-packed
+    LZW stream with real width growth and dictionary-cap resets) and
+    `decode_gif` parses + LZW-decodes them for real — with PNG, JPEG,
+    BMP (incl. RLE8), WAV, and AVI-DIB this closes every image format
+    expressible without a codec library; MP3/H.264 remain the honest
+    boundary. Oracle recomputes dims, first pixel, and the full
+    palette-resolved pixel sum from the documents table."""
+    docs = _t(spark, sf_dir, "documents")
+    gif = M.synthesize_media_encoded(docs.filter(F.col("doc_id") < 300),
+                                     "image", image_format="gif")
+    return (M.decode_media(gif)
+            .select("media_id", "width", "height", "n_pixels",
+                    "first_value", "value_sum"))
+
+
 @query("multimodal_decode_jpeg", oracle=f"""
     -- Baseline JPEG round-trip (VERDICT r6 item 7, last image stub
     -- retired): genuine baseline JFIF payloads (SOI/DQT/SOF0/DHT/SOS,

@@ -265,6 +265,50 @@ def test_bmp_rle8_decoder_roundtrip_and_escapes():
         M.decode_bmp(bmp(bytes((2, 1)), w=4, h=1))
 
 
+def _pack_lzw(codes, widths):
+    """LSB-first variable-width code packer for hand-built LZW tests."""
+    bits = []
+    for c, w in zip(codes, widths):
+        for k in range(w):
+            bits.append((c >> k) & 1)
+    data = bytearray((len(bits) + 7) // 8)
+    for i, b in enumerate(bits):
+        data[i >> 3] |= b << (i & 7)
+    return bytes(data)
+
+
+def test_gif_lzw_decoder_roundtrip_and_compressed_branches():
+    """r10: the GIF87a/LZW codec — encoder round-trip across width
+    growth and the 4096-entry dictionary reset, the general decoder's
+    genuinely-compressed branches (dictionary hits, the KwKwK
+    code==next_code case, width bump after growth) on hand-packed
+    streams, and malformed-stream errors."""
+    for text in (b"hello world", b"", b"\x00", bytes(range(256)),
+                 bytes((i * 7 + 3) % 256 for i in range(5000))):
+        tile = text or b"\x00"
+        d = M.decode_gif(M._encode_gif(text))
+        assert (d["width"], d["height"]) == (len(tile), 1)
+        assert sum(d["pixels"]) == sum(6 * (b % 13) for b in tile)
+        assert d["pixels"][0] == tile[0] % 13
+    # decode_image dispatches on the GIF8 magic
+    assert M.decode_image(M._encode_gif(b"qq"))["width"] == 2
+
+    # min_code=2: clear=4, end=5, initial width 3.
+    # clear,1,1,6,end: second 1 adds 6=(1,1); 6 decodes (1,1) and its
+    # add fills code 7 -> next_code 8 == 2^3 -> end reads at width 4
+    assert M._lzw_decode(_pack_lzw([4, 1, 1, 6, 5], [3, 3, 3, 3, 4]),
+                         2) == [1, 1, 1, 1]
+    # KwKwK: code == next_code before it exists -> prev + prev[0]
+    assert M._lzw_decode(_pack_lzw([4, 2, 6, 5], [3, 3, 3, 3]),
+                         2) == [2, 2, 2]
+    with pytest.raises(ValueError):    # code beyond the dictionary
+        M._lzw_decode(_pack_lzw([4, 1, 7, 5], [3, 3, 3, 4]), 2)
+    with pytest.raises(ValueError):    # stream ends without end code
+        M._lzw_decode(_pack_lzw([4, 1], [3, 3]), 2)
+    with pytest.raises(ValueError):    # not a GIF
+        M.decode_gif(b"NOTGIF" + b"\x00" * 32)
+
+
 def test_wav_decoder_roundtrip_and_chunk_walk():
     import struct
     d = M.decode_wav(M._encode_wav(b"abcd", n_samples=10))

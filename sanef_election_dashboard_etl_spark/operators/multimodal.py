@@ -153,12 +153,15 @@ def _decode_bmp_rle8(payload: bytes, off: int, hdr_sz: int,
 
 
 def decode_wav(payload: bytes) -> dict:
-    """Pure-Python 16-bit PCM WAV decoder — no codec library required.
+    """Pure-Python WAV decoder — no codec library required.
 
     Walks the RIFF chunk list (handles extra chunks between 'fmt ' and
-    'data'), validates PCM/16-bit, and returns {"sample_rate",
+    'data'), then dispatches on the format tag: 16-bit PCM (raw
+    samples) or mono IMA ADPCM (r10 — format tag 17: the real 4-bit
+    compressed format, decoded by the full predictor/step-index state
+    machine in _ima_adpcm_decode). Returns {"sample_rate",
     "n_channels", "n_samples", "samples"} with samples as the raw
-    little-endian int16 byte string."""
+    little-endian int16 byte string in both cases."""
     import struct
 
     if len(payload or b"") < 12 or payload[0:4] != b"RIFF" \
@@ -176,13 +179,75 @@ def decode_wav(payload: bytes) -> dict:
         pos += 8 + size + (size & 1)     # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
-    audio_fmt, n_channels, sample_rate, _brate, _align, bits = fmt
+    audio_fmt, n_channels, sample_rate, _brate, align, bits = fmt
+    if audio_fmt == 17 and bits == 4:    # IMA ADPCM
+        if n_channels != 1:
+            raise NotImplementedError("only mono IMA ADPCM is supported")
+        samples = _ima_adpcm_decode(data, align)
+        return {"sample_rate": sample_rate, "n_channels": 1,
+                "n_samples": len(samples) // 2, "samples": samples}
     if audio_fmt != 1 or bits != 16:
         raise NotImplementedError(
-            f"only 16-bit PCM is supported (format={audio_fmt}, "
-            f"bits={bits})")
+            f"only 16-bit PCM and mono IMA ADPCM are supported "
+            f"(format={audio_fmt}, bits={bits})")
     return {"sample_rate": sample_rate, "n_channels": n_channels,
             "n_samples": len(data) // (2 * n_channels), "samples": data}
+
+
+# IMA/DVI ADPCM tables (IMA Digital Audio Pack recommendation — the
+# standard 89-entry step table and 8-entry index-adjust table)
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_adpcm_decode(data: bytes, block_align: int) -> bytes:
+    """Mono IMA ADPCM block decoder (r10) — the real state machine:
+    each block opens with a 4-byte header (initial predictor as signed
+    int16, initial step index, reserved byte) that IS the first output
+    sample, then each data byte carries two 4-bit nibbles (LOW nibble
+    first, per the IMA packing): diff = step/8 (+step/4 if bit0)
+    (+step/2 if bit1) (+step if bit2), sign from bit3, predictor
+    clamped to int16, step index moved by the index table and clamped
+    to [0, 88]. Returns little-endian int16 bytes. Pure integer
+    arithmetic — bit-identical on any platform (and replayable in SQL:
+    the multimodal_decode_adpcm oracle walks the same recurrence in a
+    recursive CTE)."""
+    import struct
+
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        block = data[pos:pos + block_align]
+        pos += block_align
+        if len(block) < 4:
+            raise ValueError("ADPCM block shorter than its 4-byte header")
+        pred, = struct.unpack_from("<h", block, 0)
+        idx = block[2]
+        if idx > 88:
+            raise ValueError(f"ADPCM step index {idx} out of range")
+        out += struct.pack("<h", pred)
+        for byte in block[4:]:
+            for nib in (byte & 0x0F, byte >> 4):
+                step = _IMA_STEPS[idx]
+                diff = step >> 3
+                if nib & 1:
+                    diff += step >> 2
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 4:
+                    diff += step
+                pred = pred - diff if nib & 8 else pred + diff
+                pred = max(-32768, min(32767, pred))
+                idx = max(0, min(88, idx + _IMA_INDEX[nib & 7]))
+                out += struct.pack("<h", pred)
+    return bytes(out)
 
 
 def _lzw_decode(data: bytes, min_code: int) -> list:
@@ -897,6 +962,35 @@ def _encode_wav(tile: bytes, n_samples: int,
             + b"data" + struct.pack("<I", len(raw)) + raw)
 
 
+def _encode_wav_adpcm(tile: bytes, sample_rate: int = 8_000) -> bytes:
+    """Deterministic mono IMA ADPCM WAV (r10): ONE block whose nibble
+    payload is the raw text bytes (so the nibble stream is exactly the
+    hex digits of the text, low nibble of each byte first — directly
+    extractable in SQL), initial predictor (b0, b1 little-endian
+    signed) and step index b2 % 89 also text-derived. Real container:
+    fmt tag 17 with the cbSize/samplesPerBlock extension and the fact
+    chunk compressed WAV requires. n_samples = 1 (header predictor) +
+    2 per data byte."""
+    import struct
+
+    tile = tile or b"\x00"
+    b0 = tile[0]
+    b1 = tile[1] if len(tile) > 1 else b0
+    b2 = tile[2] if len(tile) > 2 else 0
+    pred0 = struct.unpack("<h", bytes((b0, b1)))[0]
+    idx0 = b2 % 89
+    block = struct.pack("<hBB", pred0, idx0, 0) + tile
+    n_samples = 1 + 2 * len(tile)
+    fmt = struct.pack("<HHIIHHHH", 17, 1, sample_rate,
+                      (sample_rate * len(block)) // max(1, n_samples),
+                      len(block), 4, 2, n_samples)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<II", 4, n_samples)
+            + b"data" + struct.pack("<I", len(block)) + block
+            + (b"\x00" if len(block) % 2 else b""))
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
 def _encode_avi(tile: bytes, w: int, h: int, n_frames: int) -> bytes:
     """Deterministic pure-stdlib uncompressed AVI (r6 — the video
     container joins BMP/WAV/PNG): standard RIFF 'AVI ' with a real
@@ -1066,6 +1160,12 @@ def synthesize_media_encoded(docs: DataFrame,
                     heights.append(h)
                     rates.append(None)
                     frames.append(nf)
+                elif media_type == "audio_adpcm":
+                    payloads.append(_encode_wav_adpcm(tb))
+                    widths.append(None)
+                    heights.append(None)
+                    rates.append(8_000)
+                    frames.append(1 + 2 * len(tb or b"\x00"))
                 else:
                     n = (len(tb) % 997) + 16
                     payloads.append(_encode_wav(tb, n))

@@ -1414,6 +1414,113 @@ def multimodal_decode_rle(spark, sf_dir):
                     "payload_bytes", "first_value", "value_sum"))
 
 
+# IMA ADPCM tables as SQL list literals (one definition site —
+# operators/multimodal.py owns the tables; the oracle replays them)
+_IMA_STEPS_SQL = "[" + ",".join(map(str, M._IMA_STEPS)) + "]"
+_IMA_INDEX_SQL = "[" + ",".join(map(str, M._IMA_INDEX)) + "]"
+
+
+@query("multimodal_decode_adpcm", oracle=f"""
+    -- IMA ADPCM round-trip (r10): genuine compressed-WAV payloads
+    -- (format tag 17, fact chunk, 4-byte block header) whose nibble
+    -- stream IS the text's hex digits (low nibble of each byte first,
+    -- the IMA packing), decoded by the real predictor/step-index
+    -- state machine. The oracle replays that EXACT state machine in a
+    -- recursive CTE — step table lookup, diff reconstruction from the
+    -- nibble bits, int16 clamp, index-table walk — and checks the
+    -- byte sum of every decoded sample, so a table, clamp, sign, or
+    -- nibble-order bug anywhere moves value_sum. All integer
+    -- arithmetic: bit-identical across engines by construction.
+    WITH RECURSIVE b AS (
+        SELECT doc_id,
+               CASE WHEN coalesce(text, '') = '' THEN 1
+                    ELSE octet_length(encode(text)) END AS blen,
+               CASE WHEN coalesce(text, '') = '' THEN '00'
+                    ELSE hex(encode(text)) END AS hx
+        FROM documents WHERE doc_id < 300
+    ), c AS (
+        SELECT {_IMA_STEPS_SQL} AS st, {_IMA_INDEX_SQL} AS it
+    ), init AS (
+        SELECT doc_id,
+               CAST(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END
+                    AS BIGINT) AS pred0,
+               idx0
+        FROM (
+            SELECT doc_id,
+                   ('0x' || substr(hx, 1, 2))::BIGINT
+                   + 256 * (CASE WHEN blen >= 2
+                                 THEN ('0x' || substr(hx, 3, 2))::BIGINT
+                                 ELSE ('0x' || substr(hx, 1, 2))::BIGINT
+                            END) AS u,
+                   (CASE WHEN blen >= 3
+                         THEN ('0x' || substr(hx, 5, 2))::BIGINT
+                         ELSE 0 END) % 89 AS idx0
+            FROM b)
+    ), rec AS (
+        SELECT doc_id, 0 AS i, pred0 AS pred, idx0 AS idx,
+               (CASE WHEN pred0 < 0 THEN pred0 + 65536 ELSE pred0 END)
+                   % 256
+               + (CASE WHEN pred0 < 0 THEN pred0 + 65536 ELSE pred0 END)
+                   // 256 AS acc
+        FROM init
+        UNION ALL
+        SELECT doc_id, i + 1, new_pred,
+               LEAST(88, GREATEST(0, idx + it[(nib % 8) + 1])),
+               acc + (CASE WHEN new_pred < 0 THEN new_pred + 65536
+                           ELSE new_pred END) % 256
+                   + (CASE WHEN new_pred < 0 THEN new_pred + 65536
+                           ELSE new_pred END) // 256
+        FROM (
+            SELECT doc_id, i, idx, acc, nib, it,
+                   LEAST(32767, GREATEST(-32768,
+                       CASE WHEN nib >= 8 THEN pred - diff
+                            ELSE pred + diff END)) AS new_pred
+            FROM (
+                SELECT r.doc_id, r.i, r.pred, r.idx, r.acc, c.it, nib,
+                       c.st[r.idx + 1] // 8
+                       + (nib % 2) * (c.st[r.idx + 1] // 4)
+                       + ((nib // 2) % 2) * (c.st[r.idx + 1] // 2)
+                       + ((nib // 4) % 2) * c.st[r.idx + 1] AS diff
+                FROM (
+                    SELECT r.*,
+                           ('0x' || substr(b.hx,
+                               CAST(CASE WHEN (r.i + 1) % 2 = 1
+                                    THEN 2 * ((r.i + 2) // 2)
+                                    ELSE 2 * ((r.i + 2) // 2) - 1
+                               END AS INT), 1))::BIGINT AS nib
+                    FROM rec r JOIN b USING (doc_id)
+                    WHERE r.i < 2 * b.blen
+                ) r CROSS JOIN c
+            )
+        )
+    )
+    SELECT b.doc_id AS media_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(1 + 2 * b.blen AS BIGINT) AS n_samples,
+           CAST(64 + b.blen + b.blen % 2 AS BIGINT) AS payload_bytes,
+           CAST(init.pred0 AS BIGINT) AS first_value,
+           CAST(rec.acc AS BIGINT) AS value_sum
+    FROM b JOIN init USING (doc_id)
+    JOIN rec ON rec.doc_id = b.doc_id AND rec.i = 2 * b.blen
+""")
+def multimodal_decode_adpcm(spark, sf_dir):
+    """Compressed-AUDIO decode round-trip (r10): `_encode_wav_adpcm`
+    builds genuine mono IMA ADPCM WAVs (format tag 17, fact chunk,
+    block header carrying text-derived initial predictor/step-index,
+    nibble payload = the raw text bytes) and the extended `decode_wav`
+    runs the real 4-bit predictor state machine. The DuckDB oracle
+    replays the whole state machine in a recursive CTE and checks the
+    byte-sum of every decoded int16 sample — with RLE8 and GIF/LZW
+    this makes three COMPRESSED formats under full oracle; MP3/H.264
+    remain the honest codec-library boundary."""
+    docs = _t(spark, sf_dir, "documents")
+    ad = M.synthesize_media_encoded(docs.filter(F.col("doc_id") < 300),
+                                    media_type="audio_adpcm")
+    return (M.decode_media(ad)
+            .select("media_id", "sample_rate", "n_samples",
+                    "payload_bytes", "first_value", "value_sum"))
+
+
 @query("multimodal_decode_gif", oracle=f"""
     -- GIF/LZW round-trip (r10): genuine GIF87a payloads — 16-entry RGB
     -- palette, one pixel per source byte (index b%13), literal-root

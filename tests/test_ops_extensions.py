@@ -309,6 +309,50 @@ def test_gif_lzw_decoder_roundtrip_and_compressed_branches():
         M.decode_gif(b"NOTGIF" + b"\x00" * 32)
 
 
+def test_ima_adpcm_decoder_state_machine():
+    """r10: the IMA ADPCM branch — container round-trip (fmt tag 17,
+    fact chunk, block header), hand-computed state-machine steps
+    (diff reconstruction, sign bit, index walk), clamping, and
+    malformed-block errors."""
+    import struct
+
+    for text in (b"hello world", b"", b"\x00", bytes(range(256))):
+        tile = text or b"\x00"
+        d = M.decode_wav(M._encode_wav_adpcm(text))
+        assert d["n_samples"] == 1 + 2 * len(tile)
+        assert (d["sample_rate"], d["n_channels"]) == (8000, 1)
+        pred0 = struct.unpack("<h", bytes(
+            (tile[0], tile[1] if len(tile) > 1 else tile[0])))[0]
+        assert struct.unpack_from("<h", d["samples"], 0)[0] == pred0
+
+    # hand-computed: pred0=0, idx0=0, byte 0x70 -> nibbles (0, 7):
+    # nib 0: step=7, diff=0, pred 0, idx max(0,-1)=0
+    # nib 7: diff=0+1+3+7=11, pred 11, idx 8
+    block = struct.pack("<hBB", 0, 0, 0) + bytes([0x70])
+    assert struct.unpack("<3h", M._ima_adpcm_decode(block, len(block))) \
+        == (0, 0, 11)
+    # sign bit: pred 100, idx 10 (step 19), nib 0xF:
+    # diff = 2+4+9+19 = 34 -> pred 66; idx 10+8=18 (step 41);
+    # high nib 0x0: diff = 41>>3 = 5 -> pred 71
+    block = struct.pack("<hBB", 100, 10, 0) + bytes([0x0F])
+    assert struct.unpack("<3h", M._ima_adpcm_decode(block, len(block))) \
+        == (100, 66, 71)
+    # int16 clamp holds under a run of maximal positive nibbles
+    block = struct.pack("<hBB", 32000, 88, 0) + bytes([0x77] * 8)
+    vals = struct.unpack("<17h", M._ima_adpcm_decode(block, len(block)))
+    assert max(vals) == 32767 and min(vals) == 32000
+
+    with pytest.raises(ValueError):     # block shorter than its header
+        M._ima_adpcm_decode(b"\x00\x00", 4)
+    with pytest.raises(ValueError):     # step index out of range
+        M._ima_adpcm_decode(struct.pack("<hBB", 0, 99, 0), 4)
+    with pytest.raises(NotImplementedError):   # stereo ADPCM
+        fmt = struct.pack("<HHIIHH", 17, 2, 8000, 8000, 8, 4)
+        M.decode_wav(b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8)
+                     + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt))
+                     + fmt + b"data" + struct.pack("<I", 0))
+
+
 def test_wav_decoder_roundtrip_and_chunk_walk():
     import struct
     d = M.decode_wav(M._encode_wav(b"abcd", n_samples=10))

@@ -157,9 +157,11 @@ def decode_wav(payload: bytes) -> dict:
 
     Walks the RIFF chunk list (handles extra chunks between 'fmt ' and
     'data'), then dispatches on the format tag: 16-bit PCM (raw
-    samples) or mono IMA ADPCM (r10 — format tag 17: the real 4-bit
-    compressed format, decoded by the full predictor/step-index state
-    machine in _ima_adpcm_decode). Returns {"sample_rate",
+    samples), G.711 mu-law (r10 — format tag 7, per-sample expansion
+    in _ulaw_to_linear), or mono IMA ADPCM (r10 — format tag 17: the
+    real 4-bit compressed format, decoded by the full
+    predictor/step-index state machine in _ima_adpcm_decode). All
+    branches return {"sample_rate",
     "n_channels", "n_samples", "samples"} with samples as the raw
     little-endian int16 byte string in both cases."""
     import struct
@@ -180,6 +182,11 @@ def decode_wav(payload: bytes) -> dict:
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
     audio_fmt, n_channels, sample_rate, _brate, align, bits = fmt
+    if audio_fmt == 7 and bits == 8:     # G.711 mu-law
+        samples = b"".join(
+            struct.pack("<h", _ulaw_to_linear(byte)) for byte in data)
+        return {"sample_rate": sample_rate, "n_channels": n_channels,
+                "n_samples": len(data) // n_channels, "samples": samples}
     if audio_fmt == 17 and bits == 4:    # IMA ADPCM
         if n_channels != 1:
             raise NotImplementedError("only mono IMA ADPCM is supported")
@@ -188,10 +195,22 @@ def decode_wav(payload: bytes) -> dict:
                 "n_samples": len(samples) // 2, "samples": samples}
     if audio_fmt != 1 or bits != 16:
         raise NotImplementedError(
-            f"only 16-bit PCM and mono IMA ADPCM are supported "
-            f"(format={audio_fmt}, bits={bits})")
+            f"only 16-bit PCM, G.711 mu-law, and mono IMA ADPCM are "
+            f"supported (format={audio_fmt}, bits={bits})")
     return {"sample_rate": sample_rate, "n_channels": n_channels,
             "n_samples": len(data) // (2 * n_channels), "samples": data}
+
+
+def _ulaw_to_linear(byte: int) -> int:
+    """G.711 mu-law expansion (r10) — the standard telephony decode:
+    complement, split sign/exponent/mantissa, rebuild the biased
+    magnitude ((mantissa*8 + 132) << exponent) and remove the bias.
+    Stateless integer arithmetic per sample (the
+    multimodal_decode_ulaw oracle replays it in one list_transform,
+    no recursion needed)."""
+    u = ~byte & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return 0x84 - t if u & 0x80 else t - 0x84
 
 
 # IMA/DVI ADPCM tables (IMA Digital Audio Pack recommendation — the
@@ -962,6 +981,21 @@ def _encode_wav(tile: bytes, n_samples: int,
             + b"data" + struct.pack("<I", len(raw)) + raw)
 
 
+def _encode_wav_ulaw(tile: bytes, sample_rate: int = 8_000) -> bytes:
+    """Deterministic mono G.711 mu-law WAV (r10): fmt tag 7, 8 bits
+    per sample, the text bytes as the sample stream — every decoded
+    int16 is _ulaw_to_linear of a text byte, recomputable in SQL."""
+    import struct
+
+    tile = tile or b"\x00"
+    fmt = struct.pack("<HHIIHHH", 7, 1, sample_rate, sample_rate, 1, 8, 0)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<II", 4, len(tile))
+            + b"data" + struct.pack("<I", len(tile)) + tile
+            + (b"\x00" if len(tile) % 2 else b""))
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
 def _encode_wav_adpcm(tile: bytes, sample_rate: int = 8_000) -> bytes:
     """Deterministic mono IMA ADPCM WAV (r10): ONE block whose nibble
     payload is the raw text bytes (so the nibble stream is exactly the
@@ -1160,6 +1194,12 @@ def synthesize_media_encoded(docs: DataFrame,
                     heights.append(h)
                     rates.append(None)
                     frames.append(nf)
+                elif media_type == "audio_ulaw":
+                    payloads.append(_encode_wav_ulaw(tb))
+                    widths.append(None)
+                    heights.append(None)
+                    rates.append(8_000)
+                    frames.append(len(tb or b"\x00"))
                 elif media_type == "audio_adpcm":
                     payloads.append(_encode_wav_adpcm(tb))
                     widths.append(None)

@@ -1414,6 +1414,66 @@ def multimodal_decode_rle(spark, sf_dir):
                     "payload_bytes", "first_value", "value_sum"))
 
 
+@query("multimodal_decode_ulaw", oracle="""
+    -- G.711 mu-law round-trip (r10): genuine format-tag-7 WAVs whose
+    -- sample stream is the text bytes; the oracle replays the
+    -- STATELESS expansion per byte (complement, sign/exponent/
+    -- mantissa split, biased magnitude shift) in one list_transform —
+    -- no recursion needed, unlike ADPCM — and checks the byte sum of
+    -- every decoded int16 plus the exact container size.
+    WITH b AS (
+        SELECT doc_id,
+               CASE WHEN coalesce(text, '') = '' THEN 1
+                    ELSE octet_length(encode(text)) END AS blen,
+               CASE WHEN coalesce(text, '') = '' THEN '00'
+                    ELSE hex(encode(text)) END AS hx
+        FROM documents WHERE doc_id < 300
+    ), nb AS (
+        -- complemented mu-law bytes (DuckDB lambdas forbid subqueries,
+        -- so the expansion builds in two list_transform passes)
+        SELECT doc_id, blen,
+               list_transform(range(1, CAST(blen + 1 AS BIGINT)),
+                   i -> 255 - ('0x' || substr(hx, CAST(2*i-1 AS INT), 2))
+                        ::BIGINT) AS nbs
+        FROM b
+    ), v AS (
+        SELECT doc_id, blen,
+               list_transform(nbs, n ->
+                   CASE WHEN n >= 128
+                        THEN 132 - ((n % 16) * 8 + 132)
+                             * ([1,2,4,8,16,32,64,128])
+                               [CAST((n // 16) % 8 + 1 AS INT)]
+                        ELSE ((n % 16) * 8 + 132)
+                             * ([1,2,4,8,16,32,64,128])
+                               [CAST((n // 16) % 8 + 1 AS INT)] - 132
+                   END) AS vals
+        FROM nb
+    )
+    SELECT doc_id AS media_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(blen AS BIGINT) AS n_samples,
+           CAST(58 + blen + blen % 2 AS BIGINT) AS payload_bytes,
+           CAST(vals[1] AS BIGINT) AS first_value,
+           CAST(list_aggregate(list_transform(vals, s -> (
+                    CASE WHEN s < 0 THEN s + 65536 ELSE s END) % 256
+                    + (CASE WHEN s < 0 THEN s + 65536 ELSE s END) // 256),
+                'sum') AS BIGINT) AS value_sum
+    FROM v
+""")
+def multimodal_decode_ulaw(spark, sf_dir):
+    """G.711 mu-law decode round-trip (r10): `_encode_wav_ulaw` builds
+    genuine telephony WAVs (fmt tag 7, 8-bit samples = the text
+    bytes) and `decode_wav` expands them with the standard stateless
+    G.711 arithmetic. Fourth compressed format under full oracle; the
+    expansion replays in one list_transform per doc."""
+    docs = _t(spark, sf_dir, "documents")
+    ul = M.synthesize_media_encoded(docs.filter(F.col("doc_id") < 300),
+                                    media_type="audio_ulaw")
+    return (M.decode_media(ul)
+            .select("media_id", "sample_rate", "n_samples",
+                    "payload_bytes", "first_value", "value_sum"))
+
+
 # IMA ADPCM tables as SQL list literals (one definition site —
 # operators/multimodal.py owns the tables; the oracle replays them)
 _IMA_STEPS_SQL = "[" + ",".join(map(str, M._IMA_STEPS)) + "]"

@@ -309,6 +309,24 @@ def test_gif_lzw_decoder_roundtrip_and_compressed_branches():
         M.decode_gif(b"NOTGIF" + b"\x00" * 32)
 
 
+def test_ulaw_decoder_canonical_values_and_roundtrip():
+    """r10: G.711 mu-law expansion — canonical codec values (0xFF/0x7F
+    are positive/negative zero, 0x00/0x80 the extremes +-32124) and
+    the WAV container round-trip."""
+    import struct
+
+    assert M._ulaw_to_linear(0xFF) == 0
+    assert M._ulaw_to_linear(0x7F) == 0
+    assert M._ulaw_to_linear(0x00) == -32124
+    assert M._ulaw_to_linear(0x80) == 32124
+    for text in (b"hello world", b"", bytes(range(256))):
+        tile = text or b"\x00"
+        d = M.decode_wav(M._encode_wav_ulaw(text))
+        assert d["n_samples"] == len(tile)
+        got = struct.unpack("<%dh" % len(tile), d["samples"])
+        assert list(got) == [M._ulaw_to_linear(b) for b in tile]
+
+
 def test_ima_adpcm_decoder_state_machine():
     """r10: the IMA ADPCM branch — container round-trip (fmt tag 17,
     fact chunk, block header), hand-computed state-machine steps

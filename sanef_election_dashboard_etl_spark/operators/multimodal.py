@@ -182,9 +182,10 @@ def decode_wav(payload: bytes) -> dict:
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
     audio_fmt, n_channels, sample_rate, _brate, align, bits = fmt
-    if audio_fmt == 7 and bits == 8:     # G.711 mu-law
+    if audio_fmt in (6, 7) and bits == 8:    # G.711 A-law / mu-law
+        expand = _alaw_to_linear if audio_fmt == 6 else _ulaw_to_linear
         samples = b"".join(
-            struct.pack("<h", _ulaw_to_linear(byte)) for byte in data)
+            struct.pack("<h", expand(byte)) for byte in data)
         return {"sample_rate": sample_rate, "n_channels": n_channels,
                 "n_samples": len(data) // n_channels, "samples": samples}
     if audio_fmt == 17 and bits == 4:    # IMA ADPCM
@@ -211,6 +212,20 @@ def _ulaw_to_linear(byte: int) -> int:
     u = ~byte & 0xFF
     t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
     return 0x84 - t if u & 0x80 else t - 0x84
+
+
+def _alaw_to_linear(byte: int) -> int:
+    """G.711 A-law expansion (r10) — the European telephony decode:
+    XOR the 0x55 toggle mask, split sign/segment/mantissa, rebuild
+    the magnitude (segment 0 is linear: mant*16 + 8; higher segments
+    shift the biased mantissa mant*16 + 264 by segment-1). Stateless
+    integer arithmetic, replayed by the multimodal_decode_alaw oracle
+    in one list_transform."""
+    a = byte ^ 0x55
+    seg = (a >> 4) & 7
+    mant = a & 0x0F
+    t = (mant << 4) + 8 if seg == 0 else ((mant << 4) + 0x108) << (seg - 1)
+    return -t if a & 0x80 else t
 
 
 # IMA/DVI ADPCM tables (IMA Digital Audio Pack recommendation — the
@@ -981,14 +996,16 @@ def _encode_wav(tile: bytes, n_samples: int,
             + b"data" + struct.pack("<I", len(raw)) + raw)
 
 
-def _encode_wav_ulaw(tile: bytes, sample_rate: int = 8_000) -> bytes:
-    """Deterministic mono G.711 mu-law WAV (r10): fmt tag 7, 8 bits
-    per sample, the text bytes as the sample stream — every decoded
-    int16 is _ulaw_to_linear of a text byte, recomputable in SQL."""
+def _encode_wav_ulaw(tile: bytes, sample_rate: int = 8_000,
+                     tag: int = 7) -> bytes:
+    """Deterministic mono G.711 WAV (r10): fmt tag 7 (mu-law) or 6
+    (A-law), 8 bits per sample, the text bytes as the sample stream —
+    every decoded int16 is the G.711 expansion of a text byte,
+    recomputable in SQL."""
     import struct
 
     tile = tile or b"\x00"
-    fmt = struct.pack("<HHIIHHH", 7, 1, sample_rate, sample_rate, 1, 8, 0)
+    fmt = struct.pack("<HHIIHHH", tag, 1, sample_rate, sample_rate, 1, 8, 0)
     body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"fact" + struct.pack("<II", 4, len(tile))
             + b"data" + struct.pack("<I", len(tile)) + tile
@@ -1194,8 +1211,9 @@ def synthesize_media_encoded(docs: DataFrame,
                     heights.append(h)
                     rates.append(None)
                     frames.append(nf)
-                elif media_type == "audio_ulaw":
-                    payloads.append(_encode_wav_ulaw(tb))
+                elif media_type in ("audio_ulaw", "audio_alaw"):
+                    tag = 6 if media_type == "audio_alaw" else 7
+                    payloads.append(_encode_wav_ulaw(tb, tag=tag))
                     widths.append(None)
                     heights.append(None)
                     rates.append(8_000)

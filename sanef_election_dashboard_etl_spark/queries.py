@@ -1474,6 +1474,60 @@ def multimodal_decode_ulaw(spark, sf_dir):
                     "payload_bytes", "first_value", "value_sum"))
 
 
+@query("multimodal_decode_alaw", oracle="""
+    -- G.711 A-law round-trip (r10): the European telephony half —
+    -- XOR the 0x55 toggle mask, segment/mantissa split, linear
+    -- segment 0, shifted biased mantissa above. Same one-pass
+    -- list_transform replay as the mu-law twin.
+    WITH b AS (
+        SELECT doc_id,
+               CASE WHEN coalesce(text, '') = '' THEN 1
+                    ELSE octet_length(encode(text)) END AS blen,
+               CASE WHEN coalesce(text, '') = '' THEN '00'
+                    ELSE hex(encode(text)) END AS hx
+        FROM documents WHERE doc_id < 300
+    ), av AS (
+        SELECT doc_id, blen,
+               list_transform(range(1, CAST(blen + 1 AS BIGINT)),
+                   i -> xor(('0x' || substr(hx, CAST(2*i-1 AS INT), 2))
+                            ::BIGINT, 85)) AS toggled
+        FROM b
+    ), v AS (
+        SELECT doc_id, blen,
+               list_transform(toggled, a ->
+                   (CASE WHEN a % 256 >= 128 THEN -1 ELSE 1 END)
+                   * (CASE WHEN (a // 16) % 8 = 0
+                           THEN (a % 16) * 16 + 8
+                           ELSE ((a % 16) * 16 + 264)
+                                * ([1,2,4,8,16,32,64])
+                                  [CAST((a // 16) % 8 AS INT)]
+                      END)) AS vals
+        FROM av
+    )
+    SELECT doc_id AS media_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(blen AS BIGINT) AS n_samples,
+           CAST(58 + blen + blen % 2 AS BIGINT) AS payload_bytes,
+           CAST(vals[1] AS BIGINT) AS first_value,
+           CAST(list_aggregate(list_transform(vals, s -> (
+                    CASE WHEN s < 0 THEN s + 65536 ELSE s END) % 256
+                    + (CASE WHEN s < 0 THEN s + 65536 ELSE s END) // 256),
+                'sum') AS BIGINT) AS value_sum
+    FROM v
+""")
+def multimodal_decode_alaw(spark, sf_dir):
+    """G.711 A-law decode round-trip (r10) — the mu-law twin for the
+    European variant (fmt tag 6, 0x55 toggle mask, linear segment 0).
+    Same container, same oracle shape; together the two entries put
+    the complete G.711 standard under full oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    al = M.synthesize_media_encoded(docs.filter(F.col("doc_id") < 300),
+                                    media_type="audio_alaw")
+    return (M.decode_media(al)
+            .select("media_id", "sample_rate", "n_samples",
+                    "payload_bytes", "first_value", "value_sum"))
+
+
 # IMA ADPCM tables as SQL list literals (one definition site —
 # operators/multimodal.py owns the tables; the oracle replays them)
 _IMA_STEPS_SQL = "[" + ",".join(map(str, M._IMA_STEPS)) + "]"

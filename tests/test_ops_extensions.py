@@ -325,6 +325,15 @@ def test_ulaw_decoder_canonical_values_and_roundtrip():
         assert d["n_samples"] == len(tile)
         got = struct.unpack("<%dh" % len(tile), d["samples"])
         assert list(got) == [M._ulaw_to_linear(b) for b in tile]
+    # A-law twin: canonical values (0x55/0xD5 are +-8 — A-law has no
+    # true zero; 0x2A/0xAA the +-32256 extremes) and the fmt-6 branch
+    assert M._alaw_to_linear(0x55) == 8
+    assert M._alaw_to_linear(0xD5) == -8
+    assert M._alaw_to_linear(0x2A) == 32256
+    assert M._alaw_to_linear(0xAA) == -32256
+    d = M.decode_wav(M._encode_wav_ulaw(b"hi", tag=6))
+    assert list(struct.unpack("<2h", d["samples"])) \
+        == [M._alaw_to_linear(b) for b in b"hi"]
 
 
 def test_ima_adpcm_decoder_state_machine():

@@ -7081,27 +7081,44 @@ def _changed_pkg_modules() -> set[str]:
     row-age rotation) when git is unavailable. queries.py itself is
     excluded: the pin list edits it every round, which would mark the
     whole registry churned; so are catalog/session (every entry's
-    common path — a change there is covered by whatever window runs)."""
+    common path — a change there is covered by whatever window runs).
+
+    PROCESS-STABLE by contract (test_rotation_is_deterministic_per_
+    round): the first computation is memoized in the process
+    environment, so a module reload — or a commit landing mid-process,
+    which moves HEAD and would otherwise reshuffle the window between
+    import and re-import — returns the same set. A fresh process
+    (each driver run, each gate invocation) recomputes."""
+    import os
     import subprocess
+
+    cached = os.environ.get("_SPARK_GRAFT_CHURN_MODULES")
+    if cached is not None:
+        return set(filter(None, cached.split(",")))
+
+    def memo(mods: set[str]) -> set[str]:
+        os.environ["_SPARK_GRAFT_CHURN_MODULES"] = ",".join(sorted(mods))
+        return mods
+
     try:
         base = subprocess.run(
             ["git", "log", "--grep", "^round [0-9]*:", "-n", "1",
              "--format=%H"], cwd="/root/repo", capture_output=True,
             text=True, timeout=10).stdout.strip()
         if not base:
-            return set()
+            return memo(set())
         diff = subprocess.run(
             ["git", "diff", "--name-only", base, "HEAD", "--",
              "sanef_election_dashboard_etl_spark"],
             cwd="/root/repo", capture_output=True, text=True,
             timeout=10).stdout.split()
     except Exception:
-        return set()
+        return memo(set())
     skip = {"sanef_election_dashboard_etl_spark/queries.py",
             "sanef_election_dashboard_etl_spark/catalog.py",
             "sanef_election_dashboard_etl_spark/session.py"}
-    return {p[:-3].replace("/", ".") for p in diff
-            if p.endswith(".py") and p not in skip}
+    return memo({p[:-3].replace("/", ".") for p in diff
+                 if p.endswith(".py") and p not in skip})
 
 
 def _entry_modules(fn) -> set[str]:

@@ -138,11 +138,18 @@ def _decode_bmp_rle8(payload: bytes, off: int, hdr_sz: int,
         elif v == 1:                               # end of bitmap
             break
         elif v == 2:                               # delta
+            if i + 1 >= len(payload):
+                raise ValueError(
+                    "RLE8 stream truncated inside a delta escape")
             x, y = x + payload[i], y + payload[i + 1]
             i += 2
         else:                                      # absolute mode
             if y >= height or x + v > w:
                 raise ValueError("RLE8 absolute run overflows the bitmap")
+            if i + v > len(payload):
+                # a short slice would silently SHRINK the row bytearray
+                raise ValueError(
+                    "RLE8 stream truncated inside an absolute run")
             rows[y][x:x + v] = payload[i:i + v]
             i += v + (v & 1)                       # word-aligned
             x += v

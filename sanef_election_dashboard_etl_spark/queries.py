@@ -7085,32 +7085,39 @@ def _changed_pkg_modules() -> set[str]:
 
     PROCESS-STABLE by contract (test_rotation_is_deterministic_per_
     round): the first computation is memoized in the process
-    environment, so a module reload — or a commit landing mid-process,
-    which moves HEAD and would otherwise reshuffle the window between
-    import and re-import — returns the same set. A fresh process
-    (each driver run, each gate invocation) recomputes."""
+    environment KEYED ON THE PID, so a module reload — or a commit
+    landing mid-process, which moves HEAD and would otherwise
+    reshuffle the window between import and re-import — returns the
+    same set, while a CHILD process (different pid; env is inherited —
+    r10 review catch) recomputes against the then-current HEAD as the
+    docstring promises. Git runs in this package's own repo root, not
+    a hardcoded path, so an extracted-tree run (tools/ab_bench.py)
+    diffs its own tree's repo."""
     import os
     import subprocess
 
     cached = os.environ.get("_SPARK_GRAFT_CHURN_MODULES")
-    if cached is not None:
-        return set(filter(None, cached.split(",")))
+    pid = str(os.getpid())
+    if cached is not None and cached.split(":", 1)[0] == pid:
+        return set(filter(None, cached.split(":", 1)[1].split(",")))
 
     def memo(mods: set[str]) -> set[str]:
-        os.environ["_SPARK_GRAFT_CHURN_MODULES"] = ",".join(sorted(mods))
+        os.environ["_SPARK_GRAFT_CHURN_MODULES"] = \
+            pid + ":" + ",".join(sorted(mods))
         return mods
 
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     try:
         base = subprocess.run(
             ["git", "log", "--grep", "^round [0-9]*:", "-n", "1",
-             "--format=%H"], cwd="/root/repo", capture_output=True,
+             "--format=%H"], cwd=repo_root, capture_output=True,
             text=True, timeout=10).stdout.strip()
         if not base:
             return memo(set())
         diff = subprocess.run(
             ["git", "diff", "--name-only", base, "HEAD", "--",
              "sanef_election_dashboard_etl_spark"],
-            cwd="/root/repo", capture_output=True, text=True,
+            cwd=repo_root, capture_output=True, text=True,
             timeout=10).stdout.split()
     except Exception:
         return memo(set())
@@ -8264,7 +8271,8 @@ def text_bpe_tokenize(spark, sf_dir):
 def text_bpe_encode_auto(spark, sf_dir):
     """BPE tier auto-dispatch (r10, text.bpe_encode_auto): same trained
     merges as text_bpe_tokenize, routed through the dispatcher with
-    caller-supplied web-scale stats so the DISTINCT-WORD-JOIN tier (the
+    caller-supplied stats (a high-vocab dedup-heavy corpus: 10M
+    distinct words, 100M tokens) so the DISTINCT-WORD-JOIN tier (the
     100 TB shape: |vocab| Python segmentations total, pieces joined
     back and reassembled by position) gets a driver row — the measured
     dispatch picks the batch tier on the fixture's 31-word vocabulary,
@@ -8275,8 +8283,14 @@ def text_bpe_encode_auto(spark, sf_dir):
     the merge loop); same driver-canon scalar surface."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     merges = T.bpe_train(docs, n_merges=100, train_n=256)
-    enc = T.bpe_encode_auto(docs, merges,
-                            vocab_est=10_000_000, n_tokens=10_000_000_000)
+    # repartition(8): the fixture parquet scans as ONE partition, and
+    # pick_bpe_tier multiplies by (P-1) — at P=1 the batch cache is
+    # exactly-once and correctly wins regardless of vocab, so without
+    # this the entry would silently duplicate text_bpe_tokenize's
+    # batch path (r10 review catch). With P=8 the supplied
+    # stats select the distinct tier this entry exists to drive.
+    enc = T.bpe_encode_auto(docs.repartition(8), merges,
+                            vocab_est=10_000_000, n_tokens=100_000_000)
     return enc.select(
         "doc_id", "n_bpe_tokens",
         F.array_join("bpe_tokens", " ").alias("bpe_text"))

@@ -2582,7 +2582,7 @@ def test_bpe_pick_tier_regimes():
     # -> redundant re-segmentation (12.6M) beats the shuffle (1.6M)
     assert T.pick_bpe_tier(200_000, 50_000_000, 64) == "distinct"
     # single partition: the batch cache is already exactly-once
-    assert T.pick_bpe_tier(10_000_000, 10_000_000_000, 1) == "batch"
+    assert T.pick_bpe_tier(10_000_000, 100_000_000, 1) == "batch"
 
 
 def test_bpe_auto_dispatch_identity(spark):
@@ -2599,12 +2599,21 @@ def test_bpe_auto_dispatch_identity(spark):
     auto = {r["doc_id"]: (r["n_bpe_tokens"], r["bpe_tokens"])
             for r in T.bpe_encode_auto(docs, merges).collect()}
     assert auto == want
-    # forced-distinct dispatch via caller-supplied web-scale stats
+    # forced-distinct dispatch via caller-supplied web-scale stats.
+    # repartition(4) matters: a 1-partition frame makes (P-1) zero and
+    # the dispatcher correctly stays on the exactly-once batch cache,
+    # so this leg would silently re-test the batch tier (r10 review
+    # catch) — assert the stats+partitioning really select distinct
+    docs4 = docs.repartition(4)
+    assert T.pick_bpe_tier(10_000_000, 100_000_000,
+                           docs4.rdd.getNumPartitions()) == "distinct"
     forced = {r["doc_id"]: (r["n_bpe_tokens"], r["bpe_tokens"])
               for r in T.bpe_encode_auto(
-                  docs, merges, vocab_est=10_000_000,
-                  n_tokens=10_000_000_000).collect()}
+                  docs4, merges, vocab_est=10_000_000,
+                  n_tokens=100_000_000).collect()}
     assert forced == want
+    # and that a 1-partition frame stays batch even with huge stats
+    assert T.pick_bpe_tier(10_000_000, 100_000_000, 1) == "batch"
 
 
 def test_rrf_fuse_hand_computed(spark):

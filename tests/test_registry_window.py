@@ -49,13 +49,19 @@ def test_rotation_prefers_churned_entries(monkeypatch):
                             lambda: {sketch_mod})
         q._reorder_registry()
         rotated = list(q.REGISTRY)[len(q._PINNED):q._WINDOW_SIZE]
-        # churn outranks row-age unless a never-driver-checked entry
-        # needs the slot (none exist once the backlog is drained)
+        # The direct invariant, assertable in EVERY repo state (an
+        # earlier form skipped itself whenever any never-checked entry
+        # existed — r10 review catch): churn outranks row-age, so no
+        # already-covered UNCHURNED entry may hold a slot while a
+        # covered churned entry is left out. Never-checked entries
+        # (coverage 0) legitimately outrank both.
         covered = q._driver_coverage()
-        zero_pool = [n for n in q.REGISTRY if n not in q._PINNED
-                     and covered.get(n, 0) == 0]
-        if not zero_pool:
-            assert set(touching) <= set(rotated)
+        left_out_churned = [n for n in touching
+                            if n not in rotated and covered.get(n, 0) > 0]
+        unchurned_in = [n for n in rotated
+                        if covered.get(n, 0) > 0 and n not in touching]
+        assert not (left_out_churned and unchurned_in), (
+            left_out_churned, unchurned_in)
     finally:
         monkeypatch.undo()
         q._reorder_registry()  # restore the real (git-state) ordering

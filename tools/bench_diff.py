@@ -64,13 +64,20 @@ def compute(prev_path: str | None = None,
     Returns {prev, band_factor, flagged, deltas, rows} where deltas maps
     query -> band-adjusted delta vs prev and rows carries the full
     per-query tuples for the detail file."""
+    cur_path = None
     if cur is None:
+        # newest-by-mtime of the two detail locations (bench.py default
+        # runs write .bench/, --record runs the repo root). mtime can
+        # lie after a git checkout rewrites the tracked copy, so the
+        # chosen path is surfaced in the summary line for a human to
+        # sanity-check rather than silently adjudicated.
         cands = [p for p in (
             os.path.join(ROOT, ".bench", "BENCH_DETAIL.json"),
             os.path.join(ROOT, "BENCH_DETAIL.json")) if os.path.exists(p)]
         if not cands:
             raise SystemExit("no BENCH_DETAIL.json found — run bench.py")
-        with open(max(cands, key=os.path.getmtime)) as f:
+        cur_path = max(cands, key=os.path.getmtime)
+        with open(cur_path) as f:
             cur = json.load(f)
     prev_name, prev = load_prev(prev_path)
     prev_spread = prev.get("queries_spread", {})
@@ -169,6 +176,8 @@ def compute(prev_path: str | None = None,
                      cur.get("queries_spread", {}).get(name, 0.0),
                      delta, verdict))
     return {"prev": prev_name, "prev_sf": prev.get("sf"),
+            "cur_sf": cur.get("sf"), "cur_reps": cur.get("reps"),
+            "cur_path": cur_path,
             "band_factor": band_factor, "proxy_ratio": proxy_ratio,
             "spark_proxy_ratio": spark_ratio, "spark_quiet": spark_quiet,
             "spark_sane": spark_sane,
@@ -186,17 +195,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="print only; don't rewrite the SCALE.md section")
     args = ap.parse_args(argv)
 
-    # prefer the freshest detail record: bench.py default runs write to
-    # the gitignored .bench/ dir, --record runs to the repo root (r10
-    # side-effect discipline) — pick whichever was written last
-    cands = [p for p in (os.path.join(ROOT, ".bench", "BENCH_DETAIL.json"),
-                         os.path.join(ROOT, "BENCH_DETAIL.json"))
-             if os.path.exists(p)]
-    if not cands:
-        raise SystemExit("no BENCH_DETAIL.json found — run bench.py first")
-    with open(max(cands, key=os.path.getmtime)) as f:
-        cur = json.load(f)
-    res = compute(args.prev, cur)
+    # candidate resolution lives in compute() (one definition site —
+    # r10 review catch); main only consumes the resolved metadata
+    res = compute(args.prev)
     prev_name, band_factor, flagged = \
         res["prev"], res["band_factor"], res["flagged"]
 
@@ -250,8 +251,11 @@ def main(argv: list[str] | None = None) -> int:
         norm_note = (f"ambient band {band_factor}x divided out (median "
                      f"of per-query ratios; no cpu proxy in base record)")
     norm_note = pre + norm_note
+    cur_name = os.path.relpath(res.get("cur_path") or "BENCH_DETAIL.json",
+                               ROOT)
     summary = (f"base: {prev_name} (sf={res.get('prev_sf')}), current: "
-               f"BENCH_DETAIL.json (sf={cur.get('sf')}, reps={cur.get('reps')}); "
+               f"{cur_name} (sf={res.get('cur_sf')}, "
+               f"reps={res.get('cur_reps')}); "
                f"{norm_note}{floor_note}; flag band = "
                f"max(spread_cur, spread_prev, {int(MIN_S*1000)} ms) on "
                f"the residual. {len(flagged)} regression(s)"

@@ -358,9 +358,24 @@ def main() -> None:
         "the probes are near-free; on background geometry, use pq_topk",
         "(full ADC + rerank) and spend the savings on codes, not probes.",
     ]
+    # Preserve sections this default run does not generate (the --sf1 /
+    # --sf1-fixture appends and the hybrid-retrieval record) — an r10
+    # default rerun clobbered 69 lines of earlier-round evidence before
+    # this guard existed.
+    tail = ""
+    try:
+        with open("/root/repo/RECALL.md") as fh:
+            old = fh.read()
+        cuts = [i for i in (old.find("## Hybrid retrieval"),
+                            old.find("## sf1")) if i >= 0]
+        if cuts:
+            tail = "\n" + old[min(cuts):].rstrip() + "\n"
+    except OSError:
+        pass
     with open("/root/repo/RECALL.md", "w") as fh:
-        fh.write("\n".join(lines) + "\n")
-    print("RECALL.md written")
+        fh.write("\n".join(lines) + "\n" + tail)
+    print("RECALL.md written" + (" (appended sections preserved)"
+                                 if tail else ""))
 
 
 if __name__ == "__main__":

@@ -1160,7 +1160,8 @@ def bpe_encode(df: DataFrame, merges: list, id_col: str = "doc_id",
 
 
 def bpe_encode_distinct(df: DataFrame, merges: list, id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        huge_vocab: bool = False) -> DataFrame:
     """bpe_encode via DISTINCT-WORD pre-aggregation (r9, VERDICT r8
     item 8) — the standard production shape at 100 TB: segment each
     distinct word ONCE (the only Python stage, sized by corpus
@@ -1202,6 +1203,16 @@ def bpe_encode_distinct(df: DataFrame, merges: list, id_col: str = "doc_id",
 
     enc = uw.mapInPandas(
         enc_words, schema="__w string, __pieces array<string>")
+    # The piece table is vocab-sized; BROADCAST it into the token join
+    # by default (r10 plan-audit catch: without the hint the join
+    # planned sort-merge, shuffling the corpus tokens on the word key
+    # on top of the regroup exchange they already pay — Spark has no
+    # stats for a mapInPandas output). huge_vocab=True opts out for
+    # corpora whose word->pieces table exceeds broadcast budget
+    # (~10^8 distinct words); there the regroup exchange remains and
+    # AQE picks the join strategy from runtime sizes.
+    if not huge_vocab:
+        enc = F.broadcast(enc)
     per_doc = (toks.join(enc, "__w")
                .groupBy(id_col)
                .agg(F.flatten(F.transform(
@@ -1209,16 +1220,23 @@ def bpe_encode_distinct(df: DataFrame, merges: list, id_col: str = "doc_id",
                        F.struct("__pos", "__pieces"))),
                    lambda s: s["__pieces"])).alias("bpe_tokens")))
     # docs with no tokens (empty/NULL text) drop out of the explode —
-    # restore them with the same ([] , 0) row bpe_encode emits
-    return (df.select(F.col(id_col))
-            .join(per_doc, id_col, "left")
-            .select(id_col,
-                    F.when(F.col("bpe_tokens").isNull(), F.lit(0))
-                    .otherwise(F.size("bpe_tokens")).cast("long")
-                    .alias("n_bpe_tokens"),
-                    F.coalesce("bpe_tokens",
-                               F.array().cast("array<string>"))
-                    .alias("bpe_tokens")))
+    # restore them with the same ([], 0) row bpe_encode emits. UNION of
+    # a narrow second scan, not a left join (r10 plan-audit catch: the
+    # old corpus-grain LEFT JOIN sort-merged two corpus-sized tables
+    # and re-exchanged the id side; the empties scan is pruned to the
+    # id column plus a size predicate and needs no exchange at all).
+    # coalesce(size, 0) covers both ANSI NULL and legacy -1 for NULL
+    # text, matching the explode path where such docs have no rows.
+    empties = (df.where(F.coalesce(F.size(words), F.lit(0)) <= 0)
+               .select(F.col(id_col),
+                       F.lit(0).cast("long").alias("n_bpe_tokens"),
+                       F.array().cast("array<string>")
+                       .alias("bpe_tokens")))
+    return (per_doc.select(
+                F.col(id_col),
+                F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+                "bpe_tokens")
+            .unionByName(empties))
 
 
 def pick_bpe_tier(vocab_est: int, n_tokens: int, n_partitions: int,

@@ -201,6 +201,18 @@ MUST_HAVE = {
     "source_orc_roundtrip": ["PushedFilters: [", "LessThan(o_orderkey"],
     # BPE apply is one narrow Arrow pass
     "text_bpe_tokenize": ["MapInPandas"],
+    # r10 codec round-trips: synthesize -> decode are Arrow passes; the
+    # RLE/GIF/G.711/ADPCM payload columns never reach an exchange
+    # (asserted via MUST_NOT below)
+    "multimodal_decode_rle": ["MapInPandas"],
+    "multimodal_decode_gif": ["MapInPandas"],
+    "multimodal_decode_adpcm": ["MapInPandas"],
+    "multimodal_decode_ulaw": ["MapInPandas"],
+    "multimodal_decode_alaw": ["MapInPandas"],
+    # BPE distinct tier (via the auto dispatcher): the vocab-sized
+    # piece table must join back by BROADCAST (corpus tokens shuffle
+    # only for the per-doc regroup)
+    "text_bpe_encode_auto": ["MapInPandas", "BroadcastHashJoin"],
 }
 
 # query -> substrings that must NOT appear
@@ -252,6 +264,13 @@ MUST_NOT = {
     "pipe_training_data_prep": ["CartesianProduct"],
     # decode is a pure narrow map: synthesize -> decode with no shuffle
     "multimodal_decode": ["Exchange", "SortMergeJoin"],
+    # r10 codecs: same no-payload-exchange discipline
+    "multimodal_decode_rle": ["Exchange", "SortMergeJoin"],
+    "multimodal_decode_gif": ["Exchange", "SortMergeJoin"],
+    "multimodal_decode_adpcm": ["Exchange", "SortMergeJoin"],
+    "multimodal_decode_ulaw": ["Exchange", "SortMergeJoin"],
+    "multimodal_decode_alaw": ["Exchange", "SortMergeJoin"],
+    "text_bpe_encode_auto": ["SortMergeJoin", "CartesianProduct"],
     "j13_lateral_topn": ["CartesianProduct", "SortMergeJoin"],
     "r6_unpivot_native": ["Generate"],  # unpivot must not fall back to explode
     # numbering must never re-shuffle, re-sort, or plan a global window
@@ -349,6 +368,9 @@ AUDIT = [
     "sim_hard_negatives", "sim_knn_graph", "sim_mmr_rerank",
     "pack_ffd", "sample_quantile_normalize", "pipe_dedup_audit",
     "multimodal_decode_png", "multimodal_frame_sample",
+    "multimodal_decode_rle", "multimodal_decode_gif",
+    "multimodal_decode_adpcm", "multimodal_decode_ulaw",
+    "multimodal_decode_alaw", "text_bpe_encode_auto",
 ]
 
 

@@ -117,9 +117,13 @@ def _decode_bmp_rle8(payload: bytes, off: int, hdr_sz: int,
     import struct
 
     height = abs(h)
+    if hdr_sz < 40 or len(payload) < 50:
+        raise ValueError("RLE8 BMP header truncated (need BITMAPINFOHEADER)")
     n_colors, = struct.unpack_from("<I", payload, 46)   # biClrUsed
     n_colors = n_colors or 256
     pal_off = 14 + hdr_sz
+    if pal_off + 4 * n_colors > len(payload):
+        raise ValueError("RLE8 palette truncated (biClrUsed exceeds payload)")
     palette = [payload[pal_off + 4 * j: pal_off + 4 * j + 3]
                for j in range(n_colors)]
     rows = [bytearray(w) for _ in range(height)]
@@ -155,6 +159,8 @@ def _decode_bmp_rle8(payload: bytes, off: int, hdr_sz: int,
             x += v
     else:
         raise ValueError("RLE8 stream missing end-of-bitmap escape")
+    if any(j >= n_colors for row in rows for j in row):
+        raise ValueError("RLE8 pixel index outside palette")
     pixels = b"".join(palette[j] for row in rows for j in row)
     return {"width": w, "height": height, "pixels": pixels}
 
@@ -176,13 +182,14 @@ def decode_wav(payload: bytes) -> dict:
     if len(payload or b"") < 12 or payload[0:4] != b"RIFF" \
             or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV: missing RIFF/WAVE header")
-    pos, fmt, data = 12, None, None
+    pos, fmt, data, fmt_body = 12, None, None, b""
     while pos + 8 <= len(payload):
         cid, size = payload[pos:pos + 4], struct.unpack_from(
             "<I", payload, pos + 4)[0]
         body = payload[pos + 8: pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)     # chunks are word-aligned
@@ -198,7 +205,14 @@ def decode_wav(payload: bytes) -> dict:
     if audio_fmt == 17 and bits == 4:    # IMA ADPCM
         if n_channels != 1:
             raise NotImplementedError("only mono IMA ADPCM is supported")
-        samples = _ima_adpcm_decode(data, align)
+        # samplesPerBlock from the fmt extension (cbSize at 16, value at
+        # 18) — blocks whose final data byte carries a padding nibble
+        # must be truncated to it, per reference ADPCM decoders.
+        spb = None
+        if len(fmt_body) >= 20:
+            _cb, spb = struct.unpack_from("<HH", fmt_body, 16)
+            spb = spb or None
+        samples = _ima_adpcm_decode(data, align, samples_per_block=spb)
         return {"sample_rate": sample_rate, "n_channels": 1,
                 "n_samples": len(samples) // 2, "samples": samples}
     if audio_fmt != 1 or bits != 16:
@@ -227,12 +241,15 @@ def _alaw_to_linear(byte: int) -> int:
     the magnitude (segment 0 is linear: mant*16 + 8; higher segments
     shift the biased mantissa mant*16 + 264 by segment-1). Stateless
     integer arithmetic, replayed by the multimodal_decode_alaw oracle
-    in one list_transform."""
+    in one list_transform. Sign convention per ITU G.711 / Sun g711.c:
+    after the 0x55 XOR the sign bit SET means POSITIVE (0x55 -> -8,
+    0xD5 -> +8, 0x2A -> -32256) — the opposite of mu-law's
+    complemented sign."""
     a = byte ^ 0x55
     seg = (a >> 4) & 7
     mant = a & 0x0F
     t = (mant << 4) + 8 if seg == 0 else ((mant << 4) + 0x108) << (seg - 1)
-    return -t if a & 0x80 else t
+    return t if a & 0x80 else -t
 
 
 # IMA/DVI ADPCM tables (IMA Digital Audio Pack recommendation — the
@@ -248,7 +265,8 @@ _IMA_STEPS = [
 _IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
 
 
-def _ima_adpcm_decode(data: bytes, block_align: int) -> bytes:
+def _ima_adpcm_decode(data: bytes, block_align: int,
+                      samples_per_block: int | None = None) -> bytes:
     """Mono IMA ADPCM block decoder (r10) — the real state machine:
     each block opens with a 4-byte header (initial predictor as signed
     int16, initial step index, reserved byte) that IS the first output
@@ -273,7 +291,7 @@ def _ima_adpcm_decode(data: bytes, block_align: int) -> bytes:
         idx = block[2]
         if idx > 88:
             raise ValueError(f"ADPCM step index {idx} out of range")
-        out += struct.pack("<h", pred)
+        blk = bytearray(struct.pack("<h", pred))
         for byte in block[4:]:
             for nib in (byte & 0x0F, byte >> 4):
                 step = _IMA_STEPS[idx]
@@ -287,7 +305,13 @@ def _ima_adpcm_decode(data: bytes, block_align: int) -> bytes:
                 pred = pred - diff if nib & 8 else pred + diff
                 pred = max(-32768, min(32767, pred))
                 idx = max(0, min(88, idx + _IMA_INDEX[nib & 7]))
-                out += struct.pack("<h", pred)
+                blk += struct.pack("<h", pred)
+        if samples_per_block is not None:
+            # a final padding nibble (odd samplesPerBlock - 1) decodes
+            # to a spurious trailing sample — drop it per the fact/fmt
+            # extension contract of reference ADPCM decoders
+            blk = blk[:2 * samples_per_block]
+        out += blk
     return bytes(out)
 
 
@@ -951,6 +975,9 @@ def _encode_gif(tile: bytes) -> bytes:
 
     tile = tile or b"\x00"
     indices = [b % 13 for b in tile]
+    if len(indices) > 65535:
+        raise ValueError(
+            "GIF87a scanline width is uint16: source exceeds 65535 bytes")
     w, h = len(indices), 1
     min_code = 4
     clear, end = 1 << min_code, (1 << min_code) + 1

@@ -1495,7 +1495,7 @@ def multimodal_decode_ulaw(spark, sf_dir):
     ), v AS (
         SELECT doc_id, blen,
                list_transform(toggled, a ->
-                   (CASE WHEN a % 256 >= 128 THEN -1 ELSE 1 END)
+                   (CASE WHEN a % 256 >= 128 THEN 1 ELSE -1 END)
                    * (CASE WHEN (a // 16) % 8 = 0
                            THEN (a % 16) * 16 + 8
                            ELSE ((a % 16) * 16 + 264)

@@ -264,6 +264,27 @@ def test_bmp_rle8_decoder_roundtrip_and_escapes():
     with pytest.raises(ValueError):       # stream ends without EOF escape
         M.decode_bmp(bmp(bytes((2, 1)), w=4, h=1))
 
+    # r11 hardening (ADVICE): biClrUsed beyond the palette actually
+    # present raises ValueError, not a bare IndexError on resolve
+    stream = bytes((2, 1)) + b"\x00\x01"
+    trunc = (struct.pack("<2sIHHI", b"BM", 54 + 16 + len(stream), 0, 0,
+                         54 + 16)
+             + struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 8, 1,
+                           len(stream), 0, 0, 300, 0)
+             + b"\x00" * 16 + stream)
+    with pytest.raises(ValueError, match="palette truncated"):
+        M.decode_bmp(trunc)
+    # a pixel index >= biClrUsed raises ValueError (index 7, 4 colors)
+    small_pal = b"".join(bytes((j, j, j, 0)) for j in range(4))
+    stream = bytes((2, 7)) + b"\x00\x01"
+    oob = (struct.pack("<2sIHHI", b"BM", 54 + 16 + len(stream), 0, 0,
+                       54 + 16)
+           + struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 8, 1,
+                         len(stream), 0, 0, 4, 0)
+           + small_pal + stream)
+    with pytest.raises(ValueError, match="outside palette"):
+        M.decode_bmp(oob)
+
 
 def _pack_lzw(codes, widths):
     """LSB-first variable-width code packer for hand-built LZW tests."""
@@ -283,6 +304,10 @@ def test_gif_lzw_decoder_roundtrip_and_compressed_branches():
     genuinely-compressed branches (dictionary hits, the KwKwK
     code==next_code case, width bump after growth) on hand-packed
     streams, and malformed-stream errors."""
+    # r11 (ADVICE): width is a uint16 — oversize input is a diagnosable
+    # ValueError, not an opaque struct.error
+    with pytest.raises(ValueError, match="65535"):
+        M._encode_gif(b"\x00" * 65536)
     for text in (b"hello world", b"", b"\x00", bytes(range(256)),
                  bytes((i * 7 + 3) % 256 for i in range(5000))):
         tile = text or b"\x00"
@@ -325,12 +350,13 @@ def test_ulaw_decoder_canonical_values_and_roundtrip():
         assert d["n_samples"] == len(tile)
         got = struct.unpack("<%dh" % len(tile), d["samples"])
         assert list(got) == [M._ulaw_to_linear(b) for b in tile]
-    # A-law twin: canonical values (0x55/0xD5 are +-8 — A-law has no
-    # true zero; 0x2A/0xAA the +-32256 extremes) and the fmt-6 branch
-    assert M._alaw_to_linear(0x55) == 8
-    assert M._alaw_to_linear(0xD5) == -8
-    assert M._alaw_to_linear(0x2A) == 32256
-    assert M._alaw_to_linear(0xAA) == -32256
+    # A-law twin: canonical values per ITU G.711 / Sun g711.c — after
+    # the 0x55 XOR the sign bit SET means POSITIVE (A-law has no true
+    # zero; 0x2A/0xAA the -/+32256 extremes) and the fmt-6 branch
+    assert M._alaw_to_linear(0x55) == -8
+    assert M._alaw_to_linear(0xD5) == 8
+    assert M._alaw_to_linear(0x2A) == -32256
+    assert M._alaw_to_linear(0xAA) == 32256
     d = M.decode_wav(M._encode_wav_ulaw(b"hi", tag=6))
     assert list(struct.unpack("<2h", d["samples"])) \
         == [M._alaw_to_linear(b) for b in b"hi"]
@@ -368,6 +394,21 @@ def test_ima_adpcm_decoder_state_machine():
     block = struct.pack("<hBB", 32000, 88, 0) + bytes([0x77] * 8)
     vals = struct.unpack("<17h", M._ima_adpcm_decode(block, len(block)))
     assert max(vals) == 32767 and min(vals) == 32000
+
+    # r11 (ADVICE): samplesPerBlock from the fmt extension truncates
+    # the padding nibble — 1 data byte decodes 3 samples, spb=2 keeps 2
+    block = struct.pack("<hBB", 0, 0, 0) + bytes([0x70])
+    assert len(M._ima_adpcm_decode(block, len(block),
+                                   samples_per_block=2)) == 4
+    fmt17 = struct.pack("<HHIIHHHH", 17, 1, 8000, 8000, len(block), 4,
+                        2, 2)
+    wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt17) + 8
+                                 + len(block))
+           + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt17)) + fmt17
+           + b"data" + struct.pack("<I", len(block)) + block)
+    d = M.decode_wav(wav)
+    assert d["n_samples"] == 2
+    assert struct.unpack("<2h", d["samples"]) == (0, 0)
 
     with pytest.raises(ValueError):     # block shorter than its header
         M._ima_adpcm_decode(b"\x00\x00", 4)

@@ -8283,14 +8283,14 @@ def text_bpe_encode_auto(spark, sf_dir):
     the merge loop); same driver-canon scalar surface."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     merges = T.bpe_train(docs, n_merges=100, train_n=256)
-    # repartition(8): the fixture parquet scans as ONE partition, and
-    # pick_bpe_tier multiplies by (P-1) — at P=1 the batch cache is
-    # exactly-once and correctly wins regardless of vocab, so without
-    # this the entry would silently duplicate text_bpe_tokenize's
-    # batch path (r10 review catch). With P=8 the supplied
-    # stats select the distinct tier this entry exists to drive.
-    enc = T.bpe_encode_auto(docs.repartition(8), merges,
-                            vocab_est=10_000_000, n_tokens=100_000_000)
+    # n_partitions=8: at P=1 the batch cache is exactly-once and
+    # correctly wins regardless of vocab, so without this the entry
+    # would silently duplicate text_bpe_tokenize's batch path (r10
+    # review catch). Passing the planned width explicitly (r11) also
+    # keeps the dispatch free of any partition-count probe — the
+    # 100 TB calling convention this entry exists to drive.
+    enc = T.bpe_encode_auto(docs, merges, vocab_est=10_000_000,
+                            n_tokens=100_000_000, n_partitions=8)
     return enc.select(
         "doc_id", "n_bpe_tokens",
         F.array_join("bpe_tokens", " ").alias("bpe_text"))

@@ -2641,18 +2641,24 @@ def test_bpe_auto_dispatch_identity(spark):
             for r in T.bpe_encode_auto(docs, merges).collect()}
     assert auto == want
     # forced-distinct dispatch via caller-supplied web-scale stats.
-    # repartition(4) matters: a 1-partition frame makes (P-1) zero and
-    # the dispatcher correctly stays on the exactly-once batch cache,
-    # so this leg would silently re-test the batch tier (r10 review
-    # catch) — assert the stats+partitioning really select distinct
-    docs4 = docs.repartition(4)
-    assert T.pick_bpe_tier(10_000_000, 100_000_000,
-                           docs4.rdd.getNumPartitions()) == "distinct"
+    # n_partitions=4 matters: at P=1 the (P-1) factor is zero and the
+    # dispatcher correctly stays on the exactly-once batch cache, so
+    # this leg would silently re-test the batch tier (r10 review
+    # catch) — assert the stats really select distinct
+    assert T.pick_bpe_tier(10_000_000, 100_000_000, 4) == "distinct"
     forced = {r["doc_id"]: (r["n_bpe_tokens"], r["bpe_tokens"])
               for r in T.bpe_encode_auto(
-                  docs4, merges, vocab_est=10_000_000,
-                  n_tokens=100_000_000).collect()}
+                  docs, merges, vocab_est=10_000_000,
+                  n_tokens=100_000_000, n_partitions=4).collect()}
     assert forced == want
+    # stats without n_partitions fall back to defaultParallelism
+    # (32 here -> distinct), never a plan->RDD conversion (r11:
+    # no .rdd anywhere in pkg/, lint-enforced in full_check.sh)
+    fallback = {r["doc_id"]: (r["n_bpe_tokens"], r["bpe_tokens"])
+                for r in T.bpe_encode_auto(
+                    docs, merges, vocab_est=10_000_000,
+                    n_tokens=100_000_000).collect()}
+    assert fallback == want
     # and that a 1-partition frame stays batch even with huge stats
     assert T.pick_bpe_tier(10_000_000, 100_000_000, 1) == "batch"
 

@@ -3,6 +3,12 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+echo "== lint: no plan->RDD conversion in pkg/ (VERDICT r10 item 6) =="
+if grep -rn '\.rdd' sanef_election_dashboard_etl_spark/ --include='*.py'; then
+    echo "FAIL: .rdd touch in pkg/ — forces full plan->RDD conversion"
+    exit 1
+fi
+
 echo "== pytest =="
 python -m pytest tests/ -q
 

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, LongType, StringType, StructField, StructType
 
 from . import sinks
+from .cache import cache_scope
 from .plans import pipelines as P
 from .session import get_spark, tune
 from .sources.jdbc import JdbcSource
@@ -238,11 +239,20 @@ def main(argv: list[str] | None = None) -> int:
         wards = read_csv_dim(spark, "delimitations/Wards.csv", WARDS_SCHEMA)
     rest = (rest_from_args(a, a.iec_endpoint)
             if a.iec_endpoint in REST_ENDPOINTS else None)
-    result = run_pipeline(
-        spark, a.iec_endpoint, reset=reset,
-        jdbc=jdbc_from_args(a), rest=rest, munis=munis, wards=wards)
-    path = sinks.write_csv_single(
-        result, f"datasets/{sinks.timestamped_name(a.iec_endpoint + '-')}")
+    # r11 (VERDICT r10 item 5): the CLI owns both the pipeline build
+    # AND its consuming action (the CSV write), so it is the correct
+    # place to scope operator persists — any index a composed pipeline
+    # pins is released once the write lands, leaving a long-lived
+    # session with zero net cache residents. (Registry entries cannot
+    # wrap themselves: the driver collects OUTSIDE the entry fn, and
+    # unpersisting before the action would disable in-job index reuse.)
+    with cache_scope():
+        result = run_pipeline(
+            spark, a.iec_endpoint, reset=reset,
+            jdbc=jdbc_from_args(a), rest=rest, munis=munis, wards=wards)
+        path = sinks.write_csv_single(
+            result,
+            f"datasets/{sinks.timestamped_name(a.iec_endpoint + '-')}")
     if a.wazi_endpoint not in ("", "-", "none"):
         sinks.upload_http(path, a.wazi_endpoint, int(a.dataset_id), a.wazi_token)
     return 0

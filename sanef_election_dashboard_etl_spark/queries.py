@@ -1528,6 +1528,58 @@ def multimodal_decode_alaw(spark, sf_dir):
                     "payload_bytes", "first_value", "value_sum"))
 
 
+@query("multimodal_decode_flac", oracle="""
+    -- FLAC round-trip (r11, VERDICT r10 item 8): the encoder packs one
+    -- 16-bit sample per text byte (s = 257*b - 32768) into real FLAC
+    -- frames — CONSTANT/VERBATIM/FIXED subframes, Rice-coded residuals
+    -- with the escape branch, CRC-8/CRC-16 — and the decoder undoes
+    -- the prediction + Rice coding exactly. DuckDB recomputes every
+    -- decoded sample from the source text (compression is lossless,
+    -- so the expected values never see the bitstream); a predictor,
+    -- Rice, CRC, or framing bug anywhere moves first_value/value_sum.
+    -- payload_bytes is intentionally NOT projected: it depends on the
+    -- Rice code lengths (unit tests pin the encoder's framing).
+    WITH b AS (
+        SELECT doc_id,
+               CASE WHEN coalesce(text, '') = '' THEN 1
+                    ELSE octet_length(encode(text)) END AS blen,
+               CASE WHEN coalesce(text, '') = '' THEN '00'
+                    ELSE hex(encode(text)) END AS hx
+        FROM documents WHERE doc_id < 300
+    ), v AS (
+        SELECT doc_id, blen,
+               list_transform(range(1, CAST(blen + 1 AS BIGINT)),
+                   i -> (257 * ('0x' || substr(hx, CAST(2*i-1 AS INT), 2))
+                             ::BIGINT + 32768) % 65536) AS uvals
+        FROM b
+    )
+    SELECT doc_id AS media_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(blen AS BIGINT) AS n_samples,
+           CAST(CASE WHEN uvals[1] >= 32768 THEN uvals[1] - 65536
+                     ELSE uvals[1] END AS BIGINT) AS first_value,
+           CAST(list_aggregate(list_transform(uvals,
+                    u -> u % 256 + u // 256), 'sum') AS BIGINT)
+               AS value_sum
+    FROM v
+""")
+def multimodal_decode_flac(spark, sf_dir):
+    """FLAC decode round-trip (r11): the first compressed audio format
+    under full oracle whose DECODE is genuinely non-trivial — Rice/
+    Golomb residual decoding + fixed linear predictor reconstruction,
+    the class the r10 ADPCM entry opened (multimodal._encode_flac /
+    decode_flac). Subframe type varies by doc arithmetic so the corpus
+    exercises CONSTANT, VERBATIM, and FIXED orders 0-4 including the
+    Rice escape. Moves the codec boundary to exactly 'entropy coding
+    over transforms' (MP3/H.264)."""
+    docs = _t(spark, sf_dir, "documents")
+    fl = M.synthesize_media_encoded(docs.filter(F.col("doc_id") < 300),
+                                    media_type="audio_flac")
+    return (M.decode_media(fl)
+            .select("media_id", "sample_rate", "n_samples",
+                    "first_value", "value_sum"))
+
+
 # IMA ADPCM tables as SQL list literals (one definition site —
 # operators/multimodal.py owns the tables; the oracle replays them)
 _IMA_STEPS_SQL = "[" + ",".join(map(str, M._IMA_STEPS)) + "]"
@@ -7033,15 +7085,25 @@ _PINNED = [
     # pipelines whose driver rows date from r2, seven rounds of code
     # drift ago (incl. the ratio/units migrations): locally green every
     # round, but the rows of record deserve a refresh.
+    # r11 (VERDICT r10 item 3): the nine pipelines all landed fresh r10
+    # rows, so they unpin (flagship excepted). Pinned instead: the four
+    # oldest rows in the cumulative ledger — text_token_stats (r1, ALSO
+    # the sibling anchor for the rows-only BPE entries),
+    # dedup_exact / sim_topk_cosine / text_quality_score (r2;
+    # quality_score doubles as evidence for the post-close r10 bench
+    # flag adjudicated in SCALE.md) — plus multimodal_decode_alaw,
+    # whose DECODED VALUES changed this round (the G.711 sign-
+    # convention fix): the r10 row hash-matched the inverted decode,
+    # so a fresh row against the corrected oracle is the proof the fix
+    # is live (r9 text_bpe_tokenize precedent). The rotation itself
+    # now carries an age floor (_AGE_FLOOR) so this class of pin
+    # should not be needed again.
     "pipe_hung_councils",   # the flagship (entry()) — a row every round
-    "pipe_voter_turnout",
-    "pipe_ward_votes_by_party",
-    "pipe_ward_votes_by_candidate",
-    "pipe_ward_councillor_elected",
-    "pipe_pr_votes_by_party",
-    "pipe_seats_won",
-    "pipe_councils_won_by_party",
-    "pipe_list_of_hung_councils",
+    "text_token_stats",
+    "dedup_exact",
+    "sim_topk_cosine",
+    "text_quality_score",
+    "multimodal_decode_alaw",
 ]
 
 _WINDOW_SIZE = 50
@@ -7072,6 +7134,40 @@ def _driver_coverage() -> dict[str, int]:
         except (OSError, ValueError):
             continue
     return counts
+
+
+# No entry's latest driver row should be older than this many rounds:
+# past the floor it competes for a window slot alongside churned code
+# (r11, VERDICT r10 item 3 — churn-only priority stalled never-touched
+# entries at r1/r2-era rows for up to nine rounds).
+_AGE_FLOOR = 4
+
+
+def _driver_age() -> tuple[dict[str, int], int]:
+    """(latest driver-row round per query, current round) — the age
+    signal for rotation (r11). Latest is read from the same
+    CORRECTNESS_r*.json files as _driver_coverage; the current round
+    is one past the newest file (the driver writes r{N} AFTER round N
+    closes, so at build time the newest file is last round's)."""
+    import glob
+    import json
+    import re
+
+    latest: dict[str, int] = {}
+    newest = 0
+    for p in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        m = re.search(r"_r0*(\d+)\.json$", p)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        newest = max(newest, rnd)
+        try:
+            with open(p) as fh:
+                for name in json.load(fh):
+                    latest[name] = max(latest.get(name, 0), rnd)
+        except (OSError, ValueError):
+            continue
+    return latest, newest + 1
 
 
 def _changed_pkg_modules() -> set[str]:
@@ -7183,14 +7279,44 @@ def _reorder_registry() -> None:
     # round actually touched instead of waiting ~5 rounds of row-age.
     covered = _driver_coverage()
     churned_mods = _changed_pkg_modules()
+    latest, cur_round = _driver_age()
+    # r11 (VERDICT r10 item 3): the bump tier is churn OR age past the
+    # floor — a never-touched entry's row cannot go stale forever.
+    # Within the tier, OLDEST-first (the floor is a burn-down target:
+    # everything past it drains within a round or two), churn breaking
+    # age ties, so in-round code changes still reach the window the
+    # round they land once the staleness tail is gone.
+    age = {n: cur_round - latest.get(n, 0) for n in REGISTRY}
+    churned = {n for n in REGISTRY
+               if churned_mods & _entry_modules(REGISTRY[n].fn)}
     pool = sorted((n for n in REGISTRY if n not in _PINNED),
                   key=lambda n: (covered.get(n, 0) > 0,
-                                 not (churned_mods
-                                      & _entry_modules(REGISTRY[n].fn)),
+                                 not (n in churned
+                                      or age[n] > _AGE_FLOOR),
+                                 -age[n],
+                                 n not in churned,
                                  covered.get(n, 0),
                                  n in _DEFER_ROTATION,
                                  REGISTRY[n].oracle is None, n))
     rotated = pool[:slots]
+    # r11 (VERDICT r10 item 4): a rows-only entry's correctness story
+    # leans on its oracle-checked sibling — if the anchor's own driver
+    # row is past the age floor, pull it into the window alongside the
+    # entry, displacing the lowest-priority rotated slots (never a
+    # pulled sibling, never a zero-coverage entry).
+    in_window = set(_PINNED) | set(rotated)
+    pulled = [s for s in dict.fromkeys(
+                  REGISTRY[n].sibling for n in _PINNED + rotated
+                  if REGISTRY[n].oracle is None and REGISTRY[n].sibling)
+              if s in REGISTRY and s not in in_window
+              and age.get(s, cur_round) > _AGE_FLOOR]
+    for s in pulled:
+        for i in range(len(rotated) - 1, -1, -1):
+            if rotated[i] not in pulled and covered.get(rotated[i], 0) > 0:
+                rotated[i] = s
+                break
+        else:  # window saturated with must-keep entries: grow past 50
+            rotated.append(s)
     head = {n: REGISTRY[n] for n in _PINNED + rotated}
     tail_oracle = {n: q for n, q in REGISTRY.items()
                    if n not in head and q.oracle is not None}

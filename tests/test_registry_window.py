@@ -51,20 +51,67 @@ def test_rotation_prefers_churned_entries(monkeypatch):
         rotated = list(q.REGISTRY)[len(q._PINNED):q._WINDOW_SIZE]
         # The direct invariant, assertable in EVERY repo state (an
         # earlier form skipped itself whenever any never-checked entry
-        # existed — r10 review catch): churn outranks row-age, so no
-        # already-covered UNCHURNED entry may hold a slot while a
-        # covered churned entry is left out. Never-checked entries
-        # (coverage 0) legitimately outrank both.
+        # existed — r10 review catch): churn shares the bump tier with
+        # age-floor staleness (r11), so no already-covered entry that
+        # is NEITHER churned NOR past the age floor may hold a slot
+        # while a covered churned entry is left out. Never-checked
+        # entries (coverage 0) still outrank both; stale entries (the
+        # r11 burn-down class) legitimately compete with churn.
         covered = q._driver_coverage()
+        latest, cur = q._driver_age()
         left_out_churned = [n for n in touching
                             if n not in rotated and covered.get(n, 0) > 0]
         unchurned_in = [n for n in rotated
-                        if covered.get(n, 0) > 0 and n not in touching]
+                        if covered.get(n, 0) > 0 and n not in touching
+                        and cur - latest.get(n, 0) <= q._AGE_FLOOR]
         assert not (left_out_churned and unchurned_in), (
             left_out_churned, unchurned_in)
     finally:
         monkeypatch.undo()
         q._reorder_registry()  # restore the real (git-state) ordering
+
+
+def test_rotation_age_floor_drains_stale_rows():
+    """r11 (VERDICT r10 item 3): churn-only priority stalled
+    never-touched entries at r1/r2-era driver rows for nine rounds.
+    The rotation now bumps any entry whose latest row is past
+    _AGE_FLOOR, oldest first — so while more stale entries exist than
+    slots, every slot drains the oldest; once they fit, ALL of them
+    are in the window (no entry's row ages past floor+1 at steady
+    state)."""
+    import sanef_election_dashboard_etl_spark.queries as q
+
+    latest, cur = q._driver_age()
+    window = list(q.REGISTRY)[:q._WINDOW_SIZE]
+    stale = sorted((n for n in q.REGISTRY
+                    if cur - latest.get(n, 0) > q._AGE_FLOOR),
+                   key=lambda n: latest.get(n, 0))
+    capacity = q._WINDOW_SIZE - len(q._PINNED)
+    # the oldest min(len(stale), capacity) stale entries all get a slot
+    must_run = [n for n in stale if n not in q._PINNED][:capacity]
+    left_out = [n for n in must_run if n not in window]
+    assert not left_out, f"stale entries left out of the window: {left_out}"
+
+
+def test_rows_only_window_entries_have_fresh_sibling_anchor():
+    """r11 (VERDICT r10 item 4): a rows-only entry's correctness story
+    leans on its oracle-checked sibling — an anchor whose own driver
+    evidence is nine rounds old anchors nothing. Every rows-only entry
+    in the driver window must have its sibling either fresh (driver
+    row within _AGE_FLOOR rounds) or pulled into the same window."""
+    import sanef_election_dashboard_etl_spark.queries as q
+
+    latest, cur = q._driver_age()
+    window = list(q.REGISTRY)[:q._WINDOW_SIZE]
+    bad = []
+    for n in window:
+        entry = q.REGISTRY[n]
+        if entry.oracle is not None or not entry.sibling:
+            continue
+        s = entry.sibling
+        if s not in window and cur - latest.get(s, 0) > q._AGE_FLOOR:
+            bad.append((n, s, latest.get(s, 0)))
+    assert not bad, f"rows-only window entries with stale anchors: {bad}"
 
 
 def test_rotation_is_deterministic_per_round():

@@ -223,6 +223,15 @@ def decode_wav(payload: bytes) -> dict:
             "n_samples": len(data) // (2 * n_channels), "samples": data}
 
 
+def decode_audio(payload: bytes) -> dict:
+    """Audio container dispatch by magic — RIFF/WAVE to decode_wav,
+    fLaC to decode_flac (r11). Both return the same dict shape
+    ({sample_rate, n_channels, n_samples, samples})."""
+    if (payload or b"")[:4] == b"fLaC":
+        return decode_flac(payload)
+    return decode_wav(payload)
+
+
 def _ulaw_to_linear(byte: int) -> int:
     """G.711 mu-law expansion (r10) — the standard telephony decode:
     complement, split sign/exponent/mantissa, rebuild the biased
@@ -1076,6 +1085,414 @@ def _encode_wav_adpcm(tile: bytes, sample_rate: int = 8_000) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
 
+# ---------------------------------------------------------------------------
+# FLAC subset (r11, VERDICT r10 item 8): the one compressed audio format
+# whose decode is expressible without a codec library — Rice/Golomb
+# residual coding over fixed linear predictors is pure integer
+# arithmetic, the same class as the IMA ADPCM state machine. The
+# encoder emits a deterministic REAL subset (STREAMINFO + fixed-blocking
+# frames, CONSTANT/VERBATIM/FIXED subframes, Rice partitions with the
+# escape code, CRC-8 + CRC-16); the DECODER is general across the
+# non-LPC spec surface (all block-size/sample-rate/bps codes, UTF-8
+# frame numbers, Rice and Rice2 partitions at any partition order,
+# wasted bits, CRC verification) — unit-tested on hand-built streams,
+# exactly the LZW/RLE8 standard. MP3/H.264 stay the honest boundary:
+# entropy coding over transforms.
+
+
+class _BitWriter:
+    """MSB-first bit accumulator (FLAC's bit order)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, bits: int) -> None:
+        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        self.nbits += bits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)      # q zero bits then a one
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.buf)
+
+
+class _BitReader:
+    """MSB-first bit reader with a byte-position view for CRC spans."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.bitpos = pos * 8
+
+    def read(self, bits: int) -> int:
+        out = 0
+        for _ in range(bits):
+            if self.bitpos >= len(self.data) * 8:
+                raise ValueError("FLAC bitstream truncated")
+            byte = self.data[self.bitpos >> 3]
+            out = (out << 1) | ((byte >> (7 - (self.bitpos & 7))) & 1)
+            self.bitpos += 1
+        return out
+
+    def read_signed(self, bits: int) -> int:
+        v = self.read(bits)
+        return v - (1 << bits) if v >> (bits - 1) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        self.bitpos = (self.bitpos + 7) & ~7
+
+    def bytepos(self) -> int:
+        assert self.bitpos % 8 == 0
+        return self.bitpos // 8
+
+
+def _crc8(data: bytes) -> int:
+    """FLAC frame-header CRC-8, poly x^8+x^2+x+1 (0x07), init 0."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 \
+                else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """FLAC frame CRC-16, poly x^16+x^15+x^2+1 (0x8005), init 0."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
+                else (crc << 1) & 0xFFFF
+    return crc
+
+
+# fixed linear predictor coefficients by order (FLAC spec §9.2.2):
+# e_i = s_i - sum(coef_j * s_{i-1-j})
+_FLAC_FIXED_COEFS = [[], [1], [2, -1], [3, -3, 1], [4, -6, 4, -1]]
+
+
+def _flac_utf8(n: int) -> bytes:
+    """UTF-8-style coded number for frame/sample indices (the FLAC
+    header coding — extends to 36 bits, 7 bytes max)."""
+    if n < 0x80:
+        return bytes((n,))
+    # lead byte carries 6-extra bits under a (extra+1)-ones prefix,
+    # each continuation byte 6 more
+    for extra in range(1, 7):
+        if n.bit_length() <= 6 - extra + 6 * extra:
+            lead = (0xFF << (7 - extra)) & 0xFF | (n >> (6 * extra))
+            tail = bytes(0x80 | ((n >> (6 * k)) & 0x3F)
+                         for k in range(extra - 1, -1, -1))
+            return bytes((lead,)) + tail
+    raise ValueError("frame number out of UTF-8 coding range")
+
+
+def _flac_read_utf8(br: "_BitReader") -> int:
+    lead = br.read(8)
+    if lead < 0x80:
+        return lead
+    extra = 0
+    mask = 0x40
+    while lead & mask:
+        extra += 1
+        mask >>= 1
+    if not 1 <= extra <= 6:
+        raise ValueError("invalid FLAC UTF-8 coded number")
+    n = lead & (mask - 1)
+    for _ in range(extra):
+        b = br.read(8)
+        if b & 0xC0 != 0x80:
+            raise ValueError("invalid FLAC UTF-8 continuation byte")
+        n = (n << 6) | (b & 0x3F)
+    return n
+
+
+_FLAC_BLOCK = 256          # fixture frames: 256 samples, last partial
+
+
+def _flac_samples(tile: bytes) -> list:
+    """The deterministic fixture signal: one 16-bit sample per text
+    byte, s = b*257 - 32768 (spans the full int16 range; recomputable
+    in one SQL list_transform)."""
+    return [b * 257 - 32768 for b in tile]
+
+
+def _encode_flac(tile: bytes, mid: int, sample_rate: int = 8_000) -> bytes:
+    """Deterministic REAL FLAC (subset): mono 16-bit, fixed blocking at
+    _FLAC_BLOCK, one subframe per frame chosen by doc arithmetic so the
+    corpus exercises every non-LPC branch — CONSTANT when the frame is
+    flat, VERBATIM when mid % 7 == 3, else FIXED order min(mid % 5,
+    n-1) with one partition-order-0 Rice partition (escape code when
+    order-4 residuals outgrow rice parameter 14). Every stream is
+    byte-valid FLAC: real STREAMINFO, real CRC-8/CRC-16."""
+    import struct
+
+    tile = tile or b"\x00"
+    samples = _flac_samples(tile)
+    total = len(samples)
+
+    out = bytearray(b"fLaC")
+    si = _BitWriter()
+    si.write(min(total, _FLAC_BLOCK), 16)     # min blocksize
+    si.write(min(total, _FLAC_BLOCK), 16)     # max blocksize
+    si.write(0, 24)                            # min framesize unknown
+    si.write(0, 24)                            # max framesize unknown
+    si.write(sample_rate, 20)
+    si.write(0, 3)                             # channels - 1
+    si.write(15, 5)                            # bps - 1
+    si.write(total, 36)
+    body = si.bytes() + b"\x00" * 16           # MD5 unknown
+    out += bytes((0x80,)) + struct.pack(">I", len(body))[1:] + body
+
+    for fno, start in enumerate(range(0, total, _FLAC_BLOCK)):
+        blk = samples[start:start + _FLAC_BLOCK]
+        out += _encode_flac_frame(blk, fno, mid)
+    return bytes(out)
+
+
+def _encode_flac_frame(blk: list, fno: int, mid: int) -> bytes:
+    import struct
+
+    n = len(blk)
+    bw = _BitWriter()
+    bw.write(0b11111111111110, 14)   # sync
+    bw.write(0, 1)                   # reserved
+    bw.write(0, 1)                   # fixed blocking
+    bw.write(0b0111, 4)              # blocksize: 16 bits at header end
+    bw.write(0b0000, 4)              # sample rate: from STREAMINFO
+    bw.write(0b0000, 4)              # mono
+    bw.write(0b100, 3)               # 16 bps
+    bw.write(0, 1)                   # reserved
+    header = bw.buf + _flac_utf8(fno) + struct.pack(">H", n - 1)
+    header += bytes((_crc8(bytes(header)),))
+
+    sub = _BitWriter()
+    if all(s == blk[0] for s in blk):
+        sub.write(0, 1)
+        sub.write(0b000000, 6)       # CONSTANT
+        sub.write(0, 1)
+        sub.write(blk[0], 16)
+    elif mid % 7 == 3:
+        sub.write(0, 1)
+        sub.write(0b000001, 6)       # VERBATIM
+        sub.write(0, 1)
+        for s in blk:
+            sub.write(s, 16)
+    else:
+        order = min(mid % 5, n - 1)
+        sub.write(0, 1)
+        sub.write(0b001000 | order, 6)   # FIXED
+        sub.write(0, 1)
+        for s in blk[:order]:            # warmup
+            sub.write(s, 16)
+        coefs = _FLAC_FIXED_COEFS[order]
+        resid = [blk[i] - sum(c * blk[i - 1 - j]
+                              for j, c in enumerate(coefs))
+                 for i in range(order, n)]
+        sub.write(0b00, 2)               # Rice, 4-bit parameters
+        sub.write(0, 4)                  # partition order 0
+        zig = [(e << 1) if e >= 0 else ((-e << 1) - 1) for e in resid]
+        k = max(0, (max(zig).bit_length() if zig else 0) - 4)
+        if k > 14:                       # escape: raw two's complement
+            raw = max(z.bit_length() for z in zig) + 1
+            sub.write(0b1111, 4)
+            sub.write(raw, 5)
+            for e in resid:
+                sub.write(e, raw)
+        else:
+            sub.write(k, 4)
+            for u in zig:
+                sub.write_unary(u >> k)
+                sub.write(u, k)
+    sub.align()
+    frame = bytes(header) + sub.bytes()
+    return frame + struct.pack(">H", _crc16(frame))
+
+
+_FLAC_BLOCKSIZES = {0b0001: 192, 0b0010: 576, 0b0011: 1152, 0b0100: 2304,
+                    0b0101: 4608, 0b1000: 256, 0b1001: 512, 0b1010: 1024,
+                    0b1011: 2048, 0b1100: 4096, 0b1101: 8192,
+                    0b1110: 16384, 0b1111: 32768}
+_FLAC_BPS = {0b001: 8, 0b010: 12, 0b100: 16, 0b101: 20, 0b110: 24}
+
+
+def decode_flac(payload: bytes) -> dict:
+    """General pure-Python FLAC decoder over the non-LPC spec surface:
+    walks metadata blocks to STREAMINFO, then decodes fixed- and
+    variable-blocking frames — all block-size/sample-rate/bps codes,
+    UTF-8 coded frame/sample numbers, CONSTANT / VERBATIM / FIXED
+    (orders 0-4) subframes, Rice + Rice2 residual partitions at any
+    partition order including the raw-bits escape, wasted bits, and
+    CRC-8/CRC-16 verification (mismatch raises ValueError). Mono only
+    (stereo decorrelation raises NotImplementedError); LPC subframes
+    raise NotImplementedError — the fixture encoder never emits them,
+    and they are the documented boundary toward full libFLAC parity.
+    Returns the decode_wav dict shape: little-endian int16 samples."""
+    import struct
+
+    if len(payload or b"") < 4 or payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream: missing fLaC magic")
+    pos = 4
+    info = None
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("FLAC metadata truncated")
+        hdr = payload[pos]
+        length = int.from_bytes(payload[pos + 1:pos + 4], "big")
+        body = payload[pos + 4:pos + 4 + length]
+        if hdr & 0x7F == 0:          # STREAMINFO
+            br = _BitReader(body)
+            br.read(16)              # min blocksize
+            br.read(16)              # max blocksize
+            br.read(24)
+            br.read(24)
+            rate = br.read(20)
+            n_ch = br.read(3) + 1
+            bps = br.read(5) + 1
+            total = br.read(36)
+            info = (rate, n_ch, bps, total)
+        pos += 4 + length
+        if hdr & 0x80:
+            break
+    if info is None:
+        raise ValueError("FLAC missing STREAMINFO")
+    rate, n_ch, bps, total = info
+    if n_ch != 1:
+        raise NotImplementedError("only mono FLAC is supported")
+
+    samples: list = []
+    while len(samples) < total:
+        pos, blk = _decode_flac_frame(payload, pos, rate, bps)
+        samples += blk
+    if len(samples) != total:
+        raise ValueError("FLAC frames decode past the STREAMINFO total")
+    return {"sample_rate": rate, "n_channels": 1, "n_samples": total,
+            "samples": b"".join(struct.pack("<h", s) for s in samples)}
+
+
+def _decode_flac_frame(payload: bytes, pos: int, rate: int,
+                       bps_si: int) -> tuple:
+    br = _BitReader(payload, pos)
+    if br.read(14) != 0b11111111111110:
+        raise ValueError("FLAC frame sync lost")
+    br.read(1)                        # reserved
+    br.read(1)                        # blocking strategy (both coded same)
+    bs_code = br.read(4)
+    sr_code = br.read(4)
+    chan = br.read(4)
+    bps_code = br.read(3)
+    br.read(1)                        # reserved
+    _flac_read_utf8(br)               # frame/sample number
+    if bs_code == 0:
+        raise ValueError("reserved FLAC blocksize code 0")
+    if bs_code == 0b0110:
+        n = br.read(8) + 1
+    elif bs_code == 0b0111:
+        n = br.read(16) + 1
+    else:
+        n = _FLAC_BLOCKSIZES[bs_code]
+    if sr_code == 0b1100:
+        br.read(8)
+    elif sr_code in (0b1101, 0b1110):
+        br.read(16)
+    elif sr_code == 0b1111:
+        raise ValueError("invalid FLAC sample-rate code")
+    if chan != 0:
+        raise NotImplementedError("only mono FLAC is supported")
+    bps = bps_si if bps_code == 0 else _FLAC_BPS[bps_code]
+    hdr_end = br.bytepos()            # header is byte-aligned here
+    if _crc8(payload[pos:hdr_end]) != br.read(8):
+        raise ValueError("FLAC frame header CRC-8 mismatch")
+
+    blk = _decode_flac_subframe(br, n, bps)
+    br.align()
+    crc_end = br.bytepos()
+    if crc_end + 2 > len(payload):
+        raise ValueError("FLAC frame CRC-16 truncated")
+    want = (payload[crc_end] << 8) | payload[crc_end + 1]
+    if _crc16(payload[pos:crc_end]) != want:
+        raise ValueError("FLAC frame CRC-16 mismatch")
+    return crc_end + 2, blk
+
+
+def _decode_flac_subframe(br: "_BitReader", n: int, bps: int) -> list:
+    if br.read(1):
+        raise ValueError("invalid FLAC subframe padding bit")
+    stype = br.read(6)
+    wasted = 0
+    if br.read(1):                    # wasted-bits flag: unary count-1
+        wasted = br.read_unary() + 1
+    eff = bps - wasted
+    if stype == 0b000000:             # CONSTANT
+        v = br.read_signed(eff)
+        blk = [v] * n
+    elif stype == 0b000001:           # VERBATIM
+        blk = [br.read_signed(eff) for _ in range(n)]
+    elif 0b001000 <= stype <= 0b001100:   # FIXED order 0-4
+        order = stype & 0x07
+        blk = [br.read_signed(eff) for _ in range(order)]
+        resid = _decode_flac_residual(br, n, order)
+        coefs = _FLAC_FIXED_COEFS[order]
+        for e in resid:
+            blk.append(e + sum(c * blk[-1 - j]
+                               for j, c in enumerate(coefs)))
+    elif stype >= 0b100000:
+        raise NotImplementedError(
+            "LPC subframes are outside the FLAC subset (libFLAC parity "
+            "boundary)")
+    else:
+        raise ValueError(f"reserved FLAC subframe type {stype:#08b}")
+    return [s << wasted for s in blk]
+
+
+def _decode_flac_residual(br: "_BitReader", n: int, order: int) -> list:
+    method = br.read(2)
+    if method > 1:
+        raise ValueError("reserved FLAC residual coding method")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    porder = br.read(4)
+    if n % (1 << porder):
+        raise ValueError("FLAC partition order does not divide blocksize")
+    resid: list = []
+    for p in range(1 << porder):
+        cnt = (n >> porder) - (order if p == 0 else 0)
+        if cnt < 0:
+            raise ValueError("FLAC predictor order exceeds partition")
+        k = br.read(pbits)
+        if k == escape:
+            raw = br.read(5)
+            resid += [br.read_signed(raw) if raw else 0
+                      for _ in range(cnt)]
+        else:
+            for _ in range(cnt):
+                u = (br.read_unary() << k) | br.read(k)
+                resid.append((u >> 1) if u % 2 == 0 else -((u + 1) >> 1))
+    return resid
+
+
 def _encode_avi(tile: bytes, w: int, h: int, n_frames: int) -> bytes:
     """Deterministic pure-stdlib uncompressed AVI (r6 — the video
     container joins BMP/WAV/PNG): standard RIFF 'AVI ' with a real
@@ -1258,6 +1675,12 @@ def synthesize_media_encoded(docs: DataFrame,
                     heights.append(None)
                     rates.append(8_000)
                     frames.append(1 + 2 * len(tb or b"\x00"))
+                elif media_type == "audio_flac":
+                    payloads.append(_encode_flac(tb, int(mid)))
+                    widths.append(None)
+                    heights.append(None)
+                    rates.append(8_000)
+                    frames.append(len(tb or b"\x00"))
                 else:
                     n = (len(tb) % 997) + 16
                     payloads.append(_encode_wav(tb, n))
@@ -1329,7 +1752,7 @@ def decode_media(media: DataFrame) -> DataFrame:
                     out["first_value"].append(d["pixels"][0])
                     out["value_sum"].append(sum(d["pixels"]))
                 else:
-                    d = decode_wav(bytes(payload))
+                    d = decode_audio(bytes(payload))
                     out["width"].append(None)
                     out["height"].append(None)
                     out["n_pixels"].append(None)
@@ -1374,7 +1797,7 @@ def extract_features(media: DataFrame, fake: bool = True,
 
         body = (decode_image(bytes(payload))["pixels"]
                 if mtype == "image" else
-                decode_wav(bytes(payload))["samples"])
+                decode_audio(bytes(payload))["samples"])
         hist = np.bincount(
             np.frombuffer(body, dtype=np.uint8) >> 4, minlength=16)
         return (hist / max(1, len(body))).astype("float32").tolist()

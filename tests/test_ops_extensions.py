@@ -3452,3 +3452,128 @@ def test_jpeg_flows_through_generic_media_tiers(spark):
     for mid, r in resized.items():
         d = M.decode_image(bytes(r["resized"]))
         assert (d["width"], d["height"]) == (16, 16)
+
+
+def _flac_fixture_frame(samples, *, method=0, porder=0, wasted=0,
+                        order=1, bs_code=None, corrupt_crc8=False,
+                        corrupt_crc16=False, stype=None):
+    """Hand-build one mono 16-bit FLAC payload (STREAMINFO + a single
+    frame) exercising decoder branches the fixture encoder never emits:
+    Rice2 (method=1), partition order > 0, wasted bits, table
+    block-size codes, corrupted CRCs, reserved/LPC subframe types."""
+    import struct
+
+    n = len(samples)
+    si = M._BitWriter()
+    si.write(n, 16); si.write(n, 16); si.write(0, 24); si.write(0, 24)
+    si.write(8000, 20); si.write(0, 3); si.write(15, 5); si.write(n, 36)
+    payload = bytearray(b"fLaC")
+    body = si.bytes() + b"\x00" * 16
+    payload += bytes((0x80,)) + struct.pack(">I", len(body))[1:] + body
+
+    bw = M._BitWriter()
+    bw.write(0b11111111111110, 14); bw.write(0, 2)
+    bw.write(bs_code if bs_code is not None else 0b0111, 4)
+    bw.write(0, 4); bw.write(0, 4); bw.write(0b100, 3); bw.write(0, 1)
+    header = bytearray(bw.bytes()) + b"\x00"     # frame number 0
+    if bs_code is None:
+        header += struct.pack(">H", n - 1)
+    crc8 = M._crc8(bytes(header))
+    header += bytes(((crc8 ^ 0xFF) if corrupt_crc8 else crc8,))
+
+    sub = M._BitWriter()
+    sub.write(0, 1)
+    sub.write(stype if stype is not None else (0b001000 | order), 6)
+    if wasted:
+        sub.write(1, 1)
+        sub.write(1, wasted)          # unary: (wasted-1) zeros + 1
+    else:
+        sub.write(0, 1)
+    if stype is None:                 # FIXED: warmup + Rice residual
+        eff = 16 - wasted
+        shifted = [s >> wasted for s in samples]
+        for s in shifted[:order]:
+            sub.write(s, eff)
+        coefs = M._FLAC_FIXED_COEFS[order]
+        resid = [shifted[i] - sum(c * shifted[i - 1 - j]
+                                  for j, c in enumerate(coefs))
+                 for i in range(order, n)]
+        sub.write(method, 2)
+        sub.write(porder, 4)
+        nparts = 1 << porder
+        pbits = 4 if method == 0 else 5
+        for p in range(nparts):
+            lo = p * (n >> porder) + (order if p == 0 else 0)
+            hi = (p + 1) * (n >> porder)
+            part = resid[(lo - order):(hi - order)]
+            zig = [(e << 1) if e >= 0 else ((-e << 1) - 1) for e in part]
+            k = max(0, (max(zig).bit_length() if zig else 0) - 3)
+            sub.write(k, pbits)
+            for u in zig:
+                sub.write_unary(u >> k)
+                sub.write(u, k)
+    sub.align()
+    frame = bytes(header) + sub.bytes()
+    crc16 = M._crc16(frame)
+    payload += frame + struct.pack(
+        ">H", (crc16 ^ 0xFFFF) if corrupt_crc16 else crc16)
+    return bytes(payload)
+
+
+def test_flac_roundtrip_all_subframe_types():
+    """r11: the fixture encoder's full matrix — CONSTANT (flat frames),
+    VERBATIM (mid%7==3), FIXED orders 0-4 (mid%5), Rice escape (order-4
+    residuals past parameter 14), multi-frame blocking (>256 samples) —
+    every decoded sample equals the text-derived signal."""
+    import struct
+
+    for mid in range(10):
+        for text in (b"hello world", b"", b"\x00", bytes(range(256)),
+                     bytes((i * 7 + 3) % 256 for i in range(600)),
+                     b"aaaaaa", bytes([0, 255] * 80)):
+            tile = text or b"\x00"
+            d = M.decode_flac(M._encode_flac(text, mid))
+            want = M._flac_samples(tile)
+            got = list(struct.unpack("<%dh" % len(want), d["samples"]))
+            assert got == want and d["n_samples"] == len(tile)
+            assert (d["sample_rate"], d["n_channels"]) == (8000, 1)
+    # decode_audio dispatches FLAC by magic, WAV by RIFF
+    assert M.decode_audio(M._encode_flac(b"hi", 0))["n_samples"] == 2
+    assert M.decode_audio(M._encode_wav(b"hi", n_samples=4))["n_samples"] == 4
+
+
+def test_flac_decoder_general_branches_on_handbuilt_streams():
+    """r11: branches the fixture encoder never emits, decoded from
+    hand-packed bitstreams — Rice2 (5-bit parameters), partition order
+    2, wasted bits, table block-size codes — plus the error surface
+    (CRC-8/CRC-16 mismatch, LPC/reserved subframe types, bad magic)."""
+    import struct
+
+    samples = [(i * 37) % 512 - 256 for i in range(64)]
+
+    def decoded(payload):
+        d = M.decode_flac(payload)
+        return list(struct.unpack("<%dh" % d["n_samples"], d["samples"]))
+
+    assert decoded(_flac_fixture_frame(samples)) == samples
+    assert decoded(_flac_fixture_frame(samples, method=1)) == samples
+    assert decoded(_flac_fixture_frame(samples, porder=2)) == samples
+    assert decoded(_flac_fixture_frame(samples, porder=2, method=1,
+                                       order=4)) == samples
+    # wasted bits: samples divisible by 4 survive a 2-bit shift
+    quad = [s * 4 for s in samples]
+    assert decoded(_flac_fixture_frame(quad, wasted=2)) == quad
+    # table block-size code 0b1000 = 256 samples, no explicit field
+    s256 = [(i * 11) % 256 - 128 for i in range(256)]
+    assert decoded(_flac_fixture_frame(s256, bs_code=0b1000)) == s256
+
+    with pytest.raises(ValueError, match="CRC-8"):
+        M.decode_flac(_flac_fixture_frame(samples, corrupt_crc8=True))
+    with pytest.raises(ValueError, match="CRC-16"):
+        M.decode_flac(_flac_fixture_frame(samples, corrupt_crc16=True))
+    with pytest.raises(NotImplementedError, match="LPC"):
+        M.decode_flac(_flac_fixture_frame(samples, stype=0b100000))
+    with pytest.raises(ValueError, match="reserved FLAC subframe"):
+        M.decode_flac(_flac_fixture_frame(samples, stype=0b000010))
+    with pytest.raises(ValueError, match="fLaC magic"):
+        M.decode_flac(b"RIFFxxxx")

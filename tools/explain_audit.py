@@ -209,6 +209,7 @@ MUST_HAVE = {
     "multimodal_decode_adpcm": ["MapInPandas"],
     "multimodal_decode_ulaw": ["MapInPandas"],
     "multimodal_decode_alaw": ["MapInPandas"],
+    "multimodal_decode_flac": ["MapInPandas"],
     # BPE distinct tier (via the auto dispatcher): the vocab-sized
     # piece table must join back by BROADCAST (corpus tokens shuffle
     # only for the per-doc regroup)
@@ -270,6 +271,7 @@ MUST_NOT = {
     "multimodal_decode_adpcm": ["Exchange", "SortMergeJoin"],
     "multimodal_decode_ulaw": ["Exchange", "SortMergeJoin"],
     "multimodal_decode_alaw": ["Exchange", "SortMergeJoin"],
+    "multimodal_decode_flac": ["Exchange", "SortMergeJoin"],
     "text_bpe_encode_auto": ["SortMergeJoin", "CartesianProduct"],
     "j13_lateral_topn": ["CartesianProduct", "SortMergeJoin"],
     "r6_unpivot_native": ["Generate"],  # unpivot must not fall back to explode
@@ -370,7 +372,8 @@ AUDIT = [
     "multimodal_decode_png", "multimodal_frame_sample",
     "multimodal_decode_rle", "multimodal_decode_gif",
     "multimodal_decode_adpcm", "multimodal_decode_ulaw",
-    "multimodal_decode_alaw", "text_bpe_encode_auto",
+    "multimodal_decode_alaw", "multimodal_decode_flac",
+    "text_bpe_encode_auto",
 ]
 
 

@@ -23,10 +23,15 @@ JPEG is real too — `_encode_jpeg` emits legal DC-only baseline JFIF and
 `decode_jpeg` is a general baseline decoder (full Huffman DC+AC
 alphabet, dequant, zig-zag, exact-basis numpy IDCT, BT.601 YCbCr->RGB);
 the `multimodal_decode_jpeg` registry entry has DuckDB recompute every
-decoded byte. Only MP3/H.264 (audio/video compressed streams) remain
-NotImplementedError — genuinely codec-library-bound (ffmpeg, not
-shipped here). Everything Spark-side — schema, batch iteration,
-partitioning, UDF signatures — is real and tested in both regimes.
+decoded byte. r10 added the remaining non-entropy compressed formats
+(BI_RLE8, GIF87a/LZW, IMA ADPCM, G.711 mu/A-law); r11 adds a FLAC
+subset (`_encode_flac`/`decode_flac` — Rice-coded residuals over fixed
+linear predictors, CRC-verified frames). Only MP3/H.264 remain
+NotImplementedError — the boundary is now exactly 'entropy coding over
+transforms' (Huffman over MDCT subbands, CABAC), genuinely
+codec-library-bound (ffmpeg, not shipped here). Everything Spark-side —
+schema, batch iteration, partitioning, UDF signatures — is real and
+tested in both regimes.
 
 At 100 TB: media bytes dominate row size, so the operators (a) never
 shuffle the binary column (feature extraction is a narrow map), (b) select

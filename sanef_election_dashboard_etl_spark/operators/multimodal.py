@@ -1098,8 +1098,9 @@ def _encode_wav_adpcm(tile: bytes, sample_rate: int = 8_000) -> bytes:
 # encoder emits a deterministic REAL subset (STREAMINFO + fixed-blocking
 # frames, CONSTANT/VERBATIM/FIXED subframes, Rice partitions with the
 # escape code, CRC-8 + CRC-16); the DECODER is general across the
-# non-LPC spec surface (all block-size/sample-rate/bps codes, UTF-8
-# frame numbers, Rice and Rice2 partitions at any partition order,
+# full mono spec surface (all block-size/sample-rate/bps codes, UTF-8
+# frame numbers, every subframe type incl. LPC with quantized
+# coefficients, Rice and Rice2 partitions at any partition order,
 # wasted bits, CRC verification) — unit-tested on hand-built streams,
 # exactly the LZW/RLE8 standard. MP3/H.264 stay the honest boundary:
 # entropy coding over transforms.
@@ -1247,11 +1248,12 @@ def _flac_samples(tile: bytes) -> list:
 def _encode_flac(tile: bytes, mid: int, sample_rate: int = 8_000) -> bytes:
     """Deterministic REAL FLAC (subset): mono 16-bit, fixed blocking at
     _FLAC_BLOCK, one subframe per frame chosen by doc arithmetic so the
-    corpus exercises every non-LPC branch — CONSTANT when the frame is
-    flat, VERBATIM when mid % 7 == 3, else FIXED order min(mid % 5,
-    n-1) with one partition-order-0 Rice partition (escape code when
-    order-4 residuals outgrow rice parameter 14). Every stream is
-    byte-valid FLAC: real STREAMINFO, real CRC-8/CRC-16."""
+    corpus exercises every subframe branch — CONSTANT when the frame is
+    flat, VERBATIM when mid % 7 == 3, LPC(order 2, coefs [3,-1],
+    shift 1) when mid % 11 == 5, else FIXED order min(mid % 5, n-1) —
+    each with one partition-order-0 Rice partition (escape code when
+    residuals outgrow rice parameter 14). Every stream is byte-valid
+    FLAC: real STREAMINFO, real CRC-8/CRC-16."""
     import struct
 
     tile = tile or b"\x00"
@@ -1293,29 +1295,7 @@ def _encode_flac_frame(blk: list, fno: int, mid: int) -> bytes:
     header = bw.buf + _flac_utf8(fno) + struct.pack(">H", n - 1)
     header += bytes((_crc8(bytes(header)),))
 
-    sub = _BitWriter()
-    if all(s == blk[0] for s in blk):
-        sub.write(0, 1)
-        sub.write(0b000000, 6)       # CONSTANT
-        sub.write(0, 1)
-        sub.write(blk[0], 16)
-    elif mid % 7 == 3:
-        sub.write(0, 1)
-        sub.write(0b000001, 6)       # VERBATIM
-        sub.write(0, 1)
-        for s in blk:
-            sub.write(s, 16)
-    else:
-        order = min(mid % 5, n - 1)
-        sub.write(0, 1)
-        sub.write(0b001000 | order, 6)   # FIXED
-        sub.write(0, 1)
-        for s in blk[:order]:            # warmup
-            sub.write(s, 16)
-        coefs = _FLAC_FIXED_COEFS[order]
-        resid = [blk[i] - sum(c * blk[i - 1 - j]
-                              for j, c in enumerate(coefs))
-                 for i in range(order, n)]
+    def rice_residual(sub: "_BitWriter", resid: list) -> None:
         sub.write(0b00, 2)               # Rice, 4-bit parameters
         sub.write(0, 4)                  # partition order 0
         zig = [(e << 1) if e >= 0 else ((-e << 1) - 1) for e in resid]
@@ -1331,6 +1311,47 @@ def _encode_flac_frame(blk: list, fno: int, mid: int) -> bytes:
             for u in zig:
                 sub.write_unary(u >> k)
                 sub.write(u, k)
+
+    sub = _BitWriter()
+    if all(s == blk[0] for s in blk):
+        sub.write(0, 1)
+        sub.write(0b000000, 6)       # CONSTANT
+        sub.write(0, 1)
+        sub.write(blk[0], 16)
+    elif mid % 7 == 3:
+        sub.write(0, 1)
+        sub.write(0b000001, 6)       # VERBATIM
+        sub.write(0, 1)
+        for s in blk:
+            sub.write(s, 16)
+    elif mid % 11 == 5 and n > 2:
+        # LPC order 2, coefficients [3, -1], precision 5, shift 1 —
+        # pred = (3*s1 - s2) >> 1 truncates, so the round trip proves
+        # the decoder's arithmetic-shift prediction on negative sums
+        sub.write(0, 1)
+        sub.write(0b100000 | 1, 6)       # LPC, order-1 = 1
+        sub.write(0, 1)
+        for s in blk[:2]:                # warmup
+            sub.write(s, 16)
+        sub.write(4, 4)                  # precision - 1
+        sub.write(1, 5)                  # shift
+        sub.write(3, 5)
+        sub.write(-1, 5)
+        resid = [blk[i] - ((3 * blk[i - 1] - blk[i - 2]) >> 1)
+                 for i in range(2, n)]
+        rice_residual(sub, resid)
+    else:
+        order = min(mid % 5, n - 1)
+        sub.write(0, 1)
+        sub.write(0b001000 | order, 6)   # FIXED
+        sub.write(0, 1)
+        for s in blk[:order]:            # warmup
+            sub.write(s, 16)
+        coefs = _FLAC_FIXED_COEFS[order]
+        resid = [blk[i] - sum(c * blk[i - 1 - j]
+                              for j, c in enumerate(coefs))
+                 for i in range(order, n)]
+        rice_residual(sub, resid)
     sub.align()
     frame = bytes(header) + sub.bytes()
     return frame + struct.pack(">H", _crc16(frame))
@@ -1344,16 +1365,17 @@ _FLAC_BPS = {0b001: 8, 0b010: 12, 0b100: 16, 0b101: 20, 0b110: 24}
 
 
 def decode_flac(payload: bytes) -> dict:
-    """General pure-Python FLAC decoder over the non-LPC spec surface:
-    walks metadata blocks to STREAMINFO, then decodes fixed- and
-    variable-blocking frames — all block-size/sample-rate/bps codes,
-    UTF-8 coded frame/sample numbers, CONSTANT / VERBATIM / FIXED
-    (orders 0-4) subframes, Rice + Rice2 residual partitions at any
-    partition order including the raw-bits escape, wasted bits, and
-    CRC-8/CRC-16 verification (mismatch raises ValueError). Mono only
-    (stereo decorrelation raises NotImplementedError); LPC subframes
-    raise NotImplementedError — the fixture encoder never emits them,
-    and they are the documented boundary toward full libFLAC parity.
+    """General pure-Python FLAC decoder over the full mono spec
+    surface: walks metadata blocks to STREAMINFO, then decodes fixed-
+    and variable-blocking frames — all block-size/sample-rate/bps
+    codes, UTF-8 coded frame/sample numbers, every subframe type
+    (CONSTANT / VERBATIM / FIXED orders 0-4 / LPC orders 1-32 with
+    quantized coefficients and truncating arithmetic-shift
+    prediction), Rice + Rice2 residual partitions at any partition
+    order including the raw-bits escape, wasted bits, and CRC-8/CRC-16
+    verification (mismatch raises ValueError). Mono only — stereo
+    decorrelation (left/right/mid-side) is the remaining subset
+    boundary and raises NotImplementedError.
     Returns the decode_wav dict shape: little-endian int16 samples."""
     import struct
 
@@ -1463,10 +1485,21 @@ def _decode_flac_subframe(br: "_BitReader", n: int, bps: int) -> list:
         for e in resid:
             blk.append(e + sum(c * blk[-1 - j]
                                for j, c in enumerate(coefs)))
-    elif stype >= 0b100000:
-        raise NotImplementedError(
-            "LPC subframes are outside the FLAC subset (libFLAC parity "
-            "boundary)")
+    elif stype >= 0b100000:               # LPC order 1-32
+        order = (stype & 0x1F) + 1
+        blk = [br.read_signed(eff) for _ in range(order)]
+        prec = br.read(4) + 1             # qlp coefficient precision
+        if prec == 16:                    # code 1111 is invalid
+            raise ValueError("invalid FLAC qlp precision code")
+        shift = br.read_signed(5)
+        if shift < 0:
+            raise ValueError("negative FLAC qlp shift is reserved")
+        coefs = [br.read_signed(prec) for _ in range(order)]
+        resid = _decode_flac_residual(br, n, order)
+        for e in resid:                   # integer-exact reconstruction
+            pred = sum(c * blk[-1 - j]
+                       for j, c in enumerate(coefs)) >> shift
+            blk.append(e + pred)
     else:
         raise ValueError(f"reserved FLAC subframe type {stype:#08b}")
     return [s << wasted for s in blk]

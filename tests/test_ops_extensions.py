@@ -3456,11 +3456,12 @@ def test_jpeg_flows_through_generic_media_tiers(spark):
 
 def _flac_fixture_frame(samples, *, method=0, porder=0, wasted=0,
                         order=1, bs_code=None, corrupt_crc8=False,
-                        corrupt_crc16=False, stype=None):
+                        corrupt_crc16=False, stype=None, lpc=None):
     """Hand-build one mono 16-bit FLAC payload (STREAMINFO + a single
     frame) exercising decoder branches the fixture encoder never emits:
     Rice2 (method=1), partition order > 0, wasted bits, table
-    block-size codes, corrupted CRCs, reserved/LPC subframe types."""
+    block-size codes, corrupted CRCs, reserved subframe types, and
+    arbitrary LPC parameter tuples lpc=(prec, shift, coefs)."""
     import struct
 
     n = len(samples)
@@ -3483,21 +3484,40 @@ def _flac_fixture_frame(samples, *, method=0, porder=0, wasted=0,
 
     sub = M._BitWriter()
     sub.write(0, 1)
-    sub.write(stype if stype is not None else (0b001000 | order), 6)
+    if stype is not None:
+        sub.write(stype, 6)
+    elif lpc is not None:
+        sub.write(0b100000 | (len(lpc[2]) - 1), 6)
+    else:
+        sub.write(0b001000 | order, 6)
     if wasted:
         sub.write(1, 1)
         sub.write(1, wasted)          # unary: (wasted-1) zeros + 1
     else:
         sub.write(0, 1)
-    if stype is None:                 # FIXED: warmup + Rice residual
+    if stype is None:                 # FIXED/LPC: warmup + Rice residual
         eff = 16 - wasted
         shifted = [s >> wasted for s in samples]
-        for s in shifted[:order]:
-            sub.write(s, eff)
-        coefs = M._FLAC_FIXED_COEFS[order]
-        resid = [shifted[i] - sum(c * shifted[i - 1 - j]
-                                  for j, c in enumerate(coefs))
-                 for i in range(order, n)]
+        if lpc is not None:
+            prec, shift, coefs = lpc
+            order = len(coefs)
+            for s in shifted[:order]:
+                sub.write(s, eff)
+            sub.write(prec - 1, 4)
+            sub.write(shift, 5)
+            for c in coefs:
+                sub.write(c, prec)
+            resid = [shifted[i]
+                     - (sum(c * shifted[i - 1 - j]
+                            for j, c in enumerate(coefs)) >> shift)
+                     for i in range(order, n)]
+        else:
+            for s in shifted[:order]:
+                sub.write(s, eff)
+            coefs = M._FLAC_FIXED_COEFS[order]
+            resid = [shifted[i] - sum(c * shifted[i - 1 - j]
+                                      for j, c in enumerate(coefs))
+                     for i in range(order, n)]
         sub.write(method, 2)
         sub.write(porder, 4)
         nparts = 1 << porder
@@ -3567,12 +3587,25 @@ def test_flac_decoder_general_branches_on_handbuilt_streams():
     s256 = [(i * 11) % 256 - 128 for i in range(256)]
     assert decoded(_flac_fixture_frame(s256, bs_code=0b1000)) == s256
 
+    # LPC subframes (r11): high orders, big shifts, negative and
+    # asymmetric coefficients — the truncating arithmetic-shift
+    # prediction must reconstruct exactly whatever the parameters
+    for prec, shift, coefs in ((5, 1, [3, -1]), (12, 6, [113, -51]),
+                               (15, 9, [981, -512, 73, -9]),
+                               (6, 0, [1]),
+                               (9, 4, [31, -7, 5, -3, 2, -1, 1, 1])):
+        got = decoded(_flac_fixture_frame(samples,
+                                          lpc=(prec, shift, coefs)))
+        assert got == samples, (prec, shift, coefs)
+    assert decoded(_flac_fixture_frame(samples, method=1, porder=1,
+                                       lpc=(5, 1, [3, -1]))) == samples
+
     with pytest.raises(ValueError, match="CRC-8"):
         M.decode_flac(_flac_fixture_frame(samples, corrupt_crc8=True))
     with pytest.raises(ValueError, match="CRC-16"):
         M.decode_flac(_flac_fixture_frame(samples, corrupt_crc16=True))
-    with pytest.raises(NotImplementedError, match="LPC"):
-        M.decode_flac(_flac_fixture_frame(samples, stype=0b100000))
+    with pytest.raises(ValueError, match="qlp precision"):
+        M.decode_flac(_flac_fixture_frame(samples, lpc=(16, 1, [3, -1])))
     with pytest.raises(ValueError, match="reserved FLAC subframe"):
         M.decode_flac(_flac_fixture_frame(samples, stype=0b000010))
     with pytest.raises(ValueError, match="fLaC magic"):

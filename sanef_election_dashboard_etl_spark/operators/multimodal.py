@@ -1098,12 +1098,13 @@ def _encode_wav_adpcm(tile: bytes, sample_rate: int = 8_000) -> bytes:
 # encoder emits a deterministic REAL subset (STREAMINFO + fixed-blocking
 # frames, CONSTANT/VERBATIM/FIXED subframes, Rice partitions with the
 # escape code, CRC-8 + CRC-16); the DECODER is general across the
-# full mono spec surface (all block-size/sample-rate/bps codes, UTF-8
-# frame numbers, every subframe type incl. LPC with quantized
-# coefficients, Rice and Rice2 partitions at any partition order,
-# wasted bits, CRC verification) — unit-tested on hand-built streams,
-# exactly the LZW/RLE8 standard. MP3/H.264 stay the honest boundary:
-# entropy coding over transforms.
+# full mono + stereo spec surface (all block-size/sample-rate/bps
+# codes, UTF-8 frame numbers, every subframe type incl. LPC with
+# quantized coefficients, all three stereo decorrelation modes, Rice
+# and Rice2 partitions at any partition order, wasted bits, CRC
+# verification) — unit-tested on hand-built streams, exactly the
+# LZW/RLE8 standard. MP3/H.264 stay the honest boundary: entropy
+# coding over transforms.
 
 
 class _BitWriter:
@@ -1245,6 +1246,59 @@ def _flac_samples(tile: bytes) -> list:
     return [b * 257 - 32768 for b in tile]
 
 
+def _flac_samples_right(tile: bytes) -> list:
+    """Second-channel fixture signal for stereo FLAC: r = 257*((31*b +
+    7) % 256) - 32768 — full int16 range, decorrelated from the left
+    channel, one SQL list_transform."""
+    return [((b * 31 + 7) % 256) * 257 - 32768 for b in tile]
+
+
+def _encode_flac_stereo(tile: bytes, mid: int,
+                        sample_rate: int = 8_000) -> bytes:
+    """Deterministic REAL stereo FLAC: left = _flac_samples, right =
+    _flac_samples_right, channel assignment by mid % 4 — independent
+    (0b0001), left/side, right/side, mid/side (the three decorrelation
+    modes; side = l - r, mid = (l + r) >> 1 with the dropped low bit
+    recovered from side's parity, per the spec) — so the corpus
+    exercises every stereo reconstruction path."""
+    import struct
+
+    tile = tile or b"\x00"
+    left = _flac_samples(tile)
+    right = _flac_samples_right(tile)
+    total = len(left)
+
+    out = bytearray(b"fLaC")
+    si = _BitWriter()
+    si.write(min(total, _FLAC_BLOCK), 16)
+    si.write(min(total, _FLAC_BLOCK), 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(sample_rate, 20)
+    si.write(1, 3)                             # channels - 1
+    si.write(15, 5)                            # bps - 1
+    si.write(total, 36)
+    body = si.bytes() + b"\x00" * 16
+    out += bytes((0x80,)) + struct.pack(">I", len(body))[1:] + body
+
+    for fno, start in enumerate(range(0, total, _FLAC_BLOCK)):
+        lf = left[start:start + _FLAC_BLOCK]
+        rf = right[start:start + _FLAC_BLOCK]
+        mode = mid % 4
+        if mode == 0:
+            chans, code = [lf, rf], 0b0001
+        elif mode == 1:
+            chans, code = [lf, [a - b for a, b in zip(lf, rf)]], 0b1000
+        elif mode == 2:
+            chans, code = [[a - b for a, b in zip(lf, rf)], rf], 0b1001
+        else:
+            chans = [[(a + b) >> 1 for a, b in zip(lf, rf)],
+                     [a - b for a, b in zip(lf, rf)]]
+            code = 0b1010
+        out += _encode_flac_frame(chans, fno, mid, code)
+    return bytes(out)
+
+
 def _encode_flac(tile: bytes, mid: int, sample_rate: int = 8_000) -> bytes:
     """Deterministic REAL FLAC (subset): mono 16-bit, fixed blocking at
     _FLAC_BLOCK, one subframe per frame chosen by doc arithmetic so the
@@ -1275,55 +1329,44 @@ def _encode_flac(tile: bytes, mid: int, sample_rate: int = 8_000) -> bytes:
 
     for fno, start in enumerate(range(0, total, _FLAC_BLOCK)):
         blk = samples[start:start + _FLAC_BLOCK]
-        out += _encode_flac_frame(blk, fno, mid)
+        out += _encode_flac_frame([blk], fno, mid)
     return bytes(out)
 
 
-def _encode_flac_frame(blk: list, fno: int, mid: int) -> bytes:
-    import struct
+def _flac_rice_residual(sub: "_BitWriter", resid: list) -> None:
+    sub.write(0b00, 2)               # Rice, 4-bit parameters
+    sub.write(0, 4)                  # partition order 0
+    zig = [(e << 1) if e >= 0 else ((-e << 1) - 1) for e in resid]
+    k = max(0, (max(zig).bit_length() if zig else 0) - 4)
+    if k > 14:                       # escape: raw two's complement
+        raw = max(z.bit_length() for z in zig) + 1
+        sub.write(0b1111, 4)
+        sub.write(raw, 5)
+        for e in resid:
+            sub.write(e, raw)
+    else:
+        sub.write(k, 4)
+        for u in zig:
+            sub.write_unary(u >> k)
+            sub.write(u, k)
 
+
+def _flac_write_subframe(sub: "_BitWriter", blk: list, mid: int,
+                         eff: int) -> None:
+    """One subframe at `eff` bits per sample (bps+1 for stereo side
+    channels), type chosen by doc arithmetic — see _encode_flac."""
     n = len(blk)
-    bw = _BitWriter()
-    bw.write(0b11111111111110, 14)   # sync
-    bw.write(0, 1)                   # reserved
-    bw.write(0, 1)                   # fixed blocking
-    bw.write(0b0111, 4)              # blocksize: 16 bits at header end
-    bw.write(0b0000, 4)              # sample rate: from STREAMINFO
-    bw.write(0b0000, 4)              # mono
-    bw.write(0b100, 3)               # 16 bps
-    bw.write(0, 1)                   # reserved
-    header = bw.buf + _flac_utf8(fno) + struct.pack(">H", n - 1)
-    header += bytes((_crc8(bytes(header)),))
-
-    def rice_residual(sub: "_BitWriter", resid: list) -> None:
-        sub.write(0b00, 2)               # Rice, 4-bit parameters
-        sub.write(0, 4)                  # partition order 0
-        zig = [(e << 1) if e >= 0 else ((-e << 1) - 1) for e in resid]
-        k = max(0, (max(zig).bit_length() if zig else 0) - 4)
-        if k > 14:                       # escape: raw two's complement
-            raw = max(z.bit_length() for z in zig) + 1
-            sub.write(0b1111, 4)
-            sub.write(raw, 5)
-            for e in resid:
-                sub.write(e, raw)
-        else:
-            sub.write(k, 4)
-            for u in zig:
-                sub.write_unary(u >> k)
-                sub.write(u, k)
-
-    sub = _BitWriter()
     if all(s == blk[0] for s in blk):
         sub.write(0, 1)
         sub.write(0b000000, 6)       # CONSTANT
         sub.write(0, 1)
-        sub.write(blk[0], 16)
+        sub.write(blk[0], eff)
     elif mid % 7 == 3:
         sub.write(0, 1)
         sub.write(0b000001, 6)       # VERBATIM
         sub.write(0, 1)
         for s in blk:
-            sub.write(s, 16)
+            sub.write(s, eff)
     elif mid % 11 == 5 and n > 2:
         # LPC order 2, coefficients [3, -1], precision 5, shift 1 —
         # pred = (3*s1 - s2) >> 1 truncates, so the round trip proves
@@ -1332,26 +1375,54 @@ def _encode_flac_frame(blk: list, fno: int, mid: int) -> bytes:
         sub.write(0b100000 | 1, 6)       # LPC, order-1 = 1
         sub.write(0, 1)
         for s in blk[:2]:                # warmup
-            sub.write(s, 16)
+            sub.write(s, eff)
         sub.write(4, 4)                  # precision - 1
         sub.write(1, 5)                  # shift
         sub.write(3, 5)
         sub.write(-1, 5)
         resid = [blk[i] - ((3 * blk[i - 1] - blk[i - 2]) >> 1)
                  for i in range(2, n)]
-        rice_residual(sub, resid)
+        _flac_rice_residual(sub, resid)
     else:
         order = min(mid % 5, n - 1)
         sub.write(0, 1)
         sub.write(0b001000 | order, 6)   # FIXED
         sub.write(0, 1)
         for s in blk[:order]:            # warmup
-            sub.write(s, 16)
+            sub.write(s, eff)
         coefs = _FLAC_FIXED_COEFS[order]
         resid = [blk[i] - sum(c * blk[i - 1 - j]
                               for j, c in enumerate(coefs))
                  for i in range(order, n)]
-        rice_residual(sub, resid)
+        _flac_rice_residual(sub, resid)
+
+
+def _encode_flac_frame(channels: list, fno: int, mid: int,
+                       chan_code: int = 0b0000) -> bytes:
+    """One frame over pre-decorrelated channel streams. `chan_code` is
+    the 4-bit assignment (0b0000 mono, 0b0001 independent stereo,
+    0b1000/1001/1010 left-side / right-side / mid-side — the SIDE
+    stream carries one extra bit per the spec)."""
+    import struct
+
+    n = len(channels[0])
+    bw = _BitWriter()
+    bw.write(0b11111111111110, 14)   # sync
+    bw.write(0, 1)                   # reserved
+    bw.write(0, 1)                   # fixed blocking
+    bw.write(0b0111, 4)              # blocksize: 16 bits at header end
+    bw.write(0b0000, 4)              # sample rate: from STREAMINFO
+    bw.write(chan_code, 4)
+    bw.write(0b100, 3)               # 16 bps
+    bw.write(0, 1)                   # reserved
+    header = bw.buf + _flac_utf8(fno) + struct.pack(">H", n - 1)
+    header += bytes((_crc8(bytes(header)),))
+
+    side = {0b1000: 1, 0b1001: 0, 0b1010: 1}.get(chan_code)
+    sub = _BitWriter()
+    for ci, blk in enumerate(channels):
+        _flac_write_subframe(sub, blk, mid + ci,
+                             16 + (1 if ci == side else 0))
     sub.align()
     frame = bytes(header) + sub.bytes()
     return frame + struct.pack(">H", _crc16(frame))
@@ -1373,10 +1444,13 @@ def decode_flac(payload: bytes) -> dict:
     quantized coefficients and truncating arithmetic-shift
     prediction), Rice + Rice2 residual partitions at any partition
     order including the raw-bits escape, wasted bits, and CRC-8/CRC-16
-    verification (mismatch raises ValueError). Mono only — stereo
-    decorrelation (left/right/mid-side) is the remaining subset
-    boundary and raises NotImplementedError.
-    Returns the decode_wav dict shape: little-endian int16 samples."""
+    verification (mismatch raises ValueError). Stereo decodes through
+    all three decorrelation modes (left/side, right/side, mid/side —
+    the side channel carries bps+1 bits; mid recovers its dropped low
+    bit from side's parity) plus independent channels; >2 channels
+    raise NotImplementedError.
+    Returns the decode_wav dict shape: little-endian int16 samples,
+    interleaved across channels, n_samples counted per channel."""
     import struct
 
     if len(payload or b"") < 4 or payload[:4] != b"fLaC":
@@ -1406,16 +1480,23 @@ def decode_flac(payload: bytes) -> dict:
     if info is None:
         raise ValueError("FLAC missing STREAMINFO")
     rate, n_ch, bps, total = info
-    if n_ch != 1:
-        raise NotImplementedError("only mono FLAC is supported")
+    if n_ch > 2:
+        raise NotImplementedError(
+            "only mono and stereo FLAC are supported")
 
-    samples: list = []
-    while len(samples) < total:
-        pos, blk = _decode_flac_frame(payload, pos, rate, bps)
-        samples += blk
-    if len(samples) != total:
+    samples: list = []          # interleaved across channels
+    done = 0
+    while done < total:
+        pos, chans = _decode_flac_frame(payload, pos, rate, bps)
+        if len(chans) != n_ch:
+            raise ValueError("FLAC frame channel count differs from "
+                             "STREAMINFO")
+        done += len(chans[0])
+        for frame_samples in zip(*chans):
+            samples += frame_samples
+    if done != total:
         raise ValueError("FLAC frames decode past the STREAMINFO total")
-    return {"sample_rate": rate, "n_channels": 1, "n_samples": total,
+    return {"sample_rate": rate, "n_channels": n_ch, "n_samples": total,
             "samples": b"".join(struct.pack("<h", s) for s in samples)}
 
 
@@ -1446,14 +1527,37 @@ def _decode_flac_frame(payload: bytes, pos: int, rate: int,
         br.read(16)
     elif sr_code == 0b1111:
         raise ValueError("invalid FLAC sample-rate code")
-    if chan != 0:
-        raise NotImplementedError("only mono FLAC is supported")
     bps = bps_si if bps_code == 0 else _FLAC_BPS[bps_code]
+    if chan <= 0b0111:                # independent channels
+        effs, mode = [bps] * (chan + 1), None
+    elif chan == 0b1000:              # left/side
+        effs, mode = [bps, bps + 1], "ls"
+    elif chan == 0b1001:              # right/side
+        effs, mode = [bps + 1, bps], "rs"
+    elif chan == 0b1010:              # mid/side
+        effs, mode = [bps, bps + 1], "ms"
+    else:
+        raise ValueError("reserved FLAC channel assignment")
+    if len(effs) > 2:
+        raise NotImplementedError(
+            "only mono and stereo FLAC are supported")
     hdr_end = br.bytepos()            # header is byte-aligned here
     if _crc8(payload[pos:hdr_end]) != br.read(8):
         raise ValueError("FLAC frame header CRC-8 mismatch")
 
-    blk = _decode_flac_subframe(br, n, bps)
+    subs = [_decode_flac_subframe(br, n, eff) for eff in effs]
+    if mode == "ls":                  # right = left - side
+        chans = [subs[0], [a - b for a, b in zip(subs[0], subs[1])]]
+    elif mode == "rs":                # left = right + side
+        chans = [[a + b for a, b in zip(subs[1], subs[0])], subs[1]]
+    elif mode == "ms":                # spec: recover l/r from mid+side
+        chans = [[], []]
+        for m, s in zip(subs[0], subs[1]):
+            m2 = (m << 1) | (s & 1)
+            chans[0].append((m2 + s) >> 1)
+            chans[1].append((m2 - s) >> 1)
+    else:
+        chans = subs
     br.align()
     crc_end = br.bytepos()
     if crc_end + 2 > len(payload):
@@ -1461,7 +1565,7 @@ def _decode_flac_frame(payload: bytes, pos: int, rate: int,
     want = (payload[crc_end] << 8) | payload[crc_end + 1]
     if _crc16(payload[pos:crc_end]) != want:
         raise ValueError("FLAC frame CRC-16 mismatch")
-    return crc_end + 2, blk
+    return crc_end + 2, chans
 
 
 def _decode_flac_subframe(br: "_BitReader", n: int, bps: int) -> list:
@@ -1715,6 +1819,12 @@ def synthesize_media_encoded(docs: DataFrame,
                     frames.append(1 + 2 * len(tb or b"\x00"))
                 elif media_type == "audio_flac":
                     payloads.append(_encode_flac(tb, int(mid)))
+                    widths.append(None)
+                    heights.append(None)
+                    rates.append(8_000)
+                    frames.append(len(tb or b"\x00"))
+                elif media_type == "audio_flac_stereo":
+                    payloads.append(_encode_flac_stereo(tb, int(mid)))
                     widths.append(None)
                     heights.append(None)
                     rates.append(8_000)

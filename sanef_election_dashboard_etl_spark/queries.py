@@ -1580,6 +1580,60 @@ def multimodal_decode_flac(spark, sf_dir):
                     "first_value", "value_sum"))
 
 
+@query("multimodal_decode_flac_stereo", oracle="""
+    -- Stereo FLAC round-trip (r11): left = 257*b - 32768, right =
+    -- 257*((31*b + 7) % 256) - 32768, channel assignment by doc_id % 4
+    -- (independent / left-side / right-side / mid-side) — the oracle is
+    -- assignment-INDEPENDENT because decorrelation is lossless: DuckDB
+    -- recomputes both channels from the text and sums the interleaved
+    -- int16 bytes; a side/mid reconstruction bug in any mode moves
+    -- value_sum for a quarter of the rows.
+    WITH b AS (
+        SELECT doc_id,
+               CASE WHEN coalesce(text, '') = '' THEN 1
+                    ELSE octet_length(encode(text)) END AS blen,
+               CASE WHEN coalesce(text, '') = '' THEN '00'
+                    ELSE hex(encode(text)) END AS hx
+        FROM documents WHERE doc_id < 300
+    ), v AS (
+        SELECT doc_id, blen,
+               list_transform(range(1, CAST(blen + 1 AS BIGINT)),
+                   i -> (257 * ('0x' || substr(hx, CAST(2*i-1 AS INT), 2))
+                             ::BIGINT + 32768) % 65536) AS ul,
+               list_transform(range(1, CAST(blen + 1 AS BIGINT)),
+                   i -> (257 * ((31 * ('0x' || substr(hx,
+                             CAST(2*i-1 AS INT), 2))::BIGINT + 7) % 256)
+                         + 32768) % 65536) AS ur
+        FROM b
+    )
+    SELECT doc_id AS media_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(blen AS BIGINT) AS n_samples,
+           CAST(CASE WHEN ul[1] >= 32768 THEN ul[1] - 65536
+                     ELSE ul[1] END AS BIGINT) AS first_value,
+           CAST(list_aggregate(list_transform(ul,
+                    u -> u % 256 + u // 256), 'sum')
+                + list_aggregate(list_transform(ur,
+                    u -> u % 256 + u // 256), 'sum') AS BIGINT)
+               AS value_sum
+    FROM v
+""")
+def multimodal_decode_flac_stereo(spark, sf_dir):
+    """Stereo FLAC decode round-trip (r11): retires the mono boundary —
+    all three decorrelation modes (left/side, right/side, mid/side;
+    side carries the extra bit, mid recovers its dropped low bit from
+    side's parity) plus independent stereo, assignment rotating by
+    doc_id so each mode gets ~75 driver-checked rows. With LPC landed
+    the same round, decode_flac now covers the full 16-bit FLAC
+    surface; the codec boundary is MP3/H.264 entropy coding only."""
+    docs = _t(spark, sf_dir, "documents")
+    fl = M.synthesize_media_encoded(docs.filter(F.col("doc_id") < 300),
+                                    media_type="audio_flac_stereo")
+    return (M.decode_media(fl)
+            .select("media_id", "sample_rate", "n_samples",
+                    "first_value", "value_sum"))
+
+
 # IMA ADPCM tables as SQL list literals (one definition site —
 # operators/multimodal.py owns the tables; the oracle replays them)
 _IMA_STEPS_SQL = "[" + ",".join(map(str, M._IMA_STEPS)) + "]"

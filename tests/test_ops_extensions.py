@@ -3456,7 +3456,8 @@ def test_jpeg_flows_through_generic_media_tiers(spark):
 
 def _flac_fixture_frame(samples, *, method=0, porder=0, wasted=0,
                         order=1, bs_code=None, corrupt_crc8=False,
-                        corrupt_crc16=False, stype=None, lpc=None):
+                        corrupt_crc16=False, stype=None, lpc=None,
+                        chan_code=0):
     """Hand-build one mono 16-bit FLAC payload (STREAMINFO + a single
     frame) exercising decoder branches the fixture encoder never emits:
     Rice2 (method=1), partition order > 0, wasted bits, table
@@ -3475,7 +3476,8 @@ def _flac_fixture_frame(samples, *, method=0, porder=0, wasted=0,
     bw = M._BitWriter()
     bw.write(0b11111111111110, 14); bw.write(0, 2)
     bw.write(bs_code if bs_code is not None else 0b0111, 4)
-    bw.write(0, 4); bw.write(0, 4); bw.write(0b100, 3); bw.write(0, 1)
+    bw.write(0, 4); bw.write(chan_code, 4)
+    bw.write(0b100, 3); bw.write(0, 1)
     header = bytearray(bw.bytes()) + b"\x00"     # frame number 0
     if bs_code is None:
         header += struct.pack(">H", n - 1)
@@ -3560,6 +3562,36 @@ def test_flac_roundtrip_all_subframe_types():
     # decode_audio dispatches FLAC by magic, WAV by RIFF
     assert M.decode_audio(M._encode_flac(b"hi", 0))["n_samples"] == 2
     assert M.decode_audio(M._encode_wav(b"hi", n_samples=4))["n_samples"] == 4
+
+
+def test_flac_stereo_decorrelation_modes():
+    """r11: stereo FLAC — independent, left/side, right/side, mid/side
+    (mid % 4 selects the assignment) all reconstruct the exact
+    interleaved (left, right) signal; the side channel carries bps+1
+    bits and mid recovers its dropped low bit from side's parity."""
+    import struct
+
+    for mid in range(8):          # two docs per assignment mode
+        for text in (b"hello world", b"", bytes(range(256)),
+                     bytes((i * 13 + 5) % 256 for i in range(600))):
+            tile = text or b"\x00"
+            d = M.decode_flac(M._encode_flac_stereo(text, mid))
+            L, R = M._flac_samples(tile), M._flac_samples_right(tile)
+            want = [v for pair in zip(L, R) for v in pair]
+            got = list(struct.unpack("<%dh" % len(want), d["samples"]))
+            assert got == want, (mid, text[:8])
+            assert (d["n_channels"], d["n_samples"]) == (2, len(tile))
+    # >2 channels and reserved assignments are explicit boundaries
+    payload = bytearray(M._encode_flac_stereo(b"xy", 0))
+    # STREAMINFO channels-1 lives in bits 100..102 of the 34-byte body
+    # (byte 12 bits 1-3 counting from MSB) — patch to 7 (8 channels)
+    payload[8 + 12] = (payload[8 + 12] & ~0x0E) | (7 << 1)
+    with pytest.raises(NotImplementedError, match="stereo"):
+        M.decode_flac(bytes(payload))
+    # reserved channel assignment 0b1011 in the frame header
+    bad = _flac_fixture_frame([1, 2, 3, 4], chan_code=0b1011)
+    with pytest.raises(ValueError, match="channel assignment"):
+        M.decode_flac(bad)
 
 
 def test_flac_decoder_general_branches_on_handbuilt_streams():

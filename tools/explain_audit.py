@@ -210,6 +210,7 @@ MUST_HAVE = {
     "multimodal_decode_ulaw": ["MapInPandas"],
     "multimodal_decode_alaw": ["MapInPandas"],
     "multimodal_decode_flac": ["MapInPandas"],
+    "multimodal_decode_flac_stereo": ["MapInPandas"],
     # BPE distinct tier (via the auto dispatcher): the vocab-sized
     # piece table must join back by BROADCAST (corpus tokens shuffle
     # only for the per-doc regroup)
@@ -272,6 +273,7 @@ MUST_NOT = {
     "multimodal_decode_ulaw": ["Exchange", "SortMergeJoin"],
     "multimodal_decode_alaw": ["Exchange", "SortMergeJoin"],
     "multimodal_decode_flac": ["Exchange", "SortMergeJoin"],
+    "multimodal_decode_flac_stereo": ["Exchange", "SortMergeJoin"],
     "text_bpe_encode_auto": ["SortMergeJoin", "CartesianProduct"],
     "j13_lateral_topn": ["CartesianProduct", "SortMergeJoin"],
     "r6_unpivot_native": ["Generate"],  # unpivot must not fall back to explode
@@ -373,6 +375,7 @@ AUDIT = [
     "multimodal_decode_rle", "multimodal_decode_gif",
     "multimodal_decode_adpcm", "multimodal_decode_ulaw",
     "multimodal_decode_alaw", "multimodal_decode_flac",
+    "multimodal_decode_flac_stereo",
     "text_bpe_encode_auto",
 ]
 

@@ -7193,7 +7193,11 @@ def _driver_coverage() -> dict[str, int]:
 # No entry's latest driver row should be older than this many rounds:
 # past the floor it competes for a window slot alongside churned code
 # (r11, VERDICT r10 item 3 — churn-only priority stalled never-touched
-# entries at r1/r2-era rows for up to nine rounds).
+# entries at r1/r2-era rows for up to nine rounds). Honest steady-state
+# note: with ~254 entries and ~44 rotation slots a full cycle takes
+# ~5.8 rounds, so past-floor entries queue OLDEST-FIRST and the
+# realized max age settles near 6 — the floor is a fair round-robin
+# trigger, not a hard bound the window arithmetic could satisfy.
 _AGE_FLOOR = 4
 
 

@@ -1270,8 +1270,9 @@ def _encode_flac_stereo(tile: bytes, mid: int,
 
     out = bytearray(b"fLaC")
     si = _BitWriter()
-    si.write(min(total, _FLAC_BLOCK), 16)
-    si.write(min(total, _FLAC_BLOCK), 16)
+    last = total % _FLAC_BLOCK or _FLAC_BLOCK
+    si.write(min(total, last), 16)             # min blocksize
+    si.write(min(total, _FLAC_BLOCK), 16)      # max blocksize
     si.write(0, 24)
     si.write(0, 24)
     si.write(sample_rate, 20)
@@ -1316,8 +1317,13 @@ def _encode_flac(tile: bytes, mid: int, sample_rate: int = 8_000) -> bytes:
 
     out = bytearray(b"fLaC")
     si = _BitWriter()
-    si.write(min(total, _FLAC_BLOCK), 16)     # min blocksize
-    si.write(min(total, _FLAC_BLOCK), 16)     # max blocksize
+    # min/max block size over ALL frames: the last frame may be a
+    # partial block. (Streams under 16 total samples are below the
+    # spec's minimum block size — the fixture keeps the 1-sample-per-
+    # text-byte correspondence and the decoder accepts them.)
+    last = total % _FLAC_BLOCK or _FLAC_BLOCK
+    si.write(min(total, last), 16)             # min blocksize
+    si.write(min(total, _FLAC_BLOCK), 16)      # max blocksize
     si.write(0, 24)                            # min framesize unknown
     si.write(0, 24)                            # max framesize unknown
     si.write(sample_rate, 20)

@@ -3562,6 +3562,11 @@ def test_flac_roundtrip_all_subframe_types():
     # decode_audio dispatches FLAC by magic, WAV by RIFF
     assert M.decode_audio(M._encode_flac(b"hi", 0))["n_samples"] == 2
     assert M.decode_audio(M._encode_wav(b"hi", n_samples=4))["n_samples"] == 4
+    # STREAMINFO min/max block size span ALL frames (600 samples ->
+    # frames 256+256+88, so min=88, max=256; bytes 8-11 of the payload)
+    p = M._encode_flac(bytes(600), 1)
+    assert int.from_bytes(p[8:10], "big") == 88
+    assert int.from_bytes(p[10:12], "big") == 256
 
 
 def test_flac_stereo_decorrelation_modes():

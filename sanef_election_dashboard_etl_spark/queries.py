@@ -9313,6 +9313,187 @@ def dedup_chunk_duplication(spark, sf_dir):
                     .alias("dup_fraction")))
 
 
+@query("q2_min_cost_supplier", oracle="""
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(l_extendedprice / l_quantity) AS supplycost
+        FROM lineitem GROUP BY 1, 2
+    ), qual AS (
+        SELECT c.l_partkey, c.supplycost, s_acctbal, s_name, n_name,
+               p_brand,
+               MIN(c.supplycost) OVER (PARTITION BY c.l_partkey) AS mc
+        FROM cost c
+        JOIN supplier ON s_suppkey = c.l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        JOIN part ON p_partkey = c.l_partkey
+        WHERE r_name = 'EUROPE' AND p_type = 'STANDARD' AND p_size <= 25
+    )
+    SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey, p_brand,
+           supplycost
+    FROM qual WHERE supplycost = mc
+""")
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape adapted to this schema (no partsupp table — the
+    supplier-part relation and its cost come from lineitem, the q16
+    convention): for each qualifying part, the EUROPE supplier(s)
+    offering the minimum observed unit price. The correlated MIN
+    subquery decorrelates into a window MIN over the part key.
+
+    Determinism: supplycost = MIN(l_extendedprice / l_quantity) — one
+    IEEE division of identical parquet doubles per row, so the min and
+    the equality-to-min cut are bit-identical cross-engine (numeric.py:
+    raw quotients are safe in comparisons; no ROUND anywhere). Ties on
+    the min all surface, identically in both engines.
+
+    Scale: part filter and the supplier⨝nation⨝region dim chain are
+    broadcast INTO the lineitem scan before the (part,supp) aggregate,
+    so the only full-fact shuffle carries pre-filtered rows at the
+    pair grain; the window re-exchange is on the aggregated pair grain
+    (narrow columns, |parts×suppliers-per-part| rows), never the fact.
+    Reference anchor: SANEF_Uploader.py:385-401 is the same
+    min-per-group pattern (councillor max-votes); this is its TPC-H
+    costing form."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = (_t(spark, sf_dir, "part")
+         .filter((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 25))
+         .select("p_partkey", "p_brand"))
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    s = (_t(spark, sf_dir, "supplier")
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+         .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    cost = (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+             .join(F.broadcast(s), l.l_suppkey == F.col("s_suppkey"))
+             .groupBy("l_partkey", "s_suppkey", "s_name", "s_acctbal",
+                      "n_name", "p_brand")
+             .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+                  .alias("supplycost")))
+    w = Window.partitionBy("l_partkey")
+    return (cost.withColumn("mc", F.min("supplycost").over(w))
+                .filter(F.col("supplycost") == F.col("mc"))
+                .select("s_acctbal", "s_name", "n_name",
+                        F.col("l_partkey").alias("p_partkey"),
+                        "p_brand", "supplycost"))
+
+
+@query("q11_important_stock", oracle="""
+    WITH v AS (
+        SELECT l_partkey,
+               SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                        AS BIGINT)) AS vu
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY 1
+    ), tot AS (SELECT SUM(vu) AS tu, COUNT(*) AS np FROM v)
+    SELECT l_partkey, CAST(vu AS DOUBLE) / 100.0 AS part_value
+    FROM v CROSS JOIN tot WHERE vu * np > 2 * tu
+""")
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape adapted to this schema (no partsupp — part value
+    held by one region's suppliers comes from lineitem): parts whose
+    ASIA-supplied value exceeds a fraction of the regional total. Q11's
+    fixed fraction (0.0001/SF) is scale-dependent by design; here the
+    threshold is 2× the average part share (vu·n_parts > 2·total), so
+    selectivity is scale-stable without an SF parameter.
+
+    Determinism: the HAVING compare is pure integer arithmetic on exact
+    cent sums (sum_units) — no ratio is ever materialized (RATIO RULE);
+    the published part_value divides exact units by 100.0 under the
+    2^53 guard (units_to_double). The Spark compare lifts to
+    decimal(38,0) because vu·np overflows int64 at the 100 TB design
+    point (np ~ 2e9 × vu ~ 2e11); DuckDB's SUM(BIGINT) is HUGEINT so
+    the oracle is exact at any width.
+
+    Scale: dims broadcast into the fact scan; one shuffle at the part
+    grain; the 1-row total broadcasts back. Mirrors q22's broadcast-
+    threshold pattern."""
+    l = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = (_t(spark, sf_dir, "supplier")
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+         .select("s_suppkey"))
+    v = (l.join(F.broadcast(s), l.l_suppkey == F.col("s_suppkey"))
+          .groupBy("l_partkey")
+          .agg(sum_units("l_extendedprice", 2).alias("vu")))
+    tot = v.agg(F.sum("vu").alias("tu"), F.count(F.lit(1)).alias("np"))
+    big = "decimal(38,0)"
+    return (v.crossJoin(F.broadcast(tot))
+             .filter(F.col("vu").cast(big) * F.col("np").cast(big)
+                     > F.lit(2).cast(big) * F.col("tu").cast(big))
+             .select("l_partkey",
+                     units_to_double(F.col("vu"), 2, 2).alias("part_value")))
+
+
+@query("q20_excess_suppliers", oracle="""
+    WITH sp AS (
+        SELECT l_suppkey,
+               SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                         AND l_shipdate < TIMESTAMP '1997-01-01'
+                        THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS qw,
+               SUM(CAST(l_quantity AS BIGINT)) AS qt
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE '%rod'
+        GROUP BY l_suppkey, l_partkey
+    )
+    SELECT DISTINCT s_suppkey, s_name, n_name
+    FROM sp
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE 2 * qw > qt AND r_name IN ('AMERICA', 'ASIA')
+""")
+def q20_excess_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape adapted to this schema (no partsupp availqty —
+    the "excess stock" predicate becomes shipping concentration): the
+    AMERICA/ASIA suppliers who shipped more than half of their total
+    volume of any '…rod' part inside the 1996 window. The original's
+    nested IN-subquery chain (part → partsupp → lineitem threshold →
+    supplier) decorrelates into one pair-grain aggregate + semi-shaped
+    distinct join, the reference's N+1-loop-to-join rewrite
+    (SANEF_Uploader.py:385-401 / J7) applied to a threshold subquery.
+
+    Determinism: quantities are integer-valued; both the window and
+    total sums run in exact integer units (sum_units scale 0 — the
+    floor-before-cast rule is moot on integral values but kept), and
+    the 2·qw > qt cut is an integer cross-multiply — no ratio, no
+    rounding (RATIO RULE).
+
+    Scale: the part filter broadcasts into the fact scan; one shuffle
+    at the (supp,part) pair grain; the supplier dim chain broadcasts
+    onto the surviving distinct keys. The fact's text/part columns
+    never shuffle."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = (_t(spark, sf_dir, "part")
+         .filter(F.col("p_name").like("%rod")).select("p_partkey"))
+    n = _t(spark, sf_dir, "nation")
+    r = (_t(spark, sf_dir, "region")
+         .filter(F.col("r_name").isin("AMERICA", "ASIA")))
+    s = (_t(spark, sf_dir, "supplier")
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+         .select("s_suppkey", "s_name", "n_name"))
+    in_window = ((F.col("l_shipdate")
+                  >= F.lit("1996-01-01").cast("timestamp"))
+                 & (F.col("l_shipdate")
+                    < F.lit("1997-01-01").cast("timestamp")))
+    sp = (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+           .groupBy("l_suppkey", "l_partkey")
+           .agg(sum_units(F.when(in_window, F.col("l_quantity"))
+                          .otherwise(F.lit(0.0)), 0).alias("qw"),
+                sum_units("l_quantity", 0).alias("qt")))
+    keys = (sp.filter(F.lit(2) * F.col("qw") > F.col("qt"))
+              .select("l_suppkey").distinct())
+    return (keys.join(F.broadcast(s), keys.l_suppkey == s.s_suppkey)
+                .select("s_suppkey", "s_name", "n_name").distinct())
+
+
 # Reorder AFTER every @query above has registered: the driver checks the
 # first _WINDOW_SIZE entries, so this call must stay at module end —
 # entries registered after it would never rotate into the window.

@@ -215,6 +215,13 @@ MUST_HAVE = {
     # piece table must join back by BROADCAST (corpus tokens shuffle
     # only for the per-doc regroup)
     "text_bpe_encode_auto": ["MapInPandas", "BroadcastHashJoin"],
+    # r11 TPC-H completions: every dim chain broadcasts into the fact
+    # scan; q2's correlated MIN decorrelates into a pair-grain window
+    "q2_min_cost_supplier": ["BroadcastHashJoin", "Window"],
+    # q11's 1-row total broadcasts back as a nested-loop cross
+    "q11_important_stock": ["BroadcastHashJoin", "BroadcastNestedLoopJoin",
+                            "HashAggregate"],
+    "q20_excess_suppliers": ["BroadcastHashJoin", "HashAggregate"],
 }
 
 # query -> substrings that must NOT appear
@@ -316,6 +323,11 @@ MUST_NOT = {
     # sort-merge the doc side
     "pipe_dedup_audit": ["CartesianProduct"],
     "sample_quantile_normalize": ["CartesianProduct"],
+    # r11 TPC-H completions: the fact side must never sort-merge or
+    # cross-product (dims are broadcast-sized by construction)
+    "q2_min_cost_supplier": ["SortMergeJoin", "CartesianProduct"],
+    "q11_important_stock": ["SortMergeJoin", "CartesianProduct"],
+    "q20_excess_suppliers": ["SortMergeJoin", "CartesianProduct"],
 }
 
 # query -> [(fragment, max occurrences)] — caps on EXPENSIVE expressions
@@ -377,6 +389,7 @@ AUDIT = [
     "multimodal_decode_alaw", "multimodal_decode_flac",
     "multimodal_decode_flac_stereo",
     "text_bpe_encode_auto",
+    "q2_min_cost_supplier", "q11_important_stock", "q20_excess_suppliers",
 ]
 
 

@@ -490,3 +490,110 @@ def numeric_drift_binned(old: DataFrame, new: DataFrame, value_col: str,
         return d.select(safe.alias("__bin"))
 
     return categorical_drift_tvd(binned(old), binned(new), "__bin")
+
+
+def constraint_check(df: DataFrame,
+                     constraints: Sequence[tuple]) -> DataFrame:
+    """Declarative data-quality constraint suite evaluated in ONE scan
+    (the Deequ/dbt-test contract): every constraint folds to a counting
+    aggregate inside a single wide aggregate row, then a `stack` unpivot
+    emits one row per constraint — cost is the one table scan no matter
+    how many constraints are declared (the `profile` discipline; no
+    per-constraint jobs, no driver loops).
+
+    Constraint forms (tuples):
+      ("not_null", col)             — violations = NULL rows
+      ("unique", col)               — violations = non-null rows beyond
+                                      the first per value (n - distinct)
+      ("range", col, lo, hi)        — non-null values outside [lo, hi]
+      ("in_set", col, values)       — non-null values not in `values`
+      ("matches", col, pattern)     — non-null values not rlike pattern
+      ("non_negative", col)         — non-null values < 0
+
+    Output: (check_name, column_name, n_rows, n_violations, passed) —
+    one row per constraint, passed = n_violations == 0. NULL values
+    violate only "not_null": every other predicate scopes to non-null
+    values, so a nullable column reports its null-rate and its
+    value-rule health independently (the Deequ completeness/compliance
+    split).
+
+    Scale: the wide agg runs partial (map-side combine); "unique" adds
+    one expand-shuffled COUNT(DISTINCT) per uniqueness constraint —
+    the only non-narrow piece, same cost class as profile()'s
+    n_distinct. The reference trusts its upstream tables outright
+    (SANEF_Uploader.py:33-38); this is the ingest gate a 100 TB
+    pipeline runs BEFORE anything trains on the data."""
+    n = F.count(F.lit(1))
+    aggs = [n.alias("__n")]
+    rows = []  # (check_name, column_name, violation agg alias)
+    for i, c in enumerate(constraints):
+        kind, col = c[0], c[1]
+        alias = f"__v{i}"
+        nn = F.col(col).isNotNull()
+        if kind == "not_null":
+            viol = F.sum(F.when(~nn, 1).otherwise(0))
+        elif kind == "unique":
+            viol = F.count(F.col(col)) - F.count_distinct(F.col(col))
+        elif kind == "range":
+            lo, hi = c[2], c[3]
+            viol = F.sum(F.when(
+                nn & ((F.col(col) < F.lit(lo)) | (F.col(col) > F.lit(hi))),
+                1).otherwise(0))
+        elif kind == "in_set":
+            viol = F.sum(F.when(nn & ~F.col(col).isin(*c[2]), 1)
+                         .otherwise(0))
+        elif kind == "matches":
+            viol = F.sum(F.when(nn & ~F.col(col).rlike(c[2]), 1)
+                         .otherwise(0))
+        elif kind == "non_negative":
+            viol = F.sum(F.when(nn & (F.col(col) < 0), 1).otherwise(0))
+        else:
+            raise ValueError(f"unknown constraint kind: {kind!r}")
+        aggs.append(viol.cast("long").alias(alias))
+        rows.append((kind, col, alias))
+    row = df.agg(*aggs)
+    stacked = ", ".join(f"'{k}', '{c}', {a}" for k, c, a in rows)
+    return (row.selectExpr(
+        "__n",
+        f"stack({len(rows)}, {stacked}) AS "
+        "(check_name, column_name, __viol)")
+        .select("check_name", "column_name",
+                F.col("__n").cast("long").alias("n_rows"),
+                F.coalesce(F.col("__viol"), F.lit(0)).cast("long")
+                 .alias("n_violations"))
+        .withColumn("passed", F.col("n_violations") == 0))
+
+
+def k_anonymity(df: DataFrame, quasi_cols: Sequence[str],
+                k: int) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier column set: one row
+    (k, n_rows, n_groups, min_group_size, n_groups_below_k,
+    n_rows_below_k, anonymity_ok) — a privacy gate for training-data
+    release (rows whose quasi-identifier combination is shared by fewer
+    than k records are re-identification risks; publishing requires
+    n_rows_below_k = 0 or a suppression/generalization pass on the
+    flagged groups).
+
+    NULL quasi-values group as their own equivalence class (groupBy
+    semantics match DuckDB GROUP BY on NULLs), which is the
+    conservative read: an absent attribute is still an attribute.
+
+    Scale: one shuffle at the quasi-key grain with full map-side
+    combine, then a 1-row fold of the group-size table — the same
+    two-level shape as profile_key_skew; nothing scales with k. All
+    outputs are exact integers (no ratio is published — callers
+    comparing risk across releases divide the exact counts
+    themselves, the RATIO RULE)."""
+    cnt = df.groupBy(*[F.col(c) for c in quasi_cols]) \
+            .agg(F.count(F.lit(1)).alias("__gn"))
+    below = F.col("__gn") < k
+    return (cnt.agg(
+        F.lit(k).cast("long").alias("k"),
+        F.sum("__gn").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("__gn").cast("long").alias("min_group_size"),
+        F.sum(F.when(below, 1).otherwise(0)).cast("long")
+         .alias("n_groups_below_k"),
+        F.sum(F.when(below, F.col("__gn")).otherwise(0)).cast("long")
+         .alias("n_rows_below_k"))
+        .withColumn("anonymity_ok", F.col("n_rows_below_k") == 0))

@@ -9313,6 +9313,82 @@ def dedup_chunk_duplication(spark, sf_dir):
                     .alias("dup_fraction")))
 
 
+@query("profile_constraint_check", oracle="""
+    WITH s AS (
+        SELECT COUNT(*) AS n,
+               COUNT(*) - COUNT(o_custkey) AS v_nn,
+               COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS v_uq,
+               SUM(CASE WHEN o_totalprice IS NOT NULL
+                         AND (o_totalprice < 0.0 OR o_totalprice > 600000.0)
+                        THEN 1 ELSE 0 END) AS v_rg,
+               SUM(CASE WHEN o_orderstatus IS NOT NULL
+                         AND o_orderstatus NOT IN ('F', 'O', 'P')
+                        THEN 1 ELSE 0 END) AS v_in,
+               SUM(CASE WHEN o_orderpriority IS NOT NULL AND NOT
+                             regexp_matches(o_orderpriority, '^[1-5]-')
+                        THEN 1 ELSE 0 END) AS v_re
+        FROM orders
+    )
+    SELECT check_name, column_name, CAST(n AS BIGINT) AS n_rows,
+           CAST(COALESCE(v, 0) AS BIGINT) AS n_violations,
+           COALESCE(v, 0) = 0 AS passed
+    FROM s, LATERAL (VALUES
+        ('not_null', 'o_custkey', v_nn),
+        ('unique', 'o_orderkey', v_uq),
+        ('range', 'o_totalprice', v_rg),
+        ('in_set', 'o_orderstatus', v_in),
+        ('matches', 'o_orderpriority', v_re)) AS t(check_name, column_name, v)
+""")
+def profile_constraint_check(spark, sf_dir):
+    """Deequ-style declarative quality gate (profile.constraint_check):
+    five constraints over orders — key completeness, key uniqueness,
+    price range, status domain, priority format — all folded into ONE
+    scan-wide aggregate and unpivoted to a row per constraint. The
+    regex is anchored-class-only so Java regex (Spark rlike) and RE2
+    (DuckDB regexp_matches) agree. The ingest gate a 100 TB pipeline
+    runs before training; the reference trusts its upstream tables
+    outright (SANEF_Uploader.py:33-38)."""
+    from .operators.profile import constraint_check
+
+    return constraint_check(
+        _t(spark, sf_dir, "orders"),
+        [("not_null", "o_custkey"),
+         ("unique", "o_orderkey"),
+         ("range", "o_totalprice", 0.0, 600000.0),
+         ("in_set", "o_orderstatus", ("F", "O", "P")),
+         ("matches", "o_orderpriority", "^[1-5]-")])
+
+
+@query("profile_k_anonymity", oracle="""
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment, COUNT(*) AS gn
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(5 AS BIGINT) AS k,
+           CAST(SUM(gn) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(gn) AS BIGINT) AS min_group_size,
+           CAST(SUM(CASE WHEN gn < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_groups_below_k,
+           CAST(SUM(CASE WHEN gn < 5 THEN gn ELSE 0 END) AS BIGINT)
+               AS n_rows_below_k,
+           SUM(CASE WHEN gn < 5 THEN gn ELSE 0 END) = 0 AS anonymity_ok
+    FROM g
+""")
+def profile_k_anonymity(spark, sf_dir):
+    """k-anonymity privacy audit (profile.k_anonymity) over the
+    (c_nationkey, c_mktsegment) quasi-identifier pair at k=5: exact
+    counts of under-populated equivalence classes and the rows exposed
+    by them — the release gate run before publishing a training
+    extract. One quasi-key shuffle with map-side combine + a 1-row
+    fold; every output is an exact integer (RATIO RULE: no risk
+    fraction is published)."""
+    from .operators.profile import k_anonymity
+
+    return k_anonymity(_t(spark, sf_dir, "customer"),
+                       ["c_nationkey", "c_mktsegment"], k=5)
+
+
 @query("q2_min_cost_supplier", oracle="""
     WITH cost AS (
         SELECT l_partkey, l_suppkey,

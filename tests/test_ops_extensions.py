@@ -3647,3 +3647,62 @@ def test_flac_decoder_general_branches_on_handbuilt_streams():
         M.decode_flac(_flac_fixture_frame(samples, stype=0b000010))
     with pytest.raises(ValueError, match="fLaC magic"):
         M.decode_flac(b"RIFFxxxx")
+
+
+def test_constraint_check_counts_each_violation_class(spark):
+    from sanef_election_dashboard_etl_spark.operators.profile import \
+        constraint_check
+
+    df = spark.createDataFrame(
+        [(1, "A", 5.0), (2, "B", -1.0), (2, None, 150.0), (4, "zz", None)],
+        "k long, s string, v double")
+    got = {(r["check_name"], r["column_name"]):
+           (r["n_violations"], r["passed"])
+           for r in constraint_check(df, [
+               ("not_null", "s"),
+               ("unique", "k"),
+               ("range", "v", 0.0, 100.0),
+               ("in_set", "s", ("A", "B")),
+               ("matches", "s", "^[A-Z]+$"),
+               ("non_negative", "v")]).collect()}
+    assert got[("not_null", "s")] == (1, False)
+    assert got[("unique", "k")] == (1, False)       # k=2 appears twice
+    # NULLs never violate value rules (completeness/compliance split)
+    assert got[("range", "v")] == (2, False)        # -1.0 and 150.0
+    assert got[("in_set", "s")] == (1, False)       # "zz"
+    assert got[("matches", "s")] == (1, False)      # "zz" fails [A-Z]+
+    assert got[("non_negative", "v")] == (1, False)
+    # all-green suite on a clean frame
+    clean = constraint_check(df.select("k"), [("not_null", "k")]).collect()
+    assert clean[0]["passed"] is True
+
+
+def test_constraint_check_is_one_scan(spark):
+    from sanef_election_dashboard_etl_spark.operators.profile import \
+        constraint_check
+
+    li = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    p = constraint_check(li, [("not_null", "o_custkey"),
+                              ("range", "o_totalprice", 0.0, 1e9)])
+    p.collect()
+    final = p._jdf.queryExecution().executedPlan().toString() \
+        .split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1
+
+
+def test_k_anonymity_flags_small_groups_and_null_class(spark):
+    from sanef_election_dashboard_etl_spark.operators.profile import \
+        k_anonymity
+
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (1, "x"), (2, "y"), (None, "y")],
+        "a int, b string")
+    r = k_anonymity(df, ["a", "b"], k=3).collect()[0]
+    assert (r["k"], r["n_rows"], r["n_groups"]) == (3, 5, 3)
+    assert r["min_group_size"] == 1
+    # (2,y) and (NULL,y) are each their own under-k class
+    assert r["n_groups_below_k"] == 2
+    assert r["n_rows_below_k"] == 2
+    assert r["anonymity_ok"] is False
+    ok = k_anonymity(df.filter("a = 1"), ["a", "b"], k=3).collect()[0]
+    assert ok["anonymity_ok"] is True

@@ -222,6 +222,11 @@ MUST_HAVE = {
     "q11_important_stock": ["BroadcastHashJoin", "BroadcastNestedLoopJoin",
                             "HashAggregate"],
     "q20_excess_suppliers": ["BroadcastHashJoin", "HashAggregate"],
+    # r11 quality gates: the whole constraint suite folds into one
+    # wide aggregate over one scan (the single COUNT(DISTINCT) plans
+    # as the two-level partial-agg pair, no Expand needed)
+    "profile_constraint_check": ["HashAggregate"],
+    "profile_k_anonymity": ["HashAggregate"],
 }
 
 # query -> substrings that must NOT appear
@@ -328,6 +333,9 @@ MUST_NOT = {
     "q2_min_cost_supplier": ["SortMergeJoin", "CartesianProduct"],
     "q11_important_stock": ["SortMergeJoin", "CartesianProduct"],
     "q20_excess_suppliers": ["SortMergeJoin", "CartesianProduct"],
+    # the constraint suite and the anonymity audit are scan+agg only
+    "profile_constraint_check": ["Join", "Exchange rangepartitioning"],
+    "profile_k_anonymity": ["Join", "Exchange rangepartitioning"],
 }
 
 # query -> [(fragment, max occurrences)] — caps on EXPENSIVE expressions
@@ -390,6 +398,7 @@ AUDIT = [
     "multimodal_decode_flac_stereo",
     "text_bpe_encode_auto",
     "q2_min_cost_supplier", "q11_important_stock", "q20_excess_suppliers",
+    "profile_constraint_check", "profile_k_anonymity",
 ]
 
 

@@ -36,7 +36,7 @@ from .cache import cache_scope
 from .plans import pipelines as P
 from .session import get_spark, tune
 from .sources.jdbc import JdbcSource
-from .sources.literal import reset_rows
+from .sources.literal import reset_rows, values_df
 from .sources.rest import RestSource, bearer_fetcher
 
 PIPELINES = ("ward_votes_by_party", "voter_turnout", "ward_votes_by_candidate",
@@ -210,7 +210,7 @@ def run_pipeline(spark: SparkSession, name: str, *, reset: bool = False,
         return P.ward_votes_by_party(fetch(keys, "qs"))
     if name == "ward_councillor_elected":
         # the reference fans out over provinces [1] only (:520)
-        keys = spark.createDataFrame([("&ProvinceID=1",)], "qs string")
+        keys = values_df(spark, [("&ProvinceID=1",)], "qs string")
         return P.ward_councillor_elected(fetch(keys, "qs"))
     if name == "seats_won":
         keys = munis.select(F.format_string(

@@ -1039,7 +1039,10 @@ def incremental_dedup_bloom(corpus: DataFrame, batch: DataFrame,
     # shuffle this operator exists to avoid.
     corpus_fps = corpus.select(fp.alias("fp"))
     words = build_bloom(corpus_fps, m_bits, k)
-    bloom = spark.createDataFrame([(words,)], "bloom_words: array<long>")
+    # values_df (LocalTableScan), not createDataFrame: the RDD-literal
+    # form pays defaultParallelism Python-worker round trips per action
+    from ..sources.literal import values_df
+    bloom = values_df(spark, [(words,)], "bloom_words array<bigint>")
 
     probed = (batch.select(F.col(id_col), fp.alias("fp"))
               .crossJoin(F.broadcast(bloom)))

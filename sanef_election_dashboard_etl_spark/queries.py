@@ -6548,7 +6548,9 @@ def pipe_dedup_audit(spark, sf_dir):
     chain_b = " ".join(f"zzq{i:02d}" for i in range(2, 21)) + " zzu01"
     chain_c = " ".join(f"zzq{i:02d}" for i in range(3, 21)) + \
         " zzu01 zzu02"
-    planted = spark.createDataFrame(
+    from .sources.literal import values_df
+    planted = values_df(
+        spark,
         [(900101, "zzp1 zzp2 zzp3"), (900102, "zzp1 zzp2 zzp3"),
          (900201, "zzk1 zzk2 zzk3 zzk4"), (900202, "zzk1 zzk2 zzk3 zzk4"),
          (900203, "zzk1 zzk2 zzk3 zzk4"),
@@ -8226,7 +8228,12 @@ _BM25_TOPK_ORACLE = """
 
 
 def _bm25_queries(spark):
-    return spark.createDataFrame(
+    # values_df, not createDataFrame: the literal subtree re-executes per
+    # consuming action and the RDD form pays 32 Python-worker round trips
+    # each time (r11 measured 0.28-0.31s/execution vs 0.03s)
+    from .sources.literal import values_df
+    return values_df(
+        spark,
         [("qa", "merge"), ("qa", "window"), ("qa", "scan"),
          ("qb", "stream"), ("qb", "filter"), ("qb", "customer"),
          ("qc", "batch"), ("qc", "slow"), ("qc", "key")],

@@ -413,3 +413,32 @@ def test_avro_roundtrip_types(spark, tmp_path):
     assert dict(back.dtypes) == dict(df.dtypes)
     assert sorted(map(tuple, back.collect())) == \
         sorted(map(tuple, df.collect()))
+
+
+def test_values_df_matches_createdataframe_and_plans_local(spark):
+    """values_df (r11): byte-identical schema+rows to createDataFrame but
+    planned as LocalTableScan — no Python-RDD scan on literal subtrees."""
+    from sanef_election_dashboard_etl_spark.sources.literal import values_df
+
+    cases = [
+        # strings incl. quote/backslash, NULL, negative long
+        ([("it's", -7), ("a\\b", None)], "s string, n long"),
+        # doubles must round-trip exactly; ints stay int
+        ([(0.1, 3), (-2.5e-8, None)], "x double, y int"),
+        # arrays of bigint (the bloom-words shape), incl. 2^62
+        ([([1, 2, 1 << 62],), ([],)], "bloom_words array<bigint>"),
+        # backticked names with spaces (the reset-row contracts)
+        ([("None", "-", 0)],
+         "Geography string, `Party Name` string, Count long"),
+        ([(True,), (None,)], "b boolean"),
+    ]
+    for rows_in, schema in cases:
+        a = spark.createDataFrame(
+            rows_in, schema.replace("array<bigint>", "array<long>"))
+        b = values_df(spark, rows_in, schema)
+        assert a.schema == b.schema, schema
+        assert a.collect() == b.collect(), schema
+    plan = values_df(spark, [("q",)], "t string")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "LocalTableScan" in plan
+    assert "ExistingRDD" not in plan

@@ -46,6 +46,56 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_cpu_scan(df: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """Adaptive repartition-after-read for CPU-heavy per-row work over
+    under-parallel scans (optimization guide §2.5 "input skew: one huge
+    unsplittable file ... repartition immediately after the read").
+
+    Parquet scans parallelize at ROW-GROUP granularity: a single-row-group
+    file is one task no matter how many cores the session has, so an
+    expensive map stage (tokenize+hash, per-pair cosine, signature
+    builds) downstream of a small/unsplittable input runs on one core of
+    32 (r11 stage profile: dedup_minhash_lsh's shingle map = 433 ms on 1
+    task; cosine_pairs = 850 ms on 1 task, twice). This helper inserts a
+    round-robin repartition to the session parallelism ONLY when the
+    scan is under-parallel: estimated scan tasks (input bytes / 128 MiB,
+    floored at the file count) must be under half the target, which at
+    production file counts/sizes is never true — the repartition is
+    scale-adaptive by construction, not a local[32] constant, and the
+    at-scale "corpus never shuffles" plan claims hold exactly where they
+    matter. Callers apply it to the NARROW projection that feeds the
+    expensive work, so the moved bytes are the columns the work needs.
+    Deterministic under retries (sort-before-repartition, Spark default);
+    every registry operator is partition-count-independent by the
+    cross-engine determinism rules, so results are unchanged."""
+    from .session import default_parallelism
+
+    want = int(parallelism or default_parallelism())
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — non-file-sourced plans: leave as-is
+        return df
+    if not files:
+        return df
+    total = 0
+    for uri in files:
+        path = uri
+        if path.startswith("file:"):
+            path = path[5:]
+            while path.startswith("//"):
+                path = path[1:]
+        elif "://" in path:
+            return df  # remote store: trust its split planning
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return df
+    est_tasks = max(len(files), -(-total // (128 << 20)))
+    if est_tasks * 2 > want:
+        return df
+    return df.repartition(want)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 

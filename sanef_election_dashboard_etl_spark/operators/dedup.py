@@ -66,7 +66,13 @@ def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id",
     # Materialize the token array as a named column first: referencing the
     # raw split() expression inside the lambda would re-tokenize the whole
     # text for every element_at (O(tokens^2) per doc — measured 9x slower).
-    with_toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    # spread_cpu_scan (r11): the shingle transform is the expensive map
+    # stage of every shingle-keyed dedup op (433 ms on ONE task at sf0.1,
+    # stage profile of record) — spread the narrow doc rows first when
+    # the scan is under-parallel; no-op at production file counts.
+    from ..catalog import spread_cpu_scan
+    with_toks = spread_cpu_scan(df.select(F.col(id_col), F.col(text_col))) \
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
     toks = F.col("__toks")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     # F.get, not element_at: 0-based and null-on-out-of-bounds, so docs
@@ -87,8 +93,9 @@ def token_set(df: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """Distinct unigram tokens per doc (1-shingles). Empty-string tokens
     (the residue of empty/whitespace-only docs) are dropped — see
-    shingles()."""
-    return df.select(
+    shingles(). Spreads under-parallel scans like shingles() (r11)."""
+    from ..catalog import spread_cpu_scan
+    return spread_cpu_scan(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("shingle")) \
         .filter(F.col("shingle") != "")

@@ -77,10 +77,19 @@ def cosine_pairs(emb: DataFrame, min_cosine: float,
                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact all-pairs cosine >= threshold (embedding near-dup). Quadratic:
     callers bound the input (subset / LSH candidates) at scale. Output
-    (id_a, id_b) with id_a < id_b — ids only."""
+    (id_a, id_b) with id_a < id_b — ids only.
+
+    The stream (a) side spreads via catalog.spread_cpu_scan (r11): the
+    quadratic pair scoring runs on the a-side's scan partitions, and a
+    bounded subset read from one row group is ONE task — 850 ms on one
+    core of 32 at sf0.1 (stage profile of record). The b side stays
+    unspread: it feeds the broadcast build, where one extra exchange
+    would only add stage latency to |subset| rows of norm work."""
     n = with_norm(emb, vec_col)
-    a = n.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va"),
-                 F.col("__norm").alias("na"))
+    from ..catalog import spread_cpu_scan
+    a = spread_cpu_scan(
+        n.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va"),
+                 F.col("__norm").alias("na")))
     b = n.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vb"),
                  F.col("__norm").alias("nb"))
     return (a.join(b, F.col("id_a") < F.col("id_b"))

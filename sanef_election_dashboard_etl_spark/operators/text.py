@@ -45,8 +45,14 @@ def tokens(text: Column) -> Column:
 def exploded_tokens(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
     """(id, token) rows — the shared first stage for the grouped operators.
-    A narrow explode: no shuffle until the downstream groupBy."""
-    return df.select(id_col, F.explode(tokens(F.col(text_col))).alias("token"))
+    A narrow explode: no shuffle until the downstream groupBy (r11: except
+    when the input scan is under-parallel — catalog.spread_cpu_scan then
+    spreads the PRE-explode doc rows so the tokenize+explode map work
+    uses the whole session instead of one row-group task; a no-op at
+    production file counts by construction)."""
+    from ..catalog import spread_cpu_scan
+    return spread_cpu_scan(df.select(id_col, text_col)).select(
+        id_col, F.explode(tokens(F.col(text_col))).alias("token"))
 
 
 def token_stats(df: DataFrame, id_col: str = "doc_id",

@@ -1084,7 +1084,16 @@ def gram_positions(df: DataFrame, k: int = 8, id_col: str = "doc_id",
     treats as a descending range — filtered out up front).
 
     Narrow per-row expansion (transform + posexplode), no shuffle; output
-    size is the corpus token count, same asymptotics as `shingles`."""
+    size is the corpus token count, same asymptotics as `shingles`.
+
+    r11: the input projection spreads via catalog.spread_cpu_scan — the
+    tokenize+slice+array_join window map is the CPU-heavy stage and an
+    under-parallel scan ran it on 2 tasks of 32 at sf0.1 (stage profile
+    of pipe_training_data_prep: 558 ms on 2 tasks). No-op at production
+    file counts, so the "only the k-gram shuffle moves the corpus"
+    at-scale claim is unchanged."""
+    from ..catalog import spread_cpu_scan
+    df = spread_cpu_scan(df.select(F.col(id_col), F.col(text_col)))
     return (df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
             .filter(F.size("__toks") >= k)
             .select(id_col,
@@ -1262,8 +1271,11 @@ def strip_duplicated_spans(df: DataFrame, k: int = 8, min_df: int = 2,
     # interpreted, no codegen CSE — r9 review catch); CollapseProject
     # keeps the two projections separate because the alias is consumed
     # more than once by non-cheap expressions.
-    return (df.select(F.col(id_col),
-                      tokens(F.col(text_col)).alias("__toks"))
+    from ..catalog import spread_cpu_scan
+    rebuild_in = spread_cpu_scan(
+        df.select(F.col(id_col), F.col(text_col)))
+    return (rebuild_in.select(F.col(id_col),
+                              tokens(F.col(text_col)).alias("__toks"))
             .join(F.broadcast(span_arrs), id_col, "left")
             .select(id_col, kept.alias("__kept"))
             .select(id_col,
@@ -1592,19 +1604,34 @@ def pagerank(pairs: DataFrame, n_iter: int = 3, damping: float = 0.85,
     scale = 10 ** 12
     from pyspark import StorageLevel
 
-    edges = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-             .unionByName(
-                 pairs.select(F.col(id_b).alias("u"),
-                              F.col(id_a).alias("v")))
+    # r11: both edge directions come from ONE pass over `pairs` via
+    # explode(array(struct)) — the previous unionByName duplicated the
+    # whole pair-generation subtree (DataFrame self-references are
+    # duplicated, not CTE-reused), so the quadratic cosine scoring ran
+    # once PER BRANCH in every cache fill (stage profile: two 64-task
+    # scoring stages, 2.3s + 1.9s executor time at sf0.1 — the
+    # dominant cost of dedup_pagerank_centrality). Same edge multiset,
+    # so the integer recurrence and its oracle are untouched.
+    edges = (pairs.select(F.explode(F.array(
+                F.struct(F.col(id_a).alias("u"), F.col(id_b).alias("v")),
+                F.struct(F.col(id_b).alias("u"), F.col(id_a).alias("v"))))
+             .alias("e"))
+             .select("e.u", "e.v")
              .repartition("u"))
     edges = scoped_persist(edges, StorageLevel.MEMORY_AND_DISK)
     deg = scoped_persist(
         edges.groupBy("u").agg(F.count(F.lit(1)).alias("d")),
         StorageLevel.MEMORY_AND_DISK)
     nn = deg.agg(F.count(F.lit(1)).alias("nn"))
-    r = (deg.select("u").crossJoin(F.broadcast(nn))
+    # r11: r carries the node's out-degree `d` alongside the rank, so
+    # each iteration joins edges to ONE small table instead of two
+    # (edges JOIN r JOIN deg had the static deg re-joined onto the
+    # EDGE-grain stream every iteration; attaching d when r is produced
+    # moves that join to the node-grain table — strictly less work at
+    # any scale, same arithmetic).
+    r = (deg.crossJoin(F.broadcast(nn))
          .select("u", F.expr(f"CAST({scale} AS BIGINT) DIV nn")
-                 .alias("r")))
+                 .alias("r"), "d"))
     # r9 depth cut: zero-contribution nodes used to be restored with a
     # per-iteration LEFT JOIN of sums back onto the node list; unioning
     # one (v, 0) row per node INTO the contribution aggregate folds
@@ -1613,10 +1640,9 @@ def pagerank(pairs: DataFrame, n_iter: int = 3, damping: float = 0.85,
     # rows read the persisted deg cache, not a recompute.
     zeros = deg.select(F.col("u").alias("v"),
                        F.lit(0).cast("long").alias("c"))
-    for _ in range(n_iter):
+    for it in range(n_iter):
         contrib = (edges
                    .join(r, "u")
-                   .join(deg, "u")
                    .select("v", F.expr("r DIV d").alias("c")))
         sums = (contrib.unionByName(zeros)
                 .groupBy("v").agg(F.sum("c").alias("s")))
@@ -1625,6 +1651,8 @@ def pagerank(pairs: DataFrame, n_iter: int = 3, damping: float = 0.85,
                  f"CAST({tn} AS BIGINT) * {scale} DIV ({td} * nn) "
                  f"+ CAST({dn} AS BIGINT) * s DIV {dd}")
                  .alias("r")))
+        if it + 1 < n_iter:  # the final ranks never feed another DIV d
+            r = r.join(deg, "u")
     return r.select(F.col("u").alias("node_id"),
                     F.col("r").alias("pagerank_fp"),
                     (F.col("r").cast("double") / F.lit(float(scale)))

@@ -56,6 +56,49 @@ def scoped_persist(df: DataFrame, level=None) -> DataFrame:
     return df
 
 
+def persist_if_heavy(df: DataFrame, level=None,
+                     min_bytes: int = 256 << 20) -> DataFrame:
+    """`scoped_persist` gated on the estimated SOURCE size (r11) — for
+    intermediates read by several plan branches where the re-computed
+    subtree is cheap at fixture scale but corpus-linear at production
+    scale (the Jaccard/PPJoin shingle tables: 4-5 branches re-execute
+    the tokenize+explode subtree per action).
+
+    Interleaved A/Bs measured the unconditional persist NEUTRAL to
+    slightly NEGATIVE at sf0.1/sf1 (the fill + memory-store copy costs
+    more than re-running a 200-doc tokenize on otherwise-idle cores),
+    while at 100 TB re-tokenizing the corpus per branch is the
+    dominant waste — so the gate mirrors catalog.spread_cpu_scan's
+    input-bytes estimator: persist only when the scanned source
+    exceeds `min_bytes`. Non-file-backed plans (literals, streams)
+    persist unconditionally — their size is unknowable and the persist
+    is the safe default."""
+    import os
+
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — non-file-sourced plan
+        return scoped_persist(df, level)
+    if not files:  # literals/streams report no files — size unknowable
+        return scoped_persist(df, level)
+    total = 0
+    for uri in files:
+        path = uri
+        if path.startswith("file:"):
+            path = path[5:]
+            while path.startswith("//"):
+                path = path[1:]
+        elif "://" in path:
+            return scoped_persist(df, level)  # remote: assume heavy
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return scoped_persist(df, level)
+    if total < min_bytes:
+        return df
+    return scoped_persist(df, level)
+
+
 @contextmanager
 def cache_scope():
     """Release every operator persist taken inside the block at exit.

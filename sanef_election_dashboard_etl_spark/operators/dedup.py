@@ -185,6 +185,13 @@ def jaccard_pairs(grams: DataFrame, id_col: str = "doc_id",
     vs the unfiltered measure, bounded join fan-out in exchange)."""
     if max_df is not None:
         grams = drop_hot_shingles(grams, max_df, id_col)
+    # r11: the size agg and BOTH self-join sides re-execute the shingle
+    # subtree without this persist (same finding as jaccard_prefix_pairs);
+    # gated on source size — at fixture scale the fill costs more than
+    # re-running a bounded tokenize on idle cores (A/B of record)
+    from pyspark import StorageLevel
+    from ..cache import persist_if_heavy
+    grams = persist_if_heavy(grams, StorageLevel.MEMORY_AND_DISK)
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = grams.select(F.col(id_col).alias("id_a"), "shingle")
     b = grams.select(F.col(id_col).alias("id_b"), "shingle")
@@ -1308,6 +1315,11 @@ def containment_pairs(df: DataFrame, n: int = 3,
         else token_set(df, id_col, text_col)
     if max_df is not None:
         grams = drop_hot_shingles(grams, max_df, id_col)
+    # r11: sizes + both self-join sides read grams (see jaccard_pairs);
+    # size-gated persist, same rationale
+    from pyspark import StorageLevel
+    from ..cache import persist_if_heavy
+    grams = persist_if_heavy(grams, StorageLevel.MEMORY_AND_DISK)
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = grams.select(F.col(id_col).alias("id_a"), "shingle")
     b = grams.select(F.col(id_col).alias("id_b"), "shingle")
@@ -1748,6 +1760,19 @@ def jaccard_prefix_pairs(grams: DataFrame, id_col: str = "doc_id",
     prefix self-join (bounded) + array verify on candidates only.
     """
     num, den = float(min_jaccard).as_integer_ratio()
+    # r11: FIVE plan branches read `grams` (sizes, dfr, the ranked join,
+    # the verification sets, and the candidate semi-join) and DataFrame
+    # self-references re-execute the upstream tokenize/shingle subtree
+    # per branch (stage profile: four 32-task tokenize stages per
+    # action). Persist it once — the same index-is-a-table posture as
+    # the minhash shingle caches; scope-releasable via cache_scope().
+    # Size-gated (cache.persist_if_heavy): the interleaved A/B read the
+    # unconditional persist neutral-to-negative at sf0.1/sf1 (fill +
+    # memory-store copy vs re-tokenizing 200 bounded docs on idle
+    # cores), while at corpus scale the 5x re-tokenize is the waste.
+    from pyspark import StorageLevel
+    from ..cache import persist_if_heavy
+    grams = persist_if_heavy(grams, StorageLevel.MEMORY_AND_DISK)
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     dfr = grams.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     from pyspark.sql import Window

@@ -123,3 +123,36 @@ def test_cli_main_runs_pipeline_inside_cache_scope(spark, monkeypatch,
     assert seen["resident_during_run"]
     assert _n_persisted(spark) == base     # released by main's scope
     assert glob.glob(str(tmp_path / "datasets" / "hung_councils-*.csv"))
+
+
+def test_persist_if_heavy_gates_on_source_size(spark, tmp_path):
+    """persist_if_heavy (r11): a small file-backed source stays
+    unpersisted (the fixture-scale A/B showed the fill costs more than
+    the re-computed subtree), a source past the byte threshold persists
+    and registers with the enclosing scope, and a non-file-backed plan
+    persists unconditionally."""
+    from sanef_election_dashboard_etl_spark.cache import persist_if_heavy
+
+    spark.catalog.clearCache()
+    path = str(tmp_path / "src.parquet")
+    spark.range(100).selectExpr(
+        "id AS doc_id", "concat('tok', id) AS text").write.parquet(path)
+    src = spark.read.parquet(path)
+
+    base = _n_persisted(spark)
+    out = persist_if_heavy(src.select("doc_id"))
+    out.count()
+    assert _n_persisted(spark) == base, "small source must not persist"
+
+    with cache_scope() as scope:
+        out = persist_if_heavy(src.select("doc_id"), min_bytes=1)
+        out.count()
+        assert scope, "past-threshold persist must register with scope"
+        assert _n_persisted(spark) > base
+    assert _n_persisted(spark) == base
+
+    with cache_scope() as scope:
+        lit = spark.createDataFrame([(1,)], "x long")
+        persist_if_heavy(lit).count()
+        assert scope, "non-file-backed plan must persist unconditionally"
+    assert _n_persisted(spark) == base

@@ -80,13 +80,27 @@ def quality_score(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """Per-document quality heuristics: stopword ratio, unique-token ratio,
     length band -> a coarse good/short/repetitive/no-stopwords label
-    (the C4/Gopher-style rule family). One shuffle (groupBy doc)."""
-    tok = exploded_tokens(df, id_col, text_col)
+    (the C4/Gopher-style rule family).
+
+    ZERO shuffles (r11, guide §2.4): every statistic is per-document, so
+    the old explode -> groupBy(doc) -> count/sum/countDistinct — which
+    exchanged every corpus token on doc_id and paid countDistinct's
+    two-phase expand — collapses into per-row array expressions over ONE
+    tokenize (size / size∘filter / size∘array_distinct). Identical
+    integers: split() always yields >=1 element so the explode never
+    dropped a doc, and a NULL text dropped out of explode(NULL) exactly
+    as it drops out of the isNotNull guard here. Corpus tokens never
+    leave their partitions — at 100 TB the operator is now a pure map."""
     en = STOPWORDS["en"]
-    per_doc = tok.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.sum(F.col("token").isin(*en).cast("long")).alias("n_stop"),
-        F.countDistinct("token").alias("n_unique"),
+    arr = df.filter(F.col(text_col).isNotNull()).select(
+        id_col, tokens(F.col(text_col)).alias("__arr"))
+    a = F.col("__arr")
+    per_doc = arr.select(
+        id_col,
+        F.size(a).cast("long").alias("n_tokens"),
+        F.size(F.filter(a, lambda x: x.isin(*en))).cast("long")
+         .alias("n_stop"),
+        F.size(F.array_distinct(a)).cast("long").alias("n_unique"),
     )
     stop_ratio = ratio("n_stop", "n_tokens")
     uniq_ratio = ratio("n_unique", "n_tokens")
@@ -107,10 +121,16 @@ def quality_score(df: DataFrame, id_col: str = "doc_id",
 def lang_id(df: DataFrame, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """Stopword-vote language ID with a deterministic argmax (fixed
-    precedence en > es > de > fr on ties). Integer votes only."""
-    tok = exploded_tokens(df, id_col, text_col)
-    votes = tok.groupBy(id_col).agg(*[
-        F.sum(F.col("token").isin(*words).cast("long")).alias(f"{lang}_hits")
+    precedence en > es > de > fr on ties). Integer votes only.
+
+    ZERO shuffles (r11, same rewrite as quality_score): the per-language
+    vote is size(filter(tokens, isin(words))) per row — no explode, no
+    token exchange, one tokenize shared by all four vote columns."""
+    arr = df.filter(F.col(text_col).isNotNull()).select(
+        id_col, tokens(F.col(text_col)).alias("__arr"))
+    votes = arr.select(id_col, *[
+        F.size(F.filter(F.col("__arr"), lambda x: x.isin(*words)))
+         .cast("long").alias(f"{lang}_hits")
         for lang, words in STOPWORDS.items()
     ])
     en, es, de, fr = [F.col(f"{c}_hits") for c in ("en", "es", "de", "fr")]
@@ -548,17 +568,27 @@ def quality_classifier(df: DataFrame, dim: int = 256,
     numeric.py determinism rules), so the DuckDB oracle replays it
     exactly.
 
-    Scale: explode + single groupBy(doc) — one shuffle of (doc_id,
-    int) pairs; at 100 TB the weight lookup stays an expression (no
-    join, no Python), and partial aggregation halves shuffle volume
-    map-side."""
+    Scale: ZERO shuffles (r11, guide §2.4) — the score is per-document,
+    so the old explode + groupBy(doc) token exchange collapses into a
+    per-row array fold: score_int = aggregate(transform(tokens, w), +)
+    on primitive longs, one tokenize per row. The weight lookup stays an
+    expression (no join, no Python); corpus tokens never leave their
+    partitions. Same integers: split() always yields >=1 element, and a
+    NULL text dropped out of explode exactly as the isNotNull guard
+    drops it here."""
     from .dedup import portable_hash
-    tok = exploded_tokens(df, id_col, text_col)
-    j = F.pmod(portable_hash(F.col("token")), F.lit(dim))
-    w = F.pmod(j * F.lit(2654435761), F.lit(101)) - F.lit(50)
-    per_doc = tok.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.sum(w).alias("score_int"),
+
+    def w(tok_col):
+        j = F.pmod(portable_hash(tok_col), F.lit(dim))
+        return (F.pmod(j * F.lit(2654435761), F.lit(101)) - F.lit(50))
+
+    arr = df.filter(F.col(text_col).isNotNull()).select(
+        id_col, tokens(F.col(text_col)).alias("__arr"))
+    per_doc = arr.select(
+        id_col,
+        F.size(F.col("__arr")).cast("long").alias("n_tokens"),
+        F.aggregate(F.col("__arr"), F.lit(0).cast("long"),
+                    lambda a, x: a + w(x)).alias("score_int"),
     )
     return per_doc.select(
         id_col, "n_tokens", "score_int",
@@ -877,13 +907,31 @@ def bm25_topk(df: DataFrame, queries: DataFrame, k: int = 10,
         return _bm25_topk_scan(df, queries, k, k1, b, id_col, text_col,
                                persist_index)
 
-    tok = exploded_tokens(df, id_col, text_col).filter(F.col("token") != "")
-    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    # The tf table is the INVERTED INDEX — four plan branches consume it
-    # (dl, stats-via-dl, matched, dfreq-via-matched) and AQE's stage
-    # reuse does not collapse them (measured r8: 4 independent explode+
-    # aggregate subtrees, the dominant cost and the rep-to-rep spread of
-    # sim_hybrid_rrf). persist_index materializes it once per action —
+    # r11 (guide §2.4): dl (per-doc token count) is a PER-ROW expression
+    # on documents, not a post-index aggregate — computing it on the way
+    # in and carrying it through the tf groupBy as a functionally-
+    # dependent extra key removes the old dl branch outright: one
+    # groupBy(id) exchange + one matched⋈dl join gone from every
+    # consumer, and the stats future flattens to ONE sum over the
+    # persisted index. Same integers: dl = count of non-empty tokens =
+    # the old sum of the doc's tf values, and a doc with no tokens has
+    # no tf rows on either shape.
+    from ..catalog import spread_cpu_scan
+    base = spread_cpu_scan(df.select(id_col, text_col))
+    toks_arr = tokens(F.col(text_col))
+    tok = (base.select(
+               F.col(id_col),
+               F.size(F.filter(toks_arr, lambda x: x != ""))
+                .cast("long").alias("dl"),
+               F.explode(toks_arr).alias("token"))
+           .filter(F.col("token") != ""))
+    tf = tok.groupBy(id_col, "dl", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # The tf table is the INVERTED INDEX — two plan branches consume it
+    # (stats, matched-then-dfreq; dl rides inside it since r11) and
+    # AQE's stage reuse does not collapse them (measured r8: the
+    # duplicated explode+aggregate subtrees were the dominant cost and
+    # the rep-to-rep spread of sim_hybrid_rrf).
+    # persist_index materializes it once per action —
     # the production retrieval architecture anyway: at 100 TB the index
     # is BUILT once and persisted (a table, not a per-query subplan);
     # queries join against it. Lazy persist: the first action populates
@@ -892,13 +940,12 @@ def bm25_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     if persist_index:
         from pyspark import StorageLevel
         tf = scoped_persist(tf, StorageLevel.MEMORY_AND_DISK)
-    dl = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
-    # total_tokens = SUM(dl) — derived from the tf aggregate instead of
-    # a second full explode of the corpus (r8, VERDICT r7 item 4: the
-    # stats branch was one of TWO documents explodes in the plan; same
-    # value, since dl sums exactly the exploded non-empty tokens)
-    stats = dl.agg(
-        F.sum("dl").cast("long").alias("total_tokens")).crossJoin(
+    # total_tokens = SUM(tf) over the index — same value as the old
+    # SUM over the per-doc dl rollup (r8, VERDICT r7 item 4: derived
+    # from the tf aggregate instead of a second full corpus explode),
+    # now without the intermediate groupBy(id) exchange (r11).
+    stats = tf.agg(
+        F.sum("tf").cast("long").alias("total_tokens")).crossJoin(
         F.broadcast(df.agg(F.count(F.lit(1)).alias("n_docs"))))
     qterms = queries.select("query_id", F.col("term").alias("token"))
     matched = tf.join(F.broadcast(qterms), "token")
@@ -906,7 +953,6 @@ def bm25_topk(df: DataFrame, queries: DataFrame, k: int = 10,
         .groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
     scored = (matched
               .join(F.broadcast(dfreq), "token")
-              .join(dl, id_col)
               .crossJoin(F.broadcast(stats)))
     avgdl = (F.col("total_tokens").cast("double")
              / F.col("n_docs").cast("double"))

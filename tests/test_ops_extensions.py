@@ -40,6 +40,31 @@ def test_quality_and_lang(spark, docs):
     assert lang[1] == "en"
 
 
+def test_quality_score_perrow_rewrite_edges_and_plan(spark):
+    """r11 zero-shuffle rewrite: the per-row array expressions must keep
+    the explode+groupBy path's exact semantics at the edges — split('')
+    yields [''] (1 token, 1 unique, 0 stop), duplicate tokens collapse in
+    n_unique only, and a NULL text drops the doc (explode(NULL) used to
+    drop it; the isNotNull guard drops it now) — and the plan must carry
+    no exchange, no explode, no aggregate."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "the the the"), (3, None),
+         (4, "a b the of unique tokens all around here ten")],
+        "doc_id long, text string")
+    q = {r["doc_id"]: r for r in T.quality_score(df).collect()}
+    assert set(q) == {1, 2, 4}                    # NULL text dropped
+    assert (q[1]["n_tokens"], q[1]["n_stop"], q[1]["n_unique"]) == (1, 0, 1)
+    assert (q[2]["n_tokens"], q[2]["n_stop"], q[2]["n_unique"]) == (3, 3, 1)
+    assert q[4]["n_tokens"] == 10 and q[4]["n_unique"] == 10
+    lang = {r["doc_id"]: r for r in T.lang_id(df).collect()}
+    assert set(lang) == {1, 2, 4}
+    assert lang[2]["en_hits"] == 3
+    for plan_df in (T.quality_score(df), T.lang_id(df)):
+        plan = plan_df._jdf.queryExecution().executedPlan().toString()
+        for node in ("Exchange", "Generate", "HashAggregate"):
+            assert node not in plan, f"{node} crept back into the plan"
+
+
 def test_exact_dedup_normalizes_whitespace(spark, docs):
     out = D.exact_dedup(docs)
     survivors = {r["survivor_id"]: r["n_copies"] for r in out.collect()}

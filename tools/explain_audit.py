@@ -134,9 +134,9 @@ MUST_HAVE = {
     # the corpus rejection is an anti-join with the digest set as the
     # broadcast build side (32-byte fps, never documents)
     "pipe_incremental_ingest": ["FullOuter", "LeftAnti, BuildRight"],
-    # hashed classifier: weight lookup is an expression (no join), one
-    # hash aggregate pair (partial + final) on doc_id
-    "text_quality_classifier": ["HashAggregate"],
+    # hashed classifier: weight lookup is an expression (no join); the
+    # per-doc score is a per-row array fold (r11) — pure map, no agg
+    "text_quality_classifier": ["Project"],
     # sampled ccnet: the cut-point table is tiny -> broadcast into the
     # full-corpus assignment; the per-lang sort touches only the sample
     "text_ccnet_buckets_sampled": ["BroadcastHashJoin"],
@@ -293,8 +293,16 @@ MUST_NOT = {
     "layout_global_row_number": ["Exchange", "Window", "Sort"],
     "snapshot_diff": ["CartesianProduct"],
     "pipe_incremental_ingest": ["CartesianProduct"],
-    # the model is an expression: no join, no Python boundary
-    "text_quality_classifier": ["Join", "BatchEvalPython", "ArrowEvalPython"],
+    # the model is an expression: no join, no Python boundary; r11 —
+    # the per-doc fold also removed the explode and the doc_id exchange
+    "text_quality_classifier": ["Join", "BatchEvalPython", "ArrowEvalPython",
+                                "Exchange", "HashAggregate", "Generate"],
+    # per-doc token stats are per-row array expressions (r11): corpus
+    # tokens never leave their partitions — no explode, no exchange
+    "text_quality_score": ["Exchange", "Join", "Generate",
+                           "BatchEvalPython", "ArrowEvalPython"],
+    "text_lang_id": ["Exchange", "Join", "Generate",
+                     "BatchEvalPython", "ArrowEvalPython"],
     # epoch mixing is a narrow explode+filter: no shuffle, no join
     "sample_epoch_repeat": ["Exchange", "Join"],
     # chunking is one narrow explode: no shuffle, no join, no Python
@@ -353,7 +361,7 @@ MAX_COUNT = {
 # InMemoryTableScan readers (one build, N reads), not N rebuilt subtrees
 MIN_COUNT = {
     # VERDICT r8 item 5: the BM25 tf index builds ONCE per action and
-    # all downstream branches (dl, matched) read the cache
+    # all downstream branches (stats, matched) read the cache
     "sim_hybrid_rrf": [("InMemoryTableScan", 2)],
     "text_bm25_topk": [("InMemoryTableScan", 2)],
 }
@@ -378,7 +386,8 @@ AUDIT = [
     "sim_decontaminate", "pipe_training_data_prep",
     "j13_lateral_topn", "r6_unpivot_native", "e15_variant_json",
     "layout_global_row_number", "snapshot_diff", "pipe_incremental_ingest",
-    "text_quality_classifier", "sample_epoch_repeat",
+    "text_quality_classifier", "text_quality_score", "text_lang_id",
+    "sample_epoch_repeat",
     "pack_chunk_documents", "text_ccnet_buckets_sampled",
     "dedup_simhash_guarded", "multimodal_decode",
     "text_bm25_topk", "text_bm25_topk_scan",

@@ -355,19 +355,38 @@ def data_card(df: DataFrame, source_col: str = "source",
         F.col(source_col).alias("source"), F.col(lang_col).alias("lang"),
         fingerprint(F.col(text_col)).alias("__fp"),
         F.size(tokens(F.col(text_col))).cast("long").alias("__nt"))
-    per_source = base.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.countDistinct("__fp").cast("long").alias("n_unique_docs"),
-        F.sum("__nt").cast("long").alias("n_tokens"),
-        F.countDistinct("lang").cast("long").alias("n_langs"))
+    # r11 (guide §2.3 shuffle fewer bytes): the old single aggregate
+    # carried TWO count-distincts (fp, lang), so Spark planned an
+    # Expand — every base row tripled through the partial aggregate and
+    # the source exchange. Two-level instead: groupBy(source, fp) first
+    # (map-side partial collapses exact duplicates), then a source
+    # rollup whose map-side partial is |sources|-sized; n_langs rides
+    # the (source, lang) branch it was always derivable from. Same
+    # bigints: n_docs = sum of per-fp counts, n_unique_docs = count of
+    # non-NULL-fp groups (countDistinct excluded NULLs), n_tokens = sum
+    # of per-group sums, n_langs = count of non-NULL-lang groups.
+    g1 = base.groupBy("source", "__fp").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.sum("__nt").alias("__t"))
+    per_source = g1.groupBy("source").agg(
+        F.sum("__c").cast("long").alias("n_docs"),
+        F.sum(F.col("__fp").isNotNull().cast("long")).cast("long")
+         .alias("n_unique_docs"),
+        F.sum("__t").cast("long").alias("n_tokens"))
     from pyspark.sql import Window
     lc = base.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("__n"))
     w = Window.partitionBy("source").orderBy(
         F.desc("__n"), F.asc("lang"))
-    top = (lc.withColumn("__r", F.row_number().over(w))
+    # count("lang") skips the NULL-lang group — countDistinct semantics;
+    # the unordered spec shares the rank window's source partitioning
+    # (no extra exchange) and leaves WindowGroupLimit applicable to the
+    # rank window.
+    top = (lc.withColumn("n_langs", F.count("lang").over(
+               Window.partitionBy("source")).cast("long"))
+           .withColumn("__r", F.row_number().over(w))
            .filter(F.col("__r") == 1)
-           .select("source", F.col("lang").alias("top_lang")))
+           .select("source", F.col("lang").alias("top_lang"), "n_langs"))
     return (per_source.join(top, "source")
             .select("source", "n_docs", "n_unique_docs",
                     ((F.col("n_docs") - F.col("n_unique_docs"))

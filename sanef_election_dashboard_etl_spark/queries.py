@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from .catalog import table
 from .functions.maps import recode_map
-from .functions.numeric import (davg, davg_units, dratio_units, dsum, ratio,
+from .functions.numeric import (davg, davg_units, dratio_units, ratio,
                                 sum_units, units_to_double)
 from .operators import dedup as D
 from .operators import multimodal as M
@@ -359,9 +359,11 @@ def j2_three_table(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     j = R.dim_join(R.dim_join(o, c, o.o_custkey == c.c_custkey),
                    n, F.col("c_nationkey") == n.n_nationkey)
+    # r11: scaled-long accumulation (see events_tumbling note)
     return j.groupBy("n_name").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        dsum("o_totalprice").alias("total_price"))
+        units_to_double(sum_units("o_totalprice", scale=2), 2, 2)
+        .alias("total_price"))
 
 
 _J4_ORACLE_UNFINISHED = """
@@ -1924,9 +1926,13 @@ def events_tumbling(spark, sf_dir):
     variant with watermarking)."""
     e = _t(spark, sf_dir, "events")
     bucket = (F.floor(F.col("ts").cast("long") / 300) * 300).cast("long")
+    # r11: scaled-long accumulation (numeric.sum_units; the r7 q1
+    # postmortem) — dsum's decimal(28,2) SUM accumulator is
+    # Int128/BigDecimal-backed; identical value on primitive longs
     return (e.groupBy(bucket.alias("bucket_start"), F.col("event_type"))
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 dsum("value").alias("total_value")))
+                 units_to_double(sum_units("value", scale=2), 2, 2)
+                 .alias("total_value")))
 
 
 @query("events_sliding", oracle="""

@@ -2990,6 +2990,28 @@ def test_data_card_counts_and_lang_mode_tie(spark):
     assert (books.n_docs, books.n_unique_docs, books.top_lang) == (2, 2, "de")
 
 
+def test_data_card_two_level_null_semantics_and_no_expand(spark):
+    """r11 Expand removal: the two-level (source, fp) rollup must keep
+    countDistinct's NULL semantics — a NULL text (NULL fingerprint) and
+    a NULL lang count into n_docs but NOT into n_unique_docs/n_langs —
+    and the plan must carry no Expand node."""
+    from sanef_election_dashboard_etl_spark.operators.profile import (
+        data_card)
+    df = spark.createDataFrame(
+        [(1, "aa bb", "en", "web"), (2, None, "en", "web"),
+         (3, "cc", None, "web")],
+        "doc_id long, text string, lang string, source string")
+    card = data_card(df)
+    web = card.collect()[0]
+    # 3 docs; distinct non-NULL fingerprints: fp(aa bb), fp(cc) -> 2;
+    # distinct non-NULL langs: en -> 1; top_lang 'en' outright (2 > 1,
+    # no tie against the NULL-lang group).
+    assert (web.n_docs, web.n_unique_docs, web.n_langs) == (3, 2, 1)
+    assert web.top_lang == "en"
+    plan = card._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, "count-distinct Expand crept back"
+
+
 def test_pack_ffd_invariants_and_beats_streaming_fill(spark):
     from sanef_election_dashboard_etl_spark.operators.packing import (
         pack_ffd, pack_sequences)

@@ -456,6 +456,19 @@ def main(argv: list[str] | None = None) -> None:
     if band_verdict is not None:
         payload["band_vs_prev"] = band_verdict
     compact = json.dumps(payload, separators=(",", ":"))
+    if len(compact) >= 1900 and band_verdict is not None:
+        # An ambient-loud run against a proxy-spiked reference record can
+        # flag dozens of rows (r11: 33 names — 2053 chars) and the print
+        # below is the DRIVER's record: it must never crash or overflow
+        # the ~2KB stdout tail. Bound the flag list in the printed line
+        # only; the full list always lands in BENCH_DETAIL.json's
+        # band_vs_prev.flagged (and SCALE.md's diff table on --record).
+        flagged = list(band_verdict.get("regressed") or [])
+        band_verdict["n_regressed"] = len(flagged)
+        while len(compact) >= 1900 and flagged:
+            flagged.pop()
+            band_verdict["regressed"] = flagged
+            compact = json.dumps(payload, separators=(",", ":"))
     assert len(compact) < 1900, (
         "bench JSON line %d chars — would overflow the driver's ~2KB "
         "tail capture; trim HEADLINE or the payload" % len(compact))

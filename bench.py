@@ -256,14 +256,6 @@ def main(argv: list[str] | None = None) -> None:
             except OSError:
                 pass
 
-    # scan metric (BASELINE.md's `parquet scan, lineitem` row; like the
-    # pandas row, warm process + OS page cache, uncached in the engine)
-    scan = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
-    run_full(scan)
-    t0 = time.perf_counter()
-    run_full(scan)
-    times["scan_parquet_lineitem"] = round(time.perf_counter() - t0, 3)
-
     # NOTE: deliberately NOT .cache()ing inputs — measured (r1 and again
     # r2): InMemoryRelation substitution defeats parquet column pruning /
     # filter pushdown and the columnar-cache scan is no faster than
@@ -287,18 +279,61 @@ def main(argv: list[str] | None = None) -> None:
             out.append(time.perf_counter() - t0)
         return out
 
-    # BASELINE-comparable rows run LAST, when C2/codegen JIT is fully
-    # warm — their pandas twins are 5-150 ms, so compilation tails
-    # dominate them far more than the second-scale extension queries
-    # measured first
-    rep_times: dict[str, list[float]] = {}
-    baseline_rows = set(HEADLINE[:11])
-    for name in HEADLINE:
-        if name not in baseline_rows:
-            rep_times[name] = timed_reps(name)
-    for name in HEADLINE:
-        if name in baseline_rows:
-            rep_times[name] = timed_reps(name)
+    # scan metric (BASELINE.md's `parquet scan, lineitem` row; like the
+    # pandas row, warm process + OS page cache, uncached in the engine)
+    scan = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+
+    def run_headline() -> tuple[dict[str, list[float]], float]:
+        # one complete pass over the headline set; returns the per-query
+        # rep times plus the scan row. BASELINE-comparable rows run
+        # LAST, when C2/codegen JIT is fully warm — their pandas twins
+        # are 5-150 ms, so compilation tails dominate them far more
+        # than the second-scale extension queries measured first
+        run_full(scan)
+        t0 = time.perf_counter()
+        run_full(scan)
+        scan_s = round(time.perf_counter() - t0, 3)
+        rt: dict[str, list[float]] = {}
+        baseline_rows = set(HEADLINE[:11])
+        for name in HEADLINE:
+            if name not in baseline_rows:
+                rt[name] = timed_reps(name)
+        for name in HEADLINE:
+            if name in baseline_rows:
+                rt[name] = timed_reps(name)
+        return rt, scan_s
+
+    # Quiet-by-construction headline record (r12, VERDICT r11 item 1):
+    # the pre-loop gate above only proves the machine was quiet BEFORE
+    # the ~4-minute headline loop — r11's driver record went loud
+    # mid-loop (spark proxy 0.1706 = 1.47x the quiet anchor, measured
+    # AFTER the fact) and produced 42 false REGRESSED flags. The loop
+    # now re-measures the whole-stack proxy immediately after each
+    # pass; a pass whose post-loop proxy exceeds the same 1.3x quiet
+    # gate is re-run (bounded: 2 retries with backoff), the pass with
+    # the quietest post-loop proxy is the record, and the printed line
+    # carries `loud` so the record adjudicates itself. Methodology per
+    # query is unchanged (same reps, same noop sink, same ordering);
+    # a loud machine only causes extra complete passes, never a mixed
+    # per-query record.
+    attempts: list[tuple[dict[str, list[float]], float]] = []
+    sproxy_after_trail: list[float] = []
+    for attempt in range(3):
+        attempts.append(run_headline())
+        sproxy_after_trail.append(spark_proxy())
+        if sproxy_after_trail[-1] <= sp_gate:
+            break
+        if attempt < 2:
+            print(f"bench loud guard: post-loop spark proxy "
+                  f"{sproxy_after_trail[-1]} > gate {sp_gate} — "
+                  f"re-running the headline loop", file=sys.stderr)
+            time.sleep(10.0 * (attempt + 1))
+    best_i = min(range(len(attempts)),
+                 key=lambda i: sproxy_after_trail[i])
+    rep_times, scan_s = attempts[best_i]
+    sproxy_after = sproxy_after_trail[best_i]
+    loud = sproxy_after > sp_gate
+    times["scan_parquet_lineitem"] = scan_s
     # best-of-REPS is the headline number (matches BASELINE.md's
     # best-of-3 pandas methodology); median + spread ride along so a
     # loaded machine is distinguishable from a real regression
@@ -373,6 +408,12 @@ def main(argv: list[str] | None = None) -> None:
         "spark_proxy_s": sproxy,
         "spark_proxy_trail": sproxy_trail,
         "spark_proxy_gate": sp_gate,
+        # r12 loud-guard record: proxy measured AFTER each headline
+        # pass, number of passes run, and the self-adjudication bit
+        "spark_proxy_after_s": sproxy_after,
+        "spark_proxy_after_trail": sproxy_after_trail,
+        "headline_passes": len(attempts),
+        "loud": loud,
         "sf": sf,
     }
     here = os.path.dirname(os.path.abspath(__file__))
@@ -451,6 +492,8 @@ def main(argv: list[str] | None = None) -> None:
         "floor_noop_job": floor,
         "cpu_proxy_s": proxy,
         "spark_proxy_s": sproxy,
+        "spark_proxy_after_s": sproxy_after,
+        "loud": loud,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if band_verdict is not None:

@@ -73,7 +73,7 @@ def persist_if_heavy(df: DataFrame, level=None,
     exceeds `min_bytes`. Non-file-backed plans (literals, streams)
     persist unconditionally — their size is unknowable and the persist
     is the safe default."""
-    import os
+    from .catalog import input_bytes
 
     try:
         files = df.inputFiles()
@@ -81,19 +81,11 @@ def persist_if_heavy(df: DataFrame, level=None,
         return scoped_persist(df, level)
     if not files:  # literals/streams report no files — size unknowable
         return scoped_persist(df, level)
-    total = 0
-    for uri in files:
-        path = uri
-        if path.startswith("file:"):
-            path = path[5:]
-            while path.startswith("//"):
-                path = path[1:]
-        elif "://" in path:
-            return scoped_persist(df, level)  # remote: assume heavy
-        try:
-            total += os.path.getsize(path)
-        except OSError:
-            return scoped_persist(df, level)
+    # memoized per path-set (r12, VERDICT r11 item 6) — repeated calls
+    # over the same table no longer re-stat every file on the driver
+    total = input_bytes(files)
+    if total is None:  # remote store / vanished file: assume heavy
+        return scoped_persist(df, level)
     if total < min_bytes:
         return df
     return scoped_persist(df, level)

@@ -1629,7 +1629,24 @@ def pagerank(pairs: DataFrame, n_iter: int = 3, damping: float = 0.85,
                 F.struct(F.col(id_b).alias("u"), F.col(id_a).alias("v"))))
              .alias("e"))
              .select("e.u", "e.v")
-             .repartition("u"))
+             .repartition("u")
+             # r12 (guide §2.4): cache the edges SORTED on the join key.
+             # Each iteration's edges ⋈ r sort-merge join re-sorted the
+             # cached o(E) relation from scratch (n_iter Sort nodes over
+             # the same InMemoryTableScan — plan of record, plans/r12/
+             # dedup_pagerank_centrality_before.txt under the bench
+             # config); with the cache built pre-sorted the scan's
+             # outputOrdering satisfies every iteration's SMJ
+             # requirement and the per-iteration sorts are elided. Row
+             # order is not observable in any output (fixed-point sums
+             # are order-independent). NOTE (measured r12): under AQE
+             # the cached plan is wrapped in AdaptiveSparkPlanExec,
+             # which reports UnknownPartitioning/no ordering to
+             # consumers in Spark 4.1.2 — partitioning+ordering reuse
+             # fires on AQE-off sessions (the documented micro-scale
+             # calibration); AQE sessions instead rely on runtime
+             # SMJ->BHJ conversion once the tiny r side materializes.
+             .sortWithinPartitions("u"))
     edges = scoped_persist(edges, StorageLevel.MEMORY_AND_DISK)
     deg = scoped_persist(
         edges.groupBy("u").agg(F.count(F.lit(1)).alias("d")),

@@ -1304,7 +1304,20 @@ def rrf_fuse(rankings: list, k: int = 10, k_rrf: int = 60,
     contrib_units = ((num - num % den) / den).cast("long")
     tagged = [r.select("query_id", "rank", id_col) for r in rankings]
     unioned = reduce(lambda a, b: a.unionByName(b), tagged)
+    # r12 (VERDICT r11 item 2, guide §2.4): ONE exchange for the whole
+    # fusion tail. Union output has UnknownPartitioning, so groupBy
+    # (query_id, id) and the final per-query window each planned their
+    # own shuffle — two sequential stages over rows that are
+    # |queries| x k x n_lists by construction (corpus-independent, see
+    # the Scale paragraph). Repartitioning the union on query_id lets
+    # BOTH reuse it: hashpartitioning(query_id) satisfies the
+    # aggregate's ClusteredDistribution(query_id, id) (subset rule) and
+    # the window's ClusteredDistribution(query_id) exactly. Safe at any
+    # scale precisely because the input is post-top-k metadata — the
+    # per-query row bound is k x n_lists, never corpus-sized (the same
+    # boundedness the final window already relies on).
     fused = (unioned
+             .repartition("query_id")
              .groupBy("query_id", id_col)
              .agg((F.sum(contrib_units).cast("double")
                    / F.lit(float(10 ** 9))).alias("rrf_score"),

@@ -90,7 +90,20 @@ def quality_score(df: DataFrame, id_col: str = "doc_id",
     integers: split() always yields >=1 element so the explode never
     dropped a doc, and a NULL text dropped out of explode(NULL) exactly
     as it drops out of the isNotNull guard here. Corpus tokens never
-    leave their partitions — at 100 TB the operator is now a pure map."""
+    leave their partitions — at 100 TB the operator is now a pure map.
+
+    Caller contract (ADVICE r11): `id_col` must be unique per row. The
+    pre-r11 groupBy(doc_id) would have merged duplicate ids into one
+    combined row; the per-row plan emits one row per INPUT row. All
+    fixtures and the DuckDB oracle (GROUP BY doc_id) assume unique ids,
+    so the two shapes agree exactly there — feed deduped ids or the
+    oracle and the engine diverge by construction. Purity trade-off
+    (ADVICE r11): this pure map deliberately does NOT route through
+    catalog.spread_cpu_scan — a single-row-group input runs the array
+    work on one task, but adding the round-robin exchange would cost a
+    full shuffle of the text bytes and break the zero-Exchange plan
+    contract (explain_audit MUST_NOT) that matters at scale; callers
+    with pathological one-file inputs should repartition upstream."""
     en = STOPWORDS["en"]
     arr = df.filter(F.col(text_col).isNotNull()).select(
         id_col, tokens(F.col(text_col)).alias("__arr"))
@@ -125,7 +138,12 @@ def lang_id(df: DataFrame, id_col: str = "doc_id",
 
     ZERO shuffles (r11, same rewrite as quality_score): the per-language
     vote is size(filter(tokens, isin(words))) per row — no explode, no
-    token exchange, one tokenize shared by all four vote columns."""
+    token exchange, one tokenize shared by all four vote columns.
+    Caller contract + purity trade-off (ADVICE r11): identical to
+    quality_score — `id_col` unique per row (the per-row plan emits one
+    row per input row where the old groupBy merged duplicates), and no
+    spread_cpu_scan (the zero-Exchange contract outranks under-parallel
+    single-file inputs; repartition upstream if needed)."""
     arr = df.filter(F.col(text_col).isNotNull()).select(
         id_col, tokens(F.col(text_col)).alias("__arr"))
     votes = arr.select(id_col, *[
@@ -575,7 +593,12 @@ def quality_classifier(df: DataFrame, dim: int = 256,
     expression (no join, no Python); corpus tokens never leave their
     partitions. Same integers: split() always yields >=1 element, and a
     NULL text dropped out of explode exactly as the isNotNull guard
-    drops it here."""
+    drops it here.
+    Caller contract + purity trade-off (ADVICE r11): as quality_score —
+    `id_col` unique per row (one output row per input row; the old
+    groupBy merged duplicate ids), and no spread_cpu_scan (zero-Exchange
+    contract preserved; repartition pathological one-file inputs
+    upstream)."""
     from .dedup import portable_hash
 
     def w(tok_col):
@@ -918,13 +941,24 @@ def bm25_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     # no tf rows on either shape.
     from ..catalog import spread_cpu_scan
     base = spread_cpu_scan(df.select(id_col, text_col))
-    toks_arr = tokens(F.col(text_col))
-    tok = (base.select(
-               F.col(id_col),
-               F.size(F.filter(toks_arr, lambda x: x != ""))
-                .cast("long").alias("dl"),
-               F.explode(toks_arr).alias("token"))
-           .filter(F.col("token") != ""))
+    # r12 (ADVICE r11, guide §1.2): materialize the FILTERED token array
+    # once per document before the explode. The r11 shape computed
+    # size(filter(split(text))) in the Project ABOVE the Generate — a
+    # full re-split of the text PER EXPLODED TOKEN ROW (O(tokens²) per
+    # doc; plan of record plans/r12/text_bm25_topk_before.txt node (8)).
+    # With __toks a real column the split runs once per doc, dl is an
+    # O(1) size() over it, the Generate explodes the materialized array,
+    # and the post-explode '' filter is unnecessary (pre-filtered).
+    # Same integers: dl counts the same non-empty tokens; explode of the
+    # filtered array yields exactly the rows the old post-filter kept.
+    pre = base.select(
+        F.col(id_col),
+        F.filter(tokens(F.col(text_col)), lambda x: x != "")
+         .alias("__toks"))
+    tok = pre.select(
+        F.col(id_col),
+        F.size("__toks").cast("long").alias("dl"),
+        F.explode("__toks").alias("token"))
     tf = tok.groupBy(id_col, "dl", "token").agg(F.count(F.lit(1)).alias("tf"))
     # The tf table is the INVERTED INDEX — two plan branches consume it
     # (stats, matched-then-dfreq; dl rides inside it since r11) and
@@ -949,8 +983,21 @@ def bm25_topk(df: DataFrame, queries: DataFrame, k: int = 10,
         F.broadcast(df.agg(F.count(F.lit(1)).alias("n_docs"))))
     qterms = queries.select("query_id", F.col("term").alias("token"))
     matched = tf.join(F.broadcast(qterms), "token")
-    dfreq = matched.select("token", id_col).distinct() \
-        .groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
+    # r12 (VERDICT r11 items 2+7, guide §2.4): df comes from the index
+    # joined to the DISTINCT term set, not from matched. tf is unique on
+    # (doc, token) by construction (it IS the groupBy output; dl is
+    # functionally dependent on doc), so count-per-token over tf ⋈
+    # distinct-terms = number of docs containing the term — the exact
+    # integers matched.select(token, id).distinct() produced, including
+    # when two queries share a term (the distinct collapses the
+    # query_id fan-out; here the fan-out never happens). Plan: the
+    # chained distinct-then-count pair of o(|matches|) exchanges
+    # becomes ONE partial+final aggregate — one sequential stage fewer
+    # on the retrieval critical path. The term-set distinct is
+    # |query terms| rows inside the broadcast build.
+    term_set = qterms.select("token").distinct()
+    dfreq = (tf.join(F.broadcast(term_set), "token")
+               .groupBy("token").agg(F.count(F.lit(1)).alias("df_docs")))
     scored = (matched
               .join(F.broadcast(dfreq), "token")
               .crossJoin(F.broadcast(stats)))

@@ -7160,12 +7160,30 @@ _PINNED = [
     # is live (r9 text_bpe_tokenize precedent). The rotation itself
     # now carries an age floor (_AGE_FLOOR) so this class of pin
     # should not be needed again.
+    # r12 (VERDICT r11 items 2+3): the r11 pins all landed fresh r11
+    # rows, so they unpin. Pinned instead: the ELEVEN operators whose
+    # plans were REWRITTEN in the r11 optimization round but whose
+    # driver rows predate the rewrite (VERDICT r11's carried caveat —
+    # local gates cover them, the driver ledger does not). The age
+    # floor alone cannot pull them this round: 66 entries sit past the
+    # floor for ~44 rotation slots and the bump tier sorts oldest-
+    # first, so age-2..4 rewrites lose to age-5/6 untouched rows.
+    # Pinning trades one round of backlog drain for driver rows on
+    # every rewritten plan (several are further rewritten in r12:
+    # bm25's one-split tokenize + single-aggregate dfreq, rrf_fuse's
+    # one-exchange fusion tail, pagerank's sorted edge cache).
     "pipe_hung_councils",   # the flagship (entry()) — a row every round
-    "text_token_stats",
-    "dedup_exact",
-    "sim_topk_cosine",
-    "text_quality_score",
-    "multimodal_decode_alaw",
+    "text_bm25_topk",
+    "sim_hybrid_rrf",
+    "text_lang_id",
+    "text_quality_classifier",
+    "events_tumbling",
+    "dedup_pagerank_centrality",
+    "dedup_jaccard_prefix",
+    "dedup_minhash_lsh",
+    "dedup_substring_stats",
+    "pipe_training_data_prep",
+    "sim_cosine_pairs",
 ]
 
 _WINDOW_SIZE = 50

@@ -135,8 +135,14 @@ MUST_HAVE = {
     # broadcast build side (32-byte fps, never documents)
     "pipe_incremental_ingest": ["FullOuter", "LeftAnti, BuildRight"],
     # hashed classifier: weight lookup is an expression (no join); the
-    # per-doc score is a per-row array fold (r11) — pure map, no agg
-    "text_quality_classifier": ["Project"],
+    # per-doc score is a per-row array fold (r11) — pure map, no agg.
+    # r12 (ADVICE r11): assert the FOLD itself (the aggregate-over-
+    # tokens lambda in the Project), not a bare "Project" — essentially
+    # every plan contains a Project, so that positive assertion was
+    # vacuous; this one breaks if the fold rewrite regresses to an
+    # explode/groupBy shape (the MUST_NOT list forbids the operators,
+    # this pins the replacement expression's presence)
+    "text_quality_classifier": ["aggregate(__arr"],
     # sampled ccnet: the cut-point table is tiny -> broadcast into the
     # full-corpus assignment; the per-lang sort touches only the sample
     "text_ccnet_buckets_sampled": ["BroadcastHashJoin"],

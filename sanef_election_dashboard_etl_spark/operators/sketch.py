@@ -44,18 +44,34 @@ def _bucket(key: Column, j: int, width: int, portable: bool) -> Column:
 
 
 def count_min_sketch(df: DataFrame, key_col: str, depth: int = 4,
-                     width: int = 256, portable: bool = False) -> DataFrame:
+                     width: int = 256, portable: bool = False,
+                     weight_col: str | None = None) -> DataFrame:
     """Build a count-min sketch of `key_col` as (j, bucket, cnt) rows.
 
     One posexplode (narrow) + one bounded-key-space groupBy. The result has
     at most depth*width rows — collect-safe and broadcast-safe at any input
-    scale, which is the whole point of a sketch."""
+    scale, which is the whole point of a sketch.
+
+    `weight_col` (r12): build the SAME sketch from pre-aggregated
+    (key, count) rows — cnt(j, bucket) = SUM(weight) over the keys hashing
+    there, exactly the integers the raw-row build produces (the standard
+    weighted CMS update). Callers that already materialize per-key counts
+    (sketch_cms_tokens keeps the exact counts next to the estimates) hash
+    depth x |distinct keys| values instead of depth x |rows| — one corpus
+    pass and O(vocab) md5 work instead of two passes and O(corpus) — and
+    the shared counts subtree is exchange-reused with the exact branch at
+    runtime (plans/r12/sketch_cms_tokens_{before,after}.txt)."""
     key = F.col(key_col)
     buckets = F.array(*[_bucket(key, j, width, portable)
                         for j in range(depth)])
-    return (df.select(F.posexplode(buckets).alias("j", "bucket"))
+    if weight_col is None:
+        return (df.select(F.posexplode(buckets).alias("j", "bucket"))
+                  .groupBy("j", "bucket")
+                  .agg(F.count(F.lit(1)).alias("cnt")))
+    return (df.select(F.posexplode(buckets).alias("j", "bucket"),
+                      F.col(weight_col).alias("__w"))
               .groupBy("j", "bucket")
-              .agg(F.count(F.lit(1)).alias("cnt")))
+              .agg(F.sum("__w").cast("long").alias("cnt")))
 
 
 def cms_estimate(sketch: DataFrame, probes: DataFrame, key_col: str,

@@ -3761,15 +3761,23 @@ def sketch_cms_tokens(spark, sf_dir):
     md5 hash: build a 4x256 sketch over document tokens, point-estimate
     the probe set, and carry the exact count alongside — the oracle
     reproduces the sketch bit-for-bit, so est_count matches exactly
-    (and with 256 buckets vs a small vocab, est == exact: no collisions)."""
+    (and with 256 buckets vs a small vocab, est == exact: no collisions).
+
+    r12: the sketch is derived from the SAME per-token counts table the
+    exact column publishes (weighted CMS build — identical integers by
+    construction: cnt(j,b) = SUM over tokens hashing there of their
+    count). The two branches now share one tokenize+count subtree
+    (exchange-reused at runtime) and the md5 bucket hashing runs per
+    DISTINCT token instead of per corpus token row."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
     tok = T.exploded_tokens(docs).filter(F.col("token") != "")
-    sk = SK.count_min_sketch(tok, "token", depth=4, width=256, portable=True)
+    exact = (tok.groupBy(F.col("token").alias("key"))
+                .agg(F.count(F.lit(1)).alias("exact_count")))
+    sk = SK.count_min_sketch(exact, "key", depth=4, width=256,
+                             portable=True, weight_col="exact_count")
     probes = tok.filter(F.col("doc_id") < 3).select("token").distinct()
     est = SK.cms_estimate(sk, probes, "token", depth=4, width=256,
                           portable=True)
-    exact = (tok.groupBy(F.col("token").alias("key"))
-                .agg(F.count(F.lit(1)).alias("exact_count")))
     return est.join(exact, "key", "left").na.fill({"exact_count": 0})
 
 

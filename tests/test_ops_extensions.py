@@ -967,6 +967,26 @@ def test_cms_never_underestimates_and_is_tight_when_wide(spark):
         assert est == exact
 
 
+def test_cms_weighted_build_equals_raw_build(spark):
+    """r12: count_min_sketch(weight_col=...) over pre-aggregated
+    (key, count) rows must produce bit-identical (j, bucket, cnt) rows
+    to the raw-row build — the rewrite sketch_cms_tokens relies on."""
+    from sanef_election_dashboard_etl_spark.operators import sketch as SK
+
+    tok = spark.createDataFrame(
+        [("a",)] * 10 + [("b",)] * 3 + [("c",)] * 1, "token string")
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("w"))
+    for portable in (False, True):
+        raw = SK.count_min_sketch(tok, "token", depth=4, width=256,
+                                  portable=portable)
+        weighted = SK.count_min_sketch(counts, "token", depth=4, width=256,
+                                       portable=portable, weight_col="w")
+        key = ["j", "bucket", "cnt"]
+        assert sorted(map(tuple, raw.select(*key).collect())) == \
+            sorted(map(tuple, weighted.select(*key).collect()))
+        assert dict(weighted.dtypes)["cnt"] == "bigint"
+
+
 def test_cms_absent_key_estimates_zero(spark):
     from sanef_election_dashboard_etl_spark.operators import sketch as SK
 

@@ -46,7 +46,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def spread_cpu_scan(df: DataFrame, parallelism: int | None = None) -> DataFrame:
+def spread_cpu_scan(df: DataFrame, parallelism: int | None = None,
+                    key_col: str | None = None) -> DataFrame:
     """Adaptive repartition-after-read for CPU-heavy per-row work over
     under-parallel scans (optimization guide §2.5 "input skew: one huge
     unsplittable file ... repartition immediately after the read").
@@ -67,7 +68,26 @@ def spread_cpu_scan(df: DataFrame, parallelism: int | None = None) -> DataFrame:
     expensive work, so the moved bytes are the columns the work needs.
     Deterministic under retries (sort-before-repartition, Spark default);
     every registry operator is partition-count-independent by the
-    cross-engine determinism rules, so results are unchanged."""
+    cross-engine determinism rules, so results are unchanged.
+
+    `key_col` (r12, guide §2.4): hash-partition the spread on that
+    column instead of round-robin. Same gate, same task count, same
+    rows — but a downstream aggregate whose grouping keys form a
+    SUPERSET of {key_col} then satisfies its ClusteredDistribution from
+    the spread itself (HashPartitioning-subset rule, the same property
+    the rrf fusion repartition exploits), so the aggregate's own
+    Exchange is elided wherever the spread fires; and a keyed
+    repartition skips round-robin's sort-before-repartition local
+    sort. Use it when the expensive map stage feeds a groupBy keyed by
+    the row's identity (bm25's (doc, dl, token) tf build, tfidf's
+    (doc, token) tf build); keep round-robin when downstream keys
+    don't include a per-input-row column (token/gram-keyed
+    aggregates), where hash-by-key buys nothing and round-robin's
+    exact evenness is preferable. Skew note: key_col must be
+    fine-grained (a per-document id), never a low-cardinality
+    attribute — the gate only fires on under-parallel scans, but a
+    hot key would concentrate the map work the spread exists to
+    spread."""
     from .session import default_parallelism
 
     want = int(parallelism or default_parallelism())
@@ -83,6 +103,10 @@ def spread_cpu_scan(df: DataFrame, parallelism: int | None = None) -> DataFrame:
     est_tasks = max(len(files), -(-total // (128 << 20)))
     if est_tasks * 2 > want:
         return df
+    if key_col is not None:
+        from pyspark.sql import functions as F
+
+        return df.repartition(want, F.col(key_col))
     return df.repartition(want)
 
 

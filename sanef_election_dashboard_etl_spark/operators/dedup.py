@@ -70,8 +70,15 @@ def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id",
     # stage of every shingle-keyed dedup op (433 ms on ONE task at sf0.1,
     # stage profile of record) — spread the narrow doc rows first when
     # the scan is under-parallel; no-op at production file counts.
+    # r12: the spread hashes on the doc id — every per-doc aggregate
+    # over the shingle table (minhash signatures, the jaccard-family
+    # set sizes, simhash bit rollups: all groupBy(id, ...) supersets)
+    # then satisfies its distribution from the spread exchange and
+    # plans no Exchange of its own; shingle-keyed consumers shuffle on
+    # the shingle exactly as before (catalog.spread_cpu_scan key_col).
     from ..catalog import spread_cpu_scan
-    with_toks = spread_cpu_scan(df.select(F.col(id_col), F.col(text_col))) \
+    with_toks = spread_cpu_scan(df.select(F.col(id_col), F.col(text_col)),
+                                key_col=id_col) \
         .select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
     toks = F.col("__toks")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
@@ -93,9 +100,12 @@ def token_set(df: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """Distinct unigram tokens per doc (1-shingles). Empty-string tokens
     (the residue of empty/whitespace-only docs) are dropped — see
-    shingles(). Spreads under-parallel scans like shingles() (r11)."""
+    shingles(). Spreads under-parallel scans like shingles() (r11),
+    hash-keyed on the doc id (r12) so per-doc aggregates downstream
+    ride the spread exchange."""
     from ..catalog import spread_cpu_scan
-    return spread_cpu_scan(df.select(F.col(id_col), F.col(text_col))).select(
+    return spread_cpu_scan(df.select(F.col(id_col), F.col(text_col)),
+                           key_col=id_col).select(
         F.col(id_col),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("shingle")) \
         .filter(F.col("shingle") != "")
@@ -1098,9 +1108,13 @@ def gram_positions(df: DataFrame, k: int = 8, id_col: str = "doc_id",
     under-parallel scan ran it on 2 tasks of 32 at sf0.1 (stage profile
     of pipe_training_data_prep: 558 ms on 2 tasks). No-op at production
     file counts, so the "only the k-gram shuffle moves the corpus"
-    at-scale claim is unchanged."""
+    at-scale claim is unchanged. r12: the spread hashes on the doc id —
+    the span-reconstruction aggregates downstream (islands
+    groupBy(id, isl), per-doc span rollups) are id-superset-keyed and
+    ride the spread exchange where it fires."""
     from ..catalog import spread_cpu_scan
-    df = spread_cpu_scan(df.select(F.col(id_col), F.col(text_col)))
+    df = spread_cpu_scan(df.select(F.col(id_col), F.col(text_col)),
+                         key_col=id_col)
     return (df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
             .filter(F.size("__toks") >= k)
             .select(id_col,

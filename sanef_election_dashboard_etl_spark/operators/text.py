@@ -43,15 +43,23 @@ def tokens(text: Column) -> Column:
 
 
 def exploded_tokens(df: DataFrame, id_col: str = "doc_id",
-                    text_col: str = "text") -> DataFrame:
+                    text_col: str = "text",
+                    spread_key: str | None = None) -> DataFrame:
     """(id, token) rows — the shared first stage for the grouped operators.
     A narrow explode: no shuffle until the downstream groupBy (r11: except
     when the input scan is under-parallel — catalog.spread_cpu_scan then
     spreads the PRE-explode doc rows so the tokenize+explode map work
     uses the whole session instead of one row-group task; a no-op at
-    production file counts by construction)."""
+    production file counts by construction).
+
+    `spread_key` (r12): callers whose downstream aggregate is keyed on
+    a superset of {id_col} (tfidf's (doc, token) tf build) pass
+    spread_key=id_col so the spread, where it fires, also satisfies
+    that aggregate's distribution (catalog.spread_cpu_scan key_col
+    docs). Token-keyed consumers keep the round-robin default."""
     from ..catalog import spread_cpu_scan
-    return spread_cpu_scan(df.select(id_col, text_col)).select(
+    return spread_cpu_scan(df.select(id_col, text_col),
+                           key_col=spread_key).select(
         id_col, F.explode(tokens(F.col(text_col))).alias("token"))
 
 
@@ -312,7 +320,13 @@ def tfidf_top_terms(df: DataFrame, k: int = 5, id_col: str = "doc_id",
     """
     from pyspark.sql import Window
 
-    tok = exploded_tokens(df, id_col, text_col).filter(F.col("token") != "")
+    # r12: spread keyed on the doc id — the tf groupBy's keys (id, token)
+    # are a superset, so the spread exchange (where the under-parallel
+    # gate fires) satisfies the aggregate and tf plans no Exchange; the
+    # aggregate's output then stays hash(id)-partitioned, which the
+    # per-doc rank window reuses too. Production (spread off): unchanged.
+    tok = exploded_tokens(df, id_col, text_col,
+                          spread_key=id_col).filter(F.col("token") != "")
     tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
@@ -939,8 +953,16 @@ def bm25_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     # persisted index. Same integers: dl = count of non-empty tokens =
     # the old sum of the doc's tf values, and a doc with no tokens has
     # no tf rows on either shape.
+    # r12 (guide §2.4): the spread hash-partitions on the document id —
+    # the tf groupBy's keys (id, dl, token) are a superset, so wherever
+    # the spread fires the tf aggregate SATISFIES its distribution from
+    # the spread exchange and plans with no Exchange of its own: the
+    # index fill drops from two sequential shuffles (round-robin text +
+    # (id, dl, token) pairs) to one. Where the gate keeps the spread
+    # off (production file counts) the plan is unchanged — tf pays its
+    # pair-keyed exchange exactly as before.
     from ..catalog import spread_cpu_scan
-    base = spread_cpu_scan(df.select(id_col, text_col))
+    base = spread_cpu_scan(df.select(id_col, text_col), key_col=id_col)
     # r12 (ADVICE r11, guide §1.2): materialize the FILTERED token array
     # once per document before the explode. The r11 shape computed
     # size(filter(split(text))) in the Project ABOVE the Generate — a

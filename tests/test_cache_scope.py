@@ -125,6 +125,45 @@ def test_cli_main_runs_pipeline_inside_cache_scope(spark, monkeypatch,
     assert glob.glob(str(tmp_path / "datasets" / "hung_councils-*.csv"))
 
 
+def test_spread_cpu_scan_key_col_elides_downstream_agg_exchange(
+        spark, tmp_path):
+    """spread_cpu_scan(key_col=) (r12): the keyed spread must plan a
+    hashpartitioning exchange on the key, and a downstream aggregate
+    whose grouping keys are a superset of {key} must satisfy its
+    distribution from it (no Exchange of its own) — the property the
+    bm25/tfidf/shingle builds rely on. Round-robin default unchanged."""
+    import pyspark.sql.functions as F
+
+    from sanef_election_dashboard_etl_spark.catalog import spread_cpu_scan
+
+    path = str(tmp_path / "docs.parquet")
+    spark.range(200).selectExpr(
+        "id AS doc_id", "concat('tok', id % 7, ' tok', id % 3) AS text"
+    ).coalesce(1).write.parquet(path)
+    src = spark.read.parquet(path)  # single tiny file => gate fires
+
+    spread = spread_cpu_scan(src, key_col="doc_id")
+    agg = (spread
+           .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+           .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")))
+    plan = agg._sc._jvm.PythonSQLUtils.explainString(
+        agg._jdf.queryExecution(), "formatted")
+    assert "hashpartitioning(doc_id" in plan
+    # exactly one Exchange: the keyed spread; the (doc_id, tok) groupBy
+    # must not add one
+    n_exchanges = sum(1 for ln in plan.splitlines()
+                      if ln.strip().startswith("(")
+                      and ") Exchange" in ln)
+    assert n_exchanges == 1, plan
+    # values identical to the round-robin build
+    rr = spread_cpu_scan(src)
+    agg_rr = (rr.select("doc_id",
+                        F.explode(F.split("text", " ")).alias("tok"))
+              .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")))
+    assert sorted(map(tuple, agg.collect())) == \
+        sorted(map(tuple, agg_rr.collect()))
+
+
 def test_persist_if_heavy_gates_on_source_size(spark, tmp_path):
     """persist_if_heavy (r11): a small file-backed source stays
     unpersisted (the fixture-scale A/B showed the fill costs more than

@@ -34,8 +34,16 @@ SECTION_HEADER = "## Round-over-round bench diff (tools/bench_diff.py)"
 
 
 def latest_parsed_record() -> tuple[str, dict]:
-    """Newest BENCH_r{N}.json whose driver tail-capture parsed."""
-    recs = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")), reverse=True)
+    """Newest BENCH_r{N}.json whose driver tail-capture parsed.
+
+    Core-suffixed records (BENCH_rN_c8.json — the driver's reduced-core
+    scaling run) are skipped: their per-query times are taken at a
+    different core count, so a band comparison against them flags
+    parallelism differences, not code (r12: the mid-round record
+    auto-compared against r11_c8 and flagged 26 floor-bound micro rows
+    that are simply faster at 8 cores)."""
+    recs = sorted((p for p in glob.glob(os.path.join(ROOT, "BENCH_r*.json"))
+                   if not re.search(r"_c\d+\.json$", p)), reverse=True)
     for path in recs:
         with open(path) as f:
             d = json.load(f)

@@ -70,15 +70,17 @@ def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id",
     # stage of every shingle-keyed dedup op (433 ms on ONE task at sf0.1,
     # stage profile of record) — spread the narrow doc rows first when
     # the scan is under-parallel; no-op at production file counts.
-    # r12: the spread hashes on the doc id — every per-doc aggregate
-    # over the shingle table (minhash signatures, the jaccard-family
-    # set sizes, simhash bit rollups: all groupBy(id, ...) supersets)
-    # then satisfies its distribution from the spread exchange and
-    # plans no Exchange of its own; shingle-keyed consumers shuffle on
-    # the shingle exactly as before (catalog.spread_cpu_scan key_col).
+    # r12: round-robin DELIBERATELY, not key_col=id (the token_set /
+    # bm25 / tfidf builds key their spread): this n-gram transform is
+    # the heaviest per-row map in the family, and the keyed variant was
+    # MEASURED slower — interleaved A/B of dedup_minhash_lsh read +10%
+    # in 3/3 pairs with hash(doc_id) (0.729 vs 0.593 mins) while the
+    # exchanges it elides are tiny at any config; round-robin's exact
+    # row evenness beats hash's statistical evenness exactly where the
+    # map dominates. token_set's cheaper map measured the opposite
+    # (jaccard −10%, 3/3), hence the split.
     from ..catalog import spread_cpu_scan
-    with_toks = spread_cpu_scan(df.select(F.col(id_col), F.col(text_col)),
-                                key_col=id_col) \
+    with_toks = spread_cpu_scan(df.select(F.col(id_col), F.col(text_col))) \
         .select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
     toks = F.col("__toks")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
